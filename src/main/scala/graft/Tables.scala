@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders over a scale-factor directory (TESTDATA.md).
+  *
+  * Parquet is self-describing, so schemas come from the files (the
+  * reference's collections are schemaless BSON — /root/reference/index.js:281-289
+  * — and its implicit per-collection shapes are documented in SURVEY.md §1.2;
+  * here the driver-generated star schema plays those roles, FIXTURES.md §1).
+  *
+  * Scale notes (100 TB design stance):
+  *   - Loads are plain `spark.read.parquet` — vectorized scan, predicate
+  *     pushdown and column pruning apply to every downstream query.
+  *   - Dimension tables (region/nation/supplier/part/customer) are small
+  *     relative to facts (orders/lineitem/events); join helpers in
+  *     `operators` broadcast them explicitly where Catalyst's size
+  *     estimate might not (e.g. after a filter that defeats stats).
+  *   - Nothing is cached here: at 100 TB you never materialize a fact
+  *     table; each query plans its own pruned scan.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def load(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = load("region")
+  def nation: DataFrame     = load("nation")
+  def customer: DataFrame   = load("customer")
+  def supplier: DataFrame   = load("supplier")
+  def part: DataFrame       = load("part")
+  def orders: DataFrame     = load("orders")
+  def lineitem: DataFrame   = load("lineitem")
+  def events: DataFrame     = load("events")
+  def documents: DataFrame  = load("documents")
+  def embeddings: DataFrame = load("embeddings")
+
+  /** Register every fixture as a temp view so the same queries run via
+    * `spark.sql` — the Hive-style catalog surface of the engine. */
+  def registerAll(): Unit =
+    Tables.names.foreach(n => load(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}

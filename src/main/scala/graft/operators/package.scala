@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for the operator catalog.
+  *
+  * Oracle-exactness: the driver hash-compares our parquet output against
+  * DuckDB running `SparkEntry.oracleSql` on the same files. Floating-point
+  * aggregation is association-order-dependent, and Spark's partition/merge
+  * order differs from DuckDB's scan order — so every double aggregate in an
+  * oracle-checked query goes through fixed-point decimal (exact, associative,
+  * commutative) and is cast back to double at the end. Both engines then
+  * produce bit-identical IEEE doubles. The same decimal cast appears in the
+  * oracle SQL.
+  *
+  * This costs nothing at scale: decimal sum is still a single partial+final
+  * hash aggregate (map-side combine), no extra shuffle.
+  */
+package object operators {
+
+  /** Exact sum of a double column — `cast(sum(cast(c as decimal(18,6))) as double)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Exact sum with empty-group → 0 parity (the reference's `|| 0`,
+    * /root/reference/index.js:341,566,1210). */
+  def dsum0(c: Column): Column = coalesce(dsum(c), lit(0.0))
+
+  /** Exact average: exact decimal sum divided by count, in double. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Oracle-SQL fragments matching the helpers above. */
+  def sqlDsum(e: String): String = s"cast(sum(cast($e as decimal(18,6))) as double)"
+  def sqlDsum0(e: String): String = s"coalesce(${sqlDsum(e)}, 0.0)"
+  def sqlDavg(e: String): String = s"(${sqlDsum(e)} / count($e))"
+
+  /** Null-tolerant count-if (reference conditional counts,
+    * /root/reference/index.js:335-337,557-559). */
+  def countIf(cond: Column): Column = count(when(cond, lit(1)))
+}
