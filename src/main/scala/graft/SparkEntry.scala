@@ -18,14 +18,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Flagship.flagship(spark, "/root/testdata/sf0.001")
 
+  /** The operator-family modules making up the catalog. */
+  private val modules: Seq[QueryModule] = Seq(ReadPath, Joins)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "flagship_buyer_home" -> (Flagship.flagship _)
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.queries).toMap +
+      ("flagship_buyer_home" -> (Flagship.flagship _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "flagship_buyer_home" -> Flagship.flagshipSql
-  )
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap +
+      ("flagship_buyer_home" -> Flagship.flagshipSql)
 }

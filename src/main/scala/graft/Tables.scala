@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fixture-table loaders over a scale-factor directory (TESTDATA.md).
   *
@@ -30,14 +31,27 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = load("part")
   def orders: DataFrame     = load("orders")
   def lineitem: DataFrame   = load("lineitem")
-  def events: DataFrame     = load("events")
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the physical
+    * int64 nanos via the legacy conf, then floor-convert to microsecond
+    * TimestampType with integer `div` (never `/`: double division loses
+    * precision on ~1.7e18 nano values). DuckDB/pandas floor the same ns
+    * values when narrowing to µs, so both engines agree exactly. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def table(name: String): DataFrame =
+    if (name == "events") events else load(name)
 
   /** Register every fixture as a temp view so the same queries run via
     * `spark.sql` — the Hive-style catalog surface of the engine. */
   def registerAll(): Unit =
-    Tables.names.foreach(n => load(n).createOrReplaceTempView(n))
+    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
 }
 
 object Tables {

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M2 — join parity (SURVEY.md §2.3). The reference has zero server-side
+  * joins: every join is hand-rolled application JS — a 2-step `$in`
+  * semi-join (index.js:550-554), an N+1 `Promise.all(findOne)` enrichment
+  * loop (index.js:350-359), a point-chase (index.js:205-206), and an
+  * existence check as authorization (index.js:808). Here each becomes one
+  * declarative join that Catalyst plans:
+  *
+  * Scale stance (100 TB): the build sides below are dimension-sized
+  * (filtered orders / customer), so Catalyst + AQE pick BroadcastHashJoin
+  * — no shuffle of the fact table. When both sides are fact-sized the
+  * plan degrades gracefully to sort-merge on the join key; nothing here
+  * hand-schedules that choice. The N+1 pathology (one network round trip
+  * per row) simply cannot be expressed.
+  */
+object Joins extends QueryModule {
+
+  /** J1 — semi-join: "submissions whose task_id ∈ buyer's task ids"
+    * (index.js:550-554). Left-semi keeps lineitem's columns only and
+    * never duplicates rows on multi-matches. */
+  private def j1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val urgentOrders = t.orders
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    t.lineitem
+      .join(urgentOrders, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** J2 — enrichment join: the reference's N+1 `findOne` loop with
+    * 'Unknown Task'/'Unknown Buyer' defaults (index.js:350-359) as a
+    * single left-outer broadcast join + coalesce. */
+  private def j2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val orders = t.orders
+    val approved = t.lineitem.filter($"l_returnflag" === "A")
+    approved
+      .join(orders, approved("l_orderkey") === orders("o_orderkey"), "left_outer")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        coalesce($"o_orderpriority", lit("Unknown Task")).as("task_title"),
+        $"l_extendedprice".as("payable_amount"),
+        coalesce($"o_custkey".cast("string"), lit("Unknown Buyer")).as("buyer_name"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** J3 — two-hop point-chase: submission → its task → the task's buyer
+    * (index.js:205-206), as two inner equi-joins in one plan. */
+  private def j3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem.filter($"l_orderkey" < 100L)
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_orderpriority", $"c_name")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** J4 — existence join as authorization: row exists ⟺ authorized
+    * (index.js:808,862). */
+  private def j4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .filter($"o_orderkey" === 7L && !($"o_orderstatus" <=> "F"))
+      .agg((count(lit(1)) > 0).as("authorized"))
+  }
+
+  /** Anti-join — the duplicate-registration guard (index.js:388-391) in
+    * batch form: rows with NO match on the key. */
+  private def jAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_semi_join"        -> (j1 _),
+    "j2_enrichment_join"  -> (j2 _),
+    "j3_two_hop_chase"    -> (j3 _),
+    "j4_existence_check"  -> (j4 _),
+    "j5_anti_join_guard"  -> (jAnti _))
+
+  val oracles: Map[String, String] = Map(
+    "j1_semi_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "j2_enrichment_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |       coalesce(o.o_orderpriority, 'Unknown Task') AS task_title,
+        |       l.l_extendedprice AS payable_amount,
+        |       coalesce(CAST(o.o_custkey AS VARCHAR), 'Unknown Buyer') AS buyer_name
+        |FROM lineitem l LEFT OUTER JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_returnflag = 'A'
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "j3_two_hop_chase" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority, c.c_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_orderkey < 100
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "j4_existence_check" ->
+      """SELECT count(*) > 0 AS authorized FROM orders
+        |WHERE o_orderkey = 7 AND o_orderstatus IS DISTINCT FROM 'F'""".stripMargin,
+    "j5_anti_join_guard" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)
+}
