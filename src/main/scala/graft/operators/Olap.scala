@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** M4 — grouped/OLAP generalizations (SURVEY.md §2.4 A7, §2.6, §7.2 M4).
+  * The reference computes per-key totals one key at a time per HTTP
+  * request (index.js:562-565, 593-629); the relational generalization is
+  * GROUP BY — plus the OLAP surface the north star requires (rollup,
+  * cube, grouping sets, distinct, count-distinct, approximate distinct,
+  * set operations) and TPC-H-style smoke queries over the star schema.
+  *
+  * Scale notes:
+  *   - Every grouped aggregate here is partial+final hash agg — map-side
+  *     combine means the shuffle carries one row per (partition × group),
+  *     not per input row.
+  *   - rollup/cube expand grouping sets BEFORE the shuffle but partial
+  *     aggregation still applies; at 100 TB prefer low-cardinality
+  *     grouping columns (as here: flags/status/priority).
+  *   - `approx_count_distinct` (HyperLogLog++) is the scale path for
+  *     distinct counts: constant memory per group vs a shuffle of every
+  *     distinct value; exact `countDistinct` kept for parity-checkable
+  *     results.
+  *   - Exact double sums route through decimal (see package object) so
+  *     results are independent of partition merge order — a correctness
+  *     property at ANY cluster size, not just vs the oracle.
+  */
+object Olap extends QueryModule {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  /** A7 — the grouped form of the per-key request pattern. */
+  private def a7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum0($"o_totalprice").as("total_spend"))
+      .orderBy($"o_custkey")
+  }
+
+  /** Rollup over (returnflag, linestatus) — subtotal lattice prefixes. */
+  private def rollupQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum0($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Cube over (status, priority) — full subtotal lattice. */
+  private def cubeQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum0($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** GROUPING SETS via the engine's SQL surface (temp-view catalog). */
+  private def gsets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** DISTINCT projection. */
+  private def distinctQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .select($"l_returnflag", $"l_linestatus").distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Exact count-distinct per group. */
+  private def countDistinctQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey").as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate distinct (HLL++) — the 100 TB path. Sketch internals are
+    * engine-specific, so no SQL oracle (rows-only check); exactness is
+    * bounded by rsd and unit-tested against the exact count. */
+  private def approxDistinctQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** UNION (distinct), INTERSECT, EXCEPT in one expression tree. */
+  private def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+      .union(t.orders.filter($"o_orderstatus" === "P").select($"o_custkey".as("custkey")))
+      .distinct()
+      .orderBy($"custkey")
+  }
+
+  private def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+      .intersect(t.orders.select($"o_custkey".as("custkey")))
+      .orderBy($"custkey")
+  }
+
+  private def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer.filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("custkey"))
+      .except(t.orders.select($"o_custkey".as("custkey")))
+      .orderBy($"custkey")
+  }
+
+  /** TPC-H Q1 — pricing summary report. Products are computed
+    * decimal×decimal (exact, associative) then summed; results are
+    * partition-order-independent. */
+  private def q1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum0($"l_quantity").as("sum_qty"),
+        dsum0($"l_extendedprice").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+          .cast("double").as("sum_disc_price"),
+        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount")
+          * dec(lit(1.0) + $"l_tax")).cast("double").as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3 — shipping-priority top-10: join customer⋈orders⋈lineitem,
+    * grouped revenue, TakeOrderedAndProject on the aggregate. */
+  private def q3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cutoff = lit("1996-03-15").cast("timestamp")
+    t.customer.filter($"c_mktsegment" === "BUILDING")
+      .join(t.orders, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < cutoff)
+      .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > cutoff)
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q6 — forecast revenue change: tight filter + one exact sum. */
+  private def q6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1997-01-01").cast("timestamp")
+        && $"l_discount" >= 0.05 && $"l_discount" <= 0.07
+        && $"l_quantity" < 24)
+      .agg(coalesce(sum(dec($"l_extendedprice") * dec($"l_discount"))
+        .cast("double"), lit(0.0)).as("revenue"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_grouped_agg"        -> (a7 _),
+    "olap_rollup"           -> (rollupQ _),
+    "olap_cube"             -> (cubeQ _),
+    "olap_grouping_sets"    -> (gsets _),
+    "olap_distinct"         -> (distinctQ _),
+    "olap_count_distinct"   -> (countDistinctQ _),
+    "olap_approx_distinct"  -> (approxDistinctQ _),
+    "set_union"             -> (setUnion _),
+    "set_intersect"         -> (setIntersect _),
+    "set_except"            -> (setExcept _),
+    "tpch_q1"               -> (q1 _),
+    "tpch_q3"               -> (q3 _),
+    "tpch_q6"               -> (q6 _))
+
+  private val sumDiscPrice =
+    "sum(cast(l_extendedprice AS DECIMAL(18,6)) * cast(1.0 - l_discount AS DECIMAL(18,6)))"
+
+  val oracles: Map[String, String] = Map(
+    "a7_grouped_agg" ->
+      s"""SELECT o_custkey, count(*) AS n_orders,
+         |       ${sqlDsum0("o_totalprice")} AS total_spend
+         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "olap_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |       ${sqlDsum0("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "olap_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |       ${sqlDsum0("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "olap_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "olap_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "olap_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${sqlDsum0("l_quantity")} AS sum_qty,
+         |       ${sqlDsum0("l_extendedprice")} AS sum_base_price,
+         |       cast($sumDiscPrice AS DOUBLE) AS sum_disc_price,
+         |       cast(sum(cast(l_extendedprice AS DECIMAL(18,6))
+         |                * cast(1.0 - l_discount AS DECIMAL(18,6))
+         |                * cast(1.0 + l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |       ${sqlDavg("l_quantity")} AS avg_qty,
+         |       ${sqlDavg("l_extendedprice")} AS avg_price,
+         |       ${sqlDavg("l_discount")} AS avg_disc,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |       cast($sumDiscPrice AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-03-15'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "tpch_q6" ->
+      """SELECT coalesce(cast(sum(cast(l_extendedprice AS DECIMAL(18,6))
+        |                         * cast(l_discount AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+        |         AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M3 — write-path restatements (SURVEY.md §2.11). The reference mutates
+  * MongoDB documents in place (`$set`/`$inc`/delete) with racy
+  * read-check-write sequences and no transactions (index.js:799-849).
+  * The batch-analytic engine restates each mutation as a deterministic
+  * transformation over immutable inputs — same observable end state,
+  * stronger consistency:
+  *
+  *   - W1 insert defaults → derived columns (`when/otherwise`).
+  *   - W2 `$set` by key    → masked column rewrite.
+  *   - W3 `$inc` ledger    → balance = base + credits − debits aggregated
+  *     over the full event log in one pass (the analytic restatement of
+  *     every `$inc` site: index.js:312,489,724,753,834,977,1355).
+  *   - W4 delete by key    → negated-key filter / anti-join rewrite.
+  *   - W5 guarded approve  → the capacity rule "first `required_workers`
+  *     submissions per task win" (index.js:816-822) as a ranking window —
+  *     deterministic where the reference admits overshoot under
+  *     concurrency (SURVEY §3.3).
+  *
+  * Scale: W3/W5 shuffle once on their natural key (user / task); the
+  * window in W5 is a per-key sort after that single exchange. Appends
+  * at 100 TB are partitioned parquet writes, not row upserts.
+  */
+object WritePath extends QueryModule {
+
+  /** W1/F7 — role-based server defaults (coins: buyer→50, worker→10,
+    * index.js:393). */
+  private def w1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .select($"c_custkey",
+        when($"c_mktsegment" === "BUILDING", 50).otherwise(10).as("coins"))
+      .orderBy($"c_custkey")
+  }
+
+  /** W2 — `$set {status}` by key (index.js:828-831) as a masked rewrite;
+    * every row flows through, only the keyed row changes. */
+  private def w2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select($"o_orderkey",
+        when($"o_orderkey" === 7L, "approved").otherwise($"o_orderstatus")
+          .as("status"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** W3 — the `$inc` coin ledger restated: balance = base + credits −
+    * debits over the whole event log, one grouped pass. */
+  private def w3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg((lit(10.0)
+        + dsum0(when($"event_type" === "purchase", $"value"))
+        - dsum0(when($"event_type" === "error", $"value"))).as("coins"))
+      .orderBy($"user_id")
+  }
+
+  /** W4 — delete-by-key (index.js:250,700,1128) as a negated-key filter;
+    * the set-valued form is a left-anti join on the tombstone set. */
+  private def w4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .filter(!$"event_id".isin(1L, 2L, 3L))
+      .select($"event_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** W5 — guarded approval capacity rule (index.js:816-822): the first k
+    * submissions per task by submit time are approved; rank via a window
+    * over (task, submitted_at) — deterministic, no read-modify-write race. */
+  private def w5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_orderkey").orderBy($"l_shipdate", $"l_linenumber")
+    Tables(spark, dir).lineitem
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"l_orderkey", $"l_linenumber", $"rn")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_insert_defaults" -> (w1 _),
+    "w2_masked_update"   -> (w2 _),
+    "w3_balance_ledger"  -> (w3 _),
+    "w4_delete_rewrite"  -> (w4 _),
+    "w5_capacity_rule"   -> (w5 _))
+
+  val oracles: Map[String, String] = Map(
+    "w1_insert_defaults" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_mktsegment = 'BUILDING' THEN 50 ELSE 10 END AS coins
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "w2_masked_update" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey = 7 THEN 'approved' ELSE o_orderstatus END AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w3_balance_ledger" ->
+      s"""SELECT user_id,
+         |       10.0 + ${sqlDsum0("CASE WHEN event_type = 'purchase' THEN value END")}
+         |            - ${sqlDsum0("CASE WHEN event_type = 'error' THEN value END")} AS coins
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w4_delete_rewrite" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_id NOT IN (1, 2, 3) ORDER BY event_id""".stripMargin,
+    "w5_capacity_rule" ->
+      """SELECT l_orderkey, l_linenumber, rn FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_shipdate, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}
