@@ -16,9 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Materialize on the driver then rewrite from a single-partition
+        // LocalRelation: `orderBy(...).coalesce(1).write` does NOT reliably
+        // preserve the global sort (observed reordering under AQE), and the
+        // driver's compare is order-sensitive. Queries are sf0.01-sized
+        // here; this is harness plumbing, not the engine's scale path.
+        val df = fn(spark, sfDir)
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        spark.createDataFrame(rows, df.schema).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M5 — event-stream analytics, batch formulations (SURVEY.md §2.9,
+  * §7.2 M5). The reference's only stream is the notifications feed —
+  * insert (index.js:60) + poll-newest-first (index.js:229-232); the
+  * `events` fixture generalizes it. Every query here is the batch
+  * formulation (the DuckDB oracle can't replay streams); the Structured
+  * Streaming forms — same expressions over `readStream` with
+  * `withWatermark` — live in `graft.streaming` and are exercised by
+  * ScalaTest with MemoryStream sources.
+  *
+  * Scale notes:
+  *   - Window aggregation groups by (derived window, key): one shuffle,
+  *     partial+final hash agg. Tumbling windows assign each row once;
+  *     sliding (size s, slide p) replicates each row s/p times BEFORE the
+  *     shuffle — keep s/p small at 100 TB.
+  *   - Window starts are emitted as epoch seconds (BIGINT), not
+  *     timestamps: portable across engines and immune to µs/ns and
+  *     timezone representation drift.
+  *   - JSON extraction (`get_json_object`) is a codegen'd expression over
+  *     the string column — no UDF, stays inside WholeStageCodegen.
+  */
+object Events extends QueryModule {
+
+  /** F-ext — JSON field extraction from `events.props` (the one
+    * semi-structured column in the fixtures). */
+  private def e1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .orderBy($"event_id")
+  }
+
+  /** Grouped rollup over the extracted JSON key. */
+  private def e2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy(get_json_object($"props", "$.k").cast("int").as("k"))
+      .agg(count(lit(1)).as("n"), dsum0($"value").as("sum_value"))
+      .orderBy($"k")
+  }
+
+  /** Tumbling 5-minute windows per event_type. */
+  private def e3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy(window($"ts", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum0($"value").as("sum_value"))
+      .select(unix_timestamp($"w.start").as("window_start"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Sliding windows: 10-minute size, 5-minute slide (each event lands in
+    * exactly 2 windows). */
+  private def e4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum0($"value").as("sum_value"))
+      .select(unix_timestamp($"w.start").as("window_start"), $"n", $"sum_value")
+      .orderBy($"window_start")
+  }
+
+  /** Session windows per user, 10-minute gap: a new session starts when
+    * the gap since the previous event is >= the timeout (Spark's
+    * half-open [first, last+gap) semantics). */
+  private def e5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"), dsum0($"value").as("sum_value"))
+      .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+        $"n", $"sum_value")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  /** Latest event per user — the J2 enrichment pattern done properly
+    * with a ranking window (SURVEY §2.8). */
+  private def e6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_json_extract"      -> (e1 _),
+    "e2_json_grouped"      -> (e2 _),
+    "e3_tumbling_window"   -> (e3 _),
+    "e4_sliding_window"    -> (e4 _),
+    "e5_session_window"    -> (e5 _),
+    "e6_latest_per_user"   -> (e6 _))
+
+  val oracles: Map[String, String] = Map(
+    "e1_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "e2_json_grouped" ->
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+         |       count(*) AS n, ${sqlDsum0("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "e3_tumbling_window" ->
+      s"""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+         |       event_type, count(*) AS n, ${sqlDsum0("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "e4_sliding_window" ->
+      s"""SELECT window_start, count(*) AS n, ${sqlDsum0("value")} AS sum_value
+         |FROM (
+         |  SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+         |                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+         |           AS window_start,
+         |         value
+         |  FROM events)
+         |GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "e5_session_window" ->
+      s"""WITH ordered AS (
+         |  SELECT user_id, value, epoch_us(ts) AS t_us,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |                                 ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |                   OR t_us - prev_us >= 600000000 THEN 1 ELSE 0 END
+         |              AS new_session
+         |  FROM ordered),
+         |numbered AS (
+         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         |                                   ORDER BY t_us
+         |                                   ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, min(t_us) AS session_start_us, count(*) AS n,
+         |       ${sqlDsum0("value")} AS sum_value
+         |FROM numbered GROUP BY user_id, session_id
+         |ORDER BY user_id, session_start_us""".stripMargin,
+    "e6_latest_per_user" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+}

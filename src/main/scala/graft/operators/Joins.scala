@@ -29,10 +29,12 @@ object Joins extends QueryModule {
     val urgentOrders = t.orders
       .filter($"o_orderpriority" === "1-URGENT")
       .select($"o_orderkey")
+    // (l_orderkey, l_linenumber) is not unique in the fixture; include
+    // l_partkey/l_suppkey for a total output order (same in j2/j3 below).
     t.lineitem
       .join(urgentOrders, $"l_orderkey" === $"o_orderkey", "left_semi")
-      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
   }
 
   /** J2 — enrichment join: the reference's N+1 `findOne` loop with
@@ -46,11 +48,11 @@ object Joins extends QueryModule {
     approved
       .join(orders, approved("l_orderkey") === orders("o_orderkey"), "left_outer")
       .select(
-        $"l_orderkey", $"l_linenumber",
+        $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
         coalesce($"o_orderpriority", lit("Unknown Task")).as("task_title"),
         $"l_extendedprice".as("payable_amount"),
         coalesce($"o_custkey".cast("string"), lit("Unknown Buyer")).as("buyer_name"))
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
   }
 
   /** J3 — two-hop point-chase: submission → its task → the task's buyer
@@ -61,8 +63,9 @@ object Joins extends QueryModule {
     t.lineitem.filter($"l_orderkey" < 100L)
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .join(t.customer, $"o_custkey" === $"c_custkey")
-      .select($"l_orderkey", $"l_linenumber", $"o_orderpriority", $"c_name")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        $"o_orderpriority", $"c_name")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
   }
 
   /** J4 — existence join as authorization: row exists ⟺ authorized
@@ -94,25 +97,27 @@ object Joins extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "j1_semi_join" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "j2_enrichment_join" ->
-      """SELECT l.l_orderkey, l.l_linenumber,
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
         |       coalesce(o.o_orderpriority, 'Unknown Task') AS task_title,
         |       l.l_extendedprice AS payable_amount,
         |       coalesce(CAST(o.o_custkey AS VARCHAR), 'Unknown Buyer') AS buyer_name
         |FROM lineitem l LEFT OUTER JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_returnflag = 'A'
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey""".stripMargin,
     "j3_two_hop_chase" ->
-      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority, c.c_name
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+        |       o.o_orderpriority, c.c_name
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE l.l_orderkey < 100
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey""".stripMargin,
     "j4_existence_check" ->
       """SELECT count(*) > 0 AS authorized FROM orders
         |WHERE o_orderkey = 7 AND o_orderstatus IS DISTINCT FROM 'F'""".stripMargin,

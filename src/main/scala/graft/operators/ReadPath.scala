@@ -46,6 +46,7 @@ object ReadPath extends QueryModule {
     import spark.implicits._
     Tables(spark, dir).lineitem
       .filter($"l_orderkey" === 7L && $"l_linenumber" === 1)
+      .orderBy($"l_partkey", $"l_suppkey")
   }
 
   /** P4 — equality filter scan (`find({status:'open'})`, index.js:641). */
@@ -62,10 +63,12 @@ object ReadPath extends QueryModule {
     * Spark form is null-safe `not(<=>)`, not `=!=`. */
   private def p5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // (l_orderkey, l_linenumber) is not unique in the fixture; include
+    // l_partkey/l_suppkey for a total output order.
     Tables(spark, dir).lineitem
       .filter(!($"l_returnflag" <=> "R"))
-      .select($"l_orderkey", $"l_linenumber", $"l_returnflag")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
   }
 
   /** P6 — IN-list predicate (status ∈ {approve, approved}, index.js:612-615). */
@@ -202,14 +205,16 @@ object ReadPath extends QueryModule {
     "p2_point_lookup_id" ->
       "SELECT * FROM orders WHERE o_orderkey = 7",
     "p3_conjunctive_lookup" ->
-      "SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 1",
+      """SELECT * FROM lineitem WHERE l_orderkey = 7 AND l_linenumber = 1
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "p4_filter_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
     "p5_ne_null_semantics" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag
+        |FROM lineitem
         |WHERE l_returnflag IS DISTINCT FROM 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "p6_in_list" ->
       """SELECT o_orderkey, o_orderpriority FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')

@@ -77,12 +77,16 @@ object WritePath extends QueryModule {
     * over (task, submitted_at) — deterministic, no read-modify-write race. */
   private def w5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"l_orderkey").orderBy($"l_shipdate", $"l_linenumber")
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture; the full
+    // unique key (…, l_partkey, l_suppkey) makes both the ranking and the
+    // output order total — rank ties would otherwise be nondeterministic.
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_shipdate", $"l_linenumber", $"l_partkey", $"l_suppkey")
     Tables(spark, dir).lineitem
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
-      .select($"l_orderkey", $"l_linenumber", $"rn")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"rn")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -110,10 +114,12 @@ object WritePath extends QueryModule {
       """SELECT event_id, event_type FROM events
         |WHERE event_id NOT IN (1, 2, 3) ORDER BY event_id""".stripMargin,
     "w5_capacity_rule" ->
-      """SELECT l_orderkey, l_linenumber, rn FROM (
-        |  SELECT l_orderkey, l_linenumber,
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, rn FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |         row_number() OVER (PARTITION BY l_orderkey
-        |                            ORDER BY l_shipdate, l_linenumber) AS rn
+        |                            ORDER BY l_shipdate, l_linenumber,
+        |                                     l_partkey, l_suppkey) AS rn
         |  FROM lineitem)
-        |WHERE rn <= 3 ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |WHERE rn <= 3
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)
 }
