@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M6 — deduplication operators for LLM training-data pipelines
+  * (builder-prompt north star; no analog in the reference, which never
+  * even does DISTINCT — SURVEY.md §2.6). Four tiers, in increasing
+  * robustness-to-edit and decreasing exactness:
+  *
+  *   d1/d2 exact      — content-hash groupBy; the 100 TB workhorse.
+  *   d3 n-gram Jaccard — brute-force pairwise similarity over word
+  *                       3-gram shingle sets; ground truth for the
+  *                       approximate tiers, O(candidate pairs).
+  *   d4 MinHash + LSH — 32 min-hashes, 16 bands × rows-of-2; only
+  *                       band-collision candidates get verified. THE
+  *                       scale path: cost is O(n·shingles + candidates),
+  *                       never O(n²).
+  *   d5 SimHash       — 64-bit sign-of-weighted-sum fingerprint with
+  *                       4×16-bit chunk banding (pigeonhole: hamming ≤ 3
+  *                       ⇒ at least one of 4 chunks identical), then
+  *                       exact hamming verify on candidates.
+  *
+  * Scale notes (100 TB):
+  *   - Every tier is shuffle-bounded by its candidate generation: exact
+  *     dedup shuffles once on the hash; LSH shuffles on (band, key);
+  *     SimHash on (chunk_id, chunk_value). No operator materializes the
+  *     O(n²) pair space — d3 is intentionally the only quadratic one and
+  *     exists as the oracle/ground-truth tier.
+  *   - Skewed buckets (a shingle shared by every doc) are the classic
+  *     LSH hazard; the band key includes the band id, and verification
+  *     re-filters, so a hot bucket costs extra candidates, not wrong
+  *     results. For adversarial skew, salt the band key.
+  *   - MinHash params: P(candidate | j) = 1-(1-j²)¹⁶ → j=0.8 ⇒ 0.9999+;
+  *     j=0.3 ⇒ ~0.77 false-candidate rate per band pair is avoided by
+  *     r=2 (j² damping); all candidates are verified exactly anyway, so
+  *     params trade cost, not correctness. Recall at the 0.8 threshold
+  *     is ≈1-1e-22 — which is why d4 shares d3's brute-force oracle.
+  */
+object Dedup extends QueryModule {
+
+  // ---- shared shingle machinery (word 3-grams, distinct) ----
+
+  /** Non-empty whitespace tokens. */
+  private def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= lit(""))
+
+  /** Distinct word 3-gram shingles; empty for docs under 3 words. */
+  private def shingles3(w: Column): Column = array_distinct(
+    when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => array_join(slice(w, i, lit(3)), " ")))
+      .otherwise(array().cast("array<string>")))
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", shingles3(words($"text")).as("shingles"))
+      .withColumn("n_sh", size($"shingles"))
+  }
+
+  /** Exact jaccard for a pre-bounded pair set: |∩| / (|a|+|b|−|∩|). */
+  private def jaccard(c: Column, na: Column, nb: Column): Column =
+    c.cast("double") / (na.cast("long") + nb.cast("long") - c).cast("double")
+
+  // ---- d1/d2: exact dedup ----
+
+  /** d1 — duplicate-group summary by content hash (sha2-256). */
+  private def d1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("canonical_id"))
+      .orderBy($"canonical_id")
+  }
+
+  /** d2 — the deduplicated corpus: keep the min doc_id per text. */
+  private def d2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val keep = docs.groupBy($"text").agg(min($"doc_id").as("keep_id"))
+    docs.join(keep, docs("doc_id") === keep("keep_id"), "left_semi")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  // ---- d3: brute-force n-gram jaccard (ground truth) ----
+
+  private def d3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir)
+    val e = sh.select($"doc_id", explode($"shingles").as("s"))
+    val inter = e.select($"doc_id".as("i"), $"s")
+      .join(e.select($"doc_id".as("j"), $"s"), Seq("s"))
+      .filter($"i" < $"j")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
+    inter
+      .join(sh.select($"doc_id".as("i"), $"n_sh".as("na")), Seq("i"))
+      .join(sh.select($"doc_id".as("j"), $"n_sh".as("nb")), Seq("j"))
+      .select($"i", $"j", jaccard($"c", $"na", $"nb").as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"i", $"j")
+  }
+
+  // ---- d4: MinHash + LSH ----
+
+  private val P = 2147483647L // 2^31 − 1 (Mersenne prime)
+  private val NumHashes = 32
+  private val Bands = 16 // rows-per-band r = 2
+
+  /** Fixed affine coefficients in the 31-bit domain: a·x+b stays well
+    * under 2^63, so no ANSI-mode overflow (Spark 4 throws on long
+    * overflow by default). Any fixed odd constants define a valid
+    * min-wise hash family; 31 bits over ~10^5 distinct shingles keeps
+    * collision counts negligible, and exact verification downstream
+    * makes collisions a cost issue, never a correctness one. */
+  private val coef: IndexedSeq[(Long, Long)] =
+    (0 until NumHashes).map { i =>
+      val a = ((0x9E3779B97F4A7C15L * (2 * i + 1)) >>> 33) | 1L
+      val b = (0xBF58476D1CE4E5B9L * (i + 1)) >>> 33
+      (a, b)
+    }
+
+  private def d4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = docShingles(spark, dir).filter($"n_sh" > 0)
+
+    // Signature: min over shingle hashes of 32 affine permutations.
+    // Long overflow in a*x+b wraps identically everywhere (JVM semantics),
+    // so the family is deterministic; pmod keeps values in [0, P).
+    val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod($"sh31" * a + b, lit(P))).as(s"h$i")
+    }
+    val sig = sh.select($"doc_id", explode($"shingles").as("s"))
+      .withColumn("sh31", pmod(xxhash64($"s"), lit(1L << 31)))
+      .groupBy($"doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+
+    // Bands: key = murmur3(h[2b], h[2b+1]); band id kept alongside so
+    // buckets never mix across bands.
+    val bands = sig.select($"doc_id",
+      explode(array((0 until Bands).map { bi =>
+        struct(lit(bi).as("band"), hash(col(s"h${2 * bi}"), col(s"h${2 * bi + 1}")).as("bkey"))
+      }: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+
+    val candidates = bands.select($"doc_id".as("i"), $"band", $"bkey")
+      .join(bands.select($"doc_id".as("j"), $"band", $"bkey"), Seq("band", "bkey"))
+      .filter($"i" < $"j")
+      .select($"i", $"j").distinct()
+
+    // Exact verification of candidates only.
+    val verified = candidates
+      .join(sh.select($"doc_id".as("i"), $"shingles".as("si"), $"n_sh".as("na")), Seq("i"))
+      .join(sh.select($"doc_id".as("j"), $"shingles".as("sj"), $"n_sh".as("nb")), Seq("j"))
+      .select($"i", $"j",
+        jaccard(size(array_intersect($"si", $"sj")), $"na", $"nb").as("jaccard"))
+    verified.filter($"jaccard" >= 0.8).orderBy($"i", $"j")
+  }
+
+  // ---- d5: SimHash with chunk banding ----
+
+  private def d5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    // Weighted word features: weight = term frequency in the doc.
+    val feats = docs
+      .select($"doc_id", explode(words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64($"w"))
+
+    // 64 signed bit-sums → sign bits → one 64-bit fingerprint.
+    val bitCols = (0 until 64).map { j =>
+      sum($"cnt" * when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val bitSums = feats.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val simhash = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    val fp = bitSums.select($"doc_id", simhash.as("simhash"))
+
+    // Banding: hamming ≤ 3 ⇒ at least one of the 4 16-bit chunks equal.
+    val chunks = fp.select($"doc_id", $"simhash",
+      explode(array((0 until 4).map { k =>
+        struct(lit(k).as("k"), shiftright($"simhash", 16 * k).bitwiseAND(0xFFFFL).as("v"))
+      }: _*)).as("ck"))
+      .select($"doc_id", $"simhash", $"ck.k".as("k"), $"ck.v".as("v"))
+
+    chunks.select($"doc_id".as("i"), $"simhash".as("si"), $"k", $"v")
+      .join(chunks.select($"doc_id".as("j"), $"simhash".as("sj"), $"k", $"v"), Seq("k", "v"))
+      .filter($"i" < $"j")
+      .select($"i", $"j", bit_count($"si".bitwiseXOR($"sj")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"i", $"j")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact_groups"  -> (d1 _),
+    "d2_dedup_exact_select"  -> (d2 _),
+    "d3_dedup_ngram_jaccard" -> (d3 _),
+    "d4_dedup_minhash_lsh"   -> (d4 _),
+    "d5_dedup_simhash"       -> (d5 _))
+
+  /** Brute-force jaccard in DuckDB — shared ground truth for d3 (its own
+    * oracle) and d4 (valid because LSH recall at j≥0.8 with 16 bands × 2
+    * rows is 1−(1−j²)¹⁶ ≈ 1−1e-22 on this data's clean dup/non-dup
+    * separation). d5 has no oracle: xxhash64 is Spark-specific. */
+  private def bruteForceSql(threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(w)-1),
+       |                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       |        FROM documents)),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT i, j,
+       |       CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = i
+       |JOIN sz sb ON sb.doc_id = j
+       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= $threshold
+       |ORDER BY i, j""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact_groups" ->
+      """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
+        |       min(doc_id) AS canonical_id
+        |FROM documents GROUP BY sha256(text) ORDER BY canonical_id""".stripMargin,
+    "d2_dedup_exact_select" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+    "d3_dedup_ngram_jaccard" -> bruteForceSql(0.5),
+    "d4_dedup_minhash_lsh"   -> bruteForceSql(0.8))
+}
