@@ -19,7 +19,8 @@ object SparkEntry {
     Flagship.flagship(spark, "/root/testdata/sf0.001")
 
   /** The operator-family modules making up the catalog. */
-  private val modules: Seq[QueryModule] = Seq(ReadPath, Joins, WritePath, Olap, Events, Dedup, TextAnalysis)
+  private val modules: Seq[QueryModule] = Seq(ReadPath, Joins, WritePath, Olap, Events, Dedup, TextAnalysis,
+      Similarity, Multimodal)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

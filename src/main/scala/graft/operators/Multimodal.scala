@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M6 — multimodal-column plumbing (builder-prompt north star). Media
+  * payloads are opaque `binary` columns with typed metadata alongside —
+  * the layout a 100 TB training-data pipeline uses for image/audio/video
+  * shards. No media codecs exist in this environment, so the DECODE step
+  * is a clearly-marked deterministic STUB; everything around it — the
+  * schema, the batch iteration shape, the partition-parallel execution,
+  * the feature-column contract — is real Spark and really tested.
+  *
+  * Design notes:
+  *   - `m1` builds the media table relationally (cast to binary +
+  *     metadata struct) — codegen'd, oracle-checkable on the metadata.
+  *   - `m2` is the decode/feature-extract path: `mapPartitions` over a
+  *     typed Dataset, draining each partition in fixed-size batches
+  *     (the shape a vectorized decoder — or a Python `mapInPandas`
+  *     worker in a PySpark deployment — would consume). One task per
+  *     input partition, no shuffle, constant memory per batch.
+  *   - At 100 TB: payloads live in parquet binary columns (or pointers
+  *     into object-store shards); decode parallelism == partition count;
+  *     feature columns append behind the same doc_id key.
+  */
+object Multimodal extends QueryModule {
+
+  /** Typed row for the decode path. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features (decode STUB output). */
+  final case class MediaFeatures(
+    doc_id: Long, media_type: String, n_bytes: Long,
+    width: Int, height: Int, checksum: Long)
+
+  /** STUB decoder — stands in for an image/audio codec, which is not
+    * available in this container. Deterministic in the payload bytes so
+    * tests and the rows-only driver check are stable. A real deployment
+    * replaces ONLY this function (same signature, same batch shape). */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
+    var cs = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { cs = 31 * cs + (payload(i) & 0xFF); i += 1 }
+    val w = 64 + math.floorMod(cs, 512).toInt
+    val h = 64 + math.floorMod(cs >> 9, 512).toInt
+    (w, h, cs)
+  }
+
+  /** m1 — the media catalog: binary payloads + typed metadata, built
+    * from `documents` (payload = utf-8 text bytes standing in for an
+    * encoded frame). */
+  private def m1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, "image")
+          .when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        $"text".cast("binary").as("payload"),
+        octet_length($"text".cast("binary")).cast("long").as("n_bytes"),
+        $"source")
+      .select($"doc_id", $"media_type", $"n_bytes", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** m2 — partition-parallel batched decode (STUB) + feature extract.
+    * Rows-only driver check (the stub is not SQL-expressible); the
+    * batch/partition mechanics are asserted in ScalaTest. */
+  private def m2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = Tables(spark, dir).documents
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, "image")
+          .when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        $"text".cast("binary").as("payload"))
+      .as[MediaRow]
+
+    media.mapPartitions { rows =>
+      // Fixed-size batches: the contract a vectorized decoder consumes.
+      rows.grouped(32).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, cs) = decodeStub(r.payload)
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, w, h, cs)
+        }
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_catalog"    -> (m1 _),
+    "m2_media_features"   -> (m2 _))
+
+  val oracles: Map[String, String] = Map(
+    "m1_media_catalog" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       source
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

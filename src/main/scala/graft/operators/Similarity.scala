@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M6 — similarity search over the `embeddings` table (builder-prompt
+  * north star). Three operators:
+  *
+  *   s1 brute-force top-k — exact cosine against the whole corpus; the
+  *      correctness baseline. O(|queries|·n·d).
+  *   s2 near-dup pairs    — all pairs with cosine ≥ τ; the embedding
+  *      analog of Dedup's Jaccard tiers.
+  *   s3 sign-LSH ANN      — random-hyperplane (SRP) bucketing: 16
+  *      deterministic ±1 hyperplanes → 16-bit bucket key; candidates
+  *      share a bucket in at least one of 4 independent tables. The
+  *      scale path: cost is O(n·tables + candidates), never O(n²).
+  *      Rows-only (hash-derived planes are not SQL-expressible);
+  *      recall vs s1 is asserted in ScalaTest.
+  *
+  * Numerics: dot products fold left-to-right over `zip_with` in pure
+  * double (`aggregate` HOF — codegen'd, no UDF). Cross-engine compare
+  * rounds cosine to 6 decimals and ranks by the ROUNDED value: Spark and
+  * DuckDB may legally differ by ~1 ulp in sum association order, and a
+  * rounded key makes rank and threshold decisions identical on both
+  * sides (a 1-ulp difference only matters if a value sits within 1e-16
+  * of a rounding boundary — probability ~1e-10 per value).
+  *
+  * Scale notes (100 TB): s1/s3 broadcast the query set (tiny) against a
+  * partitioned corpus scan — no shuffle of the corpus; s3's bucket join
+  * shuffles on (table, bucket) only. For billion-vector corpora, s3's
+  * bucket table is the index you'd persist (bucketed parquet on the
+  * bucket key), turning query-time into a bucket-pruned scan. IVF
+  * (k-means coarse quantizer) is the same plan shape with learned
+  * centroids in place of hash buckets.
+  */
+object Similarity extends QueryModule {
+
+  /** Left-fold dot product of two float arrays in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+  }
+
+  /** s1 — exact cosine top-10 for query vectors vec_id < 5. */
+  private def s1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val q = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val sims = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s2 — all near-dup pairs by cosine ≥ 0.45 (threshold set to the
+    * fixture's similarity structure; the operator is τ-parametric). */
+  private def s2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val a = c.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na"))
+    val b = c.select($"vec_id".as("j"), $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(b, $"i" < $"j")
+      .select($"i", $"j", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6).as("sim_r"))
+      .filter($"sim_r" >= 0.45)
+      .orderBy($"i", $"j")
+  }
+
+  /** Deterministic ±1 hyperplane sign for (table t, plane p, dim d):
+    * derived from a splitmix64-style integer mix — a public-construction
+    * SRP family, reproducible in any engine. */
+  private def planeSign(t: Int, p: Int, d: Column): Column = {
+    val seed = lit(0x9E3779B97F4A7C15L * (t * 16 + p + 1))
+    when(pmod(xxhash64(seed, d), lit(2)) === 0, 1.0).otherwise(-1.0)
+  }
+
+  /** s3 — SRP-LSH ANN: 4 tables × 16-bit sign buckets, exact re-rank of
+    * candidates, top-10 per query. */
+  private def s3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+
+    // Bucket key per table: 16 sign bits of hyperplane projections.
+    // aggregate over dims: posexplode-free — zip_with embedding with its
+    // index via transform(sequence...), then sum signed contributions.
+    def bucket(t: Int): Column = {
+      val bits = (0 until 16).map { p =>
+        val proj = aggregate(
+          zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
+            (x, d) => x.cast("double") * planeSign(t, p, d)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+      }
+      bits.reduce(_ bitwiseOR _)
+    }
+
+    val tables = c.select($"vec_id", $"embedding", $"nrm",
+      explode(array((0 until 4).map(t => struct(lit(t).as("t"), bucket(t).as("bk"))): _*)).as("tb"))
+      .select($"vec_id", $"embedding", $"nrm", $"tb.t".as("t"), $"tb.bk".as("bk"))
+
+    val qq = tables.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"t", $"bk")
+    val candidates = tables
+      .join(broadcast(qq), Seq("t", "bk"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"qe", $"qn", $"vec_id", $"embedding", $"nrm")
+      .distinct()
+
+    val sims = candidates.select($"query_id", $"vec_id".as("neighbor_id"),
+      round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_bruteforce_topk" -> (s1 _),
+    "s2_embedding_near_dup"  -> (s2 _),
+    "s3_ann_lsh_bucketed"    -> (s3 _))
+
+  val oracles: Map[String, String] = Map(
+    "s1_ann_bruteforce_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS sim_r
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, sim_r FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY sim_r DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s2_embedding_near_dup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim_r
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
+        |ORDER BY i, j""".stripMargin)
+}
