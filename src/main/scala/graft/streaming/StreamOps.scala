@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** M5 — Structured Streaming formulations (SURVEY.md §2.9). The
+  * reference's only "stream" is the notifications feed: append at
+  * index.js:60, poll-newest-first at index.js:229-232 — micro-batch by
+  * polling, no watermarks, windows, or state. These operators give the
+  * engine the real streaming semantics that pattern generalizes to,
+  * each mirroring a batch query in `graft.operators.Events` (the DuckDB
+  * oracle can't replay streams, so the batch twins carry the
+  * correctness gate; ScalaTest drives these with MemoryStream).
+  *
+  * All transforms take a DataFrame and return one, so the same code
+  * runs on `readStream` (streaming) and `read` (batch) inputs —
+  * Spark's unified Dataset model. Scale: watermarked window aggregation
+  * keeps state bounded to in-flight windows per key; state store is
+  * partitioned by group key, so 1000 executors shard it naturally.
+  */
+object StreamOps {
+
+  /** Schema of the events feed: (ts timestamp, user_id long,
+    * event_type string, value double). */
+
+  /** Tumbling 5-minute counts per event type, 10-minute watermark:
+    * late events beyond the watermark are dropped, windows finalize
+    * (and emit, in Append mode) once the watermark passes their end. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows per user (10-minute gap), watermarked. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** The notification feed analog: stateless transform, Append-mode
+    * sink — the reference's insert-then-poll loop as a push stream. */
+  def notificationFeed(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(
+        col("ts").as("time"),
+        concat(lit("user "), col("user_id"), lit(" "), col("event_type"),
+          lit(" ("), col("value"), lit(")")).as("message"),
+        col("user_id").as("to_user"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserBalance(user_id: Long, n_events: Long, coins: Double)
+
+  /** Custom keyed state via mapGroupsWithState: the `$inc` coin ledger
+    * (index.js:834-837 et al.) as streaming state — running balance =
+    * 10 + purchases − errors, updated per micro-batch. */
+  def runningBalance(events: Dataset[UserEvent]): Dataset[UserBalance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserBalance, UserBalance](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserBalance]) =>
+          val prev = state.getOption.getOrElse(UserBalance(userId, 0L, 10.0))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            val delta = e.event_type match {
+              case "purchase" => e.value
+              case "error"    => -e.value
+              case _          => 0.0
+            }
+            UserBalance(userId, acc.n_events + 1, acc.coins + delta)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming query over `df` into an in-memory
+    * sink named `queryName`, process all available data, stop. Returns
+    * the sink table. Used by tests and by batch-replay utilities. */
+  def runToMemory(spark: SparkSession, df: DataFrame, queryName: String,
+                  outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (ScalaCheck driven from ScalaTest, per
+  * SURVEY.md §5.2): relational invariants that must hold for ANY data,
+  * not just the fixtures. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val statusGen = Gen.listOfN(40,
+    Gen.oneOf("pending", "approved", "approve", "rejected"))
+
+  test("A5 invariant: pending + approved + other == total") {
+    import spark.implicits._
+    check(Prop.forAll(statusGen) { statuses =>
+      val df = statuses.toDF("status")
+      val r = df.agg(
+        count(lit(1)).as("t"),
+        countIf($"status" === "pending").as("p"),
+        countIf($"status".isin("approve", "approved")).as("a"),
+        countIf(!$"status".isin("pending", "approve", "approved")).as("o")).head()
+      r.getLong(0) == r.getLong(1) + r.getLong(2) + r.getLong(3)
+    })
+  }
+
+  test("top-k is a prefix of the full sort") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(30, Gen.chooseNum(-1000, 1000))) { xs =>
+      val df = xs.zipWithIndex.toDF("coins", "id")
+      val full = df.orderBy($"coins".desc, $"id").collect().map(_.getInt(1)).toSeq
+      val topk = df.orderBy($"coins".desc, $"id").limit(6).collect().map(_.getInt(1)).toSeq
+      full.take(6) == topk
+    })
+  }
+
+  test("W3 ledger: balance == base + credits − debits under any event log") {
+    import spark.implicits._
+    val eventGen = Gen.listOfN(25, for {
+      u <- Gen.chooseNum(1L, 3L)
+      t <- Gen.oneOf("purchase", "error", "view")
+      v <- Gen.chooseNum(0, 1000).map(_ / 4.0) // exact binary fractions
+    } yield (u, t, v))
+    check(Prop.forAll(eventGen) { events =>
+      val df = events.toDF("user_id", "event_type", "value")
+      val got = df.groupBy($"user_id")
+        .agg((lit(10.0)
+          + dsum0(when($"event_type" === "purchase", $"value"))
+          - dsum0(when($"event_type" === "error", $"value"))).as("coins"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = events.groupBy(_._1).map { case (u, es) =>
+        u -> (10.0
+          + es.filter(_._2 == "purchase").map(_._3).sum
+          - es.filter(_._2 == "error").map(_._3).sum)
+      }
+      got == want
+    })
+  }
+
+  test("semi-join result is a subset with no duplication") {
+    import spark.implicits._
+    val gen = for {
+      left  <- Gen.listOfN(30, Gen.chooseNum(0, 10))
+      right <- Gen.listOfN(10, Gen.chooseNum(0, 10))
+    } yield (left, right)
+    check(Prop.forAll(gen) { case (left, right) =>
+      val l = left.zipWithIndex.toDF("k", "id")
+      val r = right.toDF("k")
+      val out = l.join(r, Seq("k"), "left_semi").collect()
+      val keys = right.toSet
+      out.length == left.count(keys.contains) &&
+        out.forall(row => keys.contains(row.getInt(0)))
+    })
+  }
+}

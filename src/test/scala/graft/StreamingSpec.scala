@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{UserBalance, UserEvent}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming semantics with MemoryStream sources — the
+  * streaming twins of graft.operators.Events (whose batch forms carry
+  * the DuckDB oracle gate). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("tumbling window counts over a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    in.addData(
+      (ts(1), 1L, "click", 1.0), (ts(2), 1L, "click", 2.0),
+      (ts(6), 2L, "view", 3.0), (ts(21), 1L, "click", 4.0))
+    val df = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val out = StreamOps.runToMemory(spark, StreamOps.tumblingCounts(df),
+      "tumbling_test", OutputMode.Complete())
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n") == 2)    // 00:00 window: 2 clicks
+    assert(out(1).getAs[Long]("n") == 1)    // 00:05 window: 1 view
+    assert(out(2).getAs[Long]("n") == 1)    // 00:20 window: 1 click
+  }
+
+  test("notification feed is a stateless append transform") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    in.addData((ts(1), 7L, "signup", 0.0), (ts(2), 7L, "view", 1.0),
+      (ts(3), 8L, "error", 2.0))
+    val df = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val out = StreamOps.runToMemory(spark, StreamOps.notificationFeed(df),
+      "feed_test", OutputMode.Append()).collect()
+    assert(out.length == 2) // 'view' filtered out
+    assert(out.forall(_.getAs[String]("message").startsWith("user ")))
+  }
+
+  test("mapGroupsWithState running balance matches the batch ledger") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    in.addData(
+      UserEvent(1L, "purchase", 5.0), UserEvent(1L, "error", 2.0),
+      UserEvent(1L, "view", 9.0), UserEvent(2L, "purchase", 1.0))
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.runningBalance(in.toDS()).toDF(),
+      "balance_test", OutputMode.Update())
+      .orderBy("user_id").as[UserBalance].collect()
+    assert(out.toSeq == Seq(UserBalance(1L, 3L, 13.0), UserBalance(2L, 1L, 11.0)))
+  }
+
+  test("session window groups events by 10-minute gaps") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    // user 1: events at 00:01, 00:05 (one session), 00:30 (new session)
+    in.addData((ts(1), 1L, "click", 1.0), (ts(5), 1L, "click", 1.0),
+      (ts(30), 1L, "click", 1.0))
+    val df = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val out = StreamOps.runToMemory(spark, StreamOps.sessionCounts(df),
+      "session_test", OutputMode.Complete())
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2 && out(1).getAs[Long]("n") == 1)
+  }
+}
