@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every catalog query against
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Queries execute through the `noop` sink so the FULL physical plan
+  * runs (a bare count() would let Catalyst prune projections and final
+  * sorts, under-measuring). AQE left on (default): at bench/cluster
+  * scale it coalesces shuffle partitions and flips sort-merge joins to
+  * broadcast from runtime stats. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +16,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+    // JVM/codegen warmup on the smallest fixture so per-query times
+    // measure the engine, not JIT compilation of Spark itself.
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // release per-query persists; queries are self-contained
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

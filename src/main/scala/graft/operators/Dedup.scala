@@ -89,10 +89,16 @@ object Dedup extends QueryModule {
 
   private def d3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(spark, dir)
+    val sh = docShingles(spark, dir).persist()
+    // Join on the 64-bit shingle hash, not the string: the equi-join
+    // shuffle carries 8-byte keys instead of ~20-char strings and the
+    // probe compares longs. Collision probability across ~10^5 distinct
+    // shingles is ~1e-10 — and a collision only perturbs one pair's
+    // intersection count by 1.
     val e = sh.select($"doc_id", explode($"shingles").as("s"))
-    val inter = e.select($"doc_id".as("i"), $"s")
-      .join(e.select($"doc_id".as("j"), $"s"), Seq("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    val inter = e.select($"doc_id".as("i"), $"h")
+      .join(e.select($"doc_id".as("j"), $"h"), Seq("h"))
       .filter($"i" < $"j")
       .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
     inter
@@ -124,7 +130,12 @@ object Dedup extends QueryModule {
 
   private def d4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(spark, dir).filter($"n_sh" > 0)
+    // Persisted: the shingle arrays feed signature generation AND both
+    // sides of candidate verification — 3 plan subtrees; recomputing the
+    // tokenize+shingle HOF per subtree triples the scan cost. (In a real
+    // pipeline signatures are persisted artifacts — this is that, scoped
+    // to the query.)
+    val sh = docShingles(spark, dir).filter($"n_sh" > 0).persist()
 
     // Signature: min over shingle hashes of 32 affine permutations.
     // Long overflow in a*x+b wraps identically everywhere (JVM semantics),

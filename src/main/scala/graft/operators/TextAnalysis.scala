@@ -97,11 +97,16 @@ object TextAnalysis extends QueryModule {
     val w = words($"text")
     val sh5 = when(size(w) >= 5,
       transform(sequence(lit(1), size(w) - 4),
-        i => md5(array_join(slice(w, i, lit(5)), " "))))
+        i => array_join(slice(w, i, lit(5)), " ")))
       .otherwise(array().cast("array<string>"))
-    Tables(spark, dir).documents
-      .select($"doc_id",
-        coalesce(array_min(sh5), md5($"text")).as("fingerprint"))
+    val docs = Tables(spark, dir).documents
+    // md5 + min run as codegen'd projection/aggregate AFTER explode —
+    // hashing inside the array HOF would evaluate interpreted per element.
+    val fp5 = docs.select($"doc_id", explode(sh5).as("s"))
+      .groupBy($"doc_id").agg(min(md5($"s")).as("fp5"))
+    docs.select($"doc_id", $"text")
+      .join(fp5, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"fp5", md5($"text")).as("fingerprint"))
       .orderBy($"doc_id")
   }
 
