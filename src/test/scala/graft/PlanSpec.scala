@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §7.2 M7): the plans must be the
+  * ones that survive a 100× scale-up, not merely ones that pass. Each
+  * test pins a scale property: predicate pushdown reaching the parquet
+  * scan, column pruning, broadcast (not shuffle) joins for dimension
+  * sides, true top-k, and no accidental cartesian products. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("P4 filter scan: predicate pushed to parquet, columns pruned") {
+    val p = plan(ReadPath.queries("p4_filter_scan")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)]"), p)
+    assert(p.contains("ReadSchema") &&
+      !p.contains("o_orderdate"), "projection must prune unused columns\n" + p)
+  }
+
+  test("flagship: semi-joins broadcast, no cartesian product") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("O2 top-k plans TakeOrderedAndProject, never a global sort") {
+    val p = plan(ReadPath.queries("o2_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("TPC-H Q3: dimension joins broadcast; aggregate is partial+final hash") {
+    val p = plan(Olap.queries("tpch_q3")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("TPC-H Q1: whole-stage codegen covers scan->aggregate") {
+    val df = Olap.queries("tpch_q1")(spark, dir)
+    df.collect() // AQE finalizes the plan (codegen ids only appear post-execution)
+    val p = plan(df)
+    assert(p.contains("codegen id"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("t1 text analysis reads only the columns it needs") {
+    val p = plan(TextAnalysis.queries("t1_token_counts")(spark, dir))
+    assert(!p.contains("lang") || p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "text analysis must scan doc_id+text only\n" + p)
+  }
+
+  test("point lookups push key equality into the scan") {
+    val p = plan(ReadPath.queries("p2_point_lookup_id")(spark, dir))
+    assert(p.contains("EqualTo(o_orderkey,7)"), p)
+  }
+
+  test("s1 custom float_dot expression is codegen'd (no HOF lambda nodes)") {
+    val p = plan(Similarity.queries("s1_ann_bruteforce_topk")(spark, dir))
+    assert(p.contains("float_dot"), p)
+    assert(!p.contains("lambdafunction"), "HOF lambdas would break codegen\n" + p)
+  }
+}
