@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.7 — the reference's scalar-function surface (F1-F10) in
+  * one pass, plus the JSON source/sink roundtrip (S5/S6).
+  *
+  * Reference sites (/root/reference/index.js): F1 string interpolation
+  * for notification messages (:151-153, :770), F2 parseInt/parseFloat
+  * (:470-471), F3 isNaN guards (:472), F4 Math.round(amount*100) cents
+  * conversion (:267), F5 cost arithmetic (:482), F6 comparison guards
+  * (:484, :821), F7 ternary defaults (:393), F9 id stringification
+  * (:551), F10 `|| 0` / `|| ''` defaulting (:341, :398). F8
+  * (new Date() server timestamps) is exercised in the streaming module;
+  * it is excluded here because a wall-clock column can't be
+  * oracle-compared.
+  *
+  * All are codegen'd Column expressions — the reference runs these as
+  * per-row JS on one event loop; here they vectorize inside
+  * WholeStageCodegen at scan speed.
+  */
+object Scalars extends QueryModule {
+
+  private def f(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select(
+        $"o_orderkey",
+        // F1 — message building (concat / format_string / concat_ws)
+        concat(lit("order "), $"o_orderkey".cast("string"), lit(" is "),
+          $"o_orderstatus").as("message"),
+        format_string("priority=%s", $"o_orderpriority").as("fmt_msg"),
+        // F2 — string→number casts (parseInt / parseFloat)
+        $"o_orderkey".cast("string").cast("int").as("roundtrip_int"),
+        // F3 — isNaN/range validation: a failed cast yields null
+        // (try_cast: ANSI mode makes a plain cast throw on bad input)
+        expr("try_cast(o_orderpriority AS DOUBLE)").isNull.as("cast_failed"),
+        // F4 — dollars→cents
+        round($"o_totalprice" * 100).cast("long").as("cents"),
+        // F5 — arithmetic
+        ($"o_totalprice" * $"o_custkey").as("weighted"),
+        // F6 — comparison guards
+        ($"o_totalprice" >= 1000.0).as("big_enough"),
+        // F7 — ternary/branching defaults
+        when($"o_orderstatus" === "O", 50).otherwise(10).as("coins_default"),
+        // F9 — key stringification for join keys
+        $"o_orderkey".cast("string").as("key_str"),
+        // F10 — null defaulting (|| 0 / || '')
+        coalesce($"o_totalprice", lit(0.0)).as("price_or_zero"),
+        coalesce($"o_orderpriority", lit("")).as("priority_or_empty"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** S5/S6 — JSON as ingress/egress: serialize rows to JSON strings,
+    * parse them back with an explicit schema, prove losslessness. The
+    * reference's only I/O is HTTP JSON bodies (index.js:199, :233);
+    * its engine analog is to_json/from_json + spark.read/write.json
+    * (file-level roundtrip is exercised in SourcesSpec). Rows-only
+    * driver check: from_json is not portable SQL. */
+  private def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val schema = e.schema
+    e.select(to_json(struct(e.columns.map(col): _*)).as("js"))
+      .select(from_json($"js", schema).as("r"))
+      .select($"r.*")
+      .agg(count(lit(1)).as("n_roundtripped"),
+        dsum0($"value").as("sum_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_scalar_suite"     -> (f _),
+    "x1_json_roundtrip"  -> (jsonRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "f_scalar_suite" ->
+      """SELECT o_orderkey,
+        |       concat('order ', CAST(o_orderkey AS VARCHAR), ' is ', o_orderstatus)
+        |         AS message,
+        |       format('priority={}', o_orderpriority) AS fmt_msg,
+        |       CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS roundtrip_int,
+        |       TRY_CAST(o_orderpriority AS DOUBLE) IS NULL AS cast_failed,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |       o_totalprice * o_custkey AS weighted,
+        |       o_totalprice >= 1000.0 AS big_enough,
+        |       CASE WHEN o_orderstatus = 'O' THEN 50 ELSE 10 END AS coins_default,
+        |       CAST(o_orderkey AS VARCHAR) AS key_str,
+        |       coalesce(o_totalprice, 0.0) AS price_or_zero,
+        |       coalesce(o_orderpriority, '') AS priority_or_empty
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2.1 sources/sinks: the engine reads parquet (primary),
+  * JSON and CSV, and writes parquet (incl. hive-style partitioned) and
+  * JSON. The reference's only ingress/egress is HTTP JSON bodies
+  * (index.js:199, :233) and MongoDB; file formats are the batch-engine
+  * restatement. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_src").toString
+
+  test("JSON sink + source roundtrip preserves rows and schema") {
+    import spark.implicits._
+    val out = tmp() + "/events_json"
+    val orig = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    orig.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val back = spark.read.schema(schema).json(out)
+    assert(back.count() == orig.count())
+    assert(back.agg(sum($"value")).head().getDouble(0)
+      == orig.agg(sum($"value")).head().getDouble(0))
+  }
+
+  test("partitioned parquet write enables partition pruning on read") {
+    import spark.implicits._
+    val out = tmp() + "/lineitem_part"
+    Tables(spark, dir).lineitem
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val back = spark.read.parquet(out).filter($"l_returnflag" === "R")
+    val p = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // Partition filter, not a data filter: pruned at planning, the
+    // mechanism that turns a 100 TB scan into a 1-partition read.
+    assert(p.contains("PartitionFilters") && p.contains("l_returnflag"), p)
+    assert(back.count() ==
+      Tables(spark, dir).lineitem.filter($"l_returnflag" === "R").count())
+  }
+
+  test("CSV source with explicit schema") {
+    import spark.implicits._
+    val out = tmp() + "/customer_csv"
+    Tables(spark, dir).customer.write.mode("overwrite")
+      .option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .csv(out)
+    assert(back.count() == Tables(spark, dir).customer.count())
+    assert(back.schema.fields.map(_.dataType).toSeq ==
+      Seq(LongType, StringType, IntegerType, DoubleType, StringType))
+  }
+
+  test("append-mode sink accumulates batches (the S4 insert pattern)") {
+    import spark.implicits._
+    val out = tmp() + "/notif"
+    val batch1 = Seq((1L, "hello")).toDF("id", "message")
+    val batch2 = Seq((2L, "world")).toDF("id", "message")
+    batch1.write.mode("append").parquet(out)
+    batch2.write.mode("append").parquet(out)
+    assert(spark.read.parquet(out).count() == 2)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's SQL surface (SURVEY.md §7.1): every fixture registers as
+  * a temp view, so each catalog query is also expressible via
+  * spark.sql — Hive-style catalog semantics. These tests pin DataFrame
+  * and SQL forms to identical results. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("catalog registration exposes all ten fixture tables") {
+    Tables(spark, dir).registerAll()
+    val tables = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(Tables.names.toSet.subsetOf(tables))
+  }
+
+  test("flagship query: spark.sql form equals DataFrame form") {
+    Tables(spark, dir).registerAll()
+    // The oracle SQL is ANSI enough that Spark SQL runs it verbatim
+    // (FILTER clause included) — one query text, two engines, one result.
+    val sqlForm = spark.sql(graft.operators.Flagship.flagshipSql)
+    val dfForm = SparkEntry.entry(spark)
+    assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
+  }
+
+  test("SQL window + join + agg over views") {
+    Tables(spark, dir).registerAll()
+    val out = spark.sql(
+      """SELECT c_mktsegment, n, total
+        |FROM (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |         cast(sum(cast(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |         row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) AS rk
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment)
+        |WHERE rk <= 3 ORDER BY n DESC, c_mktsegment""".stripMargin)
+    assert(out.count() == 3)
+  }
+}
