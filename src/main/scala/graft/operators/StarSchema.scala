@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** M4 extension — deep star-schema joins over the full dimension set
+  * (region → nation → customer/supplier → orders → lineitem → part),
+  * plus the skew-mitigation pattern. These exercise every fixture table
+  * the core catalog doesn't.
+  *
+  * Scale notes:
+  *   - q5/q14: dimensions (region 5 rows, nation 25, supplier, part)
+  *     broadcast; the only fact-sized shuffle is the final group-by.
+  *     Join ORDER matters at 100 TB: filter region first so the
+  *     nation/customer build sides shrink before touching facts —
+  *     written in that order, and Catalyst keeps it.
+  *   - salted agg: the two-phase (salt, merge) rewrite for hot keys.
+  *     A single hot group turns partial+final agg into one reducer;
+  *     salting fans the hot key across SALT partitions in phase 1 and
+  *     merges SALT sub-aggregates in phase 2. Result is identical to
+  *     the direct group-by (its oracle) — salting is topology, not
+  *     semantics. AQE's skew-join handling covers the JOIN-side analog
+  *     automatically.
+  */
+object StarSchema extends QueryModule {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  /** TPC-H Q5-style: revenue by nation for one region-year, customer and
+    * supplier in the same nation. */
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.region.filter($"r_name" === "ASIA")
+      .join(t.nation, $"n_regionkey" === $"r_regionkey")
+      .join(t.customer, $"c_nationkey" === $"n_nationkey")
+      .join(t.orders, $"o_custkey" === $"c_custkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .join(t.lineitem, $"l_orderkey" === $"o_orderkey")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey"
+        && $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q14-style: promo revenue share over part×lineitem for one
+    * month — a conditional-sum ratio over a broadcast join. */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val joined = t.lineitem
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp")
+        && $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .join(t.part, $"l_partkey" === $"p_partkey")
+    // Final ratio rounded to 9 decimals: engines may differ by 1 ulp in
+    // the decimal→double conversion of the sub-sums, and the division
+    // amplifies it; a rounded ratio is stable across engines.
+    joined.agg(
+      round(lit(100.0)
+        * coalesce(sum(when($"p_type".startsWith("PROMO"),
+            dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))).cast("double"), lit(0.0))
+        / sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount")).cast("double"), 9)
+        .as("promo_revenue_pct"))
+  }
+
+  /** Supplier enrichment across nation — the reference's J3 chase shape
+    * on the remaining dimension chain. */
+  private def suppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.supplier
+      .join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .join(t.region, $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"n_name".as("nation"), $"r_name".as("region"),
+        $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  private val Salt = 8
+
+  /** Two-phase salted aggregation: phase 1 groups by (key, salt) —
+    * spreading any hot key over `Salt` reducers — phase 2 merges the
+    * sub-aggregates. Identical result to the direct group-by. */
+  private def salted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phase1 = Tables(spark, dir).lineitem
+      .withColumn("salt", pmod(xxhash64($"l_partkey", $"l_suppkey", $"l_orderkey"), lit(Salt)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(count(lit(1)).as("pc"), dsum($"l_quantity").as("ps"))
+    phase1.groupBy($"l_returnflag")
+      .agg(sum($"pc").as("n"),
+        coalesce(sum($"ps"), lit(0.0)).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q5"           -> (q5 _),
+    "tpch_q14"          -> (q14 _),
+    "dim_supplier_geo"  -> (suppliers _),
+    "skew_salted_agg"   -> (salted _))
+
+  private val discPrice =
+    "cast(l_extendedprice AS DECIMAL(18,6)) * cast(1.0 - l_discount AS DECIMAL(18,6))"
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q5" ->
+      s"""SELECT n_name, cast(sum($discPrice) AS DOUBLE) AS revenue
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q14" ->
+      s"""SELECT round(100.0
+         |  * coalesce(cast(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $discPrice END) AS DOUBLE), 0.0)
+         |  / cast(sum($discPrice) AS DOUBLE), 9) AS promo_revenue_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "dim_supplier_geo" ->
+      """SELECT s_suppkey, s_name, n_name AS nation, r_name AS region, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "skew_salted_agg" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         |       ${sqlDsum0("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
