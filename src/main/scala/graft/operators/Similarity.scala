@@ -132,10 +132,61 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s4 — IVF-Flat ANN: inverted-file index with a deterministic coarse
+    * quantizer (K corpus vectors sampled by id as centroids — valid
+    * random init since the fixture ids are unordered), nprobe=4 probed
+    * cells, exact re-rank inside the probed cells. The other classic
+    * scale path besides LSH: the cluster assignment is the shuffle key,
+    * and at billions of vectors the assignment table is the persisted
+    * index (bucketed by cell id → query time is an nprobe-cell scan,
+    * ~K/nprobe of the corpus untouched). Rows-only: the quantizer is
+    * engine-internal; recall vs s1 is asserted in ScalaTest. */
+  private val IvfK = 16
+  private val IvfProbes = 4
+
+  private def s4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val cents = c.filter($"vec_id" < IvfK)
+      .select($"vec_id".as("cell"), $"embedding".as("ce"), $"nrm".as("cn"))
+
+    // Assignment: nearest centroid by cosine (rounded key → deterministic).
+    val byCell = Window.partitionBy($"vec_id")
+      .orderBy(round(dot($"embedding", $"ce") / ($"nrm" * $"cn"), 6).desc, $"cell")
+    val assigned = c.join(broadcast(cents), lit(true))
+      .withColumn("crk", row_number().over(byCell))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell")
+
+    // Probe: each query searches its nprobe nearest cells.
+    val byQuery = Window.partitionBy($"query_id")
+      .orderBy(round(dot($"qe", $"ce") / ($"qn" * $"cn"), 6).desc, $"cell")
+    val probes = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("prk", row_number().over(byQuery))
+      .filter($"prk" <= IvfProbes)
+      .select($"query_id", $"qe", $"qn", $"cell")
+
+    // Exact re-rank within probed cells only.
+    val sims = assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
+      .distinct()
+    val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce_topk" -> (s1 _),
     "s2_embedding_near_dup"  -> (s2 _),
-    "s3_ann_lsh_bucketed"    -> (s3 _))
+    "s3_ann_lsh_bucketed"    -> (s3 _),
+    "s4_ann_ivf"             -> (s4 _))
 
   val oracles: Map[String, String] = Map(
     "s1_ann_bruteforce_topk" ->

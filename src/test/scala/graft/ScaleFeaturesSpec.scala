@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cluster-scale mechanisms exercised locally: extension-injected
+  * functions, bucketed (shuffle-free) joins, and ANN recall. */
+class ScaleFeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("GraftExtensions injects float_dot as a session builtin (SQL-visible)") {
+    val r = spark.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("bucketed tables co-locate: equi-join plans without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // DROP TABLE on a lost catalog entry leaves the managed location behind;
+    // clear it so re-runs don't hit LOCATION_ALREADY_EXISTS.
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
+    }
+    Tables(spark, dir).orders.write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables(spark, dir).lineitem.write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // The join must not re-shuffle either bucketed side: no Exchange on
+      // the join keys anywhere (the only Exchange feeds the final agg).
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("hashpartitioning(o_orderkey"), p)
+      assert(joined.agg(sum($"n")).head().getLong(0) ==
+        Tables(spark, dir).lineitem.join(
+          Tables(spark, dir).orders, $"l_orderkey" === $"o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF ANN recall vs brute force is reported and nontrivial") {
+    val exact = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.queries("s4_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@10 (K=16, nprobe=4): $recall%.2f")
+    // nprobe/K = 1/4 of the corpus scanned; random-init centroids on
+    // this corpus give well over chance-level recall.
+    assert(recall >= 0.3, s"recall $recall")
+    // And every similarity the IVF path emits matches the exact value.
+    val exactSim = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.queries("s4_ann_ivf")(spark, dir).collect().foreach { r =>
+      exactSim.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+}
