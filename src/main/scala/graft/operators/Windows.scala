@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TopKByValue
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY.md §2.8 — the full window-function surface (extension: the
+  * reference ranks nothing within groups, but the OLAP north star
+  * requires it), plus the typed-Aggregator top-k and TPC-H Q18.
+  *
+  * Scale notes: every window here partitions by a real key before
+  * ordering — one shuffle on the key, per-partition sort bounded by the
+  * group size. The Aggregator variant exists precisely for the case
+  * where groups are numerous and windows would sort every group's full
+  * row set: its partial buffers cap at k entries, so the shuffle
+  * carries O(groups×k). Q18's HAVING subquery is a semi-join against
+  * an aggregate — two shuffles on the same key (agg + join), which AQE
+  * can plan as a single stage pipeline.
+  */
+object Windows extends QueryModule {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+
+  /** Ranking + offset + frame functions in one pass over orders. */
+  private def suite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val byPrice = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val running = byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rolling3 = byCust.rowsBetween(-2, Window.currentRow)
+    Tables(spark, dir).orders
+      .filter($"o_custkey" < 200L)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        row_number().over(byCust).cast("long").as("seq"),
+        rank().over(byPrice).cast("long").as("price_rank"),
+        dense_rank().over(byPrice).cast("long").as("price_dense_rank"),
+        lag($"o_totalprice", 1).over(byCust).as("prev_price"),
+        lead($"o_totalprice", 1).over(byCust).as("next_price"),
+        sum(dec($"o_totalprice")).over(running).cast("double").as("running_spend"),
+        (sum(dec($"o_totalprice")).over(rolling3).cast("double")
+          / count(lit(1)).over(rolling3)).as("rolling3_avg"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Grouped top-k via the typed Aggregator — shuffle carries O(groups×k). */
+  private def groupedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = udaf(new TopKByValue(3))
+    val totals = Tables(spark, dir).events
+      .groupBy($"event_type", $"user_id")
+      .agg(dsum0($"value").as("total"))
+    totals
+      .groupBy($"event_type")
+      .agg(topk($"user_id", $"total").as("top"))
+      .select($"event_type", posexplode($"top").as(Seq("i", "kv")))
+      .select($"event_type", ($"i" + 1).cast("long").as("rank"),
+        $"kv._1".as("user_id"), $"kv._2".as("total"))
+      .orderBy($"event_type", $"rank")
+  }
+
+  /** TPC-H Q18-style: customers with large-quantity orders (HAVING
+    * subquery semi-join + final grouped sum + top-k). */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val big = t.lineitem.groupBy($"l_orderkey")
+      .agg(dsum0($"l_quantity").as("qty"))
+      .filter($"qty" > 270.0)
+      .select($"l_orderkey".as("big_orderkey"))
+    t.lineitem
+      .join(big, $"l_orderkey" === $"big_orderkey", "left_semi")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .agg(dsum0($"l_quantity").as("sum_qty"))
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_window_suite"        -> (suite _),
+    "olap_grouped_topk_udaf"   -> (groupedTopK _),
+    "tpch_q18"                 -> (q18 _))
+
+  val oracles: Map[String, String] = Map(
+    "olap_window_suite" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  row_number() OVER w AS seq,
+         |  rank() OVER wp AS price_rank,
+         |  dense_rank() OVER wp AS price_dense_rank,
+         |  lag(o_totalprice, 1) OVER w AS prev_price,
+         |  lead(o_totalprice, 1) OVER w AS next_price,
+         |  cast(sum(cast(o_totalprice AS DECIMAL(18,6)))
+         |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+         |  cast(sum(cast(o_totalprice AS DECIMAL(18,6)))
+         |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling3_avg
+         |FROM orders
+         |WHERE o_custkey < 200
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         |       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "olap_grouped_topk_udaf" ->
+      s"""SELECT event_type, CAST(rk AS BIGINT) AS rank, user_id, total FROM (
+         |  SELECT event_type, user_id, total,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY total DESC, user_id) AS rk
+         |  FROM (SELECT event_type, user_id, ${sqlDsum0("value")} AS total
+         |        FROM events GROUP BY event_type, user_id))
+         |WHERE rk <= 3 ORDER BY event_type, rank""".stripMargin,
+    "tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |       ${sqlDsum0("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlDsum0("l_quantity")} > 270.0)
+         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         |LIMIT 100""".stripMargin)
+}
