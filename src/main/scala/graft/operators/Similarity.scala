@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   *      correctness baseline. O(|queries|·n·d).
   *   s2 near-dup pairs    — all pairs with cosine ≥ τ; the embedding
   *      analog of Dedup's Jaccard tiers.
-  *   s3 sign-LSH ANN      — random-hyperplane (SRP) bucketing: 16
-  *      deterministic ±1 hyperplanes → 16-bit bucket key; candidates
-  *      share a bucket in at least one of 4 independent tables. The
+  *   s3 sign-LSH ANN      — random-hyperplane (SRP) bucketing: 8
+  *      deterministic ±1 hyperplanes → 8-bit bucket key; candidates
+  *      share a bucket in at least one of 8 independent tables (8×8
+  *      tuned to this corpus's similarity range: random pairs collide
+  *      at ~2⁻⁸ per table, so candidate sets stay small but never
+  *      empty; more selective 16-bit keys yield zero candidates on
+  *      64-d random embeddings). The
   *      scale path: cost is O(n·tables + candidates), never O(n²).
   *      Rows-only (hash-derived planes are not SQL-expressible);
   *      recall vs s1 is asserted in ScalaTest.
@@ -90,18 +94,21 @@ object Similarity extends QueryModule {
     when(pmod(xxhash64(seed, d), lit(2)) === 0, 1.0).otherwise(-1.0)
   }
 
-  /** s3 — SRP-LSH ANN: 4 tables × 16-bit sign buckets, exact re-rank of
+  private val SrpTables = 8
+  private val SrpBits = 8
+
+  /** s3 — SRP-LSH ANN: 8 tables × 8-bit sign buckets, exact re-rank of
     * candidates, top-10 per query. */
   private def s3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
 
-    // Bucket key per table: 16 sign bits of hyperplane projections.
+    // Bucket key per table: sign bits of hyperplane projections.
     // aggregate over dims: posexplode-free — zip_with embedding with its
     // index via transform(sequence...), then sum signed contributions.
     def bucket(t: Int): Column = {
-      val bits = (0 until 16).map { p =>
+      val bits = (0 until SrpBits).map { p =>
         val proj = aggregate(
           zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
             (x, d) => x.cast("double") * planeSign(t, p, d)),
@@ -112,7 +119,7 @@ object Similarity extends QueryModule {
     }
 
     val tables = c.select($"vec_id", $"embedding", $"nrm",
-      explode(array((0 until 4).map(t => struct(lit(t).as("t"), bucket(t).as("bk"))): _*)).as("tb"))
+      explode(array((0 until SrpTables).map(t => struct(lit(t).as("t"), bucket(t).as("bk"))): _*)).as("tb"))
       .select($"vec_id", $"embedding", $"nrm", $"tb.t".as("t"), $"tb.bk".as("bk"))
 
     val qq = tables.filter($"vec_id" < 5)

@@ -44,6 +44,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val exact = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val approx = Similarity.queries("s3_ann_lsh_bucketed")(spark, dir).collect()
+    assert(approx.nonEmpty, "SRP params must yield candidates on this corpus")
     // Every (query, neighbor, sim) the ANN emits must carry the same
     // similarity the exact path computes (when that neighbor is in the
     // exact top-10) — the ANN never invents scores.
