@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   *     LSH hazard; the band key includes the band id, and verification
   *     re-filters, so a hot bucket costs extra candidates, not wrong
   *     results. For adversarial skew, salt the band key.
+  * Public-knowledge constructions: MinHash resemblance sketching is
+  * Broder, "On the resemblance and containment of documents" (1997);
+  * banding analysis per Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch. 3; SimHash is Charikar, "Similarity estimation
+  * techniques from rounding algorithms" (STOC 2002).
+  *
   *   - MinHash params: P(candidate | j) = 1-(1-j²)¹⁶ → j=0.8 ⇒ 0.9999+;
   *     j=0.3 ⇒ ~0.77 false-candidate rate per band pair is avoided by
   *     r=2 (j² damping); all candidates are verified exactly anyway, so

@@ -88,9 +88,27 @@ object Multimodal extends QueryModule {
     }.toDF().orderBy($"doc_id")
   }
 
+  /** m3 — frame sampling: chop each payload into fixed 256-byte frames,
+    * keep every 4th (the video keyframe-sampling shape: per-row explode
+    * with a stride, no shuffle; at 100 TB frame extraction parallelizes
+    * per payload and the stride bounds the output volume). */
+  private def m3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBytes = octet_length($"text".cast("binary")).cast("long")
+    val nFrames = ceil(nBytes.cast("double") / 256.0).cast("long")
+    Tables(spark, dir).documents
+      .select($"doc_id", nBytes.as("n_bytes"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+      .filter($"frame_idx" % 4 === 0)
+      .select($"doc_id", $"frame_idx",
+        least(lit(256L), $"n_bytes" - $"frame_idx" * 256).as("frame_len"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_catalog"    -> (m1 _),
-    "m2_media_features"   -> (m2 _))
+    "m2_media_features"   -> (m2 _),
+    "m3_frame_sample"     -> (m3 _))
 
   val oracles: Map[String, String] = Map(
     "m1_media_catalog" ->
@@ -100,5 +118,16 @@ object Multimodal extends QueryModule {
         |            ELSE 'video' END AS media_type,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |       source
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m3_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |         unnest(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)))
+        |           AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |       least(256, n_bytes - frame_idx * 256) AS frame_len
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *      Rows-only (hash-derived planes are not SQL-expressible);
   *      recall vs s1 is asserted in ScalaTest.
   *
+  * Public-knowledge constructions: random-hyperplane (SRP) LSH is
+  * Charikar (STOC 2002); IVF coarse quantization follows the classic
+  * inverted-file ANN design (Sivic/Zisserman "Video Google" 2003;
+  * Jégou et al. IVFADC 2011 — here IVF-Flat, no product quantization).
+  *
   * Numerics: dot products fold left-to-right over `zip_with` in pure
   * double (`aggregate` HOF — codegen'd, no UDF). Cross-engine compare
   * rounds cosine to 6 decimals and ranks by the ROUNDED value: Spark and

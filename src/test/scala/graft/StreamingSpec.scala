@@ -62,6 +62,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(UserBalance(1L, 3L, 13.0), UserBalance(2L, 1L, 11.0)))
   }
 
+  test("same transform runs on a real file stream (readStream over parquet)") {
+    import spark.implicits._
+    // Unified batch/stream Dataset model: tumblingCounts is the SAME
+    // function the batch oracle-checked query family uses; here it runs
+    // over a file-source stream of the actual fixture.
+    val batchEvents = Tables(spark, "/root/testdata/sf0.001").events
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val tmpIn = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    batchEvents.write.mode("overwrite").parquet(tmpIn)
+    val streamIn = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(tmpIn)
+    val out = StreamOps.runToMemory(spark, StreamOps.tumblingCounts(streamIn),
+      "file_stream_test", OutputMode.Complete())
+    val batchTotal = batchEvents.count()
+    val streamTotal = out.agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0)
+    assert(streamTotal == batchTotal)
+  }
+
   test("session window groups events by 10-minute gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
