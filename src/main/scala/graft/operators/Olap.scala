@@ -29,6 +29,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Olap extends QueryModule {
 
+  /** Money-product sums: compute the product in DOUBLE (deterministic
+    * single-rounding per element in both engines), round it to a scale-6
+    * decimal (no double is ever exactly at a half-micro boundary — 5e-7
+    * is not dyadic — so both engines round identically), and sum exactly
+    * at scale 6. Crucially NOT decimal×decimal products: their scale-12
+    * sums exceed 2^53 micro²-units, where DuckDB's two-step int128→
+    * double conversion double-rounds and diverges from Spark's correctly
+    * rounded BigDecimal.doubleValue by 1 ulp. Scale-6 sums stay under
+    * 2^53 micro-units at every fixture SF → exact conversion both sides. */
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
   /** A7 — the grouped form of the per-key request pattern. */
@@ -134,10 +143,9 @@ object Olap extends QueryModule {
       .agg(
         dsum0($"l_quantity").as("sum_qty"),
         dsum0($"l_extendedprice").as("sum_base_price"),
-        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
-          .cast("double").as("sum_disc_price"),
-        sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount")
-          * dec(lit(1.0) + $"l_tax")).cast("double").as("sum_charge"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          * (lit(1.0) + $"l_tax")).as("sum_charge"),
         davg($"l_quantity").as("avg_qty"),
         davg($"l_extendedprice").as("avg_price"),
         davg($"l_discount").as("avg_disc"),
@@ -157,8 +165,7 @@ object Olap extends QueryModule {
       .join(t.lineitem, $"o_orderkey" === $"l_orderkey")
       .filter($"l_shipdate" > cutoff)
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
-        .cast("double").as("revenue"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
       .limit(10)
   }
@@ -171,8 +178,7 @@ object Olap extends QueryModule {
         && $"l_shipdate" < lit("1997-01-01").cast("timestamp")
         && $"l_discount" >= 0.05 && $"l_discount" <= 0.07
         && $"l_quantity" < 24)
-      .agg(coalesce(sum(dec($"l_extendedprice") * dec($"l_discount"))
-        .cast("double"), lit(0.0)).as("revenue"))
+      .agg(dsum0($"l_extendedprice" * $"l_discount").as("revenue"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -191,7 +197,7 @@ object Olap extends QueryModule {
     "tpch_q6"               -> (q6 _))
 
   private val sumDiscPrice =
-    "sum(cast(l_extendedprice AS DECIMAL(18,6)) * cast(1.0 - l_discount AS DECIMAL(18,6)))"
+    sqlDsum("l_extendedprice * (1.0 - l_discount)")
 
   val oracles: Map[String, String] = Map(
     "a7_grouped_agg" ->
@@ -239,10 +245,8 @@ object Olap extends QueryModule {
       s"""SELECT l_returnflag, l_linestatus,
          |       ${sqlDsum0("l_quantity")} AS sum_qty,
          |       ${sqlDsum0("l_extendedprice")} AS sum_base_price,
-         |       cast($sumDiscPrice AS DOUBLE) AS sum_disc_price,
-         |       cast(sum(cast(l_extendedprice AS DECIMAL(18,6))
-         |                * cast(1.0 - l_discount AS DECIMAL(18,6))
-         |                * cast(1.0 + l_tax AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+         |       $sumDiscPrice AS sum_disc_price,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
          |       ${sqlDavg("l_quantity")} AS avg_qty,
          |       ${sqlDavg("l_extendedprice")} AS avg_price,
          |       ${sqlDavg("l_discount")} AS avg_disc,
@@ -253,7 +257,7 @@ object Olap extends QueryModule {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_q3" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-         |       cast($sumDiscPrice AS DOUBLE) AS revenue
+         |       $sumDiscPrice AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
@@ -264,9 +268,7 @@ object Olap extends QueryModule {
          |ORDER BY revenue DESC, o_orderdate, l_orderkey
          |LIMIT 10""".stripMargin,
     "tpch_q6" ->
-      """SELECT coalesce(cast(sum(cast(l_extendedprice AS DECIMAL(18,6))
-        |                         * cast(l_discount AS DECIMAL(18,6))) AS DOUBLE), 0.0)
-        |         AS revenue
+      s"""SELECT ${sqlDsum0("l_extendedprice * l_discount")} AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

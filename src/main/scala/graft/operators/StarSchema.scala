@@ -43,8 +43,7 @@ object StarSchema extends QueryModule {
       .join(t.supplier, $"l_suppkey" === $"s_suppkey"
         && $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))
-        .cast("double").as("revenue"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
@@ -62,9 +61,9 @@ object StarSchema extends QueryModule {
     // amplifies it; a rounded ratio is stable across engines.
     joined.agg(
       round(lit(100.0)
-        * coalesce(sum(when($"p_type".startsWith("PROMO"),
-            dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount"))).cast("double"), lit(0.0))
-        / sum(dec($"l_extendedprice") * dec(lit(1.0) - $"l_discount")).cast("double"), 9)
+        * dsum0(when($"p_type".startsWith("PROMO"),
+            $"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        / dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 9)
         .as("promo_revenue_pct"))
   }
 
@@ -104,12 +103,9 @@ object StarSchema extends QueryModule {
     "dim_supplier_geo"  -> (suppliers _),
     "skew_salted_agg"   -> (salted _))
 
-  private val discPrice =
-    "cast(l_extendedprice AS DECIMAL(18,6)) * cast(1.0 - l_discount AS DECIMAL(18,6))"
-
   val oracles: Map[String, String] = Map(
     "tpch_q5" ->
-      s"""SELECT n_name, cast(sum($discPrice) AS DOUBLE) AS revenue
+      s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM region
          |JOIN nation ON n_regionkey = r_regionkey
          |JOIN customer ON c_nationkey = n_nationkey
@@ -123,8 +119,8 @@ object StarSchema extends QueryModule {
          |ORDER BY revenue DESC, n_name""".stripMargin,
     "tpch_q14" ->
       s"""SELECT round(100.0
-         |  * coalesce(cast(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $discPrice END) AS DOUBLE), 0.0)
-         |  / cast(sum($discPrice) AS DOUBLE), 9) AS promo_revenue_pct
+         |  * ${sqlDsum0("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) END")}
+         |  / ${sqlDsum("l_extendedprice * (1.0 - l_discount)")}, 9) AS promo_revenue_pct
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
          |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
