@@ -181,7 +181,42 @@ object Olap extends QueryModule {
       .agg(dsum0($"l_extendedprice" * $"l_discount").as("revenue"))
   }
 
+  /** PIVOT — wide-form conditional aggregation (explicit value list:
+    * deterministic output schema, and Spark skips the extra
+    * distinct-values job — the right call at scale). */
+  private def pivotQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .orderBy($"l_linestatus")
+  }
+
+  /** UNPIVOT (melt) — long-form restatement of wide columns. */
+  private def unpivotQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .filter($"c_custkey" < 50L)
+      .unpivot(Array($"c_custkey"), Array($"c_acctbal", $"c_nationkey".cast("double").as("c_nationkey")),
+        "metric", "value")
+      .orderBy($"c_custkey", $"metric")
+  }
+
+  /** Scalar + correlated subqueries via the SQL surface. */
+  private def scalarSubQ(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(
+      s"""SELECT o_orderkey, o_totalprice
+         |FROM orders
+         |WHERE o_totalprice > 2 * (SELECT ${sqlDavg("o_totalprice")} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_pivot"            -> (pivotQ _),
+    "olap_unpivot"          -> (unpivotQ _),
+    "olap_scalar_subquery"  -> (scalarSubQ _),
     "a7_grouped_agg"        -> (a7 _),
     "olap_rollup"           -> (rollupQ _),
     "olap_cube"             -> (cubeQ _),
@@ -200,6 +235,24 @@ object Olap extends QueryModule {
     sqlDsum("l_extendedprice * (1.0 - l_discount)")
 
   val oracles: Map[String, String] = Map(
+    "olap_pivot" ->
+      """SELECT l_linestatus,
+        |       count(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+        |       count(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+        |       count(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "olap_unpivot" ->
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer)
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, metric""".stripMargin,
+    "olap_scalar_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice
+         |FROM orders
+         |WHERE o_totalprice > 2 * (SELECT ${sqlDavg("o_totalprice")} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
     "a7_grouped_agg" ->
       s"""SELECT o_custkey, count(*) AS n_orders,
          |       ${sqlDsum0("o_totalprice")} AS total_spend
