@@ -110,11 +110,33 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t5 — quality-percentile filtering: drop the bottom quartile by
+    * quality score (the standard corpus-filtering step). Exact
+    * percent_rank here (oracle-able); at 100 TB use approx_percentile
+    * to derive the threshold without a global sort, then a plain
+    * filter — same output contract. */
+  private def t5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = words($"text")
+    val nTok = size(w).cast("double")
+    val nStop = size(filter(w, x => x.isin(Stopwords.map(lit(_)): _*))).cast("double")
+    val quality = when(nTok > 0, nStop / nTok).otherwise(0.0)
+    val scored = Tables(spark, dir).documents
+      .select($"doc_id", quality.as("q"))
+    scored
+      .withColumn("pr", percent_rank().over(Window.orderBy($"q")))
+      .filter($"pr" >= 0.25)
+      .select($"doc_id", $"q", $"pr")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_counts"     -> (t1 _),
     "t2_quality_score"    -> (t2 _),
     "t3_language_id"      -> (t3 _),
-    "t4_fingerprint"      -> (t4 _))
+    "t4_fingerprint"      -> (t4 _),
+    "t5_quality_filter"   -> (t5 _))
 
   private val wordsSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -172,5 +194,17 @@ object TextAnalysis extends QueryModule {
          |           'min'),
          |         md5(text)) AS fingerprint
          |FROM (SELECT doc_id, text, $wordsSql AS w FROM documents)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "t5_quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len($wordsSql) > 0
+         |              THEN CAST(len(list_filter($wordsSql,
+         |                   x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+         |                   / CAST(len($wordsSql) AS DOUBLE)
+         |              ELSE 0.0 END AS q
+         |  FROM documents)
+         |SELECT doc_id, q, pr FROM (
+         |  SELECT doc_id, q, percent_rank() OVER (ORDER BY q) AS pr FROM scored)
+         |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin)
 }
