@@ -93,7 +93,34 @@ object Events extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** e7 — AS-OF join (composed, SURVEY §2.3 note / builder-prompt
+    * custom-operator list, preference (a): built-in composition): each
+    * purchase enriched with the user's most recent STRICTLY PRIOR click.
+    * The classic formulation joins two streams on key + nearest-earlier
+    * timestamp; over a single unioned event log it reduces to
+    * `last(..., ignoreNulls) OVER (... ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING)` — one shuffle on the key, one per-key sort, no range
+    * join explosion. At 100 TB this beats a theta-join formulation
+    * (which Spark would plan as a broadcast-nested-loop) by orders of
+    * magnitude; for two separately-stored streams, union-then-window is
+    * still the scalable shape. */
+  private def e7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .withColumn("prior_click_ts",
+        last(when($"event_type" === "click", $"ts"), ignoreNulls = true).over(w))
+      .withColumn("prior_click_value",
+        last(when($"event_type" === "click", $"value"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value",
+        $"prior_click_ts", $"prior_click_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_asof_join"         -> (e7 _),
     "e1_json_extract"      -> (e1 _),
     "e2_json_grouped"      -> (e2 _),
     "e3_tumbling_window"   -> (e3 _),
@@ -102,6 +129,19 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    "e7_asof_join" ->
+      """SELECT user_id, event_id, ts, value, prior_click_ts, prior_click_value
+        |FROM (
+        |  SELECT user_id, event_id, ts, value, event_type,
+        |         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |           OVER w AS prior_click_ts,
+        |         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+        |           OVER w AS prior_click_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
     "e1_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
