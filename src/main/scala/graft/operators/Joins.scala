@@ -88,7 +88,29 @@ object Joins extends QueryModule {
       .orderBy($"c_custkey")
   }
 
+  /** J6 — range (interval) join: orders banded into irregular price
+    * tiers. The reference has no range joins (SURVEY §2.3); this is the
+    * engine extension for them. With a dimension-sized interval table
+    * the correct plan at ANY scale is a broadcast theta join (5 bands ×
+    * n rows, evaluated as a codegen'd predicate — no shuffle of the
+    * fact side); for fact×fact range joins, band both sides to a
+    * common grid first and equi-join on the grid key. */
+  private def j6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("T1_micro", 0.0, 50000.0), ("T2_small", 50000.0, 150000.0),
+      ("T3_mid", 150000.0, 300000.0), ("T4_large", 300000.0, 450000.0),
+      ("T5_jumbo", 450000.0, Double.MaxValue))
+      .toDF("tier", "lo", "hi")
+    Tables(spark, dir).orders
+      .join(broadcast(bands), $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n"), dsum0($"o_totalprice").as("sum_price"))
+      .orderBy($"tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j6_range_band_join"  -> (j6 _),
     "j1_semi_join"        -> (j1 _),
     "j2_enrichment_join"  -> (j2 _),
     "j3_two_hop_chase"    -> (j3 _),
@@ -96,6 +118,14 @@ object Joins extends QueryModule {
     "j5_anti_join_guard"  -> (jAnti _))
 
   val oracles: Map[String, String] = Map(
+    "j6_range_band_join" ->
+      s"""WITH bands(tier, lo, hi) AS (VALUES
+         |  ('T1_micro', 0.0, 50000.0), ('T2_small', 50000.0, 150000.0),
+         |  ('T3_mid', 150000.0, 300000.0), ('T4_large', 300000.0, 450000.0),
+         |  ('T5_jumbo', 450000.0, 1.7976931348623157e308))
+         |SELECT tier, count(*) AS n, ${sqlDsum0("o_totalprice")} AS sum_price
+         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY tier ORDER BY tier""".stripMargin,
     "j1_semi_join" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem
