@@ -54,6 +54,16 @@ object StreamOps {
           lit(" ("), col("value"), lit(")")).as("message"),
         col("user_id").as("to_user"))
 
+  /** Stream-static join: enrich a stream against a static dimension
+    * DataFrame (the J2 enrichment pattern with a streaming probe side).
+    * Spark broadcasts/rescans the static side per micro-batch; no state
+    * store involved — the scalable default for dimension enrichment. */
+  def enrichWithDimension(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users), Seq("user_id"), "left_outer")
+      .select(col("ts"), col("user_id"),
+        coalesce(col("user_name"), lit("Unknown User")).as("user_name"),
+        col("event_type"), col("value"))
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserBalance(user_id: Long, n_events: Long, coins: Double)
 

@@ -82,6 +82,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamTotal == batchTotal)
   }
 
+  test("stream-static join enriches a stream against a dimension table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val users = Seq((1L, "ada"), (2L, "grace")).toDF("user_id", "user_name")
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    in.addData((ts(1), 1L, "click", 1.0), (ts(2), 9L, "click", 2.0))
+    val df = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.enrichWithDimension(df, users),
+      "enrich_test", OutputMode.Append())
+      .orderBy("user_id").collect()
+    assert(out(0).getAs[String]("user_name") == "ada")
+    assert(out(1).getAs[String]("user_name") == "Unknown User") // J2 default
+  }
+
   test("session window groups events by 10-minute gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
