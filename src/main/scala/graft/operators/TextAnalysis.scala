@@ -131,12 +131,32 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t6 — corpus accounting: the numbers a training run budgets against
+    * (doc/token/char totals, mean doc length, exact vocabulary size).
+    * At 100 TB swap the exact vocab count for approx_count_distinct —
+    * same query shape, constant memory. */
+  private def t6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val tokens = docs.select(explode(words($"text")).as("w"))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(regexp_count($"text", lit("""\S+""")).cast("long")).as("n_tokens"),
+      sum(length($"text").cast("long")).as("n_chars"))
+    val vocab = tokens.agg(countDistinct($"w").as("vocab_size"))
+    base.crossJoin(vocab)
+      .select($"n_docs", $"n_tokens", $"n_chars",
+        round($"n_tokens".cast("double") / $"n_docs", 6).as("mean_tokens_per_doc"),
+        $"vocab_size")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_token_counts"     -> (t1 _),
     "t2_quality_score"    -> (t2 _),
     "t3_language_id"      -> (t3 _),
     "t4_fingerprint"      -> (t4 _),
-    "t5_quality_filter"   -> (t5 _))
+    "t5_quality_filter"   -> (t5 _),
+    "t6_corpus_stats"     -> (t6 _))
 
   private val wordsSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
@@ -206,5 +226,17 @@ object TextAnalysis extends QueryModule {
          |  FROM documents)
          |SELECT doc_id, q, pr FROM (
          |  SELECT doc_id, q, percent_rank() OVER (ORDER BY q) AS pr FROM scored)
-         |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin)
+         |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin,
+    "t6_corpus_stats" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |   FROM documents) AS n_tokens,
+         |  (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) AS n_chars,
+         |  round(
+         |    CAST((SELECT CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         |          FROM documents) AS DOUBLE)
+         |    / (SELECT count(*) FROM documents), 6) AS mean_tokens_per_doc,
+         |  (SELECT count(DISTINCT w) FROM
+         |    (SELECT unnest($wordsSql) AS w FROM documents)) AS vocab_size""".stripMargin)
 }
