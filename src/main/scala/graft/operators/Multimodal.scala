@@ -29,10 +29,13 @@ object Multimodal extends QueryModule {
   /** Typed row for the decode path. */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features (decode STUB output). */
+  /** Extracted features (decode STUB output) + resize plan: target
+    * dimensions for a 224-max-edge aspect-preserving resize — the
+    * resize COMPUTATION is part of the decode stub (no codecs here);
+    * the dimension arithmetic and column contract are real. */
   final case class MediaFeatures(
     doc_id: Long, media_type: String, n_bytes: Long,
-    width: Int, height: Int, checksum: Long)
+    width: Int, height: Int, out_width: Int, out_height: Int, checksum: Long)
 
   /** STUB decoder — stands in for an image/audio codec, which is not
     * available in this container. Deterministic in the payload bytes so
@@ -82,7 +85,10 @@ object Multimodal extends QueryModule {
       rows.grouped(32).flatMap { batch =>
         batch.map { r =>
           val (w, h, cs) = decodeStub(r.payload)
-          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, w, h, cs)
+          // Aspect-preserving resize to a 224 max edge (scale-down only).
+          val scale = math.min(1.0, 224.0 / math.max(w, h))
+          val (ow, oh) = (math.round(w * scale).toInt, math.round(h * scale).toInt)
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, w, h, ow, oh, cs)
         }
       }
     }.toDF().orderBy($"doc_id")
