@@ -71,8 +71,64 @@ object Scalars extends QueryModule {
         dsum0($"value").as("sum_value"))
   }
 
+  /** String-function surface over documents (SURVEY §2.7 extension —
+    * the reference only concatenates; an engine needs the full kit). */
+  private def strings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter($"doc_id" < 100L)
+      .select($"doc_id",
+        upper(substring($"text", 1, 12)).as("head_upper"),
+        lower($"source").as("src_lower"),
+        length(trim($"text")).cast("long").as("trimmed_len"),
+        regexp_replace(substring($"text", 1, 30), "[aeiou]", "_").as("devoweled"),
+        lpad($"lang", 5, "*").as("lang_padded"),
+        instr($"text", "spark").cast("long").as("spark_pos"),
+        split($"text", " ").getItem(0).as("first_word"),
+        reverse($"lang").as("lang_rev"),
+        concat_ws("|", $"lang", $"source").as("joined"))
+      .orderBy($"doc_id")
+  }
+
+  /** Date/time-function surface over orders (the reference stores
+    * dates but never computes on them — index.js:499; the engine must). */
+  private def dates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .filter($"o_orderkey" < 500L)
+      .select($"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long")
+          .as("days_since_epoch_start"),
+        add_months($"o_orderdate", 3).cast("timestamp").as("plus_quarter"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Aggregate null semantics on a literal relation: count(*) vs
+    * count(col), sums/avgs over all-null groups, null group keys —
+    * the exact edge set the reference papers over with `|| 0` (F10). */
+  private def nulls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Seq[(Option[Int], Option[Double])](
+      (Some(1), Some(1.5)), (Some(1), None), (Some(2), None),
+      (None, Some(7.0)), (None, None))
+      .toDF("grp", "v")
+    t.groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), count($"v").as("n_vals"),
+        coalesce(sum($"v"), lit(0.0)).as("sum_or_zero"),
+        avg($"v").as("avg_nullable"))
+      .orderBy($"grp".asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f_scalar_suite"     -> (f _),
+    "f_string_suite"     -> (strings _),
+    "f_date_suite"       -> (dates _),
+    "f_null_semantics"   -> (nulls _),
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -90,5 +146,36 @@ object Scalars extends QueryModule {
         |       CAST(o_orderkey AS VARCHAR) AS key_str,
         |       coalesce(o_totalprice, 0.0) AS price_or_zero,
         |       coalesce(o_orderpriority, '') AS priority_or_empty
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f_string_suite" ->
+      """SELECT doc_id,
+        |       upper(substring(text, 1, 12)) AS head_upper,
+        |       lower(source) AS src_lower,
+        |       CAST(length(trim(text)) AS BIGINT) AS trimmed_len,
+        |       regexp_replace(substring(text, 1, 30), '[aeiou]', '_', 'g') AS devoweled,
+        |       lpad(lang, 5, '*') AS lang_padded,
+        |       CAST(strpos(text, 'spark') AS BIGINT) AS spark_pos,
+        |       split_part(text, ' ', 1) AS first_word,
+        |       reverse(lang) AS lang_rev,
+        |       concat_ws('|', lang, source) AS joined
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "f_date_suite" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |       date_trunc('month', o_orderdate) AS month_start,
+        |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |         AS days_since_epoch_start,
+        |       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_quarter
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+    "f_null_semantics" ->
+      """SELECT grp, count(*) AS n_rows, count(v) AS n_vals,
+        |       coalesce(sum(v), 0.0) AS sum_or_zero,
+        |       avg(v) AS avg_nullable
+        |FROM (SELECT CAST(grp AS INTEGER) AS grp, CAST(v AS DOUBLE) AS v
+        |      FROM (VALUES (1, 1.5), (1, NULL), (2, NULL), (NULL, 7.0), (NULL, NULL))
+        |           t(grp, v))
+        |GROUP BY grp ORDER BY grp ASC NULLS FIRST""".stripMargin)
 }
