@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** M4 — grouped/OLAP generalizations (SURVEY.md §2.4 A7, §2.6, §7.2 M4).
   * The reference computes per-key totals one key at a time per HTTP
@@ -38,7 +37,6 @@ object Olap extends QueryModule {
     * double conversion double-rounds and diverges from Spark's correctly
     * rounded BigDecimal.doubleValue by 1 ulp. Scale-6 sums stay under
     * 2^53 micro-units at every fixture SF → exact conversion both sides. */
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
   /** A7 — the grouped form of the per-key request pattern. */
   private def a7(spark: SparkSession, dir: String): DataFrame = {
@@ -132,8 +130,8 @@ object Olap extends QueryModule {
       .orderBy($"custkey")
   }
 
-  /** TPC-H Q1 — pricing summary report. Products are computed
-    * decimal×decimal (exact, associative) then summed; results are
+  /** TPC-H Q1 — pricing summary report. Products go through the
+    * double→scale-6-decimal discipline above; sums are exact and
     * partition-order-independent. */
   private def q1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** M4 extension — deep star-schema joins over the full dimension set
   * (region → nation → customer/supplier → orders → lineitem → part),
@@ -26,7 +25,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StarSchema extends QueryModule {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
 
   /** TPC-H Q5-style: revenue by nation for one region-year, customer and
     * supplier in the same nation. */
