@@ -66,6 +66,25 @@ object Dedup extends QueryModule {
       .withColumn("n_sh", size($"shingles"))
   }
 
+  /** Exploded DISTINCT (doc_id, shingle) rows, built with posexplode +
+    * window `lead` instead of the array-HOF form above: per-element
+    * array lambdas evaluate interpreted, while Generate/Window/concat_ws
+    * are all codegen'd — ~2× on the shingle-heavy queries. Same shingle
+    * strings either way (the HOF form remains the readable spec and the
+    * unit-test reference). */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables(spark, dir).documents
+      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "w")))
+      .select($"doc_id", $"pos", $"w",
+        lead($"w", 1).over(w).as("w1"), lead($"w", 2).over(w).as("w2"))
+      .filter($"w2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("s"))
+      .distinct()
+  }
+
   /** Exact jaccard for a pre-bounded pair set: |∩| / (|a|+|b|−|∩|). */
   private def jaccard(c: Column, na: Column, nb: Column): Column =
     c.cast("double") / (na.cast("long") + nb.cast("long") - c).cast("double")
@@ -95,21 +114,21 @@ object Dedup extends QueryModule {
 
   private def d3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = docShingles(spark, dir).persist()
     // Join on the 64-bit shingle hash, not the string: the equi-join
     // shuffle carries 8-byte keys instead of ~20-char strings and the
     // probe compares longs. Collision probability across ~10^5 distinct
     // shingles is ~1e-10 — and a collision only perturbs one pair's
     // intersection count by 1.
-    val e = sh.select($"doc_id", explode($"shingles").as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
+    val e = shingleRows(spark, dir)
+      .select($"doc_id", xxhash64($"s").as("h")).persist()
+    val sizes = e.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = e.select($"doc_id".as("i"), $"h")
       .join(e.select($"doc_id".as("j"), $"h"), Seq("h"))
       .filter($"i" < $"j")
       .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
     inter
-      .join(sh.select($"doc_id".as("i"), $"n_sh".as("na")), Seq("i"))
-      .join(sh.select($"doc_id".as("j"), $"n_sh".as("nb")), Seq("j"))
+      .join(sizes.select($"doc_id".as("i"), $"n_sh".as("na")), Seq("i"))
+      .join(sizes.select($"doc_id".as("j"), $"n_sh".as("nb")), Seq("j"))
       .select($"i", $"j", jaccard($"c", $"na", $"nb").as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"i", $"j")
@@ -136,20 +155,20 @@ object Dedup extends QueryModule {
 
   private def d4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Persisted: the shingle arrays feed signature generation AND both
-    // sides of candidate verification — 3 plan subtrees; recomputing the
-    // tokenize+shingle HOF per subtree triples the scan cost. (In a real
-    // pipeline signatures are persisted artifacts — this is that, scoped
-    // to the query.)
-    val sh = docShingles(spark, dir).filter($"n_sh" > 0).persist()
+    // Persisted: the shingle rows feed signature generation AND (as
+    // re-grouped arrays) both sides of candidate verification — 3 plan
+    // subtrees; recomputing tokenize+shingle per subtree triples the
+    // scan cost. (In a real pipeline signatures are persisted artifacts
+    // — this is that, scoped to the query.)
+    val rows = shingleRows(spark, dir).persist()
+    val sh = rows.groupBy($"doc_id")
+      .agg(collect_list($"s").as("shingles"), count(lit(1)).as("n_sh"))
 
     // Signature: min over shingle hashes of 32 affine permutations.
-    // Long overflow in a*x+b wraps identically everywhere (JVM semantics),
-    // so the family is deterministic; pmod keeps values in [0, P).
     val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
       min(pmod($"sh31" * a + b, lit(P))).as(s"h$i")
     }
-    val sig = sh.select($"doc_id", explode($"shingles").as("s"))
+    val sig = rows
       .withColumn("sh31", pmod(xxhash64($"s"), lit(1L << 31)))
       .groupBy($"doc_id")
       .agg(minCols.head, minCols.tail: _*)

@@ -94,16 +94,21 @@ object TextAnalysis extends QueryModule {
     * hash. */
   private def t4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = words($"text")
-    val sh5 = when(size(w) >= 5,
-      transform(sequence(lit(1), size(w) - 4),
-        i => array_join(slice(w, i, lit(5)), " ")))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.expressions.Window
+    // Shingles via posexplode + window leads, md5+min as codegen'd
+    // projection/aggregate — the whole path stays out of interpreted
+    // array lambdas (see Dedup.shingleRows for the pattern rationale).
     val docs = Tables(spark, dir).documents
-    // md5 + min run as codegen'd projection/aggregate AFTER explode —
-    // hashing inside the array HOF would evaluate interpreted per element.
-    val fp5 = docs.select($"doc_id", explode(sh5).as("s"))
-      .groupBy($"doc_id").agg(min(md5($"s")).as("fp5"))
+    val wn = Window.partitionBy($"doc_id").orderBy($"pos")
+    val fp5 = docs
+      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "w")))
+      .select($"doc_id", $"w",
+        lead($"w", 1).over(wn).as("w1"), lead($"w", 2).over(wn).as("w2"),
+        lead($"w", 3).over(wn).as("w3"), lead($"w", 4).over(wn).as("w4"))
+      .filter($"w4".isNotNull)
+      .select($"doc_id",
+        md5(concat_ws(" ", $"w", $"w1", $"w2", $"w3", $"w4")).as("h"))
+      .groupBy($"doc_id").agg(min($"h").as("fp5"))
     docs.select($"doc_id", $"text")
       .join(fp5, Seq("doc_id"), "left_outer")
       .select($"doc_id", coalesce($"fp5", md5($"text")).as("fingerprint"))
