@@ -25,11 +25,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap +
-      ("flagship_buyer_home" -> (Flagship.flagship _))
+      ("flagship_buyer_home" -> (Flagship.flagship _)) +
+      ("flagship_admin_home" -> (Flagship.adminHome _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap +
-      ("flagship_buyer_home" -> Flagship.flagshipSql)
+      ("flagship_buyer_home" -> Flagship.flagshipSql) +
+      ("flagship_admin_home" -> Flagship.adminHomeSql)
 }

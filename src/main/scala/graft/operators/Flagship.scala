@@ -49,6 +49,30 @@ object Flagship {
       .orderBy($"l_linestatus")
   }
 
+  /** The reference's `GET /admin/home` + `/admin/stats`
+    * (/root/reference/index.js:1200-1233, :1375-1398): role counts, coin
+    * grand total, payment grand total — four independent aggregates the
+    * reference runs as four sequential Mongo round-trips, here one
+    * single-row plan (each aggregate is a partial+final hash agg; the
+    * cross-joins are 1×1 rows). */
+  def adminHome(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import spark.implicits._
+    val roleCounts = t.customer.agg(
+      countIf($"c_mktsegment" === "MACHINERY").as("n_workers"),   // A1
+      countIf($"c_mktsegment" === "BUILDING").as("n_buyers"))     // A1
+    val coinTotal = t.customer.agg(dsum0($"c_acctbal").as("total_coins"))        // A3
+    val paymentTotal = t.orders.agg(dsum0($"o_totalprice").as("total_payments")) // A3
+    roleCounts.crossJoin(coinTotal).crossJoin(paymentTotal)
+  }
+
+  val adminHomeSql: String =
+    s"""SELECT
+       |  (SELECT count(*) FROM customer WHERE c_mktsegment = 'MACHINERY') AS n_workers,
+       |  (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING') AS n_buyers,
+       |  (SELECT ${sqlDsum0("c_acctbal")} FROM customer) AS total_coins,
+       |  (SELECT ${sqlDsum0("o_totalprice")} FROM orders) AS total_payments""".stripMargin
+
   val flagshipSql: String =
     """SELECT l_linestatus,
       |       count(*) AS n_items,
