@@ -78,6 +78,37 @@ object StarSchema extends QueryModule {
       .orderBy($"s_suppkey")
   }
 
+  /** TPC-H Q10-style: returned-item reporting — customers who returned
+    * goods, revenue lost, joined out to nation, top 20. */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem.filter($"l_returnflag" === "R")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(t.nation, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** Exact percentiles per group (median + p90). At 100 TB use
+    * approx_percentile — same query shape, sketch-mergeable, no
+    * per-group sort; the exact form is the oracle-checkable tier. */
+  private def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   private val Salt = 8
 
   /** Two-phase salted aggregation: phase 1 groups by (key, salt) —
@@ -97,7 +128,9 @@ object StarSchema extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q5"           -> (q5 _),
+    "tpch_q10"          -> (q10 _),
     "tpch_q14"          -> (q14 _),
+    "olap_percentiles"  -> (percentiles _),
     "dim_supplier_geo"  -> (suppliers _),
     "skew_salted_agg"   -> (salted _))
 
@@ -115,6 +148,25 @@ object StarSchema extends QueryModule {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    "olap_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "tpch_q14" ->
       s"""SELECT round(100.0
          |  * ${sqlDsum0("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) END")}

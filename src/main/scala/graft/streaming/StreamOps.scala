@@ -90,6 +90,41 @@ object StreamOps {
       }
   }
 
+  final case class BalanceAlert(user_id: Long, coins: Double, reason: String)
+
+  /** flatMapGroupsWithState — the zero-or-more-outputs variant: maintain
+    * the running balance but EMIT only threshold-crossing alerts
+    * (overdraft / high-value), the shape of a streaming rules engine.
+    * State lives per key in the state store; emission count is
+    * decoupled from input count. */
+  def balanceAlerts(events: Dataset[UserEvent]): Dataset[BalanceAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserBalance, BalanceAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserBalance]) =>
+          var bal = state.getOption.getOrElse(UserBalance(userId, 0L, 10.0))
+          val alerts = Seq.newBuilder[BalanceAlert]
+          rows.foreach { e =>
+            val delta = e.event_type match {
+              case "purchase" => e.value
+              case "error"    => -e.value
+              case _          => 0.0
+            }
+            val next = UserBalance(userId, bal.n_events + 1, bal.coins + delta)
+            if (bal.coins >= 0 && next.coins < 0)
+              alerts += BalanceAlert(userId, next.coins, "overdraft")
+            if (next.coins >= 100.0 && bal.coins < 100.0)
+              alerts += BalanceAlert(userId, next.coins, "high_balance")
+            bal = next
+          }
+          state.update(bal)
+          alerts.result().iterator
+      }
+  }
+
   /** Convenience: run a streaming query over `df` into an in-memory
     * sink named `queryName`, process all available data, stop. Returns
     * the sink table. Used by tests and by batch-replay utilities. */

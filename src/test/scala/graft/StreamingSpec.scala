@@ -82,6 +82,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamTotal == batchTotal)
   }
 
+  test("flatMapGroupsWithState emits only threshold-crossing alerts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StreamOps.UserEvent]
+    in.addData(
+      StreamOps.UserEvent(1L, "error", 15.0),     // 10 → -5: overdraft
+      StreamOps.UserEvent(2L, "purchase", 95.0),  // 10 → 105: high_balance
+      StreamOps.UserEvent(3L, "view", 50.0))      // no alert
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.balanceAlerts(in.toDS()).toDF(),
+      "alerts_test", OutputMode.Append())
+      .orderBy("user_id").collect()
+    assert(out.map(_.getAs[String]("reason")).toSeq == Seq("overdraft", "high_balance"))
+  }
+
+  test("watermark drops events later than the lateness bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val agg = StreamOps.tumblingCounts(in.toDF().toDF("ts", "user_id", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1 advances the watermark to 00:50 − 10m = 00:40.
+      in.addData((ts(50), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // Batch 2: an event at 00:02 is far behind the watermark → dropped;
+      // one at 00:45 is within bounds → kept.
+      in.addData((ts(2), 1L, "click", 1.0), (ts(45), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // Batch 3 pushes the watermark (01:05 − 10m = 00:55) past the ends
+      // of the [00:45,00:50) and [00:50,00:55) windows, flushing them —
+      // append mode only emits windows whose end < watermark.
+      in.addData((Timestamp.valueOf("2024-01-01 01:05:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_test").collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[Long]("n"))).toMap
+    assert(!rows.contains(ts(0)), s"late event must be dropped: $rows")   // 00:00 window never emitted
+    assert(rows.get(ts(45)).contains(1L), s"in-bounds event kept: $rows") // 00:45 window
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
