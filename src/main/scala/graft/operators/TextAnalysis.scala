@@ -155,7 +155,23 @@ object TextAnalysis extends QueryModule {
         $"vocab_size")
   }
 
+  /** t7 — stratified corpus sampling: per-language fractions via
+    * seeded Bernoulli sampling (`sampleBy`). Deterministic for a fixed
+    * seed and input partitioning; rows-only driver check (sampling is
+    * engine-internal), proportions asserted in ScalaTest. At 100 TB
+    * this is the standard language-rebalancing step — a single scan,
+    * no shuffle. */
+  private def t7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fractions = Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.2)
+    Tables(spark, dir).documents
+      .stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_stratified_sample" -> (t7 _),
     "t1_token_counts"     -> (t1 _),
     "t2_quality_score"    -> (t2 _),
     "t3_language_id"      -> (t3 _),

@@ -40,6 +40,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
   }
 
+  test("t7 stratified sample respects per-language proportions") {
+    import org.apache.spark.sql.functions._
+    val totals = Tables(spark, dir).documents
+      .groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val sampled = graft.operators.TextAnalysis.queries("t7_stratified_sample")(spark, dir)
+    val joined = sampled.join(totals, "lang").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val frac = r.getAs[Long]("n_sampled").toDouble / r.getAs[Long]("n_total")
+      assert(frac > 0.05 && frac <= 1.0, s"${r.getAs[String]("lang")}: $frac")
+    }
+  }
+
   test("s3 LSH ANN returns verified-correct similarities, subset of s1 ranking") {
     val exact = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

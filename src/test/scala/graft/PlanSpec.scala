@@ -61,6 +61,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(o_orderkey,7)"), p)
   }
 
+  test("j6 range join broadcasts the interval dimension (BNLJ, no shuffle of facts)") {
+    val p = plan(Joins.queries("j6_range_band_join")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d3 shingle self-join keys on 8-byte hashes, not strings") {
+    val p = plan(Dedup.queries("d3_dedup_ngram_jaccard")(spark, dir))
+    assert(p.contains("xxhash64"), p)
+  }
+
   test("s1 custom float_dot expression is codegen'd (no HOF lambda nodes)") {
     val p = plan(Similarity.queries("s1_ann_bruteforce_topk")(spark, dir))
     assert(p.contains("float_dot"), p)
