@@ -233,7 +233,22 @@ object Dedup extends QueryModule {
       .orderBy($"i", $"j")
   }
 
+  /** d6 — normalized exact dedup: the standard tier between byte-exact
+    * and fuzzy — lowercase, strip punctuation, collapse whitespace, THEN
+    * hash. Catches case/punctuation/spacing variants at exact-dedup cost
+    * (one scan + one hash shuffle). */
+  private def d6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    Tables(spark, dir).documents
+      .groupBy(sha2(normalized, 256).as("norm_hash"))
+      .agg(count(lit(1)).as("n_variants"), min($"doc_id").as("canonical_id"))
+      .orderBy($"canonical_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d6_dedup_normalized"    -> (d6 _),
     "d1_dedup_exact_groups"  -> (d1 _),
     "d2_dedup_exact_select"  -> (d2 _),
     "d3_dedup_ngram_jaccard" -> (d3 _),
@@ -267,6 +282,12 @@ object Dedup extends QueryModule {
        |ORDER BY i, j""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d6_dedup_normalized" ->
+      """SELECT sha256(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |         '\s+', ' ', 'g'))) AS norm_hash,
+        |       count(*) AS n_variants, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "d1_dedup_exact_groups" ->
       """SELECT sha256(text) AS content_hash, count(*) AS n_copies,
         |       min(doc_id) AS canonical_id

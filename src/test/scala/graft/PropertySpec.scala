@@ -65,6 +65,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("set-operation algebra matches Scala set semantics") {
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.listOfN(25, Gen.chooseNum(0, 12))
+      b <- Gen.listOfN(25, Gen.chooseNum(0, 12))
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val da = a.toDF("k"); val db = b.toDF("k")
+      def vals(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getInt(0)).toSet
+      vals(da.union(db).distinct()) == (a.toSet | b.toSet) &&
+        vals(da.intersect(db)) == (a.toSet & b.toSet) &&
+        vals(da.except(db)) == (a.toSet -- b.toSet)
+    })
+  }
+
   test("semi-join result is a subset with no duplication") {
     import spark.implicits._
     val gen = for {
