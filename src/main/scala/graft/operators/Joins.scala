@@ -136,7 +136,7 @@ object Joins extends QueryModule {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
         |       coalesce(o.o_orderpriority, 'Unknown Task') AS task_title,
         |       l.l_extendedprice AS payable_amount,
-        |       coalesce(CAST(o.o_custkey AS VARCHAR), 'Unknown Buyer') AS buyer_name
+        |       coalesce(CAST(o.o_custkey AS STRING), 'Unknown Buyer') AS buyer_name
         |FROM lineitem l LEFT OUTER JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_returnflag = 'A'
         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey""".stripMargin,
