@@ -26,12 +26,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.flatMap(_.queries).toMap +
       ("flagship_buyer_home" -> (Flagship.flagship _)) +
-      ("flagship_admin_home" -> (Flagship.adminHome _))
+      ("flagship_admin_home" -> (Flagship.adminHome _)) +
+      ("flagship_worker_home" -> (Flagship.workerHome _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap +
       ("flagship_buyer_home" -> Flagship.flagshipSql) +
-      ("flagship_admin_home" -> Flagship.adminHomeSql)
+      ("flagship_admin_home" -> Flagship.adminHomeSql) +
+      ("flagship_worker_home" -> Flagship.workerHomeSql)
 }

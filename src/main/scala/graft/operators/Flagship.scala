@@ -66,6 +66,45 @@ object Flagship {
     roleCounts.crossJoin(coinTotal).crossJoin(paymentTotal)
   }
 
+  /** The reference's `GET /api/worker/home` (index.js:325-372, SURVEY
+    * §3.2) — the N+1-join endpoint. Worker ≙ supplier: one supplier's
+    * lineitems give the status counts (A5), the null-safe earnings fold
+    * over approved items (A6), the balance point-read (P1/F10), and the
+    * N+1 `Promise.all(findOne)` enrichment becomes one broadcast
+    * left-outer join feeding a single aggregate — zero per-row round
+    * trips at any scale. */
+  def workerHome(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import spark.implicits._
+    val mine = t.lineitem.filter($"l_suppkey" === 3L)           // P4
+    val approved = mine.filter($"l_returnflag" === "A")         // P8
+    val enriched = approved
+      .join(t.orders, $"l_orderkey" === $"o_orderkey", "left_outer") // J2
+    val stats = mine.agg(
+      count(lit(1)).as("n_total"),                              // A5
+      countIf($"l_returnflag" === "R").as("n_pending"),
+      countIf($"l_returnflag" === "A").as("n_approved"))
+    val earnings = enriched.agg(
+      dsum0(coalesce($"l_extendedprice", lit(0.0))).as("total_earned"), // A6+F10
+      countIf($"o_orderkey".isNull).as("n_unknown_task"))       // J2 default path
+    val coins = t.supplier.filter($"s_suppkey" === 3L)          // P1
+      .agg(dsum0($"s_acctbal").as("coins"))                     // F10 (empty→0)
+    stats.crossJoin(earnings).crossJoin(coins)
+  }
+
+  val workerHomeSql: String =
+    s"""SELECT
+       |  (SELECT count(*) FROM lineitem WHERE l_suppkey = 3) AS n_total,
+       |  (SELECT count(*) FROM lineitem WHERE l_suppkey = 3 AND l_returnflag = 'R') AS n_pending,
+       |  (SELECT count(*) FROM lineitem WHERE l_suppkey = 3 AND l_returnflag = 'A') AS n_approved,
+       |  (SELECT ${sqlDsum0("coalesce(l_extendedprice, 0.0)")} FROM lineitem
+       |   WHERE l_suppkey = 3 AND l_returnflag = 'A') AS total_earned,
+       |  (SELECT count(*) FROM lineitem l LEFT OUTER JOIN orders o
+       |     ON l.l_orderkey = o.o_orderkey
+       |   WHERE l.l_suppkey = 3 AND l.l_returnflag = 'A' AND o.o_orderkey IS NULL)
+       |    AS n_unknown_task,
+       |  (SELECT ${sqlDsum0("s_acctbal")} FROM supplier WHERE s_suppkey = 3) AS coins""".stripMargin
+
   val adminHomeSql: String =
     s"""SELECT
        |  (SELECT count(*) FROM customer WHERE c_mktsegment = 'MACHINERY') AS n_workers,

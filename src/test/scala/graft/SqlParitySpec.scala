@@ -35,7 +35,7 @@ class SqlParitySpec extends AnyFunSuite {
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
     "tpch_q18", "dim_supplier_geo", "skew_salted_agg",
     "e6_latest_per_user", "f_null_semantics",
-    "flagship_buyer_home", "flagship_admin_home")
+    "flagship_buyer_home", "flagship_admin_home", "flagship_worker_home")
 
   portable.foreach { name =>
     test(s"$name: oracle SQL runs verbatim on Spark SQL with identical results") {
