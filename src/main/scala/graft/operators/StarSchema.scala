@@ -95,6 +95,25 @@ object StarSchema extends QueryModule {
       .limit(20)
   }
 
+  /** TPC-H Q4-style: order-priority checking — orders in a quarter with
+    * at least one late-shipped lineitem (EXISTS → left-semi join with a
+    * non-equi conjunct; Catalyst pushes the equi part into the hash join
+    * and evaluates the date condition as a join residual). */
+  private def q4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.orders
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .join(t.lineitem,
+        $"l_orderkey" === $"o_orderkey"
+          && $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Exact percentiles per group (median + p90). At 100 TB use
     * approx_percentile — same query shape, sketch-mergeable, no
     * per-group sort; the exact form is the oracle-checkable tier. */
@@ -127,6 +146,7 @@ object StarSchema extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q4"           -> (q4 _),
     "tpch_q5"           -> (q5 _),
     "tpch_q10"          -> (q10 _),
     "tpch_q14"          -> (q14 _),
@@ -148,6 +168,16 @@ object StarSchema extends QueryModule {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "tpch_q10" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
