@@ -104,6 +104,43 @@ object Olap extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Boolean aggregates (every/any per group). */
+  private def boolAggQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        bool_and($"l_quantity" > 0).as("all_positive_qty"),
+        bool_or($"l_discount" > 0.05).as("any_big_discount"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Ordered string aggregation — collect_list is unordered by contract,
+    * so sort_array before joining: deterministic at any parallelism. */
+  private def stringAggQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(array_join(sort_array(array_distinct(collect_list($"l_linestatus"))), ",")
+        .as("statuses"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate percentiles (rows-only: sketch internals are
+    * engine-specific) — the 100 TB companion to `olap_percentiles`:
+    * mergeable KLL-style sketches, no per-group sort. Accuracy vs the
+    * exact tier is asserted in ScalaTest. */
+  private def approxPctQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"))
+      .orderBy($"l_returnflag")
+  }
+
   /** UNION (distinct), INTERSECT, EXCEPT in one expression tree. */
   private def setUnion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -219,6 +256,9 @@ object Olap extends QueryModule {
     "olap_rollup"           -> (rollupQ _),
     "olap_cube"             -> (cubeQ _),
     "olap_grouping_sets"    -> (gsets _),
+    "olap_bool_aggregates"  -> (boolAggQ _),
+    "olap_string_agg"       -> (stringAggQ _),
+    "olap_approx_percentiles" -> (approxPctQ _),
     "olap_distinct"         -> (distinctQ _),
     "olap_count_distinct"   -> (countDistinctQ _),
     "olap_approx_distinct"  -> (approxDistinctQ _),
@@ -270,6 +310,17 @@ object Olap extends QueryModule {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "olap_bool_aggregates" ->
+      """SELECT l_returnflag,
+        |       bool_and(l_quantity > 0) AS all_positive_qty,
+        |       bool_or(l_discount > 0.05) AS any_big_discount,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "olap_string_agg" ->
+      """SELECT l_returnflag,
+        |       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+        |         AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "olap_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

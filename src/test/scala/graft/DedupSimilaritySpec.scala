@@ -40,6 +40,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     pairs.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
   }
 
+  test("approx percentiles land within 10% of the exact tier") {
+    val exact = graft.operators.StarSchema.queries("olap_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    graft.operators.Olap.queries("olap_approx_percentiles")(spark, dir)
+      .collect().foreach { r =>
+        val (p50, p90) = exact(r.getString(0))
+        assert(math.abs(r.getDouble(1) - p50) <= 0.1 * p50 + 1.0)
+        assert(math.abs(r.getDouble(2) - p90) <= 0.1 * p90 + 1.0)
+      }
+  }
+
   test("t7 stratified sample respects per-language proportions") {
     import org.apache.spark.sql.functions._
     val totals = Tables(spark, dir).documents
