@@ -170,7 +170,34 @@ object TextAnalysis extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** t8 — text scrubbing for training data: mask emails, URLs, and long
+    * digit runs (PII/noise classes) with typed placeholders, and count
+    * what was masked. Pure regexp_replace/regexp_count chain — codegen'd
+    * scan-speed cleaning, the standard pre-tokenization pass. Patterns
+    * stay in the RE2 ∩ Java-regex dialect so the DuckDB oracle runs the
+    * same expressions. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val LongNumRe = "[0-9]{6,}"
+
+  private def t8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace($"text", UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        scrubbed.as("scrubbed"),
+        regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"text", lit(UrlRe)).cast("long").as("n_urls"),
+        regexp_count($"text", lit(LongNumRe)).cast("long").as("n_long_nums"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_text_scrub"       -> (t8 _),
     "t7_stratified_sample" -> (t7 _),
     "t1_token_counts"     -> (t1 _),
     "t2_quality_score"    -> (t2 _),
@@ -248,6 +275,17 @@ object TextAnalysis extends QueryModule {
          |SELECT doc_id, q, pr FROM (
          |  SELECT doc_id, q, percent_rank() OVER (ORDER BY q) AS pr FROM scored)
          |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin,
+    "t8_text_scrub" ->
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         'https?://[^\s]+', '<URL>', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_long_nums
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t6_corpus_stats" ->
       s"""SELECT
          |  (SELECT count(*) FROM documents) AS n_docs,

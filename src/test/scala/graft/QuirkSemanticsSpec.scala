@@ -82,6 +82,22 @@ class QuirkSemanticsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 5 && r.getLong(1) == 2 && r.getLong(2) == 2)
   }
 
+  test("t8 scrub masks emails, URLs, and long digit runs") {
+    // The fixture corpus has no PII, so the masking behavior is pinned
+    // on crafted rows using the same expressions as the catalog query.
+    val df = Seq(
+      "mail me at a.b+x@test.org or see https://ex.com/p?q=1 ref 1234567 end",
+      "clean text with short 123 numbers only")
+      .toDF("text")
+    val scrubbed = df.select(
+      regexp_replace(regexp_replace(regexp_replace($"text",
+        "https?://[^\\s]+", "<URL>"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>").as("s")).as[String].collect()
+    assert(scrubbed(0) == "mail me at <EMAIL> or see <URL> ref <NUM> end")
+    assert(scrubbed(1) == "clean text with short 123 numbers only")
+  }
+
   test("W3: balance identity — base + credits − debits") {
     // The analytic restatement of every $inc site (index.js:312,489,...).
     val events = Seq(
