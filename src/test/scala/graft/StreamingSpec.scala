@@ -62,6 +62,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(UserBalance(1L, 3L, 13.0), UserBalance(2L, 1L, 11.0)))
   }
 
+  test("checkpointed file stream is exactly-once across restarts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "event_type").write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("user_id BIGINT, event_type STRING").parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(Seq((1L, "click"), (2L, "view"), (3L, "click")))
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 3)
+    writeBatch(Seq((4L, "purchase"), (5L, "error")))
+    runOnce() // restart from checkpoint: only the new file is processed
+    assert(spark.read.parquet(sink).count() == 5)
+    assert(spark.read.parquet(sink).select("user_id").distinct().count() == 5)
+  }
+
   test("same transform runs on a real file stream (readStream over parquet)") {
     import spark.implicits._
     // Unified batch/stream Dataset model: tumblingCounts is the SAME
