@@ -59,7 +59,7 @@ object Dedup extends QueryModule {
         i => array_join(slice(w, i, lit(3)), " ")))
       .otherwise(array().cast("array<string>")))
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
       .select($"doc_id", shingles3(words($"text")).as("shingles"))
@@ -72,7 +72,7 @@ object Dedup extends QueryModule {
     * are all codegen'd — ~2× on the shingle-heavy queries. Same shingle
     * strings either way (the HOF form remains the readable spec and the
     * unit-test reference). */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"doc_id").orderBy($"pos")

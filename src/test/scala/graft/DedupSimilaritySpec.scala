@@ -19,6 +19,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)  // fixture really contains near-dups
   }
 
+  test("optimized shingle pipeline equals the HOF spec form") {
+    import org.apache.spark.sql.functions._
+    // Dedup.shingleRows (posexplode + window leads, codegen'd) must
+    // produce exactly the shingle set of the readable HOF specification.
+    val spec = Dedup.docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fast = Dedup.shingleRows(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast == spec)
+    assert(spec.nonEmpty)
+  }
+
   test("d1 exact-dedup groups cover every document exactly once") {
     val total = Tables(spark, dir).documents.count()
     val d1 = Dedup.queries("d1_dedup_exact_groups")(spark, dir)
