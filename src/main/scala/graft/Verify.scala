@@ -29,6 +29,10 @@ object Verify {
           .write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Some queries persist() intermediates (d3/d4 shingles); drop them
+        // so cached blocks don't accumulate across the ~90-query run.
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

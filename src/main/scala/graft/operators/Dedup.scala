@@ -197,9 +197,14 @@ object Dedup extends QueryModule {
 
   // ---- d5: SimHash with chunk banding ----
 
-  private def d5(spark: SparkSession, dir: String): DataFrame = {
+  private def d5(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, Tables(spark, dir).documents)
+
+  /** The d5 pipeline over any (doc_id, text, ...) frame — split out so
+    * tests can drive it with crafted micro-fixtures (identical docs must
+    * collide at hamming 0) as well as the parquet corpus. */
+  private[graft] def simhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
     // Weighted word features: weight = term frequency in the doc.
     val feats = docs
       .select($"doc_id", explode(words($"text")).as("w"))

@@ -102,9 +102,14 @@ object Multimodal extends QueryModule {
     import spark.implicits._
     val nBytes = octet_length($"text".cast("binary")).cast("long")
     val nFrames = ceil(nBytes.cast("double") / 256.0).cast("long")
+    // Guard the zero-length payload: sequence(0, -1) would step DOWN to
+    // [0, -1] and leak a spurious frame 0, while the oracle's range(0, 0)
+    // emits nothing. Empty payload => empty frame list on both engines.
+    val frameIdxs = when(nFrames > 0, sequence(lit(0L), nFrames - 1))
+      .otherwise(array().cast("array<bigint>"))
     Tables(spark, dir).documents
       .select($"doc_id", nBytes.as("n_bytes"),
-        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+        explode(frameIdxs).as("frame_idx"))
       .filter($"frame_idx" % 4 === 0)
       .select($"doc_id", $"frame_idx",
         least(lit(256L), $"n_bytes" - $"frame_idx" * 256).as("frame_len"))

@@ -104,6 +104,9 @@ object Scalars extends QueryModule {
         date_trunc("month", $"o_orderdate").as("month_start"),
         datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long")
           .as("days_since_epoch_start"),
+        // add_months yields a DATE (time-of-day dropped); the oracle
+        // date_trunc's to day before adding so both engines share one
+        // semantics even if o_orderdate ever carries a time component.
         add_months($"o_orderdate", 3).cast("timestamp").as("plus_quarter"))
       .orderBy($"o_orderkey")
   }
@@ -168,7 +171,8 @@ object Scalars extends QueryModule {
         |       date_trunc('month', o_orderdate) AS month_start,
         |       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
         |         AS days_since_epoch_start,
-        |       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_quarter
+        |       CAST(date_trunc('day', o_orderdate) + INTERVAL 3 MONTH AS TIMESTAMP)
+        |         AS plus_quarter
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "f_null_semantics" ->
       """SELECT grp, count(*) AS n_rows, count(v) AS n_vals,

@@ -41,16 +41,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("d5 SimHash: identical docs collide at hamming 0") {
     import spark.implicits._
-    // Two identical texts, one unrelated: the pair (0,1) must surface.
+    // Two identical texts, one unrelated: the pair (0,1) must surface
+    // at hamming 0; the unrelated doc must not pair with either.
     val docs = Seq(
       (0L, "spark join filter window agg sort merge hash scan table"),
       (1L, "spark join filter window agg sort merge hash scan table"),
       (2L, "completely different words entirely unrelated content here now"))
       .toDF("doc_id", "text")
-    docs.createOrReplaceTempView("__simhash_micro") // not used by d5 (reads parquet)
-    // d5 reads the fixture; micro-check the invariant on the fixture output:
-    val pairs = Dedup.queries("d5_dedup_simhash")(spark, dir).collect()
-    pairs.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
+    val pairs = Dedup.simhashPairs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+    // And on the real fixture, every emitted pair is within the band bound.
+    Dedup.queries("d5_dedup_simhash")(spark, dir).collect()
+      .foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
   }
 
   test("approx percentiles land within 10% of the exact tier") {
