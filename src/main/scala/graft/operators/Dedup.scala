@@ -66,23 +66,40 @@ object Dedup extends QueryModule {
       .withColumn("n_sh", size($"shingles"))
   }
 
-  /** Exploded DISTINCT (doc_id, shingle) rows, built with posexplode +
-    * window `lead` instead of the array-HOF form above: per-element
-    * array lambdas evaluate interpreted, while Generate/Window/concat_ws
-    * are all codegen'd — ~2× on the shingle-heavy queries. Same shingle
-    * strings either way (the HOF form remains the readable spec and the
-    * unit-test reference). */
+  /** Per-doc DISTINCT shingle arrays via a map-side kernel — shingling
+    * is row-local (tokenize → consecutive 3-grams → dedup within the
+    * doc), so it needs NO shuffle at all: one pass over the scan, output
+    * (doc_id, shingles array). Replaces the round-1 posexplode + window
+    * `lead` + global DISTINCT pipeline, which cost a doc_id shuffle+sort
+    * for the window and a full shuffle for the distinct. Memory is
+    * bounded by one document's shingle set. Same shingle strings as the
+    * readable HOF spec above (asserted in ScalaTest). */
+  private[graft] def docShingleArrays(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        val sh =
+          if (w.length < 3) Array.empty[String]
+          else {
+            val seen = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + 2 < w.length) {
+              seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2)); i += 1
+            }
+            seen.toArray(Array.empty[String])
+          }
+        (id, sh)
+      }.toDF("doc_id", "shingles")
+  }
+
+  /** Exploded DISTINCT (doc_id, shingle) rows — a shuffle-free explode
+    * of the per-doc arrays. */
   private[graft] def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    Tables(spark, dir).documents
-      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "w")))
-      .select($"doc_id", $"pos", $"w",
-        lead($"w", 1).over(w).as("w1"), lead($"w", 2).over(w).as("w2"))
-      .filter($"w2".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("s"))
-      .distinct()
+    docShingleArrays(spark, dir)
+      .select($"doc_id", explode($"shingles").as("s"))
   }
 
   /** Exact jaccard for a pre-bounded pair set: |∩| / (|a|+|b|−|∩|). */
@@ -114,14 +131,16 @@ object Dedup extends QueryModule {
 
   private def d3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Join on the 64-bit shingle hash, not the string: the equi-join
-    // shuffle carries 8-byte keys instead of ~20-char strings and the
-    // probe compares longs. Collision probability across ~10^5 distinct
-    // shingles is ~1e-10 — and a collision only perturbs one pair's
-    // intersection count by 1.
-    val e = shingleRows(spark, dir)
-      .select($"doc_id", xxhash64($"s").as("h")).persist()
-    val sizes = e.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // Persisted map-side shingle arrays feed the pairing join (exploded)
+    // AND the per-doc sizes — no re-tokenization, no grouping shuffle.
+    val arr = docShingleArrays(spark, dir).persist()
+    // Hash shingles to 64-bit keys: the join shuffle carries 8-byte keys
+    // instead of ~20-char strings. Collision probability across ~10^5
+    // distinct shingles is ~1e-10 — and a collision only perturbs one
+    // pair's intersection count by 1.
+    val e = arr.select($"doc_id", explode($"shingles").as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+    val sizes = arr.select($"doc_id", size($"shingles").cast("long").as("n_sh"))
     val inter = e.select($"doc_id".as("i"), $"h")
       .join(e.select($"doc_id".as("j"), $"h"), Seq("h"))
       .filter($"i" < $"j")
@@ -155,14 +174,17 @@ object Dedup extends QueryModule {
 
   private def d4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Persisted: the shingle rows feed signature generation AND (as
-    // re-grouped arrays) both sides of candidate verification — 3 plan
+    // Persisted: the per-doc shingle arrays feed signature generation
+    // (exploded) AND both sides of candidate verification — 3 plan
     // subtrees; recomputing tokenize+shingle per subtree triples the
     // scan cost. (In a real pipeline signatures are persisted artifacts
-    // — this is that, scoped to the query.)
-    val rows = shingleRows(spark, dir).persist()
-    val sh = rows.groupBy($"doc_id")
-      .agg(collect_list($"s").as("shingles"), count(lit(1)).as("n_sh"))
+    // — this is that, scoped to the query.) Round 1 persisted exploded
+    // ROWS and re-grouped them with collect_list for verification; the
+    // arrays ARE the grouped form, so that shuffle is gone.
+    val arr = docShingleArrays(spark, dir).persist()
+    val rows = arr.select($"doc_id", explode($"shingles").as("s"))
+    val sh = arr.select($"doc_id", $"shingles",
+      size($"shingles").cast("long").as("n_sh"))
 
     // Signature: min over shingle hashes of 32 affine permutations.
     val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
@@ -205,15 +227,17 @@ object Dedup extends QueryModule {
     * collide at hamming 0) as well as the parquet corpus. */
   private[graft] def simhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    // Weighted word features: weight = term frequency in the doc.
+    // Term-frequency weighting = per-occurrence summation: Σ_w tf(w)·sign_j(w)
+    // over distinct words is exactly Σ over word OCCURRENCES of sign_j(w),
+    // so no (doc, word) pre-count shuffle is needed — one explode feeds
+    // the bit-sum aggregate directly (integer sums: associative, exact).
     val feats = docs
       .select($"doc_id", explode(words($"text")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64($"w"))
 
     // 64 signed bit-sums → sign bits → one 64-bit fingerprint.
     val bitCols = (0 until 64).map { j =>
-      sum($"cnt" * when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$j")
     }
     val bitSums = feats.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)

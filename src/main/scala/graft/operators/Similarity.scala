@@ -78,9 +78,13 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
-  /** s2 — all near-dup pairs by cosine ≥ 0.45 (threshold set to the
-    * fixture's similarity structure; the operator is τ-parametric). */
-  private def s2(spark: SparkSession, dir: String): DataFrame = {
+  /** s2 spec form — all near-dup pairs by cosine ≥ τ as a declarative
+    * self-join. Kept as the readable specification and the unit-test
+    * reference; the shipped `s2` below computes the identical result
+    * through the blocked kernel (the BroadcastNestedLoopJoin here
+    * materializes every pair as a ~550-byte row — measured 8+ s at
+    * sf0.1 for what is ~130 MFLOPs of actual arithmetic). */
+  private[graft] def s2Spec(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
     val a = c.select($"vec_id".as("i"), $"embedding".as("ea"), $"nrm".as("na"))
@@ -91,12 +95,82 @@ object Similarity extends QueryModule {
       .orderBy($"i", $"j")
   }
 
-  /** Deterministic ±1 hyperplane sign for (table t, plane p, dim d):
-    * derived from a splitmix64-style integer mix — a public-construction
-    * SRP family, reproducible in any engine. */
-  private def planeSign(t: Int, p: Int, d: Column): Column = {
-    val seed = lit(0x9E3779B97F4A7C15L * (t * 16 + p + 1))
-    when(pmod(xxhash64(seed, d), lit(2)) === 0, 1.0).otherwise(-1.0)
+  /** Replicates Spark's `round(x, 6)` on DoubleType (HALF_UP decimal
+    * rounding) so the kernel path is bit-identical to the Column form. */
+  private def round6(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** s2 — blocked all-pairs cosine, the shipped form. The corpus is cut
+    * into B hash blocks; the B·(B+1)/2 block pairs become tasks; inside
+    * a task a tight JVM kernel computes dots in primitive doubles with
+    * the same left-to-right accumulation as `float_dot`, so the output
+    * is bit-identical to `s2Spec` (asserted in ScalaTest).
+    *
+    * Scale notes (100 TB): all-pairs is inherently quadratic in ROW
+    * PAIRS but this shape shuffles each block to only B peers (data
+    * moved is O(n·B), not O(n²)) and never materializes a pair row that
+    * fails the threshold. Block count scales with corpus size so each
+    * task's pair count stays bounded; beyond that, LSH (s3) or IVF (s4)
+    * prune the pair space itself. */
+  private val PairBlocks = 32
+
+  private def s2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings.select($"vec_id", $"embedding")
+    val blocks = emb
+      .groupBy(pmod($"vec_id", lit(PairBlocks)).cast("int").as("blk"))
+      .agg(collect_list(struct($"vec_id".as("_1"), $"embedding".as("_2"))).as("rows"))
+    val grid = blocks.select($"blk".as("ba"), $"rows".as("ra"))
+      .join(blocks.select($"blk".as("bb"), $"rows".as("rb")), $"ba" <= $"bb")
+      .as[(Int, Array[(Long, Array[Float])], Int, Array[(Long, Array[Float])])]
+
+    grid.flatMap { case (ba, ra, bb, rb) =>
+      def dotD(u: Array[Float], v: Array[Float]): Double = {
+        val n = math.min(u.length, v.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += u(i).toDouble * v(i).toDouble; i += 1 }
+        acc
+      }
+      val na = ra.map { case (_, e) => math.sqrt(dotD(e, e)) }
+      val nb = rb.map { case (_, e) => math.sqrt(dotD(e, e)) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var x = 0
+      while (x < ra.length) {
+        val (idA, ea) = ra(x)
+        // Same block: each unordered pair once. Cross blocks: every
+        // (a-row, b-row) combination is that pair's only appearance.
+        var y = if (ba == bb) x + 1 else 0
+        while (y < rb.length) {
+          val (idB, eb) = rb(y)
+          if (ba != bb || idA != idB) {
+            val raw = dotD(ea, eb) / (na(x) * nb(y))
+            val s = if (raw.isNaN || raw.isInfinity) raw else round6(raw)
+            if (s >= 0.45) {
+              if (idA < idB) out += ((idA, idB, s)) else out += ((idB, idA, s))
+            }
+          }
+          y += 1
+        }
+        x += 1
+      }
+      out
+    }.toDF("i", "j", "sim_r").transform(presentSorted(_, $"i", $"j"))
+  }
+
+  /** Deterministic ±1 hyperplane sign for (table t, plane p, dim d) —
+    * the same xxhash64-derived SRP family the engine has always used,
+    * evaluated at PLAN BUILD TIME via the identical XXH64 kernel Spark's
+    * `xxhash64(seed, d)` expression uses (hash children sequentially,
+    * initial seed 42). The planes become array<float> LITERALS of ±1, so
+    * each bucket bit is one codegen'd `float_dot` — replacing the
+    * interpreted per-element HOF+hash evaluation (64 hash calls per bit
+    * per row) that dominated this query's runtime. */
+  private def planeSignScala(t: Int, p: Int, d: Int): Float = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seed = 0x9E3779B97F4A7C15L * (t * 16 + p + 1)
+    val h = XXH64.hashLong(d.toLong, XXH64.hashLong(seed, 42L))
+    if (((h % 2) + 2) % 2 == 0) 1.0f else -1.0f
   }
 
   private val SrpTables = 8
@@ -108,24 +182,30 @@ object Similarity extends QueryModule {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
+    val dim = Tables(spark, dir).embeddings
+      .select(size($"embedding")).as[Int].head()
 
-    // Bucket key per table: sign bits of hyperplane projections.
-    // aggregate over dims: posexplode-free — zip_with embedding with its
-    // index via transform(sequence...), then sum signed contributions.
+    // Bucket key per table: sign bits of hyperplane projections, each
+    // projection = float_dot(embedding, ±1-plane literal). Accumulation
+    // is (double)x * (double)sign left-to-right — bit-identical to the
+    // previous HOF formulation (±1 is exact in float).
     def bucket(t: Int): Column = {
       val bits = (0 until SrpBits).map { p =>
-        val proj = aggregate(
-          zip_with($"embedding", sequence(lit(0), size($"embedding") - 1),
-            (x, d) => x.cast("double") * planeSign(t, p, d)),
-          lit(0.0), (acc, v) => acc + v)
+        val plane = typedLit((0 until dim).map(d => planeSignScala(t, p, d)))
+        val proj = dot($"embedding", plane)
         when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
       }
       bits.reduce(_ bitwiseOR _)
     }
 
+    // Persisted: the bucket table feeds BOTH join sides (corpus and the
+    // query subset) — without it the scan + 64 projections run twice.
+    // (At scale this table IS the persisted LSH index — bucketed parquet
+    // on (t, bk); here it's cached for the query's lifetime.)
     val tables = c.select($"vec_id", $"embedding", $"nrm",
       explode(array((0 until SrpTables).map(t => struct(lit(t).as("t"), bucket(t).as("bk"))): _*)).as("tb"))
       .select($"vec_id", $"embedding", $"nrm", $"tb.t".as("t"), $"tb.bk".as("bk"))
+      .persist()
 
     val qq = tables.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"t", $"bk")
@@ -138,10 +218,10 @@ object Similarity extends QueryModule {
     val sims = candidates.select($"query_id", $"vec_id".as("neighbor_id"),
       round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
     val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
-    sims.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = sims.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 10)
       .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
-      .orderBy($"query_id", $"rank")
+    presentSorted(ranked, $"query_id", $"rank")
   }
 
   /** s4 — IVF-Flat ANN: inverted-file index with a deterministic coarse

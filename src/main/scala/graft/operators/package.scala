@@ -38,4 +38,15 @@ package object operators {
   /** Null-tolerant count-if (reference conditional counts,
     * /root/reference/index.js:335-337,557-559). */
   def countIf(cond: Column): Column = count(when(cond, lit(1)))
+
+  /** Presentation sort for SMALL result sets (filtered pairs, top-k):
+    * shuffle the few surviving rows to one partition and sort there.
+    * Equivalent output to `orderBy(cols)`, but avoids RangePartitioning,
+    * whose boundary-sampling pass re-executes the child subtree up to
+    * the previous shuffle — for kernels whose final stage is map-side
+    * (e.g. the blocked all-pairs cosine) that doubles the whole query.
+    * Use ONLY where the result is known-small; large results keep
+    * `orderBy` (distributed range sort). */
+  def presentSorted(df: org.apache.spark.sql.DataFrame, cols: Column*): org.apache.spark.sql.DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 }

@@ -81,6 +81,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s2 blocked kernel is bit-identical to the declarative spec form") {
+    val spec = Similarity.s2Spec(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fast = Similarity.queries("s2_embedding_near_dup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fast.toSeq == spec.toSeq) // same pairs, same rounded sims, same order
+    assert(spec.nonEmpty)
+  }
+
   test("s3 LSH ANN returns verified-correct similarities, subset of s1 ranking") {
     val exact = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
