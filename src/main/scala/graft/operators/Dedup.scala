@@ -129,7 +129,10 @@ object Dedup extends QueryModule {
 
   // ---- d3: brute-force n-gram jaccard (ground truth) ----
 
-  private def d3(spark: SparkSession, dir: String): DataFrame = {
+  /** The d3 core, τ-parametric: exact jaccard over all co-occurring doc
+    * pairs, filtered at the threshold. Shared by d3 (its own query) and
+    * d7 (the cluster-resolution step consumes the pair graph). */
+  private[graft] def jaccardPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     import spark.implicits._
     // Persisted map-side shingle arrays feed the pairing join (exploded)
     // AND the per-doc sizes — no re-tokenization, no grouping shuffle.
@@ -149,8 +152,64 @@ object Dedup extends QueryModule {
       .join(sizes.select($"doc_id".as("i"), $"n_sh".as("na")), Seq("i"))
       .join(sizes.select($"doc_id".as("j"), $"n_sh".as("nb")), Seq("j"))
       .select($"i", $"j", jaccard($"c", $"na", $"nb").as("jaccard"))
-      .filter($"jaccard" >= 0.5)
-      .orderBy($"i", $"j")
+      .filter($"jaccard" >= tau)
+  }
+
+  private def d3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jaccardPairs(spark, dir, 0.5).orderBy($"i", $"j")
+  }
+
+  /** d7 — duplicate-CLUSTER resolution: connected components over the
+    * j≥0.5 near-dup pair graph, every document labeled with its
+    * cluster's canonical (minimum) doc_id. This is the step a training
+    * pipeline runs after pair generation — near-duplication is
+    * transitive in effect (A≈B≈C), so keep-one-per-PAIR logic
+    * under-deletes; keep-one-per-COMPONENT is the correct contract.
+    *
+    * Algorithm: iterative label propagation (HashMin) — every node
+    * starts labeled with itself, each round takes the min label over
+    * its neighborhood, fixpoint when no label changes. Rounds =
+    * graph diameter; near-dup clusters are tiny, so 2-3 rounds in
+    * practice, with a hard cap as a safety net. Each round is one
+    * join + one aggregate — all shuffle-bounded, nothing driver-side
+    * but the 1-row convergence check. At 100 TB-scale graphs the same
+    * loop holds (it is the standard MapReduce CC construction; see
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * whose star-contraction variants cut round count if diameters
+    * grow — not needed for dup graphs).
+    *
+    * DuckDB oracle: recursive-CTE transitive closure + min over the
+    * reachable set — same fixpoint, declarative form. */
+  private def d7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaccardPairs(spark, dir, 0.5).select($"i", $"j").persist()
+    val edges = pairs.union(pairs.select($"j", $"i")).toDF("a", "b").persist()
+
+    var labels = Tables(spark, dir).documents
+      .select($"doc_id".as("node"), $"doc_id".as("lbl")).persist()
+    labels.count() // materialize before the loop re-reads it
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges.join(labels, $"b" === $"node")
+        .groupBy($"a").agg(min($"lbl").as("nbr_min"))
+      val next = labels.join(prop, $"node" === $"a", "left_outer")
+        .select($"node", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
+        .filter($"lbl" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val sizeW = Window.partitionBy($"cluster_id")
+    labels
+      .select($"node".as("doc_id"), $"lbl".as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(sizeW))
+      .withColumn("is_canonical", $"doc_id" === $"cluster_id")
+      .orderBy($"doc_id")
   }
 
   // ---- d4: MinHash + LSH ----
@@ -282,7 +341,8 @@ object Dedup extends QueryModule {
     "d2_dedup_exact_select"  -> (d2 _),
     "d3_dedup_ngram_jaccard" -> (d3 _),
     "d4_dedup_minhash_lsh"   -> (d4 _),
-    "d5_dedup_simhash"       -> (d5 _))
+    "d5_dedup_simhash"       -> (d5 _),
+    "d7_dup_clusters"        -> (d7 _))
 
   /** Brute-force jaccard in DuckDB — shared ground truth for d3 (its own
     * oracle) and d4 (valid because LSH recall at j≥0.8 with 16 bands × 2
@@ -326,5 +386,38 @@ object Dedup extends QueryModule {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
     "d3_dedup_ngram_jaccard" -> bruteForceSql(0.5),
-    "d4_dedup_minhash_lsh"   -> bruteForceSql(0.8))
+    "d4_dedup_minhash_lsh"   -> bruteForceSql(0.8),
+    "d7_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w)-1),
+        |                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |pairs AS (
+        |  SELECT i, j FROM inter
+        |  JOIN sz sa ON sa.doc_id = i
+        |  JOIN sz sb ON sb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+        |ed AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ed
+        |  UNION
+        |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
+        |lbl AS (SELECT a AS node, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |       count(*) OVER (PARTITION BY coalesce(l.cluster_id, d.doc_id))
+        |         AS cluster_size,
+        |       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
+        |FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
 }

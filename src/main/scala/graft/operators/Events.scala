@@ -119,7 +119,25 @@ object Events extends QueryModule {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** w6 — SCD2 interval build: the event log restated as a slowly-
+    * changing dimension — per user, each event opens a state version
+    * valid [ts, next event's ts), the last version open-ended
+    * (valid_to NULL, is_current). The standard warehouse history-table
+    * construction, here via one window `lead` — a single shuffle on the
+    * key, per-key sort, no self-join. At 100 TB the partition key is
+    * the dimension key, so version chains never cross executors. */
+  private def w6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id", $"event_type".as("state"),
+        $"ts".as("valid_from"), lead($"ts", 1).over(w).as("valid_to"))
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w6_scd2_intervals"    -> (w6 _),
     "e7_asof_join"         -> (e7 _),
     "e1_json_extract"      -> (e1 _),
     "e2_json_grouped"      -> (e2 _),
@@ -129,6 +147,15 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    "w6_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type AS state,
+        |       ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS valid_to,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "e7_asof_join" ->
       """SELECT user_id, event_id, ts, value, prior_click_ts, prior_click_value
         |FROM (

@@ -248,7 +248,24 @@ object Olap extends QueryModule {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Equi-width histogram by explicit bucket arithmetic (floor of a
+    * double division — the same IEEE ops on the same inputs in both
+    * engines, so bucket assignment is bit-deterministic; no reliance on
+    * a width_bucket builtin). One hash aggregate; at scale this is the
+    * map-combined histogram every profiler runs on a 100 TB column. */
+  private def histogramQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = floor($"o_totalprice" / 25000.0).cast("long")
+    Tables(spark, dir).orders
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_histogram"        -> (histogramQ _),
     "olap_pivot"            -> (pivotQ _),
     "olap_unpivot"          -> (unpivotQ _),
     "olap_scalar_subquery"  -> (scalarSubQ _),
@@ -273,6 +290,12 @@ object Olap extends QueryModule {
     sqlDsum("l_extendedprice * (1.0 - l_discount)")
 
   val oracles: Map[String, String] = Map(
+    "olap_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |       count(*) AS n_orders,
+        |       min(o_totalprice) AS lo,
+        |       max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "olap_pivot" ->
       """SELECT l_linestatus,
         |       count(*) FILTER (WHERE l_returnflag = 'A') AS "A",

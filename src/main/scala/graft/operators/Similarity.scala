@@ -274,11 +274,29 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s5 — per-label centroid vectors (dims exploded): the training step
+    * of every coarse quantizer (IVF/k-means) and the class-prototype
+    * primitive. posexplode keys the aggregate by (label, dim) — fully
+    * partition-parallel, one shuffle, output |labels|·d rows. Mean is
+    * computed in double and rounded to 6 decimals on both engines
+    * (association order may differ ~1 ulp across engines; the rounded
+    * key absorbs it — same discipline as the cosine scores). */
+  private def s5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).embeddings
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim".cast("long").as("dim"))
+      .agg(round(avg($"x".cast("double")), 6).as("centroid_r"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy($"label", $"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce_topk" -> (s1 _),
     "s2_embedding_near_dup"  -> (s2 _),
     "s3_ann_lsh_bucketed"    -> (s3 _),
-    "s4_ann_ivf"             -> (s4 _))
+    "s4_ann_ivf"             -> (s4 _),
+    "s5_embedding_centroids" -> (s5 _))
 
   val oracles: Map[String, String] = Map(
     "s1_ann_bruteforce_topk" ->
@@ -294,6 +312,14 @@ object Similarity extends QueryModule {
         |                               ORDER BY sim_r DESC, neighbor_id) AS rank
         |  FROM sims)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s5_embedding_centroids" ->
+      """SELECT label, dim, round(avg(x), 6) AS centroid_r,
+        |       count(*) AS n_vectors
+        |FROM (SELECT label,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             unnest(range(len(embedding))) AS dim
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "s2_embedding_near_dup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)

@@ -196,7 +196,36 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t9 — TF-IDF top terms per document: tf = occurrences in the doc,
+    * idf = ln(N / df) over the corpus, top-3 terms by (rounded score,
+    * term). The corpus-relevance primitive behind keyword extraction
+    * and quality filtering. Shuffles: one (doc, term) count aggregate,
+    * one df aggregate (map-combined), one per-doc window — all
+    * partition-parallel at any corpus size; N is a scalar broadcast.
+    * `ln` and the product are single IEEE ops on identical inputs in a
+    * fixed order, rounded to 6 decimals before ranking on both engines
+    * (same discipline as the cosine scores — SURVEY.md §8). */
+  private def t9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val occ = docs.select($"doc_id", explode(words($"text")).as("term"))
+    val tf = occ.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        round($"tf" * log($"n_docs".cast("double") / $"df".cast("double")), 6)
+          .as("score_r"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score_r".desc, $"term")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"score_r")
+      .orderBy($"doc_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_tfidf_top_terms"  -> (t9 _),
     "t8_text_scrub"       -> (t8 _),
     "t7_stratified_sample" -> (t7 _),
     "t1_token_counts"     -> (t1 _),
@@ -210,6 +239,22 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "t9_tfidf_top_terms" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+         |           AS score_r
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, score_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY score_r DESC, term) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "t1_token_counts" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
