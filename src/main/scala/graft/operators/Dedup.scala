@@ -187,8 +187,13 @@ object Dedup extends QueryModule {
     val pairs = jaccardPairs(spark, dir, 0.5).select($"i", $"j").persist()
     val edges = pairs.union(pairs.select($"j", $"i")).toDF("a", "b").persist()
 
-    var labels = Tables(spark, dir).documents
-      .select($"doc_id".as("node"), $"doc_id".as("lbl")).persist()
+    // Iterate only over nodes that HAVE an edge — documents outside the
+    // pair graph are their own singleton cluster by definition and need
+    // no propagation rounds; they rejoin at the end. (At 100 TB this is
+    // the difference between looping over the dup fraction — typically
+    // a few percent — and looping over the whole corpus.)
+    var labels = edges.select($"a".as("node")).distinct()
+      .select($"node", $"node".as("lbl")).persist()
     labels.count() // materialize before the loop re-reads it
     var changed = 1L
     var rounds = 0
@@ -205,8 +210,12 @@ object Dedup extends QueryModule {
       rounds += 1
     }
     val sizeW = Window.partitionBy($"cluster_id")
-    labels
-      .select($"node".as("doc_id"), $"lbl".as("cluster_id"))
+    // Left join back onto the corpus (no broadcast hint: the label set
+    // is the dup fraction — small here, but at scale AQE should pick
+    // the join strategy from its runtime size).
+    Tables(spark, dir).documents
+      .join(labels, $"doc_id" === $"node", "left_outer")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(sizeW))
       .withColumn("is_canonical", $"doc_id" === $"cluster_id")
       .orderBy($"doc_id")

@@ -125,6 +125,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup — the north-star dedup tier (d1/d2) in
+    * streaming form: first event per (user_id, event_type) key wins,
+    * duplicates arriving within the watermark horizon are dropped.
+    * `dropDuplicatesWithinWatermark` expires each key's state once the
+    * watermark passes its event time, so state is bounded by the
+    * horizon × key cardinality — the property that lets this run
+    * forever on an unbounded stream (a plain dropDuplicates would
+    * accumulate state without bound). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Stream-STREAM interval join: purchases matched to the same user's
+    * clicks at most 5 minutes earlier. Both sides are watermarked and
+    * the join condition bounds purchase_ts to [click_ts, click_ts+5m],
+    * so each side's buffered state is evictable once the other side's
+    * watermark passes the interval — the state-bounding contract
+    * stream-stream joins require. (The batch as-of twin is e7.) */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   /** Convenience: run a streaming query over `df` into an in-memory
     * sink named `queryName`, process all available data, stop. Returns
     * the sink table. Used by tests and by batch-replay utilities. */

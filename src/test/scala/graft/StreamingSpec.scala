@@ -164,6 +164,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("user_name") == "Unknown User") // J2 default
   }
 
+  test("streaming dedup drops within-watermark duplicate keys, keeps the first") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    in.addData(
+      (ts(1), 1L, "click", 1.0), (ts(2), 1L, "click", 2.0), // dup key (1,click)
+      (ts(3), 1L, "view", 3.0), (ts(4), 2L, "click", 4.0))
+    val df = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val out = StreamOps.runToMemory(spark, StreamOps.dedupStream(df),
+      "dedup_stream_test", OutputMode.Append())
+      .orderBy("user_id", "event_type").collect()
+    assert(out.length == 3) // (1,click) deduped, first occurrence kept
+    val kept = out.find(r => r.getAs[Long]("user_id") == 1L
+      && r.getAs[String]("event_type") == "click").get
+    assert(kept.getAs[Double]("value") == 1.0)
+  }
+
+  test("stream-stream interval join matches purchases to recent clicks only") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String, Double)]
+    val purchases = MemoryStream[(Timestamp, Long, String, Double)]
+    clicks.addData((ts(1), 1L, "click", 1.0), (ts(20), 2L, "click", 2.0))
+    purchases.addData(
+      (ts(4), 1L, "purchase", 10.0),  // 3 min after user 1's click → joins
+      (ts(9), 1L, "purchase", 20.0),  // 8 min after → outside 5-min bound
+      (ts(21), 3L, "purchase", 30.0)) // no click from user 3
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.clickToPurchaseJoin(
+        clicks.toDF().toDF("ts", "user_id", "event_type", "value"),
+        purchases.toDF().toDF("ts", "user_id", "event_type", "value")),
+      "ss_join_test", OutputMode.Append()).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("user_id") == 1L)
+    assert(out(0).getAs[Double]("purchase_value") == 10.0)
+  }
+
   test("session window groups events by 10-minute gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
