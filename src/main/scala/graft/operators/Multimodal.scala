@@ -116,10 +116,32 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** m4 — frame-sampling accounting: per media item, how many frames
+    * the stride keeps and how many bytes they cover (the numbers a
+    * video-ingest budget is planned against). Same explode as m3 folded
+    * straight into a map-combined aggregate — the explode never hits a
+    * shuffle, only its (doc_id-keyed) partial aggregates do. */
+  private def m4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBytes = octet_length($"text".cast("binary")).cast("long")
+    val nFrames = ceil(nBytes.cast("double") / 256.0).cast("long")
+    val frameIdxs = when(nFrames > 0, sequence(lit(0L), nFrames - 1))
+      .otherwise(array().cast("array<bigint>"))
+    Tables(spark, dir).documents
+      .select($"doc_id", nBytes.as("n_bytes"),
+        explode(frameIdxs).as("frame_idx"))
+      .filter($"frame_idx" % 4 === 0)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(least(lit(256L), $"n_bytes" - $"frame_idx" * 256)).as("bytes_sampled"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_catalog"    -> (m1 _),
     "m2_media_features"   -> (m2 _),
-    "m3_frame_sample"     -> (m3 _))
+    "m3_frame_sample"     -> (m3 _),
+    "m4_frame_stats"      -> (m4 _))
 
   val oracles: Map[String, String] = Map(
     "m1_media_catalog" ->
@@ -130,6 +152,18 @@ object Multimodal extends QueryModule {
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |       source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m4_frame_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |         unnest(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)))
+        |           AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_sampled,
+        |       CAST(sum(least(256, n_bytes - frame_idx * 256)) AS BIGINT)
+        |         AS bytes_sampled
+        |FROM f WHERE frame_idx % 4 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "m3_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id,

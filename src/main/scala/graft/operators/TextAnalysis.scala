@@ -224,7 +224,43 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** pipe1 — the end-to-end corpus-prep pass as ONE declarative plan:
+    * quality-filter (drop the bottom quartile by stopword-ratio score,
+    * t5's rule) → exact dedup on normalized text among the survivors
+    * (d6's rule, keep min doc_id) → per-language corpus accounting.
+    * This is the actual production shape: because it is a single
+    * Catalyst plan, the scan happens ONCE and every stage pipelines —
+    * no materialization between "steps" the way a script-per-stage
+    * pipeline would. At 100 TB the only global operation is the exact
+    * percentile (swap for approx_percentile, same contract); filter,
+    * hash-dedup, and the final aggregate are all map-combined. */
+  private def pipe1(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = words($"text")
+    val nTok = size(w).cast("double")
+    val nStop = size(filter(w, x => x.isin(Stopwords.map(lit(_)): _*))).cast("double")
+    val quality = when(nTok > 0, nStop / nTok).otherwise(0.0)
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+    val survivors = Tables(spark, dir).documents
+      .select($"doc_id", $"lang", $"text", $"n_chars", quality.as("q"),
+        sha2(normalized, 256).as("norm_hash"))
+      .withColumn("pr", percent_rank().over(Window.orderBy($"q")))
+      .filter($"pr" >= 0.25)
+    val keep = survivors.groupBy($"norm_hash").agg(min($"doc_id").as("keep_id"))
+    survivors
+      .join(keep, survivors("doc_id") === keep("keep_id"), "left_semi")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum(size(words($"text")).cast("long")).as("total_tokens"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe1_corpus_prep"   -> (pipe1 _),
     "t9_tfidf_top_terms"  -> (t9 _),
     "t8_text_scrub"       -> (t8 _),
     "t7_stratified_sample" -> (t7 _),
@@ -239,6 +275,28 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "pipe1_corpus_prep" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text, n_chars,
+         |         CASE WHEN len($wordsSql) > 0
+         |              THEN CAST(len(list_filter($wordsSql,
+         |                   x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+         |                   / CAST(len($wordsSql) AS DOUBLE)
+         |              ELSE 0.0 END AS q,
+         |         sha256(trim(regexp_replace(
+         |           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+         |           '\\s+', ' ', 'g'))) AS norm_hash
+         |  FROM documents),
+         |survivors AS (
+         |  SELECT * FROM (
+         |    SELECT *, percent_rank() OVER (ORDER BY q) AS pr FROM scored)
+         |  WHERE pr >= 0.25),
+         |keep AS (SELECT min(doc_id) AS keep_id FROM survivors GROUP BY norm_hash)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       CAST(sum(len($wordsSql)) AS BIGINT) AS total_tokens
+         |FROM survivors WHERE doc_id IN (SELECT keep_id FROM keep)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t9_tfidf_top_terms" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest($wordsSql) AS term FROM documents),

@@ -70,6 +70,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("m4 frame stats equal m3's frame list aggregated") {
+    import org.apache.spark.sql.functions.{count => cnt, lit, sum => fsum}
+    val fromM3 = graft.operators.Multimodal.queries("m3_frame_sample")(spark, dir)
+      .groupBy("doc_id")
+      .agg(cnt(lit(1)).as("n_sampled"), fsum("frame_len").as("bytes_sampled"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m4 = graft.operators.Multimodal.queries("m4_frame_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m4 == fromM3)
+    assert(m4.nonEmpty)
+  }
+
+  test("pipe1 composes t5's filter and d6-style dedup: count bounds hold") {
+    val total = Tables(spark, dir).documents.count()
+    val survivors = TextAnalysis.queries("t5_quality_filter")(spark, dir).count()
+    val rows = TextAnalysis.queries("pipe1_corpus_prep")(spark, dir).collect()
+    val kept = rows.map(_.getLong(1)).sum
+    assert(kept > 0 && kept <= survivors && survivors <= total)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+
   test("w6 SCD2: one open interval per user, versions chain without overlap") {
     val rows = Events.queries("w6_scd2_intervals")(spark, dir)
       .select("user_id", "valid_from", "valid_to").collect()
