@@ -192,21 +192,26 @@ object Dedup extends QueryModule {
     // no propagation rounds; they rejoin at the end. (At 100 TB this is
     // the difference between looping over the dup fraction — typically
     // a few percent — and looping over the whole corpus.)
-    var labels = edges.select($"a".as("node")).distinct()
+    var cached = edges.select($"a".as("node")).distinct()
       .select($"node", $"node".as("lbl")).persist()
-    labels.count() // materialize before the loop re-reads it
+    cached.count() // materialize before the loop re-reads it
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
       val prop = edges.join(labels, $"b" === $"node")
         .groupBy($"a").agg(min($"lbl").as("nbr_min"))
+      // One action per round: the improvement flag rides along with the
+      // new label, so convergence needs no second join against the old
+      // labels.
       val next = labels.join(prop, $"node" === $"a", "left_outer")
-        .select($"node", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"))
+        .select($"node", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"),
+          coalesce($"nbr_min" < $"lbl", lit(false)).as("improved"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("node"))
-        .filter($"lbl" =!= $"old").count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter($"improved").count()
+      cached.unpersist()
+      cached = next
+      labels = next.select($"node", $"lbl")
       rounds += 1
     }
     val sizeW = Window.partitionBy($"cluster_id")

@@ -25,6 +25,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
   }
 
+  test("external table DDL over fixture parquet: catalog metadata + queries work") {
+    // Hive-style persistent-catalog surface: an EXTERNAL table whose
+    // storage is the fixture parquet (no data copy), queryable and
+    // describable like any warehouse table.
+    spark.sql("DROP TABLE IF EXISTS ext_orders")
+    spark.sql(
+      s"""CREATE TABLE ext_orders USING PARQUET
+         |LOCATION '$dir/orders.parquet'""".stripMargin)
+    try {
+      val described = spark.sql("DESCRIBE TABLE ext_orders")
+        .collect().map(_.getString(0)).toSet
+      assert(Set("o_orderkey", "o_totalprice", "o_orderdate").subsetOf(described))
+      val n = spark.sql("SELECT count(*) AS n FROM ext_orders").head().getLong(0)
+      assert(n == Tables(spark, dir).orders.count())
+    } finally spark.sql("DROP TABLE IF EXISTS ext_orders") // external: data stays
+  }
+
   test("SQL window + join + agg over views") {
     Tables(spark, dir).registerAll()
     val out = spark.sql(
