@@ -249,9 +249,13 @@ object TextAnalysis extends QueryModule {
         sha2(normalized, 256).as("norm_hash"))
       .withColumn("pr", percent_rank().over(Window.orderBy($"q")))
       .filter($"pr" >= 0.25)
-    val keep = survivors.groupBy($"norm_hash").agg(min($"doc_id").as("keep_id"))
+    // Dedup via a per-hash ranking window, not groupBy-min + semi-join:
+    // a self-referencing join would plant the survivor subtree (scan +
+    // percentile window) TWICE in the plan; the window keeps it single.
+    val dedupW = Window.partitionBy($"norm_hash").orderBy($"doc_id")
     survivors
-      .join(keep, survivors("doc_id") === keep("keep_id"), "left_semi")
+      .withColumn("rn", row_number().over(dedupW))
+      .filter($"rn" === 1)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("total_chars"),

@@ -72,6 +72,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("pipe1 end-to-end prep scans the corpus exactly once") {
+    val p = TextAnalysis.queries("pipe1_corpus_prep")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "filter->dedup->stats must pipeline over one scan\n" + p)
+  }
+
+  test("s5 centroids aggregate partially before the (label, dim) shuffle") {
+    val p = plan(Similarity.queries("s5_embedding_centroids")(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s1 custom float_dot expression is codegen'd (no HOF lambda nodes)") {
     val p = plan(Similarity.queries("s1_ann_bruteforce_topk")(spark, dir))
     assert(p.contains("float_dot"), p)
