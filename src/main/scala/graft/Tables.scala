@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   *     table; each query plans its own pruned scan.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  /** Memoized: `spark.read.parquet` runs a file listing + footer/schema
+    * read EACH call, and the catalog is consulted ~99 times per
+    * Verify/Bench run — the repeated listing was measurable fixed cost
+    * per query. The cache holds LOGICAL plans only (no data; "nothing
+    * is cached here" above still holds — every query still plans its
+    * own pruned scan off the shared relation). */
   private def load(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.relationCache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame     = load("region")
   def nation: DataFrame     = load("nation")
@@ -58,4 +65,7 @@ object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 }
