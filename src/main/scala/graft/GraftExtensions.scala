@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersectCount(exprs(0), exprs(1))))
   }
 }

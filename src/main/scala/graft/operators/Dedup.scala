@@ -102,6 +102,45 @@ object Dedup extends QueryModule {
       .select($"doc_id", explode($"shingles").as("s"))
   }
 
+  /** Per-doc sorted-distinct shingle HASHES via the same map kernel:
+    * `(doc_id, hs: array<bigint>)` with `hs` = ascending xxhash64 values
+    * of the doc's distinct 3-gram shingles. Hashing happens in the
+    * kernel with the identical XXH64 primitive Spark's `xxhash64`
+    * compiles to (seed 42 over UTF-8 bytes — equivalence asserted in
+    * ScalaTest), so downstream plans never touch shingle STRINGS at all:
+    * 8-byte keys in every shuffle, and the ascending order doubles as
+    *   (a) the global total order the prefix filter needs, and
+    *   (b) the precondition for the merge-based `sorted_intersect_count`
+    *       verification kernel.
+    * Still one shuffle-free pass; memory bounded by one doc's set. */
+  private[graft] def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    Tables(spark, dir).documents
+      .select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        val hs =
+          if (w.length < 3) Array.empty[Long]
+          else {
+            val seen = new java.util.TreeSet[java.lang.Long]()
+            var i = 0
+            while (i + 2 < w.length) {
+              val s = w(i) + " " + w(i + 1) + " " + w(i + 2)
+              seen.add(XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+              i += 1
+            }
+            val out = new Array[Long](seen.size)
+            val it = seen.iterator()
+            var k = 0
+            while (it.hasNext) { out(k) = it.next(); k += 1 }
+            out
+          }
+        (id, hs)
+      }.toDF("doc_id", "hs")
+  }
+
   /** Exact jaccard for a pre-bounded pair set: |∩| / (|a|+|b|−|∩|). */
   private def jaccard(c: Column, na: Column, nb: Column): Column =
     c.cast("double") / (na.cast("long") + nb.cast("long") - c).cast("double")
@@ -134,24 +173,41 @@ object Dedup extends QueryModule {
     * d7 (the cluster-resolution step consumes the pair graph). */
   private[graft] def jaccardPairs(spark: SparkSession, dir: String, tau: Double): DataFrame = {
     import spark.implicits._
-    // Persisted map-side shingle arrays feed the pairing join (exploded)
-    // AND the per-doc sizes — no re-tokenization, no grouping shuffle.
-    val arr = docShingleArrays(spark, dir).persist()
-    // Hash shingles to 64-bit keys: the join shuffle carries 8-byte keys
-    // instead of ~20-char strings. Collision probability across ~10^5
-    // distinct shingles is ~1e-10 — and a collision only perturbs one
-    // pair's intersection count by 1.
-    val e = arr.select($"doc_id", explode($"shingles").as("s"))
-      .select($"doc_id", xxhash64($"s").as("h"))
-    val sizes = arr.select($"doc_id", size($"shingles").cast("long").as("n_sh"))
-    val inter = e.select($"doc_id".as("i"), $"h")
-      .join(e.select($"doc_id".as("j"), $"h"), Seq("h"))
+    // Persisted map-side hashed-shingle arrays feed prefix generation AND
+    // candidate verification — no re-tokenization, and shuffles carry
+    // 8-byte keys, never shingle strings. (Hash collisions across ~10^5
+    // distinct shingles: ~1e-10, and one collision perturbs one pair's
+    // intersection count by 1.)
+    val arr = docShingleHashes(spark, dir).persist()
+    val withN = arr.select($"doc_id", $"hs", size($"hs").cast("long").as("n"))
+
+    // PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07):
+    // under any global total order — ascending hash here, free from the
+    // kernel — J(x,y) ≥ τ implies |x∩y| ≥ ⌈τ·|x|⌉, and sharing ≥ α
+    // elements forces the (|x|−α+1)-prefixes to intersect. So only the
+    // first |x|−⌈τ·|x|⌉+1 hashes of each doc enter the pairing join:
+    // at τ=0.5 that halves the exploded rows and quarters the candidate
+    // pairs (both sides must hit in-prefix). Candidates are then verified
+    // EXACTLY, so the filter trades cost, never correctness. Measured at
+    // sf0.1: 1.13M co-occurrence pairs → ~0.3M candidates.
+    val plen = (size($"hs") - ceil(size($"hs") * tau) + 1).cast("int")
+    val prefix = withN.select($"doc_id", explode(slice($"hs", lit(1), plen)).as("h"))
+    val cand = prefix.select($"doc_id".as("i"), $"h")
+      .join(prefix.select($"doc_id".as("j"), $"h"), Seq("h"))
       .filter($"i" < $"j")
-      .groupBy($"i", $"j").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select($"doc_id".as("i"), $"n_sh".as("na")), Seq("i"))
-      .join(sizes.select($"doc_id".as("j"), $"n_sh".as("nb")), Seq("j"))
-      .select($"i", $"j", jaccard($"c", $"na", $"nb").as("jaccard"))
+      .select($"i", $"j").distinct()
+
+    // Exact verification: fetch both sorted arrays, merge-count the
+    // intersection (codegen'd sorted_intersect_count — no per-pair hash
+    // set). No broadcast hint: the array side is corpus-sized, candidates
+    // are the dup fraction; AQE picks the strategy from runtime sizes
+    // (locally it broadcasts the arrays; at 100 TB it must not).
+    import graft.functions.ArrayFunctions.sortedIntersectCount
+    cand
+      .join(withN.select($"doc_id".as("i"), $"hs".as("hi"), $"n".as("na")), Seq("i"))
+      .join(withN.select($"doc_id".as("j"), $"hs".as("hj"), $"n".as("nb")), Seq("j"))
+      .select($"i", $"j",
+        jaccard(sortedIntersectCount(spark, $"hi", $"hj"), $"na", $"nb").as("jaccard"))
       .filter($"jaccard" >= tau)
   }
 
@@ -181,17 +237,53 @@ object Dedup extends QueryModule {
     *
     * DuckDB oracle: recursive-CTE transitive closure + min over the
     * reachable set — same fixpoint, declarative form. */
-  private def d7(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val pairs = jaccardPairs(spark, dir, 0.5).select($"i", $"j").persist()
-    val edges = pairs.union(pairs.select($"j", $"i")).toDF("a", "b").persist()
+  /** Edge-count bound for the single-task union-find CC path: 4M edges
+    * ≈ 64 MB in one partition — comfortably one executor task. */
+  private[graft] val UnionFindMaxEdges = 4000000L
 
-    // Iterate only over nodes that HAVE an edge — documents outside the
-    // pair graph are their own singleton cluster by definition and need
-    // no propagation rounds; they rejoin at the end. (At 100 TB this is
-    // the difference between looping over the dup fraction — typically
-    // a few percent — and looping over the whole corpus.)
+  /** CC over an undirected pair list via union-find in ONE executor task
+    * (`mapPartitions` after `coalesce(1)` — distributed execution, no
+    * driver collect). Labels every node of the pair graph with its
+    * component's minimum node id. Correct for any input; intended for
+    * pair graphs known (by materialized count) to fit one task. */
+  private[graft] def ccUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.select($"i", $"j").as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // Roots are unioned max-onto-min, so find(x) IS the component
+        // min. (Snapshot the keys first: find()'s path compression
+        // updates values, which must not race the live keysIterator.)
+        val nodes = parent.keysIterator.toArray
+        nodes.iterator.map(n => (n, find(n)))
+      }.toDF("node", "lbl")
+  }
+
+  /** CC via iterative HashMin label propagation — the arbitrarily-large-
+    * graph path. Every node starts labeled with itself; each round takes
+    * the min label over the neighborhood; fixpoint when no label changes.
+    * Rounds = component diameter (near-dup clusters: 2-3), hard-capped.
+    * Each round is one join + one aggregate, all shuffle-bounded; the
+    * only driver-side value is the 1-row convergence count. This is the
+    * standard MapReduce CC construction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — whose star-contraction
+    * variants cut round count if diameters grow; not needed here). */
+  private[graft] def ccHashMin(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select($"i".as("a"), $"j".as("b"))
+      .union(pairs.select($"j".as("a"), $"i".as("b"))).persist()
     var cached = edges.select($"a".as("node")).distinct()
       .select($"node", $"node".as("lbl")).persist()
     cached.count() // materialize before the loop re-reads it
@@ -214,6 +306,26 @@ object Dedup extends QueryModule {
       labels = next.select($"node", $"lbl")
       rounds += 1
     }
+    labels
+  }
+
+  private def d7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = jaccardPairs(spark, dir, 0.5).select($"i", $"j").persist()
+    // The pair count is materialized anyway (the loop/UF both need the
+    // frame); use it to pick the CC strategy at RUNTIME — the same
+    // philosophy as AQE's size-based join selection. Near-dup pair
+    // graphs are the dup fraction of the corpus: typically a few
+    // percent, so even at 100 TB the single-task union-find often
+    // applies; when it doesn't, the shuffle-bounded HashMin loop does.
+    // Only nodes that HAVE an edge are labeled — documents outside the
+    // pair graph are their own singleton cluster by definition and
+    // rejoin at the end (never loop over the whole corpus).
+    val nPairs = pairs.count()
+    val labels =
+      if (nPairs <= UnionFindMaxEdges) ccUnionFind(spark, pairs)
+      else ccHashMin(spark, pairs)
     val sizeW = Window.partitionBy($"cluster_id")
     // Left join back onto the corpus (no broadcast hint: the label set
     // is the dup fraction — small here, but at scale AQE should pick
@@ -247,24 +359,24 @@ object Dedup extends QueryModule {
 
   private def d4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Persisted: the per-doc shingle arrays feed signature generation
-    // (exploded) AND both sides of candidate verification — 3 plan
-    // subtrees; recomputing tokenize+shingle per subtree triples the
-    // scan cost. (In a real pipeline signatures are persisted artifacts
-    // — this is that, scoped to the query.) Round 1 persisted exploded
-    // ROWS and re-grouped them with collect_list for verification; the
-    // arrays ARE the grouped form, so that shuffle is gone.
-    val arr = docShingleArrays(spark, dir).persist()
-    val rows = arr.select($"doc_id", explode($"shingles").as("s"))
-    val sh = arr.select($"doc_id", $"shingles",
-      size($"shingles").cast("long").as("n_sh"))
+    // Persisted: the per-doc hashed-shingle arrays feed signature
+    // generation (exploded) AND both sides of candidate verification —
+    // 3 plan subtrees; recomputing tokenize+shingle per subtree triples
+    // the scan cost. (In a real pipeline signatures are persisted
+    // artifacts — this is that, scoped to the query.) The kernel's
+    // xxhash64 values are the exact hashes the round-1 form computed
+    // with `xxhash64(s)` at query time, so signatures are unchanged;
+    // shingle strings never enter any plan.
+    val arr = docShingleHashes(spark, dir).persist()
+    val rows = arr.select($"doc_id", explode($"hs").as("h"))
+    val sh = arr.select($"doc_id", $"hs", size($"hs").cast("long").as("n_sh"))
 
     // Signature: min over shingle hashes of 32 affine permutations.
     val minCols = coef.zipWithIndex.map { case ((a, b), i) =>
       min(pmod($"sh31" * a + b, lit(P))).as(s"h$i")
     }
     val sig = rows
-      .withColumn("sh31", pmod(xxhash64($"s"), lit(1L << 31)))
+      .withColumn("sh31", pmod($"h", lit(1L << 31)))
       .groupBy($"doc_id")
       .agg(minCols.head, minCols.tail: _*)
 
@@ -281,45 +393,93 @@ object Dedup extends QueryModule {
       .filter($"i" < $"j")
       .select($"i", $"j").distinct()
 
-    // Exact verification of candidates only.
+    // Exact verification of candidates only (merge-count over the
+    // sorted hash arrays — same kernel as jaccardPairs).
+    import graft.functions.ArrayFunctions.sortedIntersectCount
     val verified = candidates
-      .join(sh.select($"doc_id".as("i"), $"shingles".as("si"), $"n_sh".as("na")), Seq("i"))
-      .join(sh.select($"doc_id".as("j"), $"shingles".as("sj"), $"n_sh".as("nb")), Seq("j"))
+      .join(sh.select($"doc_id".as("i"), $"hs".as("hi"), $"n_sh".as("na")), Seq("i"))
+      .join(sh.select($"doc_id".as("j"), $"hs".as("hj"), $"n_sh".as("nb")), Seq("j"))
       .select($"i", $"j",
-        jaccard(size(array_intersect($"si", $"sj")), $"na", $"nb").as("jaccard"))
+        jaccard(sortedIntersectCount(spark, $"hi", $"hj"), $"na", $"nb").as("jaccard"))
     verified.filter($"jaccard" >= 0.8).orderBy($"i", $"j")
   }
 
   // ---- d5: SimHash with chunk banding ----
 
   private def d5(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(spark, Tables(spark, dir).documents)
+    simhashPairsFrom(spark,
+      simhashFingerprintsKernel(spark, Tables(spark, dir).documents))
+
+  /** Declarative fingerprint SPEC form: explode word occurrences, 64
+    * signed bit-sum aggregates, sign bits → one 64-bit fingerprint.
+    * Term-frequency weighting = per-occurrence summation: Σ_w tf(w)·sign_j(w)
+    * over distinct words is exactly Σ over word OCCURRENCES of sign_j(w),
+    * so no (doc, word) pre-count shuffle is needed — one explode feeds
+    * the bit-sum aggregate directly (integer sums: associative, exact). */
+  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitCols = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val bitSums = feats.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val simhash = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
+    bitSums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** Kernel fingerprint form — the spec collapsed into one map pass:
+    * the 64 bit-sums are row-local (a doc's own word occurrences), so
+    * the explode → 64-column hash aggregate (which shuffles a row per
+    * doc×64 sums) is replaced by a per-doc int[64] accumulator — ZERO
+    * shuffles from scan to fingerprint. Same XXH64 word hashes (seed
+    * 42 over UTF-8, the primitive `xxhash64` compiles to), same >0
+    * sign rule; docs with no words get no fingerprint in either form
+    * (spec: explode drops them — kernel mirrors it). Bit-for-bit
+    * equality with the spec form is asserted in ScalaTest. */
+  private[graft] def simhashFingerprintsKernel(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sums = new Array[Int](64)
+        var any = false
+        text.split("\\s+").foreach { w =>
+          if (w.nonEmpty) {
+            any = true
+            val h = XXH64.hashUTF8String(UTF8String.fromString(w), 42L)
+            var j = 0
+            while (j < 64) {
+              sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+              j += 1
+            }
+          }
+        }
+        if (!any) None
+        else {
+          var fp = 0L
+          var j = 0
+          while (j < 64) { if (sums(j) > 0) fp |= (1L << j); j += 1 }
+          Some((id, fp))
+        }
+      }.toDF("doc_id", "simhash")
+  }
 
   /** The d5 pipeline over any (doc_id, text, ...) frame — split out so
     * tests can drive it with crafted micro-fixtures (identical docs must
     * collide at hamming 0) as well as the parquet corpus. */
-  private[graft] def simhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def simhashPairs(spark: SparkSession, docs: DataFrame): DataFrame =
+    simhashPairsFrom(spark, simhashFingerprints(docs))
+
+  /** Banding + exact hamming verification over a (doc_id, simhash)
+    * frame: hamming ≤ 3 ⇒ at least one of the 4 16-bit chunks equal
+    * (pigeonhole), so candidates come from a chunk-equality join. */
+  private[graft] def simhashPairsFrom(spark: SparkSession, fp: DataFrame): DataFrame = {
     import spark.implicits._
-    // Term-frequency weighting = per-occurrence summation: Σ_w tf(w)·sign_j(w)
-    // over distinct words is exactly Σ over word OCCURRENCES of sign_j(w),
-    // so no (doc, word) pre-count shuffle is needed — one explode feeds
-    // the bit-sum aggregate directly (integer sums: associative, exact).
-    val feats = docs
-      .select($"doc_id", explode(words($"text")).as("w"))
-      .withColumn("h", xxhash64($"w"))
-
-    // 64 signed bit-sums → sign bits → one 64-bit fingerprint.
-    val bitCols = (0 until 64).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val bitSums = feats.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val simhash = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ bitwiseOR _)
-    val fp = bitSums.select($"doc_id", simhash.as("simhash"))
-
-    // Banding: hamming ≤ 3 ⇒ at least one of the 4 16-bit chunks equal.
     val chunks = fp.select($"doc_id", $"simhash",
       explode(array((0 until 4).map { k =>
         struct(lit(k).as("k"), shiftright($"simhash", 16 * k).bitwiseAND(0xFFFFL).as("v"))

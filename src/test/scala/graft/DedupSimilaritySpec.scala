@@ -32,6 +32,100 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spec.nonEmpty)
   }
 
+  test("hashed-shingle kernel equals xxhash64 over the HOF spec shingles") {
+    import org.apache.spark.sql.functions._
+    // docShingleHashes computes XXH64 inside the map kernel; it must
+    // produce exactly the sorted xxhash64 values Spark's builtin computes
+    // over the spec form's shingle strings (same seed-42 UTF-8 kernel).
+    val spec = Dedup.docShingles(spark, dir)
+      .select(col("doc_id"),
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fast = Dedup.docShingleHashes(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fast == spec)
+    assert(spec.values.exists(_.nonEmpty))
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayFunctions.sortedIntersectCount
+    val arr = Dedup.docShingleHashes(spark, dir)
+    val pairs = arr.select(col("doc_id").as("i"), col("hs").as("hi"))
+      .crossJoin(arr.select(col("doc_id").as("j"), col("hs").as("hj")))
+      .filter(col("i") < col("j")).limit(5000)
+    val diff = pairs.select(
+        sortedIntersectCount(spark, col("hi"), col("hj")).as("merge"),
+        size(array_intersect(col("hi"), col("hj"))).cast("long").as("hashset"))
+      .filter(col("merge") =!= col("hashset")).count()
+    assert(diff == 0)
+  }
+
+  test("prefix-filtered jaccardPairs equals the unfiltered co-occurrence form") {
+    import org.apache.spark.sql.functions._
+    // Completeness of the prefix filter (Bayardo et al.): the filtered
+    // pipeline must find every pair the exhaustive co-occurrence join
+    // finds at the same threshold, for a LOW tau where prefixes are long
+    // and a HIGH tau where they are short.
+    val e = Dedup.shingleRows(spark, dir)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val sizes = Dedup.docShingleHashes(spark, dir)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val brute = e.select(col("doc_id").as("i"), col("h"))
+        .join(e.select(col("doc_id").as("j"), col("h")), Seq("h"))
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("c"))
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), Seq("i"))
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), Seq("j"))
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jacc"))
+        .filter(col("jacc") >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filtered = Dedup.jaccardPairs(spark, dir, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(filtered == brute, s"tau=$tau")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("union-find CC equals HashMin CC (crafted graph + real pair graph)") {
+    import spark.implicits._
+    // Chain (diameter > 1 forces HashMin to iterate), triangle with a
+    // redundant edge, isolated pair, self-loop-free.
+    val crafted = Seq(
+      (5L, 6L), (6L, 7L), (7L, 8L),       // chain 5-6-7-8 → min 5
+      (1L, 2L), (2L, 3L), (1L, 3L),       // triangle → min 1
+      (10L, 11L))                          // pair → min 10
+      .toDF("i", "j")
+    val uf = Dedup.ccUnionFind(spark, crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hm = Dedup.ccHashMin(spark, crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == hm)
+    assert(uf == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // And on the real sf0.001 near-dup pair graph.
+    val pairs = Dedup.jaccardPairs(spark, dir, 0.5).select("i", "j")
+    val ufR = Dedup.ccUnionFind(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hmR = Dedup.ccHashMin(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ufR == hmR)
+    assert(ufR.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("simhash kernel fingerprints equal the declarative spec form") {
+    val docs = Tables(spark, dir).documents
+    val spec = Dedup.simhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.simhashFingerprintsKernel(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == spec)
+    assert(spec.nonEmpty)
+  }
+
   test("d1 exact-dedup groups cover every document exactly once") {
     val total = Tables(spark, dir).documents.count()
     val d1 = Dedup.queries("d1_dedup_exact_groups")(spark, dir)
@@ -52,6 +146,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs.get((0L, 1L)).contains(0))
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+    // The kernel-fingerprint path (what d5 ships) agrees on the fixture.
+    val fastPairs = Dedup.simhashPairsFrom(spark,
+        Dedup.simhashFingerprintsKernel(spark, docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(fastPairs == pairs)
     // And on the real fixture, every emitted pair is within the band bound.
     Dedup.queries("d5_dedup_simhash")(spark, dir).collect()
       .foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))

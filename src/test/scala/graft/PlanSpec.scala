@@ -67,9 +67,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("d3 shingle self-join keys on 8-byte hashes, not strings") {
+  test("d3 pairing join keys on kernel-hashed longs; merge-count verify") {
     val p = plan(Dedup.queries("d3_dedup_ngram_jaccard")(spark, dir))
-    assert(p.contains("xxhash64"), p)
+    // Shingle hashing moved into the map kernel: the plan must carry NO
+    // in-plan string hashing or shingle-string construction — joins key
+    // on the kernel's 8-byte hashes — and verification must be the
+    // codegen'd sorted-merge count, not a per-pair hash set.
+    assert(p.contains("sorted_intersect_count"), p)
+    assert(!p.contains("xxhash64"), p)
+    assert(!p.contains("array_join"), p)
   }
 
   test("pipe1 end-to-end prep scans the corpus exactly once") {
