@@ -109,7 +109,46 @@ object Joins extends QueryModule {
       .orderBy($"tier")
   }
 
+  /** J7 — bloom-filter pre-pruned semi-join: lineitem against the
+    * suppliers of one nation. The dimension's key set is sketched into
+    * a bloom filter (built by Spark's own `BloomFilterAggregate`, the
+    * machinery behind Catalyst's runtime-filter injection, registered
+    * for explicit use); the sketch evaluates as a scalar-subquery
+    * predicate AT THE FACT SCAN, so non-matching rows die before the
+    * join shuffle. The exact semi-join afterwards removes bloom false
+    * positives — the sketch trades cost, never correctness, which is
+    * why the oracle is the plain semi-join.
+    *
+    * Scale rationale (100 TB): when the dim key set is selective but
+    * too large for a broadcast hash relation, a few-MB bloom still
+    * broadcasts fine, and fact rows are pruned at scan parallelism
+    * with zero shuffle. (Catalyst injects this automatically in some
+    * shapes — spark.sql.optimizer.runtime.bloomFilter — but an engine
+    * must also offer it as an explicit operator for pipelines that
+    * persist the sketch across jobs.) */
+  private def j7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.BloomFunctions.register(spark)
+    val t = Tables(spark, dir)
+    t.supplier.join(t.nation.filter($"n_name" === "NATION_19"), $"s_nationkey" === $"n_nationkey", "left_semi")
+      .select($"s_suppkey").createOrReplaceTempView("j7_dim_keys")
+    t.lineitem.createOrReplaceTempView("j7_fact")
+    // might_contain's bloom argument must be foldable or a scalar
+    // subquery (Catalyst type check) — hence the SQL phrasing.
+    val pruned = spark.sql(
+      """SELECT l_suppkey, l_extendedprice FROM j7_fact
+        |WHERE graft_might_contain(
+        |        (SELECT graft_bloom_agg(s_suppkey) FROM j7_dim_keys),
+        |        l_suppkey)""".stripMargin)
+    val dim = spark.table("j7_dim_keys")
+    pruned.join(dim, pruned("l_suppkey") === dim("s_suppkey"), "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_items"), dsum0($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_bloom_semi_join"  -> (j7 _),
     "j6_range_band_join"  -> (j6 _),
     "j1_semi_join"        -> (j1 _),
     "j2_enrichment_join"  -> (j2 _),
@@ -118,6 +157,17 @@ object Joins extends QueryModule {
     "j5_anti_join_guard"  -> (jAnti _))
 
   val oracles: Map[String, String] = Map(
+    // The bloom sketch is execution strategy, not semantics: the oracle
+    // is the plain semi-join it accelerates.
+    "j7_bloom_semi_join" ->
+      s"""SELECT l_suppkey, count(*) AS n_items,
+         |       ${sqlDsum0("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE l_suppkey IN (
+         |  SELECT s_suppkey FROM supplier JOIN nation
+         |    ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_19')
+         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "j6_range_band_join" ->
       s"""WITH bands(tier, lo, hi) AS (VALUES
          |  ('T1_micro', 0.0, 50000.0), ('T2_small', 50000.0, 150000.0),

@@ -127,7 +127,25 @@ object Scalars extends QueryModule {
       .orderBy($"grp".asc_nulls_first)
   }
 
+  /** x2 — CSV sink + source round-trip: supplier written as quoted
+    * header CSV, re-read under the ORIGINAL schema (explicit schema on
+    * read — never infer in a pipeline: inference costs an extra pass
+    * and can drift types between runs), then aggregated. Exercises the
+    * text-format source/sink surface (SURVEY §2.1 S5/S6 generalized
+    * beyond JSON); quoting handles embedded delimiters. */
+  private def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_x2_csv"
+    val src = Tables(spark, dir).supplier
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(src.schema).option("header", "true").csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"s_suppkey").as("n_keys"),
+        dsum0($"s_acctbal").as("sum_acctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x2_csv_roundtrip"   -> (csvRoundtrip _),
     "f_scalar_suite"     -> (f _),
     "f_string_suite"     -> (strings _),
     "f_date_suite"       -> (dates _),
@@ -135,6 +153,13 @@ object Scalars extends QueryModule {
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    // The CSV hop is storage strategy, not semantics: the oracle
+    // aggregates the source table directly (lossless round-trip).
+    "x2_csv_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |       count(DISTINCT s_suppkey) AS n_keys,
+         |       ${sqlDsum0("s_acctbal")} AS sum_acctbal
+         |FROM supplier""".stripMargin,
     "f_scalar_suite" ->
       """SELECT o_orderkey,
         |       concat('order ', CAST(o_orderkey AS VARCHAR), ' is ', o_orderstatus)

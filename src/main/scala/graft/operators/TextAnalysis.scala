@@ -263,7 +263,51 @@ object TextAnalysis extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** t10 — deterministic content-keyed train/val/test split (~80/10/10).
+    * The split key is a hash of the CONTENT, not the row id or a random()
+    * draw: the assignment is then (a) reproducible across reruns and
+    * engines with no seed plumbing, (b) stable under resharding /
+    * repartitioning / re-ingestion (row order never matters), and (c)
+    * leak-proof across exact duplicates — byte-identical docs land in
+    * the same split by construction, so train/test contamination via
+    * dup pairs is impossible at the exact tier. Buckets come from the
+    * first two hex chars of md5 (256 buckets, compared lexicographically
+    * — portable across engines); 'cc' = 204/256 ≈ 79.7%, 'e6' = 230/256
+    * ≈ 89.8%. Pure per-row map: no shuffle, runs at scan speed at any
+    * scale. (md5 here is a partitioner, not security.) */
+  private def t10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = substring(md5($"text"), 1, 2)
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        when(bucket < "cc", "train")
+          .when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** t11 — per-source document cap (group-wise downsampling): keep at
+    * most K=50 docs per source, chosen by deterministic hash order
+    * (md5(text), doc_id tiebreak) rather than arrival order — the
+    * standard guard against one crawl domain flooding the corpus.
+    * One hash-partition shuffle on `source` + per-group top-K. At
+    * 100 TB a skewed mega-source makes its single partition hot; the
+    * fix is a two-level cap (salt the group key, cap per salt, cap
+    * again) — not needed at fixture scale, noted for the migration. */
+  private def t11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy(md5($"text"), $"doc_id")
+    Tables(spark, dir).documents
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 50)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_train_split"     -> (t10 _),
+    "t11_source_cap"      -> (t11 _),
     "pipe1_corpus_prep"   -> (pipe1 _),
     "t9_tfidf_top_terms"  -> (t9 _),
     "t8_text_scrub"       -> (t8 _),
@@ -279,6 +323,19 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "t10_train_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t11_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
     "pipe1_corpus_prep" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text, n_chars,

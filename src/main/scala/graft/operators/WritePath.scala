@@ -89,7 +89,29 @@ object WritePath extends QueryModule {
       .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
   }
 
+  /** w7 — hive-style partitioned parquet sink + read-back: the corpus
+    * written `partitionBy(lang)` (one directory per language, partition
+    * values encoded in paths, not pages), re-read, and aggregated per
+    * partition. This is THE layout decision for a 100 TB corpus store:
+    * filters on the partition column become directory pruning — a
+    * `lang='en'` reader never opens other languages' files (asserted on
+    * the plan in ScalaTest). Partition count = |langs| (bounded, no
+    * small-file explosion); for high-cardinality keys partition on a
+    * derived bucket instead. The aggregate is the oracle-visible part;
+    * the write path is exercised for real on every run. */
+  private def w7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w7_partitioned"
+    Tables(spark, dir).documents.write.mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w7_partitioned_write" -> (w7 _),
     "w1_insert_defaults" -> (w1 _),
     "w2_masked_update"   -> (w2 _),
     "w3_balance_ledger"  -> (w3 _),
@@ -97,6 +119,12 @@ object WritePath extends QueryModule {
     "w5_capacity_rule"   -> (w5 _))
 
   val oracles: Map[String, String] = Map(
+    // The partitioned layout is storage strategy, not semantics: the
+    // oracle aggregates the source table directly.
+    "w7_partitioned_write" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "w1_insert_defaults" ->
       """SELECT c_custkey,
         |       CASE WHEN c_mktsegment = 'BUILDING' THEN 50 ELSE 10 END AS coins
