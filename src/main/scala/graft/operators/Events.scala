@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -136,7 +136,43 @@ object Events extends QueryModule {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** e8 — ordered funnel (view → click → purchase): how many users
+    * complete each stage IN ORDER. The classic product-analytics
+    * operator; naive formulations are per-stage self-joins (3 shuffles
+    * of the log + join explosion on repeated events). Here the funnel
+    * is a running state machine over ONE user-keyed window: the
+    * earliest view so far marks stage 1; a click at-or-after it marks
+    * stage 2; a purchase at-or-after that completes. Both window passes
+    * share the same (partition, order) spec, so Spark plans ONE
+    * shuffle + ONE per-user sort for the whole funnel; the counts are
+    * a map-side-combined aggregate on top. At 100 TB: shuffle the log
+    * once by user, never join it against itself. */
+  private def e8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flag = (c: Column) => max(when(c, 1).otherwise(0))
+    val perUser = Tables(spark, dir).events
+      .withColumn("first_view_ts",
+        min(when($"event_type" === "view", $"ts")).over(w))
+      .withColumn("first_qc_ts",
+        min(when($"event_type" === "click" && $"first_view_ts".isNotNull, $"ts")).over(w))
+      .groupBy($"user_id")
+      .agg(
+        flag($"event_type" === "view").as("has_view"),
+        flag($"event_type" === "click" && $"first_view_ts".isNotNull).as("has_click"),
+        flag($"event_type" === "purchase" && $"first_qc_ts".isNotNull).as("has_purchase"))
+    perUser.agg(
+        sum($"has_view").as("n_view"),
+        sum($"has_click").as("n_view_click"),
+        sum($"has_purchase").as("n_full_funnel"))
+      .select($"n_view", $"n_view_click", $"n_full_funnel",
+        ($"n_view_click".cast("double") / $"n_view".cast("double")).as("click_rate"),
+        ($"n_full_funnel".cast("double") / $"n_view_click".cast("double")).as("purchase_rate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_funnel"            -> (e8 _),
     "w6_scd2_intervals"    -> (w6 _),
     "e7_asof_join"         -> (e7 _),
     "e1_json_extract"      -> (e1 _),
@@ -147,6 +183,38 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    "e8_funnel" ->
+      """WITH staged AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS first_view_ts
+        |  FROM events),
+        |staged2 AS (
+        |  SELECT *,
+        |         min(CASE WHEN event_type = 'click' AND first_view_ts IS NOT NULL
+        |                  THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS first_qc_ts
+        |  FROM staged),
+        |per_user AS (
+        |  SELECT user_id,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |         max(CASE WHEN event_type = 'click' AND first_view_ts IS NOT NULL
+        |                  THEN 1 ELSE 0 END) AS has_click,
+        |         max(CASE WHEN event_type = 'purchase' AND first_qc_ts IS NOT NULL
+        |                  THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM staged2 GROUP BY user_id)
+        |SELECT CAST(sum(has_view) AS BIGINT) AS n_view,
+        |       CAST(sum(has_click) AS BIGINT) AS n_view_click,
+        |       CAST(sum(has_purchase) AS BIGINT) AS n_full_funnel,
+        |       CAST(sum(has_click) AS DOUBLE) / CAST(sum(has_view) AS DOUBLE)
+        |         AS click_rate,
+        |       CAST(sum(has_purchase) AS DOUBLE) / CAST(sum(has_click) AS DOUBLE)
+        |         AS purchase_rate
+        |FROM per_user""".stripMargin,
     "w6_scd2_intervals" ->
       """SELECT user_id, event_id, event_type AS state,
         |       ts AS valid_from,

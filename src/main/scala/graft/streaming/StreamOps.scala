@@ -161,6 +161,42 @@ object StreamOps {
         col("click_value"), col("purchase_value"))
   }
 
+  /** The streaming-upsert sink pattern (`foreachBatch` MERGE): each
+    * micro-batch is merged latest-per-key into a parquet snapshot —
+    * rows whose `version` beats the snapshot's overwrite it, new keys
+    * append, ties go to the incoming batch. This is how a stream
+    * maintains a queryable CURRENT-STATE table (the reference's
+    * users/tasks collections are exactly such snapshots; its writers
+    * update them row-at-a-time — index.js:141-144,671-674).
+    *
+    * The merge is one ranking window over (snapshot ∪ batch), keyed by
+    * the upsert key — state lives in the TABLE, not the stream, so
+    * unlike mapGroupsWithState there is no per-key store to bound.
+    * `localCheckpoint` materializes the merge before the overwrite so
+    * the write never reads the files it replaces. At 100 TB the
+    * snapshot rewrite must not be a full-table pass: a transactional
+    * format (Iceberg/Delta MERGE INTO) or partition-scoped overwrite
+    * replaces the overwrite below; the merge PLAN is identical. */
+  def upsertBatch(snapshotPath: String, key: String, version: String)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val existing =
+      try spark.read.parquet(snapshotPath)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col(version).desc, col("__is_new").desc)
+    existing.withColumn("__is_new", lit(0))
+      .unionByName(batch.withColumn("__is_new", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__is_new")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(snapshotPath)
+  }
+
   /** Convenience: run a streaming query over `df` into an in-memory
     * sink named `queryName`, process all available data, stop. Returns
     * the sink table. Used by tests and by batch-replay utilities. */

@@ -78,6 +78,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("array_join"), p)
   }
 
+  test("e8 funnel: both window passes and the per-user agg share ONE user shuffle") {
+    val df = graft.operators.Events.queries("e8_funnel")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // Two WindowExecs (first_view, first qualified click) ...
+    assert("\\bWindow\\b".r.findAllIn(p).length == 2, p)
+    // ... but only ONE hash-partition exchange on user_id: the second
+    // window reuses the first's partitioning+sort, and the groupBy
+    // (same key) needs no re-shuffle either.
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
+  }
+
   test("pipe1 end-to-end prep scans the corpus exactly once") {
     val p = TextAnalysis.queries("pipe1_corpus_prep")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -201,6 +201,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("purchase_value") == 10.0)
   }
 
+  test("foreachBatch upsert maintains a latest-per-key snapshot across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_snapshot"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = in.toDF().toDF("user_id", "ts", "balance")
+      .writeStream
+      .foreachBatch(StreamOps.upsertBatch(path, "user_id", "ts") _)
+      .start()
+    // Batch 1: two users.
+    in.addData((1L, ts(1), 10.0), (2L, ts(1), 20.0))
+    q.processAllAvailable()
+    // Batch 2: user 1 updated, user 3 new, and a LATE row for user 2
+    // (older ts) that must NOT overwrite the snapshot.
+    in.addData((1L, ts(5), 15.0), (3L, ts(5), 30.0), (2L, ts(0), 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(snap == Map(1L -> 15.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("session window groups events by 10-minute gaps") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
