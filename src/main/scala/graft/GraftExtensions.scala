@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDotProduct, SortedLongIntersectCount}
+import graft.functions.{FloatDotProduct, ShingleHashArray, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashArray].getName, "shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashArray(exprs(0))))
   }
 }

@@ -102,43 +102,24 @@ object Dedup extends QueryModule {
       .select($"doc_id", explode($"shingles").as("s"))
   }
 
-  /** Per-doc sorted-distinct shingle HASHES via the same map kernel:
-    * `(doc_id, hs: array<bigint>)` with `hs` = ascending xxhash64 values
-    * of the doc's distinct 3-gram shingles. Hashing happens in the
-    * kernel with the identical XXH64 primitive Spark's `xxhash64`
-    * compiles to (seed 42 over UTF-8 bytes — equivalence asserted in
-    * ScalaTest), so downstream plans never touch shingle STRINGS at all:
-    * 8-byte keys in every shuffle, and the ascending order doubles as
+  /** Per-doc sorted-distinct shingle HASHES: `(doc_id, hs: array<bigint>)`
+    * with `hs` = ascending xxhash64 values of the doc's distinct 3-gram
+    * shingles, computed by the codegen'd `shingle_hashes` expression
+    * (graft.functions.ShingleHashArray — reads the UTF8String bytes in
+    * place, no encoder round-trip, fused into the scan stage; hashes
+    * bit-identical to `xxhash64` over the HOF spec's shingle strings,
+    * asserted in ScalaTest). Downstream plans never touch shingle
+    * STRINGS at all: 8-byte keys in every shuffle, and the ascending
+    * order doubles as
     *   (a) the global total order the prefix filter needs, and
     *   (b) the precondition for the merge-based `sorted_intersect_count`
     *       verification kernel.
-    * Still one shuffle-free pass; memory bounded by one doc's set. */
+    * One shuffle-free pass; memory bounded by one doc's set. */
   private[graft] def docShingleHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
     Tables(spark, dir).documents
-      .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
-        val w = text.split("\\s+").filter(_.nonEmpty)
-        val hs =
-          if (w.length < 3) Array.empty[Long]
-          else {
-            val seen = new java.util.TreeSet[java.lang.Long]()
-            var i = 0
-            while (i + 2 < w.length) {
-              val s = w(i) + " " + w(i + 1) + " " + w(i + 2)
-              seen.add(XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
-              i += 1
-            }
-            val out = new Array[Long](seen.size)
-            val it = seen.iterator()
-            var k = 0
-            while (it.hasNext) { out(k) = it.next(); k += 1 }
-            out
-          }
-        (id, hs)
-      }.toDF("doc_id", "hs")
+      .select($"doc_id",
+        graft.functions.ShingleFunctions.shingleHashes(spark, $"text").as("hs"))
   }
 
   /** Exact jaccard for a pre-bounded pair set: |∩| / (|a|+|b|−|∩|). */
@@ -181,21 +162,38 @@ object Dedup extends QueryModule {
     val arr = docShingleHashes(spark, dir).persist()
     val withN = arr.select($"doc_id", $"hs", size($"hs").cast("long").as("n"))
 
-    // PREFIX FILTERING (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07):
-    // under any global total order — ascending hash here, free from the
-    // kernel — J(x,y) ≥ τ implies |x∩y| ≥ ⌈τ·|x|⌉, and sharing ≥ α
-    // elements forces the (|x|−α+1)-prefixes to intersect. So only the
-    // first |x|−⌈τ·|x|⌉+1 hashes of each doc enter the pairing join:
-    // at τ=0.5 that halves the exploded rows and quarters the candidate
-    // pairs (both sides must hit in-prefix). Candidates are then verified
-    // EXACTLY, so the filter trades cost, never correctness. Measured at
-    // sf0.1: 1.13M co-occurrence pairs → ~0.3M candidates.
+    // PPJoin-style candidate generation (Chaudhuri et al. ICDE'06;
+    // Bayardo et al. WWW'07; Xiao et al. WWW'08), under the ascending-
+    // hash global order the kernel provides for free:
+    //  - PREFIX filter: J(x,y) ≥ τ implies |x∩y| ≥ ⌈τ·|x|⌉, and sharing
+    //    ≥ α elements forces the (|x|−α+1)-prefixes to intersect — only
+    //    the first |x|−⌈τ·|x|⌉+1 hashes enter the pairing join.
+    //  - LENGTH filter: J ≥ τ implies min(|x|,|y|) ≥ τ·max(|x|,|y|) —
+    //    joined into the condition, kills size-mismatched pairs.
+    //  - POSITIONAL filter: a pair's FIRST common prefix element at
+    //    positions (px, py) bounds the overlap by 1 + min(|x|−px−1,
+    //    |y|−py−1) (elements before the first common one are disjoint
+    //    across the pair); require that to reach α(x,y) =
+    //    ⌈τ/(1+τ)·(|x|+|y|)⌉. Applied per joined row: the first-match
+    //    row carries the loosest bound, so a qualifying pair always
+    //    survives via that row — later-match rows may drop, which only
+    //    thins duplicates.
+    // Surviving rows go STRAIGHT to exact verification (no pre-distinct:
+    // the candidate-pair dedup shuffle cost more than re-verifying the
+    // few duplicated survivors; dedup happens after the τ filter, on
+    // ~pairs rows, not ~candidates). Measured at sf0.1: 1.13M
+    // co-occurrence pairs → 96k verification rows → 256 pairs.
     val plen = (size($"hs") - ceil(size($"hs") * tau) + 1).cast("int")
-    val prefix = withN.select($"doc_id", explode(slice($"hs", lit(1), plen)).as("h"))
-    val cand = prefix.select($"doc_id".as("i"), $"h")
-      .join(prefix.select($"doc_id".as("j"), $"h"), Seq("h"))
-      .filter($"i" < $"j")
-      .select($"i", $"j").distinct()
+    val prefix = withN.select($"doc_id", $"n",
+      posexplode(slice($"hs", lit(1), plen))).toDF("doc_id", "n", "p", "h")
+    val x = prefix.select($"doc_id".as("i"), $"n".as("na"), $"p".as("px"), $"h")
+    val y = prefix.select($"doc_id".as("j"), $"n".as("nb"), $"p".as("py"), $"h")
+    val alpha = ceil(($"na" + $"nb") * tau / (1.0 + tau))
+    val cand = x.join(y,
+      x("h") === y("h") && $"i" < $"j" &&
+        least($"na", $"nb") >= ceil(greatest($"na", $"nb") * tau) &&
+        (lit(1) + least($"na" - $"px" - 1, $"nb" - $"py" - 1)) >= alpha)
+      .select($"i", $"j")
 
     // Exact verification: fetch both sorted arrays, merge-count the
     // intersection (codegen'd sorted_intersect_count — no per-pair hash
@@ -209,6 +207,7 @@ object Dedup extends QueryModule {
       .select($"i", $"j",
         jaccard(sortedIntersectCount(spark, $"hi", $"hj"), $"na", $"nb").as("jaccard"))
       .filter($"jaccard" >= tau)
+      .distinct()
   }
 
   private def d3(spark: SparkSession, dir: String): DataFrame = {
