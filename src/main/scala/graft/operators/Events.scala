@@ -171,7 +171,32 @@ object Events extends QueryModule {
         ($"n_full_funnel".cast("double") / $"n_view_click".cast("double")).as("purchase_rate"))
   }
 
+  /** e9 — cohort retention triangle: users cohorted by their FIRST
+    * PURCHASE day, then for each (cohort, week-offset) cell, how many of
+    * that cohort were active (any event) that week. The standard growth-
+    * analytics matrix; naive formulations self-join the log against its
+    * own firsts (two fact shuffles + join). Here the cohort day rides a
+    * user-partitioned window min — the log shuffles ONCE on user_id —
+    * then (user, cohort, week) cells dedup and count in ordinary
+    * map-side-combined aggregates over the (already small) cell space.
+    * At 100 TB: shuffle the log once by user; never join it to itself. */
+  private def e9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables(spark, dir).events
+      .withColumn("cohort_day",
+        min(when($"event_type" === "purchase", to_date($"ts"))).over(w))
+      .filter($"cohort_day".isNotNull && to_date($"ts") >= $"cohort_day")
+      .select($"user_id", $"cohort_day",
+        floor(datediff(to_date($"ts"), $"cohort_day") / 7).as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_day", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_cohort_retention"  -> (e9 _),
     "e8_funnel"            -> (e8 _),
     "w6_scd2_intervals"    -> (w6 _),
     "e7_asof_join"         -> (e7 _),
@@ -183,6 +208,22 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    "e9_cohort_retention" ->
+      """WITH cohorted AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(ts AS DATE) END)
+        |           OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM events),
+        |cells AS (
+        |  SELECT DISTINCT user_id, cohort_day,
+        |         CAST(floor(date_diff('day', cohort_day, day) / 7.0) AS BIGINT)
+        |           AS week_offset
+        |  FROM cohorted
+        |  WHERE cohort_day IS NOT NULL AND day >= cohort_day)
+        |SELECT cohort_day, week_offset, count(*) AS n_users
+        |FROM cells GROUP BY cohort_day, week_offset
+        |ORDER BY cohort_day, week_offset""".stripMargin,
     "e8_funnel" ->
       """WITH staged AS (
         |  SELECT user_id, event_id, event_type, ts,

@@ -147,7 +147,43 @@ object Joins extends QueryModule {
       .orderBy($"l_suppkey")
   }
 
+  /** J8 — explicit hot-key SALTED join, the join-side twin of
+    * `skew_salted_agg`. When one join key carries a disproportionate
+    * share of fact rows, a plain shuffle join sends the whole hot key
+    * to ONE reducer; salting replicates each build-side row S times
+    * (one per salt) and assigns each fact row a deterministic salt in
+    * [0, S), so the hot key fans out across S tasks. The join condition
+    * gains `AND salt = salt`; results are identical to the unsalted
+    * join — salting is topology, not semantics — which is why the
+    * oracle is the plain join.
+    *
+    * Scale rationale (100 TB): AQE's skew-join split handles
+    * sort-merge skew automatically, but only AFTER materializing the
+    * skewed shuffle files; pre-salting with a known hot-key list (or a
+    * sampled histogram) avoids writing the skewed partition at all,
+    * and is the only option when the engine must bucket/pre-partition
+    * the output. Build-side replication cost is S × |dim| rows —
+    * choose S ≈ hot-partition-bytes / target-partition-bytes. */
+  private def j8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val S = 8
+    val t = Tables(spark, dir)
+    val dim = t.supplier
+      .select($"s_suppkey", $"s_nationkey",
+        explode(sequence(lit(0), lit(S - 1))).as("salt"))
+    val fact = t.lineitem
+      .select($"l_suppkey", $"l_extendedprice",
+        pmod(xxhash64($"l_orderkey", $"l_linenumber", $"l_partkey"), lit(S))
+          .cast("int").as("salt"))
+    fact.join(dim,
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j8_skew_salted_join" -> (j8 _),
     "j7_bloom_semi_join"  -> (j7 _),
     "j6_range_band_join"  -> (j6 _),
     "j1_semi_join"        -> (j1 _),
@@ -157,6 +193,12 @@ object Joins extends QueryModule {
     "j5_anti_join_guard"  -> (jAnti _))
 
   val oracles: Map[String, String] = Map(
+    // Salting is topology, not semantics: the oracle is the plain join.
+    "j8_skew_salted_join" ->
+      s"""SELECT s_nationkey, count(*) AS n_items,
+         |       ${sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // The bloom sketch is execution strategy, not semantics: the oracle
     // is the plain semi-join it accelerates.
     "j7_bloom_semi_join" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** M4 — grouped/OLAP generalizations (SURVEY.md §2.4 A7, §2.6, §7.2 M4).
@@ -264,7 +265,31 @@ object Olap extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** NTILE bucketing — per-segment account-balance quartiles, then
+    * per-bucket stats: the "assign every row to a quantile bucket, then
+    * profile the buckets" pattern behind score binning and equi-depth
+    * histograms. `ntile` is partitioned by segment, so parallelism is
+    * |segments| — fine for bounded group counts. A GLOBAL ntile would
+    * force all rows into one window partition; at 100 TB compute
+    * approx percentile cutpoints first and bucket by comparison
+    * instead (`t5_quality_filter` demonstrates exactly that shape). */
+  private def ntileQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+    Tables(spark, dir).customer
+      // .cast("long"): DuckDB's ntile returns BIGINT, Spark's INT — match
+      // the oracle's schema (same convention as w5's row_number).
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy($"c_mktsegment", $"quartile")
+      .agg(count(lit(1)).as("n"),
+        min($"c_acctbal").as("lo"),
+        max($"c_acctbal").as("hi"),
+        davg($"c_acctbal").as("avg_bal"))
+      .orderBy($"c_mktsegment", $"quartile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_ntile_quartiles"  -> (ntileQ _),
     "olap_histogram"        -> (histogramQ _),
     "olap_pivot"            -> (pivotQ _),
     "olap_unpivot"          -> (unpivotQ _),
@@ -290,6 +315,17 @@ object Olap extends QueryModule {
     sqlDsum("l_extendedprice * (1.0 - l_discount)")
 
   val oracles: Map[String, String] = Map(
+    "olap_ntile_quartiles" ->
+      s"""SELECT c_mktsegment, quartile, count(*) AS n,
+         |       min(c_acctbal) AS lo, max(c_acctbal) AS hi,
+         |       ${sqlDavg("c_acctbal")} AS avg_bal
+         |FROM (
+         |  SELECT c_mktsegment, c_acctbal,
+         |         ntile(4) OVER (PARTITION BY c_mktsegment
+         |                        ORDER BY c_acctbal, c_custkey) AS quartile
+         |  FROM customer)
+         |GROUP BY c_mktsegment, quartile
+         |ORDER BY c_mktsegment, quartile""".stripMargin,
     "olap_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
         |       count(*) AS n_orders,

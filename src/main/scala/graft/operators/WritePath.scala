@@ -110,7 +110,42 @@ object WritePath extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** w8 — batch MERGE (CDC upsert): a change batch applied onto a base
+    * snapshot, updates-win-by-recency. Base = latest state per user
+    * before the cutoff; changes = events at/after it, reduced to latest
+    * per key FIRST (a MERGE precondition — multiple matches per target
+    * key are ill-defined); then one full-outer join on the key with
+    * `coalesce(update, base)` per column. This is the Delta/Hudi/Iceberg
+    * MERGE INTO shape expressed in pure DataFrame algebra.
+    *
+    * Scale (100 TB): reduce the change batch BEFORE the join (it
+    * shrinks to |distinct keys|); store the base bucketed/partitioned
+    * by the merge key so the outer join shuffles only the (much
+    * smaller) change side; rewrite only the partitions that received
+    * changes (copy-on-write). The streaming twin (foreachBatch upsert)
+    * lives in `graft.streaming.StreamOps.upsertBatch`. */
+  private def w8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    def latest(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+    val t = Tables(spark, dir).events
+    val base = latest(t.filter($"ts" < cutoff))
+    val updates = latest(t.filter($"ts" >= cutoff))
+    base.as("b").join(updates.as("u"), Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"u.event_id", $"b.event_id").as("event_id"),
+        coalesce($"u.ts", $"b.ts").as("ts"),
+        coalesce($"u.event_type", $"b.event_type").as("state"),
+        coalesce($"u.value", $"b.value").as("value"),
+        $"u.event_id".isNotNull.as("from_changes"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_merge_upsert"      -> (w8 _),
     "w7_partitioned_write" -> (w7 _),
     "w1_insert_defaults" -> (w1 _),
     "w2_masked_update"   -> (w2 _),
@@ -119,6 +154,27 @@ object WritePath extends QueryModule {
     "w5_capacity_rule"   -> (w5 _))
 
   val oracles: Map[String, String] = Map(
+    "w8_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, ts, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rn = 1),
+        |updates AS (
+        |  SELECT user_id, event_id, ts, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+        |  WHERE rn = 1)
+        |SELECT coalesce(u.user_id, b.user_id) AS user_id,
+        |       coalesce(u.event_id, b.event_id) AS event_id,
+        |       coalesce(u.ts, b.ts) AS ts,
+        |       coalesce(u.event_type, b.event_type) AS state,
+        |       coalesce(u.value, b.value) AS value,
+        |       u.event_id IS NOT NULL AS from_changes
+        |FROM base b FULL OUTER JOIN updates u ON b.user_id = u.user_id
+        |ORDER BY user_id""".stripMargin,
     // The partitioned layout is storage strategy, not semantics: the
     // oracle aggregates the source table directly.
     "w7_partitioned_write" ->

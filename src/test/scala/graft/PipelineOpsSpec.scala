@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Joins, Scalars, TextAnalysis, WritePath}
+import graft.operators.{Joins, Olap, Scalars, TextAnalysis, WritePath}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,5 +81,64 @@ class PipelineOpsSpec extends AnyFunSuite {
     val src = Tables(spark, dir).supplier
     assert(row.getLong(0) == src.count())
     assert(row.getLong(1) == src.select(countDistinct($"s_suppkey")).head().getLong(0))
+  }
+
+  test("j8 salted join equals the plain unsalted join") {
+    import spark.implicits._
+    val salted = Joins.queries("j8_skew_salted_join")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val t = Tables(spark, dir)
+    val plain = t.lineitem
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        graft.operators.dsum($"l_extendedprice").as("revenue"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("w8 merged snapshot equals latest-event-per-user over the full log") {
+    import spark.implicits._
+    val merged = WritePath.queries("w8_merge_upsert")(spark, dir)
+      .select($"user_id", $"event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Updates-win-by-recency over a time-split log == global latest.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val latest = Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == latest)
+    assert(merged.nonEmpty)
+  }
+
+  test("e9 retention triangle: week-0 equals cohort size and bounds later weeks") {
+    val rows = graft.operators.Events.queries("e9_cohort_retention")(spark, dir)
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val week0 = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    // Every cohort has a week-0 cell (the purchase event itself is
+    // activity at offset 0), and no later week exceeds it.
+    rows.foreach { case (cohort, _, n) =>
+      assert(week0.contains(cohort), s"cohort $cohort missing week 0")
+      assert(n <= week0(cohort), s"cohort $cohort retention exceeds size")
+    }
+  }
+
+  test("ntile quartiles: per segment, sizes are balanced and ranges are ordered") {
+    val rows = Olap.queries("olap_ntile_quartiles")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (seg, qs) =>
+      assert(qs.length == 4, s"$seg has ${qs.length} quartiles")
+      val sizes = qs.sortBy(_._2).map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$seg sizes $sizes")
+      // Quartile k's hi <= quartile k+1's lo (ties allowed).
+      val sorted = qs.sortBy(_._2)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4, s"$seg ranges overlap: $a $b")
+      }
+    }
   }
 }
