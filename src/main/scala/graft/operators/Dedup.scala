@@ -508,7 +508,36 @@ object Dedup extends QueryModule {
       .orderBy($"canonical_id")
   }
 
+  /** d8 — INCREMENTAL dedup: a new ingest batch deduplicated against the
+    * historical corpus (plus within itself), the shape every production
+    * pipeline actually runs daily — full-corpus re-dedup is a one-time
+    * backfill, not the steady state. Split here is doc_id parity (odd =
+    * new batch, even = history). Both sides reduce to 32-byte sha2
+    * content hashes FIRST, so the anti-join shuffles hashes, never
+    * document bodies.
+    *
+    * Scale (100 TB corpus, ~TB/day ingest): store the historical hash
+    * set as its own bucketed table (bucketed by hash) — then only the
+    * small batch side shuffles, the corpus side is a local read per
+    * bucket; or pre-prune with a bloom sketch of the history
+    * (j7_bloom_semi_join's machinery) so most batch rows never reach
+    * the join. Survivors' hashes append to the hash table — the corpus
+    * itself is never rewritten. */
+  private def d8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val history = docs.filter($"doc_id" % 2 === 0)
+      .select(sha2($"text", 256).as("h")).distinct()
+    val batch = docs.filter($"doc_id" % 2 === 1)
+      .groupBy(sha2($"text", 256).as("h"))
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_in_batch"))
+    batch.join(history, Seq("h"), "left_anti")
+      .select($"doc_id", $"n_in_batch")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_incremental_dedup"   -> (d8 _),
     "d6_dedup_normalized"    -> (d6 _),
     "d1_dedup_exact_groups"  -> (d1 _),
     "d2_dedup_exact_select"  -> (d2 _),
@@ -544,6 +573,16 @@ object Dedup extends QueryModule {
        |ORDER BY i, j""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d8_incremental_dedup" ->
+      """WITH history AS (
+        |  SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT sha256(text) AS h, min(doc_id) AS doc_id,
+        |         count(*) AS n_in_batch
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+        |SELECT doc_id, n_in_batch FROM batch
+        |WHERE h NOT IN (SELECT h FROM history)
+        |ORDER BY doc_id""".stripMargin,
     "d6_dedup_normalized" ->
       """SELECT sha256(trim(regexp_replace(
         |         regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),

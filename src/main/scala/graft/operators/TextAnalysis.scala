@@ -224,6 +224,35 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** t12 — corpus-wide top word bigrams: the n-gram frequency table
+    * behind language-model data analysis (vocabulary/collocation stats,
+    * boilerplate detection — a bigram appearing in thousands of docs is
+    * template text). Bigram construction is a per-row array transform
+    * (no window, no join — c.f. the shingle kernel, which needs DISTINCT
+    * sets; frequency counting must keep every occurrence), then one
+    * map-combined count aggregate; top-k via (count, bigram) total
+    * order. At 100 TB the aggregate key space is the bigram vocabulary
+    * (Zipf-bounded, ≪ corpus size) and the heavy hitters that matter
+    * are exactly the ones map-side combine compresses best.
+    *
+    * The `when(size >= 2)` guard matters: `sequence(0, -1)` on a
+    * 1-token doc would emit [0, -1] (negative-step default), not empty
+    * — same trap the round-1 advice flagged on m3's frame explode. */
+  private def t12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = words($"text")
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables(spark, dir).documents
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
   /** pipe1 — the end-to-end corpus-prep pass as ONE declarative plan:
     * quality-filter (drop the bottom quartile by stopword-ratio score,
     * t5's rule) → exact dedup on normalized text among the survivors
@@ -309,6 +338,7 @@ object TextAnalysis extends QueryModule {
     "t10_train_split"     -> (t10 _),
     "t11_source_cap"      -> (t11 _),
     "pipe1_corpus_prep"   -> (pipe1 _),
+    "t12_bigram_top"      -> (t12 _),
     "t9_tfidf_top_terms"  -> (t9 _),
     "t8_text_scrub"       -> (t8 _),
     "t7_stratified_sample" -> (t7 _),
@@ -323,6 +353,15 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "t12_bigram_top" ->
+      s"""WITH toks AS (
+         |  SELECT $wordsSql AS w FROM documents),
+         |bi AS (
+         |  SELECT unnest(list_transform(range(1, len(w)),
+         |                               i -> w[i] || ' ' || w[i+1])) AS bigram
+         |  FROM toks WHERE len(w) >= 2)
+         |SELECT bigram, count(*) AS n FROM bi
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "t10_train_split" ->
       """SELECT doc_id,
         |       CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'

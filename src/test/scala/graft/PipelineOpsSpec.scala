@@ -127,6 +127,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d8 incremental dedup equals a direct text-level anti-join") {
+    import spark.implicits._
+    val viaHash = graft.operators.Dedup.queries("d8_incremental_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables(spark, dir).documents
+    val histTexts = docs.filter($"doc_id" % 2 === 0).select($"text").distinct()
+    val direct = docs.filter($"doc_id" % 2 === 1)
+      .groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .join(histTexts, Seq("text"), "left_anti")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaHash == direct)
+    assert(viaHash.nonEmpty)
+  }
+
+  test("t12 top bigrams: counts match a driver-side recount") {
+    val rows = TextAnalysis.queries("t12_bigram_top")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length == 20)
+    // Sorted by (n desc, bigram asc).
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // Recount every reported bigram naively over the raw text.
+    val texts = Tables(spark, dir).documents.select("text")
+      .collect().map(_.getString(0))
+    val naive = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      w.sliding(2).filter(_.length == 2).foreach(p => naive(p.mkString(" ")) += 1)
+    }
+    rows.foreach { case (bg, n) => assert(naive(bg) == n, s"bigram '$bg'") }
+  }
+
   test("ntile quartiles: per segment, sizes are balanced and ranges are ordered") {
     val rows = Olap.queries("olap_ntile_quartiles")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
