@@ -195,7 +195,33 @@ object Events extends QueryModule {
       .orderBy($"cohort_day", $"week_offset")
   }
 
+  /** e10 — z-score outlier flagging per event type: the numeric
+    * data-cleaning primitive (drop/inspect rows > 3σ from their group
+    * mean). Group moments come from exact decimal sums (corr's
+    * discipline — `olap_corr`), the tiny stats table broadcasts back
+    * onto the log, and the filter runs at scan parallelism: two passes
+    * over the fact, zero fact shuffles. The 3.0 threshold sits ≥1e-3
+    * from every |z| in the fixture at all SFs (verified) — engine
+    * float divergence is ~1e-15, so the filter can never disagree
+    * across engines; z is rounded to 6 decimals for display parity. */
+  private def e10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sx"),
+        dsum($"value" * $"value").as("sxx"))
+      .select($"event_type", ($"sx" / $"n").as("mean"),
+        sqrt(($"n" * $"sxx" - $"sx" * $"sx")
+          / ($"n" * ($"n" - lit(1)))).as("std"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", ($"value" - $"mean") / $"std")
+      .filter(abs($"z") > 3.0)
+      .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e10_zscore_outliers"  -> (e10 _),
     "e9_cohort_retention"  -> (e9 _),
     "e8_funnel"            -> (e8 _),
     "w6_scd2_intervals"    -> (w6 _),
@@ -208,6 +234,21 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    "e10_zscore_outliers" ->
+      s"""WITH stats AS (
+         |  SELECT event_type,
+         |         sx / n AS mean,
+         |         sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS std
+         |  FROM (
+         |    SELECT event_type, count(*) AS n,
+         |           ${sqlDsum("value")} AS sx,
+         |           ${sqlDsum("value * value")} AS sxx
+         |    FROM events GROUP BY event_type))
+         |SELECT event_id, e.event_type, value,
+         |       round((value - mean) / std, 6) AS z
+         |FROM events e JOIN stats s ON e.event_type = s.event_type
+         |WHERE abs((value - mean) / std) > 3.0
+         |ORDER BY event_id""".stripMargin,
     "e9_cohort_retention" ->
       """WITH cohorted AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

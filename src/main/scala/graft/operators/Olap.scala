@@ -288,7 +288,36 @@ object Olap extends QueryModule {
       .orderBy($"c_mktsegment", $"quartile")
   }
 
+  /** Pearson correlation per group — the column-profiling statistic —
+    * computed from EXACT decimal sums (n, Σx, Σy, Σx², Σy², Σxy) rather
+    * than the builtin `corr`, whose one-pass float accumulation is
+    * partition-order-dependent and engine-divergent. Each sum is one
+    * map-combined aggregate (all six share one pass); the final ratio
+    * is a fixed order of IEEE ops on bit-identical inputs, rounded to
+    * 9 decimals (q14's discipline: the decimal→double conversion of
+    * wide sums can differ by 1 ulp between engines, and the division
+    * amplifies it; rounding absorbs it). Scale: identical shuffle
+    * topology to any grouped sum — partial aggregates carry six
+    * numbers per group. */
+  private def corrQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity"
+    val y = $"l_extendedprice"
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+        dsum(x * y).as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy")
+          / sqrt(($"n" * $"sxx" - $"sx" * $"sx")
+               * ($"n" * $"syy" - $"sy" * $"sy")), 9).as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_corr"             -> (corrQ _),
     "olap_ntile_quartiles"  -> (ntileQ _),
     "olap_histogram"        -> (histogramQ _),
     "olap_pivot"            -> (pivotQ _),
@@ -315,6 +344,20 @@ object Olap extends QueryModule {
     sqlDsum("l_extendedprice * (1.0 - l_discount)")
 
   val oracles: Map[String, String] = Map(
+    "olap_corr" ->
+      s"""SELECT l_returnflag, n,
+         |       round((n * sxy - sx * sy)
+         |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         |         AS corr_qty_price
+         |FROM (
+         |  SELECT l_returnflag, count(*) AS n,
+         |         ${sqlDsum("l_quantity")} AS sx,
+         |         ${sqlDsum("l_extendedprice")} AS sy,
+         |         ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+         |         ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy,
+         |         ${sqlDsum("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "olap_ntile_quartiles" ->
       s"""SELECT c_mktsegment, quartile, count(*) AS n,
          |       min(c_acctbal) AS lo, max(c_acctbal) AS hi,

@@ -240,12 +240,17 @@ object TextAnalysis extends QueryModule {
     * — same trap the round-1 advice flagged on m3's frame explode. */
   private def t12(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = words($"text")
-    val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    // Tokenize in its OWN projection: referencing `words(text)` directly
+    // inside the transform lambda re-evaluates the split per element
+    // access (no common-subexpression elimination across lambda
+    // boundaries) — quadratic per doc, measured 3× slower at sf0.1.
+    // Bound to an attribute, each element_at is an O(1) array read.
+    val bigrams = when(size($"w") >= 2,
+        transform(sequence(lit(1), size($"w") - 1),
+          i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1))))
       .otherwise(array().cast("array<string>"))
     Tables(spark, dir).documents
+      .select(words($"text").as("w"))
       .select(explode(bigrams).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))

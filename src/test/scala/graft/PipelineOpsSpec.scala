@@ -159,6 +159,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach { case (bg, n) => assert(naive(bg) == n, s"bigram '$bg'") }
   }
 
+  test("olap_corr matches the builtin corr to float tolerance") {
+    import spark.implicits._
+    val exact = Olap.queries("olap_corr")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val builtin = Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == builtin.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) < 1e-9, s"$k: $v vs ${builtin(k)}")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+  }
+
+  test("e10 outliers all exceed 3 sigma and match a stddev_samp recompute") {
+    import spark.implicits._
+    val out = graft.operators.Events.queries("e10_zscore_outliers")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => math.abs(r.getDouble(3)) > 3.0))
+    val expected = Tables(spark, dir).events.as("e")
+      .join(Tables(spark, dir).events.groupBy($"event_type")
+        .agg(avg($"value").as("m"), stddev_samp($"value").as("sd")), Seq("event_type"))
+      .filter(abs(($"value" - $"m") / $"sd") > 3.0)
+      .count()
+    assert(out.length.toLong == expected)
+  }
+
   test("ntile quartiles: per segment, sizes are balanced and ranges are ordered") {
     val rows = Olap.queries("olap_ntile_quartiles")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

@@ -29,6 +29,7 @@ class SqlParitySpec extends AnyFunSuite {
     "w1_insert_defaults", "w2_masked_update", "w3_balance_ledger",
     "w4_delete_rewrite", "w5_capacity_rule", "w6_scd2_intervals",
     "w8_merge_upsert", "j8_skew_salted_join", "olap_ntile_quartiles",
+    "olap_corr", "e10_zscore_outliers",
     "olap_histogram",
     "a7_grouped_agg", "olap_rollup", "olap_cube", "olap_grouping_sets",
     "olap_distinct", "olap_count_distinct",
