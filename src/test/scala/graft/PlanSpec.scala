@@ -107,4 +107,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("float_dot"), p)
     assert(!p.contains("lambdafunction"), "HOF lambdas would break codegen\n" + p)
   }
+
+  test("e9 cohort retention never joins the log to itself") {
+    val p = plan(Events.queries("e9_cohort_retention")(spark, dir))
+    assert(!p.contains("Join"), "cohort day must ride a window, not a self-join\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("e10 outliers broadcast the group moments; the fact side never shuffle-joins") {
+    val p = plan(Events.queries("e10_zscore_outliers")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d8 incremental dedup anti-joins on hashes and prunes scans to (doc_id, text)") {
+    val p = plan(Dedup.queries("d8_incremental_dedup")(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to the two columns the hashes need\n" + p)
+  }
+
+  test("w8 merge plans one full-outer join after per-side latest reduction") {
+    val p = plan(WritePath.queries("w8_merge_upsert")(spark, dir))
+    assert(p.contains("FullOuter"), p)
+    assert(p.split("FullOuter").length <= 3, "exactly one full-outer join\n" + p)
+  }
 }
