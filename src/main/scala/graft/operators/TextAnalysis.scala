@@ -258,6 +258,33 @@ object TextAnalysis extends QueryModule {
       .limit(20)
   }
 
+  /** t13 — within-document repetition ratio: the fraction of word
+    * 3-grams that are duplicates of an earlier 3-gram in the SAME doc —
+    * the Gopher/C4-family quality signal for boilerplate and generated
+    * spam (high ratio = repeated template text). Entirely per-row array
+    * math (tokenize → 3-grams → distinct count), zero shuffles at any
+    * corpus size; the ratio is one IEEE division rounded to 6 decimals
+    * on both engines. Same projection discipline as t12: the token
+    * array binds to its own attribute before the lambda touches it. */
+  private def t13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = when(size($"w") >= 3,
+        transform(sequence(lit(1), size($"w") - 2),
+          i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
+            element_at($"w", i + 2))))
+      .otherwise(array().cast("array<string>"))
+    Tables(spark, dir).documents
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", grams.as("g"))
+      .select($"doc_id", size($"g").cast("long").as("n_3grams"),
+        size(array_distinct($"g")).cast("long").as("n_distinct"))
+      .select($"doc_id", $"n_3grams", $"n_distinct",
+        when($"n_3grams" > 0,
+          round(lit(1.0) - $"n_distinct".cast("double") / $"n_3grams", 6))
+          .otherwise(0.0).as("rep_ratio"))
+      .orderBy($"doc_id")
+  }
+
   /** pipe1 — the end-to-end corpus-prep pass as ONE declarative plan:
     * quality-filter (drop the bottom quartile by stopword-ratio score,
     * t5's rule) → exact dedup on normalized text among the survivors
@@ -343,6 +370,7 @@ object TextAnalysis extends QueryModule {
     "t10_train_split"     -> (t10 _),
     "t11_source_cap"      -> (t11 _),
     "pipe1_corpus_prep"   -> (pipe1 _),
+    "t13_repetition_ratio" -> (t13 _),
     "t12_bigram_top"      -> (t12 _),
     "t9_tfidf_top_terms"  -> (t9 _),
     "t8_text_scrub"       -> (t8 _),
@@ -358,6 +386,20 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // 3-gram construction matches d3's oracle idiom (range(1, len-1),
+    // w[i:i+2] inclusive slice); <3-token docs fall out as empty lists.
+    "t13_repetition_ratio" ->
+      s"""SELECT doc_id,
+         |       CAST(len(g) AS BIGINT) AS n_3grams,
+         |       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+         |       round(CASE WHEN len(g) > 0
+         |                  THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+         |                  ELSE 0.0 END, 6) AS rep_ratio
+         |FROM (
+         |  SELECT doc_id, list_transform(range(1, len(w) - 1),
+         |                                i -> array_to_string(w[i:i+2], ' ')) AS g
+         |  FROM (SELECT doc_id, $wordsSql AS w FROM documents))
+         |ORDER BY doc_id""".stripMargin,
     "t12_bigram_top" ->
       s"""WITH toks AS (
          |  SELECT $wordsSql AS w FROM documents),

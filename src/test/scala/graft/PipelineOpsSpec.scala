@@ -159,6 +159,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach { case (bg, n) => assert(naive(bg) == n, s"bigram '$bg'") }
   }
 
+  test("t13 repetition ratio matches a naive per-doc recount") {
+    import spark.implicits._
+    val got = TextAnalysis.queries("t13_repetition_ratio")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables(spark, dir).documents.select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      val grams = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+      val (n, nd) = (grams.length.toLong, grams.distinct.length.toLong)
+      val ratio = if (n > 0) BigDecimal(1.0 - nd.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      assert(got(id) == ((n, nd, ratio)), s"doc $id")
+    }
+  }
+
   test("olap_corr matches the builtin corr to float tolerance") {
     import spark.implicits._
     val exact = Olap.queries("olap_corr")(spark, dir).collect()
