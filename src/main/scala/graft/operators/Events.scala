@@ -215,7 +215,12 @@ object Events extends QueryModule {
           / ($"n" * ($"n" - lit(1)))).as("std"))
     ev.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", ($"value" - $"mean") / $"std")
-      .filter(abs($"z") > 3.0)
+      // std > 0 guard: a singleton group (n=1 → 0/0) or constant-valued
+      // group (std=0) yields z=NaN, and BOTH engines order NaN above 3.0
+      // — without the guard every row of a degenerate group would be
+      // emitted as an "outlier". Degenerate groups have no outliers by
+      // definition.
+      .filter($"std" > 0.0 && abs($"z") > 3.0)
       .select($"event_id", $"event_type", $"value", round($"z", 6).as("z"))
       .orderBy($"event_id")
   }
@@ -247,7 +252,7 @@ object Events extends QueryModule {
          |SELECT event_id, e.event_type, value,
          |       round((value - mean) / std, 6) AS z
          |FROM events e JOIN stats s ON e.event_type = s.event_type
-         |WHERE abs((value - mean) / std) > 3.0
+         |WHERE std > 0.0 AND abs((value - mean) / std) > 3.0
          |ORDER BY event_id""".stripMargin,
     "e9_cohort_retention" ->
       """WITH cohorted AS (

@@ -21,6 +21,21 @@ object TextAnalysis extends QueryModule {
   private def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= lit(""))
 
+  /** Space-joined word n-grams over an ALREADY-PROJECTED token-array
+    * column (t12/t13's shared builder). Two disciplines both callers
+    * must keep, encoded once here: (1) the `when(size >= n)` guard —
+    * `sequence`'s step defaults to -1 when start > stop, so a short doc
+    * would emit [1, 0] instead of an empty list; (2) `w` must be a bound
+    * attribute, not an inline `words(text)` expression — expressions
+    * referenced inside a transform lambda are re-evaluated PER ELEMENT
+    * ACCESS (no CSE across lambda boundaries), which made t12 quadratic
+    * per doc before the projection split (6.5 s → 0.5 s at sf0.1). */
+  private def ngrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   private val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
   /** t1 — token counting: whitespace tokens and a BPE-ish lexer regex
@@ -240,18 +255,9 @@ object TextAnalysis extends QueryModule {
     * — same trap the round-1 advice flagged on m3's frame explode. */
   private def t12(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Tokenize in its OWN projection: referencing `words(text)` directly
-    // inside the transform lambda re-evaluates the split per element
-    // access (no common-subexpression elimination across lambda
-    // boundaries) — quadratic per doc, measured 3× slower at sf0.1.
-    // Bound to an attribute, each element_at is an O(1) array read.
-    val bigrams = when(size($"w") >= 2,
-        transform(sequence(lit(1), size($"w") - 1),
-          i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1))))
-      .otherwise(array().cast("array<string>"))
     Tables(spark, dir).documents
       .select(words($"text").as("w"))
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(ngrams($"w", 2)).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram")
@@ -264,18 +270,14 @@ object TextAnalysis extends QueryModule {
     * spam (high ratio = repeated template text). Entirely per-row array
     * math (tokenize → 3-grams → distinct count), zero shuffles at any
     * corpus size; the ratio is one IEEE division rounded to 6 decimals
-    * on both engines. Same projection discipline as t12: the token
-    * array binds to its own attribute before the lambda touches it. */
+    * on both engines. Same projection discipline as t12 (see `ngrams`):
+    * the token array binds to its own attribute, and so does the gram
+    * array (it is read twice below). */
   private def t13(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val grams = when(size($"w") >= 3,
-        transform(sequence(lit(1), size($"w") - 2),
-          i => concat_ws(" ", element_at($"w", i), element_at($"w", i + 1),
-            element_at($"w", i + 2))))
-      .otherwise(array().cast("array<string>"))
     Tables(spark, dir).documents
       .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id", grams.as("g"))
+      .select($"doc_id", ngrams($"w", 3).as("g"))
       .select($"doc_id", size($"g").cast("long").as("n_3grams"),
         size(array_distinct($"g")).cast("long").as("n_distinct"))
       .select($"doc_id", $"n_3grams", $"n_distinct",
