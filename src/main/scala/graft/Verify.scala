@@ -16,7 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid: SPARK_GRAFT_ONLY=a,b restricts the dump (driver leaves it unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         // Materialize on the driver then rewrite from a single-partition
         // LocalRelation: `orderBy(...).coalesce(1).write` does NOT reliably

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M6 (continued) — the training-data curation steps downstream of
+  * quality filtering and dedup: benchmark decontamination, document
+  * chunking, sequence packing, and source-mixture weighting, plus the
+  * block-granular exact-substring dedup signal. Together with
+  * TextAnalysis/Dedup these complete the corpus-prep surface a
+  * pretraining pipeline runs end to end.
+  *
+  * Everything is native Catalyst (no UDFs); shared tokenization comes
+  * from TextAnalysis.words/ngrams, which already encode the
+  * projection-discipline and short-doc guards (see `ngrams` scaladoc).
+  */
+object PipelineOps extends QueryModule {
+  import TextAnalysis.{words, ngrams}
+
+  /** t14 — benchmark decontamination: flag training docs sharing any
+    * distinct word 5-gram with the held-out evaluation set (the
+    * GPT-3/PaLM-style n-gram-collision decontamination rule). The eval
+    * set here is the deterministic `doc_id % 10 = 7` slice standing in
+    * for a benchmark suite. Eval n-gram sets are benchmark-sized
+    * (MBs, not TBs), so the join side is broadcast: contamination
+    * checking runs at train-scan speed with ZERO shuffle of the
+    * training corpus at 100 TB. Joins on the raw gram string so both
+    * engines compute identical sets; a production run would join on
+    * xxhash64(gram) to shrink the broadcast (collisions only
+    * over-flag, which is the safe direction for decontamination). */
+  private def t14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The gram array is exploded as a DIRECT expression, never parked
+    // in an aliased column first: exploding an aliased attribute lets
+    // InferFiltersFromGenerate synthesize `size(g) > 0 AND isnotnull(g)`
+    // and predicate pushdown then substitutes the WHOLE gram-construction
+    // expression into that filter below the projection — the array gets
+    // built three times per row (measured 28 s → 3 s at sf0.1). With the
+    // expression inline the rule leaves the Generate alone.
+    val grams = Tables(spark, dir).documents
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(array_distinct(ngrams($"w", 5))).as("gram"))
+    val evalGrams = grams.filter($"doc_id" % 10 === 7)
+      .select($"gram").distinct()
+    grams.filter($"doc_id" % 10 =!= 7)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy($"doc_id")
+  }
+
+  /** t15 — document chunking: fixed 512-char windows on a 384-char
+    * stride (128-char overlap) — the context-window preparation step
+    * for embedding/retrieval pipelines. Pure per-row explode of an
+    * index sequence + substring: no shuffle, output volume bounded at
+    * len/stride chunks per doc, parallel per document at any corpus
+    * size. The `when(len > 0)` guard keeps empty docs from leaking a
+    * spurious chunk via sequence's negative-step default (m3's trap). */
+  private def t15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val len = length($"text").cast("long")
+    val nChunks = floor((len - 1).cast("double") / 384.0).cast("long") + 1L
+    val idxs = when(len > 0, sequence(lit(0L), nChunks - 1))
+      .otherwise(array().cast("array<bigint>"))
+    Tables(spark, dir).documents
+      .select($"doc_id", $"text", explode(idxs).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * 384 + 1).as("start_pos"),
+        $"text".substr(($"chunk_idx" * 384 + 1).cast("int"), lit(512)).as("chunk"))
+      .select($"doc_id", $"chunk_idx", $"start_pos",
+        length($"chunk").cast("long").as("chunk_len"),
+        md5($"chunk").as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** t16 — sequence packing: the concat-and-split batching step of a
+    * pretraining run (concatenate docs in a fixed order, cut every
+    * 1024 tokens; a doc belongs to the pack holding its first token).
+    * Expressed as a running token sum over doc_id order + integer
+    * division. The global running sum is the one sequential dependency
+    * in the whole corpus-prep pipeline — at 100 TB this becomes the
+    * standard two-pass form (per-partition token subtotals collected to
+    * compute partition start offsets, then per-partition local cumsum),
+    * which is embarrassingly parallel; the single-window form here is
+    * the same contract at fixture scale. Division is done in doubles
+    * (exact: token counts ≪ 2^53) so both engines floor identically. */
+  private def t16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).documents
+      .select($"doc_id", size(words($"text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"doc_id", $"n_tok",
+        floor(($"cum" - $"n_tok").cast("double") / 1024.0).cast("long").as("pack_id"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"pack_id")
+  }
+
+  /** t17 — source-mixture weighting: temperature-scaled sampling
+    * weights per source, w_s ∝ n_tokens_s^α at α = 0.5 (the
+    * multilingual/multi-source rebalancing rule from the mT5/XLM-R
+    * family). α = 0.5 is sqrt, which IEEE-754 requires to be correctly
+    * rounded — so both engines agree bitwise where an arbitrary
+    * pow(x, α) would be implementation-defined. The rounded weights
+    * are summed as exact decimals (order-insensitive), and each ratio
+    * is a fixed order of IEEE ops rounded to 6 decimals. One tiny
+    * aggregate (rows = #sources) after a map-combined token count:
+    * scan-bound at any corpus size. `oversample_factor` is the
+    * epoch-multiplicity a uniform-token sampler must apply per source
+    * to realize the mixture. */
+  private def t17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    Tables(spark, dir).documents
+      .select($"source", size(words($"text")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("w_raw",
+        round(sqrt($"n_tokens".cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("weight",
+        round($"w_raw".cast("double")
+          / sum($"w_raw").over(all).cast("double"), 6))
+      .withColumn("oversample_factor",
+        round($"weight" * sum($"n_tokens").over(all).cast("double")
+          / $"n_tokens".cast("double"), 6))
+      .select($"source", $"n_docs", $"n_tokens", $"weight", $"oversample_factor")
+      .orderBy($"source")
+  }
+
+  /** d9 — block-granular exact-substring dedup: cut each doc's token
+    * stream into consecutive 10-token blocks, hash each block, and
+    * surface blocks occurring in ≥2 distinct documents — the scalable
+    * approximation of suffix-array substring dedup (exact substring
+    * matches ≥10 tokens long are caught at block alignment; halving
+    * the block size tightens the bound). Per-row array math to blocks,
+    * then ONE map-combined aggregate keyed by 128-bit block hash; no
+    * doc bodies ever shuffle. This is the within-corpus complement of
+    * d6's whole-doc normalization dedup and t13's within-doc
+    * repetition ratio. */
+  private def d9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBlocks = ceil(size($"w").cast("double") / 10.0).cast("long")
+    val blocks = when(size($"w") > 0,
+        transform(sequence(lit(0L), nBlocks - 1),
+          b => md5(concat_ws(" ", slice($"w", (b * 10 + 1).cast("int"), lit(10))))))
+      .otherwise(array().cast("array<string>"))
+    Tables(spark, dir).documents
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", explode(blocks).as("block_hash"))
+      .groupBy($"block_hash")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"block_hash")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_decontamination"   -> (t14 _),
+    "t15_doc_chunks"        -> (t15 _),
+    "t16_seq_packing"       -> (t16 _),
+    "t17_mixture_weights"   -> (t17 _),
+    "d9_block_dedup"        -> (d9 _))
+
+  private val wordsSql =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    // 5-grams via d3's oracle idiom: range end is exclusive in DuckDB,
+    // inclusive slice w[i:i+4]; <5-token docs fall out as empty lists.
+    "t14_decontamination" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
+         |                i -> array_to_string(w[i:i+4], ' ')))) AS gram
+         |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)
+         |  WHERE len(w) >= 5),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+         |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7)
+         |SELECT doc_id, count(*) AS n_contaminated_grams
+         |FROM tr JOIN ev USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t15_doc_chunks" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, CAST(floor((length(text) - 1) / 384.0) AS BIGINT) + 1))
+        |           AS chunk_idx
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, chunk_idx,
+        |       chunk_idx * 384 + 1 AS start_pos,
+        |       CAST(length(substring(text, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS BIGINT)
+        |         AS chunk_len,
+        |       md5(substring(text, CAST(chunk_idx * 384 + 1 AS INT), 512)) AS chunk_hash
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t16_seq_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tok FROM documents),
+         |packed AS (
+         |  SELECT doc_id, n_tok,
+         |         CAST(floor(CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS DOUBLE)
+         |                    / 1024.0) AS BIGINT) AS pack_id
+         |  FROM toks)
+         |SELECT pack_id, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    "t17_mixture_weights" ->
+      s"""WITH src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |weighted AS (
+         |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |              AS w_raw
+         |  FROM src)
+         |SELECT source, n_docs, n_tokens,
+         |       round(CAST(w_raw AS DOUBLE)
+         |             / CAST(sum(w_raw) OVER () AS DOUBLE), 6) AS weight,
+         |       round(round(CAST(w_raw AS DOUBLE)
+         |                   / CAST(sum(w_raw) OVER () AS DOUBLE), 6)
+         |             * CAST(sum(n_tokens) OVER () AS DOUBLE)
+         |             / CAST(n_tokens AS DOUBLE), 6) AS oversample_factor
+         |FROM weighted ORDER BY source""".stripMargin,
+    "d9_block_dedup" ->
+      s"""WITH blk AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+         |           b -> md5(array_to_string(w[b*10+1 : b*10+10], ' ')))) AS block_hash
+         |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)
+         |  WHERE len(w) > 0)
+         |SELECT block_hash, count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_occurrences
+         |FROM blk GROUP BY block_hash
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY block_hash""".stripMargin)
+}

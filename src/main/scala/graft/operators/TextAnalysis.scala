@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
-  private def words(text: Column): Column =
+  private[operators] def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= lit(""))
 
   /** Space-joined word n-grams over an ALREADY-PROJECTED token-array
@@ -30,13 +30,13 @@ object TextAnalysis extends QueryModule {
     * referenced inside a transform lambda are re-evaluated PER ELEMENT
     * ACCESS (no CSE across lambda boundaries), which made t12 quadratic
     * per doc before the projection split (6.5 s → 0.5 s at sf0.1). */
-  private def ngrams(w: Column, n: Int): Column =
+  private[operators] def ngrams(w: Column, n: Int): Column =
     when(size(w) >= n,
         transform(sequence(lit(1), size(w) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  private val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
   /** t1 — token counting: whitespace tokens and a BPE-ish lexer regex
     * (letter runs | digit runs | single non-alnum glyph). */
@@ -53,24 +53,30 @@ object TextAnalysis extends QueryModule {
 
   /** t2 — quality scoring: stopword ratio, punctuation density, mean
     * token length, and a fixed linear blend. All single IEEE ops in a
-    * fixed order → bit-identical across engines. */
+    * fixed order → bit-identical across engines. Same projection
+    * discipline as t12/t13 (see `ngrams`): the token array and every
+    * count bind to their own attributes first — inlining the
+    * split+filter chain into each of the four output columns
+    * re-evaluated it per column (no CSE across lambda boundaries). */
   private def t2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = words($"text")
-    val nTok = size(w).cast("double")
-    val nStop = size(filter(w, x => x.isin(Stopwords.map(lit(_)): _*))).cast("double")
-    val nPunct = regexp_count($"text", lit("""[^A-Za-z0-9\s]""")).cast("double")
-    val nChars = length($"text").cast("double")
-    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
-    val punctRatio = when(nChars > 0, nPunct / nChars).otherwise(0.0)
-    val meanTokLen = when(nTok > 0, nChars / nTok).otherwise(0.0)
-    Tables(spark, dir).documents
+    val base = Tables(spark, dir).documents
+      .select($"doc_id", $"text", words($"text").as("w"))
       .select($"doc_id",
+        size($"w").cast("double").as("n_tok"),
+        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
+          .cast("double").as("n_stop"),
+        regexp_count($"text", lit("""[^A-Za-z0-9\s]""")).cast("double").as("n_punct"),
+        length($"text").cast("double").as("n_chars"))
+    val stopRatio = when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0)
+    val punctRatio = when($"n_chars" > 0, $"n_punct" / $"n_chars").otherwise(0.0)
+    val meanTokLen = when($"n_tok" > 0, $"n_chars" / $"n_tok").otherwise(0.0)
+    base.select($"doc_id",
         stopRatio.as("stopword_ratio"),
         punctRatio.as("punct_ratio"),
         meanTokLen.as("mean_token_len"),
         (lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
-          + lit(0.2) * least(nTok / 100.0, lit(1.0))).as("quality_score"))
+          + lit(0.2) * least($"n_tok" / 100.0, lit(1.0))).as("quality_score"))
       .orderBy($"doc_id")
   }
 
@@ -84,21 +90,26 @@ object TextAnalysis extends QueryModule {
       "de" -> Seq("der", "die", "das", "und", "ist"),
       "es" -> Seq("el", "la", "los", "de", "y"),
       "fr" -> Seq("le", "les", "et", "une", "un"))
-    val w = words($"text")
-    val score: Map[String, Column] = markers.map { case (lang, ms) =>
-      lang -> size(filter(w, x => x.isin(ms.map(lit(_)): _*))).cast("long")
-    }.toMap
+    // t12's projection discipline: one tokenize, then one filter per
+    // language over the BOUND array, then argmax over bound counts —
+    // the inline form re-tokenized per marker-list reference.
+    val scoreCols = markers.map { case (lang, ms) =>
+      size(filter($"w", x => x.isin(ms.map(lit(_)): _*)))
+        .cast("long").as(s"sc_$lang")
+    }
+    val scored = Tables(spark, dir).documents
+      .select($"doc_id", $"lang", words($"text").as("w"))
+      .select($"doc_id" +: $"lang" +: scoreCols: _*)
     val predicted =
-      when(score("en") >= score("de") && score("en") >= score("es")
-        && score("en") >= score("fr"), "en")
-        .when(score("de") >= score("es") && score("de") >= score("fr"), "de")
-        .when(score("es") >= score("fr"), "es")
+      when($"sc_en" >= $"sc_de" && $"sc_en" >= $"sc_es"
+        && $"sc_en" >= $"sc_fr", "en")
+        .when($"sc_de" >= $"sc_es" && $"sc_de" >= $"sc_fr", "de")
+        .when($"sc_es" >= $"sc_fr", "es")
         .otherwise("fr")
-    Tables(spark, dir).documents
+    scored
       .select($"doc_id",
         predicted.as("predicted_lang"),
-        score("en").as("sc_en"), score("de").as("sc_de"),
-        score("es").as("sc_es"), score("fr").as("sc_fr"),
+        $"sc_en", $"sc_de", $"sc_es", $"sc_fr",
         (predicted === $"lang").as("agrees_with_label"))
       .orderBy($"doc_id")
   }
@@ -138,12 +149,14 @@ object TextAnalysis extends QueryModule {
   private def t5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = words($"text")
-    val nTok = size(w).cast("double")
-    val nStop = size(filter(w, x => x.isin(Stopwords.map(lit(_)): _*))).cast("double")
-    val quality = when(nTok > 0, nStop / nTok).otherwise(0.0)
     val scored = Tables(spark, dir).documents
-      .select($"doc_id", quality.as("q"))
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id",
+        size($"w").cast("double").as("n_tok"),
+        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
+          .cast("double").as("n_stop"))
+      .select($"doc_id",
+        when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0).as("q"))
     scored
       .withColumn("pr", percent_rank().over(Window.orderBy($"q")))
       .filter($"pr" >= 0.25)
@@ -300,16 +313,21 @@ object TextAnalysis extends QueryModule {
   private def pipe1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = words($"text")
-    val nTok = size(w).cast("double")
-    val nStop = size(filter(w, x => x.isin(Stopwords.map(lit(_)): _*))).cast("double")
-    val quality = when(nTok > 0, nStop / nTok).otherwise(0.0)
     val normalized = trim(regexp_replace(
       regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
-
+    // Tokenize ONCE into a bound attribute (t12's projection
+    // discipline); q and total_tokens both derive from its size.
     val survivors = Tables(spark, dir).documents
-      .select($"doc_id", $"lang", $"text", $"n_chars", quality.as("q"),
+      .select($"doc_id", $"lang", $"n_chars", words($"text").as("w"),
         sha2(normalized, 256).as("norm_hash"))
+      .select($"doc_id", $"lang", $"n_chars", $"norm_hash",
+        size($"w").cast("long").as("n_tok"),
+        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
+          .cast("long").as("n_stop"))
+      .select($"doc_id", $"lang", $"n_chars", $"n_tok", $"norm_hash",
+        when($"n_tok" > 0,
+          $"n_stop".cast("double") / $"n_tok".cast("double"))
+          .otherwise(0.0).as("q"))
       .withColumn("pr", percent_rank().over(Window.orderBy($"q")))
       .filter($"pr" >= 0.25)
     // Dedup via a per-hash ranking window, not groupBy-min + semi-join:
@@ -322,7 +340,7 @@ object TextAnalysis extends QueryModule {
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_chars").as("total_chars"),
-        sum(size(words($"text")).cast("long")).as("total_tokens"))
+        sum($"n_tok").as("total_tokens"))
       .orderBy($"lang")
   }
 

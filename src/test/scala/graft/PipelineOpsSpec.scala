@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Joins, Olap, Scalars, TextAnalysis, WritePath}
+import graft.operators.{Joins, Olap, PipelineOps, Scalars, TextAnalysis, WritePath}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -218,5 +218,108 @@ class PipelineOpsSpec extends AnyFunSuite {
         assert(a._5 <= b._4, s"$seg ranges overlap: $a $b")
       }
     }
+  }
+
+  // ---- round-3 curation operators ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def collectedDocs: Array[(Long, String, Seq[String])] =
+    Tables(spark, dir).documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(1).split("\\s+").filterNot(_.isEmpty).toSeq))
+
+  test("t14 decontamination matches a brute-force 5-gram recount") {
+    val out = PipelineOps.queries("t14_decontamination")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keys.forall(_ % 10 != 7), "eval docs must never be flagged")
+    def grams(w: Seq[String]): Set[String] =
+      if (w.length < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    val docs = collectedDocs
+    val evalGrams = docs.filter(_._1 % 10 == 7).flatMap(d => grams(d._3)).toSet
+    val expect = docs.filter(_._1 % 10 != 7)
+      .map { case (id, _, w) => id -> grams(w).count(evalGrams.contains).toLong }
+      .filter(_._2 > 0).toMap
+    assert(out == expect)
+  }
+
+  test("t15 chunks tile every doc: count, lengths, and hashes recompute") {
+    val out = PipelineOps.queries("t15_doc_chunks")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = out.groupBy(_._1)
+    collectedDocs.foreach { case (id, text, _) =>
+      val len = text.length
+      val chunks = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+      if (len == 0) assert(chunks.isEmpty)
+      else {
+        assert(chunks.length == (len - 1) / 384 + 1, s"doc $id chunk count")
+        chunks.foreach { case (_, idx, start, clen, hash) =>
+          assert(start == idx * 384 + 1)
+          val s = (start - 1).toInt
+          val sub = text.substring(s, math.min(s + 512, len))
+          assert(clen == sub.length && hash == md5hex(sub), s"doc $id chunk $idx")
+        }
+      }
+    }
+  }
+
+  test("t16 packing: packs are contiguous doc ranges conserving all tokens") {
+    val out = PipelineOps.queries("t16_seq_packing")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val totalTokens = collectedDocs.map(_._3.length.toLong).sum
+    assert(out.map(_._3).sum == totalTokens, "token conservation")
+    assert(out.map(_._2).sum == collectedDocs.length.toLong, "doc conservation")
+    // Doc-id ranges partition the corpus in order: pack k's last_doc
+    // precedes pack k+1's first_doc, with no gaps in coverage.
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 < b._4, s"pack ranges overlap: $a $b")
+      case _ => ()
+    }
+    // Each pack's id equals floor(tokens-before-pack / 1024): replay the
+    // running sum over docs in order.
+    var cum = 0L
+    val expected = collectedDocs.sortBy(_._1).map { case (id, _, w) =>
+      val pack = cum / 1024
+      cum += w.length
+      id -> pack
+    }.toMap
+    val firstDocPack = out.map(t => t._4 -> t._1).toMap
+    firstDocPack.foreach { case (doc, pack) =>
+      assert(expected(doc) == pack, s"doc $doc pack")
+    }
+  }
+
+  test("t17 mixture weights sum to one and follow sqrt-token scaling") {
+    val rows = PipelineOps.queries("t17_mixture_weights")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val wSum = rows.map(_._4).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    // Monotone: more tokens, >= weight; and oversample inverts share.
+    val sorted = rows.sortBy(_._3)
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4 + 1e-9, s"weight not monotone: $a $b")
+      case _ => ()
+    }
+    val totalTok = rows.map(_._3).sum.toDouble
+    rows.foreach { case (src, _, nTok, w, over) =>
+      val expectOver = w * totalTok / nTok
+      assert(math.abs(over - expectOver) < 1e-5, s"$src oversample")
+    }
+  }
+
+  test("d9 block dedup matches a brute-force block-hash recount") {
+    val out = PipelineOps.queries("d9_block_dedup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val blocks = collectedDocs.flatMap { case (id, _, w) =>
+      w.grouped(10).map(b => id -> md5hex(b.mkString(" ")))
+    }
+    val expect = blocks.groupBy(_._2).map { case (h, occ) =>
+      (h, occ.map(_._1).distinct.length.toLong, occ.length.toLong)
+    }.filter(_._2 >= 2).toSet
+    assert(out == expect)
+    assert(out.forall(_._2 >= 2))
   }
 }
