@@ -225,7 +225,33 @@ object Events extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** e11 — per-user inter-arrival profile: gaps between consecutive
+    * events via one user-window lag, then per-user mean/max in the
+    * same shuffle's aggregate. The session-analysis primitive under
+    * timeout tuning (e5's session gap) and bot detection (machine-like
+    * uniform gaps). Gap arithmetic is exact integer microseconds
+    * (unix_micros, never float seconds) until the final display
+    * division; one fact shuffle on user_id total. */
+  private def e11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"t_us", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"event_id",
+        unix_micros($"ts").as("t_us"))
+      .withColumn("gap_us", $"t_us" - lag($"t_us", 1).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count($"gap_us").as("n_gaps"),
+        // Exact long sum, then one fixed division chain — avg() would
+        // accumulate in engine-specific order.
+        round(sum($"gap_us").cast("double") / count($"gap_us") / 1e6, 6)
+          .as("mean_gap_s"),
+        (max($"gap_us").cast("double") / 1e6).as("max_gap_s"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_interarrival"     -> (e11 _),
     "e10_zscore_outliers"  -> (e10 _),
     "e9_cohort_retention"  -> (e9 _),
     "e8_funnel"            -> (e8 _),
@@ -239,6 +265,17 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    "e11_interarrival" ->
+      """WITH gapped AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
+        |       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 6)
+        |         AS mean_gap_s,
+        |       CAST(max(gap_us) AS DOUBLE) / 1e6 AS max_gap_s
+        |FROM gapped GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e10_zscore_outliers" ->
       s"""WITH stats AS (
          |  SELECT event_type,

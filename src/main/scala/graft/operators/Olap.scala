@@ -319,7 +319,35 @@ object Olap extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Least-squares regression per group (slope, intercept, R²) —
+    * y = l_extendedprice on x = l_quantity — from the same six exact
+    * decimal moments as `corrQ` (the builtin regr_* family shares
+    * corr's engine-divergent float accumulation). One map-combined
+    * pass; ratios are fixed-order IEEE ops rounded to 9. The moments
+    * shape is THE scalable form for any per-group statistic: partials
+    * carry six numbers regardless of group size. */
+  private def regrQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity"
+    val y = $"l_extendedprice"
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+        dsum(x * y).as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(slope, 9).as("slope"),
+        round(($"sy" - slope * $"sx") / $"n", 9).as("intercept"),
+        round((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy"))
+          / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 9)
+          .as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_regr"             -> (regrQ _),
     "olap_corr"             -> (corrQ _),
     "olap_ntile_quartiles"  -> (ntileQ _),
     "olap_histogram"        -> (histogramQ _),
@@ -352,6 +380,22 @@ object Olap extends QueryModule {
          |       round((n * sxy - sx * sy)
          |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
          |         AS corr_qty_price
+         |FROM (
+         |  SELECT l_returnflag, count(*) AS n,
+         |         ${sqlDsum("l_quantity")} AS sx,
+         |         ${sqlDsum("l_extendedprice")} AS sy,
+         |         ${sqlDsum("l_quantity * l_quantity")} AS sxx,
+         |         ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy,
+         |         ${sqlDsum("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
+    "olap_regr" ->
+      s"""SELECT l_returnflag, n,
+         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+         |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+         |         AS intercept,
+         |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
          |FROM (
          |  SELECT l_returnflag, count(*) AS n,
          |         ${sqlDsum("l_quantity")} AS sx,

@@ -128,6 +128,165 @@ object StarSchema extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** TPC-H Q7-style: volume shipping between two nations — customer in
+    * one, supplier in the other, both directions, revenue by (supplier
+    * nation, customer nation, ship year). The two nation dimensions
+    * broadcast under DIFFERENT aliases (self-join of a dimension, not
+    * of the fact); the only fact-sized shuffle is the final group-by. */
+  private def q7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val custNation = t.nation
+      .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    val suppNation = t.nation
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    t.lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(custNation, $"c_nationkey" === $"cn_key")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .join(suppNation, $"s_nationkey" === $"sn_key")
+      .filter(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7")
+        || ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q8-style: national market share — of all STANDARD-part
+    * revenue delivered to ASIA-region customers, the fraction supplied
+    * by NATION_5, per order year. The share is a ratio of two
+    * conditional decimal sums in one aggregate pass (no self-join),
+    * rounded to 9 (q14's discipline). */
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val suppNation = t.nation
+      .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    t.part.filter($"p_type" === "STANDARD")
+      .join(t.lineitem, $"l_partkey" === $"p_partkey")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(t.nation, $"c_nationkey" === $"n_nationkey")
+      .join(t.region.filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .join(suppNation, $"s_nationkey" === $"sn_key")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(round(
+        dsum0(when($"supp_nation" === "NATION_5",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          / dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 9)
+        .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q13-style: customer order-count distribution — LEFT join so
+    * zero-order customers land in the c_count=0 bucket (the classic
+    * outer-join-then-histogram shape; an inner join would silently drop
+    * them). The join predicate's non-urgent filter lives ON the join,
+    * not WHERE (a WHERE would turn the join inner). */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q15-style: top supplier(s) by quarter revenue — the
+    * view + scalar-max shape. Revenue is an exact decimal sum cast to
+    * double, so the `rev === max(rev)` equality is bit-safe on both
+    * engines (never compare float aggregates built any other way). */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
+    rev.join(broadcast(maxRev), $"total_revenue" === $"max_revenue")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q17-style: small-quantity-order revenue — lineitems of one
+    * brand's parts below 20% of that part's average quantity. The
+    * correlated `avg` decorrelates to a per-part aggregate joined back
+    * to the fact (thresholds are part-count-sized → broadcast); the
+    * threshold is exact-decimal avg so the `<` comparison can't
+    * straddle engines. */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val brandParts = t.part.filter($"p_brand" === "Brand#12").select($"p_partkey")
+    val brandItems = t.lineitem
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+    val thresholds = brandItems
+      .groupBy($"l_partkey".as("t_partkey"))
+      .agg((davg($"l_quantity") * 0.2).as("qty_threshold"))
+    brandItems
+      .join(broadcast(thresholds), $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"qty_threshold")
+      .agg(round(dsum0($"l_extendedprice") / 7.0, 9).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-style: disjunctive brand/size/quantity predicates —
+    * three OR'd conjunct groups over the part×lineitem join. Catalyst
+    * extracts the common `l_partkey = p_partkey` equi-condition and
+    * keeps the disjunction as a join residual; the brand IN-list
+    * prunes the broadcast build side. */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.part.filter($"p_brand".isin("Brand#12", "Brand#2", "Brand#3")),
+        $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15)
+          && $"l_quantity".between(1, 11))
+          || ($"p_brand" === "Brand#2" && $"p_size".between(1, 25)
+            && $"l_quantity".between(10, 20))
+          || ($"p_brand" === "Brand#3" && $"p_size".between(1, 35)
+            && $"l_quantity".between(20, 30)))
+      .agg(dsum0($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q22-style: wealthy inactive customers — balance above the
+    * global positive-balance average AND no orders since 1999 (every
+    * fixture customer has SOME order, so the lapsed-window form keeps
+    * the anti-join meaningfully selective), bucketed by nation group
+    * (stands in for the phone country code the fixture lacks).
+    * Anti-join + broadcast scalar threshold: both sides of the
+    * comparison are exact-decimal aggregates, so the filter is
+    * engine-stable. */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val avgBal = t.customer.filter($"c_acctbal" > 0.0)
+      .agg(davg($"c_acctbal").as("avg_bal"))
+    t.customer
+      .join(broadcast(avgBal), $"c_acctbal" > $"avg_bal")
+      .join(t.orders.filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp")),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy(($"c_nationkey" % 5).cast("long").as("nation_group"))
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal").as("totacctbal"))
+      .orderBy($"nation_group")
+  }
+
   private val Salt = 8
 
   /** Two-phase salted aggregation: phase 1 groups by (key, salt) —
@@ -148,8 +307,15 @@ object StarSchema extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q4"           -> (q4 _),
     "tpch_q5"           -> (q5 _),
+    "tpch_q7"           -> (q7 _),
+    "tpch_q8"           -> (q8 _),
     "tpch_q10"          -> (q10 _),
+    "tpch_q13"          -> (q13 _),
     "tpch_q14"          -> (q14 _),
+    "tpch_q15"          -> (q15 _),
+    "tpch_q17"          -> (q17 _),
+    "tpch_q19"          -> (q19 _),
+    "tpch_q22"          -> (q22 _),
     "olap_percentiles"  -> (percentiles _),
     "dim_supplier_geo"  -> (suppliers _),
     "skew_salted_agg"   -> (salted _))
@@ -213,5 +379,92 @@ object StarSchema extends QueryModule {
     "skew_salted_agg" ->
       s"""SELECT l_returnflag, count(*) AS n,
          |       ${sqlDsum0("l_quantity")} AS sum_qty
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "tpch_q7" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+         |    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       round(
+         |         ${sqlDsum0("CASE WHEN sn.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) END")}
+         |         / ${sqlDsum("l_extendedprice * (1.0 - l_discount)")}, 9) AS mkt_share
+         |FROM part
+         |JOIN lineitem ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q15" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |         ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q17" ->
+      s"""WITH brand_items AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#12'),
+         |thresholds AS (
+         |  SELECT l_partkey AS t_partkey,
+         |         ${sqlDavg("l_quantity")} * 0.2 AS qty_threshold
+         |  FROM brand_items GROUP BY l_partkey)
+         |SELECT round(${sqlDsum0("l_extendedprice")} / 7.0, 9) AS avg_yearly
+         |FROM brand_items JOIN thresholds ON l_partkey = t_partkey
+         |WHERE l_quantity < qty_threshold""".stripMargin,
+    "tpch_q19" ->
+      s"""SELECT ${sqlDsum0("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q22" ->
+      s"""SELECT CAST(c_nationkey % 5 AS BIGINT) AS nation_group,
+         |       count(*) AS numcust,
+         |       ${sqlDsum("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${sqlDavg("c_acctbal")}
+         |                   FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+         |GROUP BY 1 ORDER BY nation_group""".stripMargin)
 }

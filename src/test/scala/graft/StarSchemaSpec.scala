@@ -1,0 +1,176 @@
+package graft
+
+import graft.operators.{Events, Olap, StarSchema}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior contracts for the round-3 OLAP additions: the widened
+  * TPC-H family (q7/q8/q13/q15/q17/q19/q22), the exact-moment
+  * regression stats, and the inter-arrival profile. Each invariant is
+  * checked against an independent reformulation, not the query's own
+  * plan. */
+class StarSchemaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q7 emits only the two requested nation pairs, both directions") {
+    val rows = StarSchema.queries("tpch_q7")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.nonEmpty)
+    assert(rows.toSet.subsetOf(
+      Set(("NATION_3", "NATION_7"), ("NATION_7", "NATION_3"))))
+  }
+
+  test("q8 market share is a valid fraction and matches a two-query recompute") {
+    import spark.implicits._
+    val shares = StarSchema.queries("tpch_q8")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(shares.nonEmpty)
+    assert(shares.values.forall(s => s >= 0.0 && s <= 1.0))
+    // Independent recompute: numerator and denominator as separate
+    // aggregates over a re-declared join tree.
+    val t = Tables(spark, dir)
+    val base = t.part.filter($"p_type" === "STANDARD")
+      .join(t.lineitem, $"l_partkey" === $"p_partkey")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(t.nation, $"c_nationkey" === $"n_nationkey")
+      .join(t.region.filter($"r_name" === "ASIA"), $"n_regionkey" === $"r_regionkey")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .join(t.nation.select($"n_nationkey".as("snk"), $"n_name".as("sn")),
+        $"s_nationkey" === $"snk")
+      .select(year($"o_orderdate").as("y"), $"sn",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    base.groupBy(_._1).foreach { case (y, rs) =>
+      val num = rs.filter(_._2 == "NATION_5").map(_._3).sum
+      val den = rs.map(_._3).sum
+      assert(math.abs(shares(y.toLong) - num / den) < 1e-6, s"year $y")
+    }
+  }
+
+  test("q13 distribution accounts for every customer incl. zero-order ones") {
+    import spark.implicits._
+    val rows = StarSchema.queries("tpch_q13")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nCustomers = Tables(spark, dir).customer.count()
+    assert(rows.map(_._2).sum == nCustomers, "histogram covers all customers")
+    // Cross-check total order count against a direct filter count.
+    val nOrders = Tables(spark, dir).orders
+      .filter($"o_orderpriority" =!= "1-URGENT").count()
+    assert(rows.map { case (c, d) => c * d }.sum == nOrders)
+  }
+
+  test("q15 returns exactly the argmax suppliers of a direct revenue recompute") {
+    import spark.implicits._
+    val out = StarSchema.queries("tpch_q15")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val direct = Tables(spark, dir).lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(graft.operators.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val maxRev = direct.map(_._2).max
+    assert(out.map(_._1).toSet == direct.filter(_._2 == maxRev).map(_._1).toSet)
+    assert(out.forall(_._2 == maxRev))
+  }
+
+  test("q17 equals a driver-side recompute of the per-part 20%-of-avg rule") {
+    import spark.implicits._
+    val out = StarSchema.queries("tpch_q17")(spark, dir).collect()(0).getDouble(0)
+    val items = Tables(spark, dir).lineitem
+      .join(Tables(spark, dir).part.filter($"p_brand" === "Brand#12"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val thresholds = items.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(_._2).sum / rs.length * 0.2
+    }
+    val expect = items.filter { case (k, q, _) => q < thresholds(k) }
+      .map(_._3).sum / 7.0
+    assert(math.abs(out - expect) < 1e-6)
+  }
+
+  test("q19 equals the sum of the three disjunct branches computed separately") {
+    import spark.implicits._
+    val out = StarSchema.queries("tpch_q19")(spark, dir).collect()(0).getDouble(0)
+    val t = Tables(spark, dir)
+    val joined = t.lineitem.join(t.part, $"l_partkey" === $"p_partkey")
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Double =
+      joined.filter($"p_brand" === brand && $"p_size".between(1, sizeHi)
+          && $"l_quantity".between(qLo, qHi))
+        .agg(graft.operators.dsum0($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .collect()(0).getDouble(0)
+    // Brand disjuncts are mutually exclusive, so the branch sums add.
+    val expect = branch("Brand#12", 15, 1, 11) + branch("Brand#2", 25, 10, 20) +
+      branch("Brand#3", 35, 20, 30)
+    assert(math.abs(out - expect) < 1e-6)
+  }
+
+  test("q22 flags only above-average-balance customers with no recent orders") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q22")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bals = t.customer.select($"c_custkey", $"c_nationkey", $"c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val pos = bals.map(_._3).filter(_ > 0.0)
+    val avgBal = pos.sum / pos.length
+    val recent = t.orders
+      .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+      .select($"o_custkey").collect().map(_.getLong(0)).toSet
+    val eligible = bals.filter(c => c._3 > avgBal && !recent.contains(c._1))
+    val expect = eligible.groupBy(_._2 % 5).map { case (g, cs) =>
+      (g.toLong, cs.length.toLong, cs.map(_._3).sum)
+    }.toSet
+    assert(out.map(r => (r._1, r._2)).toSet ==
+      expect.map(r => (r._1, r._2)), "group counts")
+    out.foreach { case (g, _, tot) =>
+      val e = expect.find(_._1 == g).get._3
+      assert(math.abs(tot - e) < 1e-6, s"group $g total")
+    }
+  }
+
+  test("olap_regr matches the builtin regr_slope/regr_intercept/regr_r2") {
+    import spark.implicits._
+    val exact = Olap.queries("olap_regr")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val builtin = Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("s"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("i"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    exact.foreach { case (flag, s, i, r) =>
+      val (bs, bi, br) = builtin(flag)
+      assert(math.abs(s - bs) < 1e-6, s"$flag slope")
+      assert(math.abs(i - bi) < 1e-6, s"$flag intercept")
+      assert(math.abs(r - br) < 1e-6, s"$flag r2")
+    }
+  }
+
+  test("e11 gap profile matches a per-user replay of the event log") {
+    import spark.implicits._
+    val out = Events.queries("e11_interarrival")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val byUser = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts"), $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(out.length == byUser.size)
+    out.foreach { case (u, nEvents, nGaps, meanS, maxS) =>
+      val ts = byUser(u).sortBy(e => (e._2, e._3)).map(_._2)
+      assert(nEvents == ts.length && nGaps == ts.length - 1, s"user $u counts")
+      if (nGaps > 0) {
+        val gaps = ts.sliding(2).map { case Array(a, b) => b - a }.toSeq
+        assert(maxS == gaps.max.toDouble / 1e6, s"user $u max gap")
+        val mean = gaps.sum.toDouble / gaps.length / 1e6
+        assert(math.abs(meanS - mean) < 1e-5, s"user $u mean gap")
+      }
+    }
+  }
+}
