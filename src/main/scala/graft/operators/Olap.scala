@@ -313,9 +313,14 @@ object Olap extends QueryModule {
         dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
         dsum(x * y).as("sxy"))
       .select($"l_returnflag", $"n",
-        round(($"n" * $"sxy" - $"sx" * $"sy")
-          / sqrt(($"n" * $"sxx" - $"sx" * $"sx")
-               * ($"n" * $"syy" - $"sy" * $"sy")), 9).as("corr_qty_price"))
+        // Degenerate-group guard (e10's discipline): a singleton or
+        // constant-valued group has zero variance → NULL, matching the
+        // builtin corr's semantics instead of emitting NaN.
+        when(($"n" * $"sxx" - $"sx" * $"sx") =!= 0
+            && ($"n" * $"syy" - $"sy" * $"sy") =!= 0,
+          round(($"n" * $"sxy" - $"sx" * $"sy")
+            / sqrt(($"n" * $"sxx" - $"sx" * $"sx")
+                 * ($"n" * $"syy" - $"sy" * $"sy")), 9)).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
 
@@ -331,6 +336,11 @@ object Olap extends QueryModule {
     val x = $"l_quantity"
     val y = $"l_extendedprice"
     val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    // Degenerate-group guard (e10's discipline): zero x-variance (or,
+    // for r2, zero y-variance) → NULL like the builtin regr_* family,
+    // never a NaN/Infinity division.
+    val dxx = $"n" * $"sxx" - $"sx" * $"sx"
+    val dyy = $"n" * $"syy" - $"sy" * $"sy"
     Tables(spark, dir).lineitem
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -338,11 +348,11 @@ object Olap extends QueryModule {
         dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
         dsum(x * y).as("sxy"))
       .select($"l_returnflag", $"n",
-        round(slope, 9).as("slope"),
-        round(($"sy" - slope * $"sx") / $"n", 9).as("intercept"),
-        round((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy"))
-          / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 9)
-          .as("r2"))
+        when(dxx =!= 0, round(slope, 9)).as("slope"),
+        when(dxx =!= 0, round(($"sy" - slope * $"sx") / $"n", 9)).as("intercept"),
+        when(dxx =!= 0 && dyy =!= 0,
+          round((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy"))
+            / (dxx * dyy), 9)).as("r2"))
       .orderBy($"l_returnflag")
   }
 
@@ -377,9 +387,10 @@ object Olap extends QueryModule {
   val oracles: Map[String, String] = Map(
     "olap_corr" ->
       s"""SELECT l_returnflag, n,
-         |       round((n * sxy - sx * sy)
-         |             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
-         |         AS corr_qty_price
+         |       CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+         |            THEN round((n * sxy - sx * sy)
+         |                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         |       END AS corr_qty_price
          |FROM (
          |  SELECT l_returnflag, count(*) AS n,
          |         ${sqlDsum("l_quantity")} AS sx,
@@ -391,11 +402,16 @@ object Olap extends QueryModule {
          |ORDER BY l_returnflag""".stripMargin,
     "olap_regr" ->
       s"""SELECT l_returnflag, n,
-         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
-         |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
-         |         AS intercept,
-         |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+         |       CASE WHEN (n * sxx - sx * sx) <> 0
+         |            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+         |       END AS slope,
+         |       CASE WHEN (n * sxx - sx * sx) <> 0
+         |            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+         |       END AS intercept,
+         |       CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+         |            THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         |                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         |       END AS r2
          |FROM (
          |  SELECT l_returnflag, count(*) AS n,
          |         ${sqlDsum("l_quantity")} AS sx,

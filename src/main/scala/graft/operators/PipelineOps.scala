@@ -77,23 +77,40 @@ object PipelineOps extends QueryModule {
   /** t16 — sequence packing: the concat-and-split batching step of a
     * pretraining run (concatenate docs in a fixed order, cut every
     * 1024 tokens; a doc belongs to the pack holding its first token).
-    * Expressed as a running token sum over doc_id order + integer
-    * division. The global running sum is the one sequential dependency
-    * in the whole corpus-prep pipeline — at 100 TB this becomes the
-    * standard two-pass form (per-partition token subtotals collected to
-    * compute partition start offsets, then per-partition local cumsum),
-    * which is embarrassingly parallel; the single-window form here is
-    * the same contract at fixture scale. Division is done in doubles
-    * (exact: token counts ≪ 2^53) so both engines floor identically. */
+    * The running token sum is the one sequential dependency in the
+    * whole corpus-prep pipeline, so it is computed in the standard
+    * TWO-PASS parallel-prefix form, never as a global-order window
+    * (whose empty partition spec plans a single-task sort of the whole
+    * corpus): docs bucket by doc_id range (a pure function of the key,
+    * so every branch derives identical buckets); pass 1 is a
+    * PARTITIONED running sum within each bucket; pass 2 aggregates one
+    * subtotal row per bucket and prefix-sums THOSE into bucket start
+    * offsets — the only global-ordered operation runs over the
+    * bucket-count-sized aggregate, not the corpus. Offsets broadcast
+    * back; cum = offset + local_cum exactly. At 100 TB size the bucket
+    * so bucket count ≈ task count (or recurse the offset pass once
+    * more); both branches share the scan+shuffle via exchange reuse.
+    * Division is done in doubles (exact: token counts ≪ 2^53) so both
+    * engines floor identically. */
+  private val PackBucketWidth = 64L
+
   private def t16(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir).documents
-      .select($"doc_id", size(words($"text")).cast("long").as("n_tok"))
-      .withColumn("cum", sum($"n_tok").over(w))
+    val local = Tables(spark, dir).documents
+      .select($"doc_id", size(words($"text")).cast("long").as("n_tok"),
+        floor($"doc_id" / PackBucketWidth.toDouble).cast("long").as("bkt"))
+      .withColumn("local_cum", sum($"n_tok").over(
+        Window.partitionBy($"bkt").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy($"bkt").agg(sum($"n_tok").as("subtotal"))
+      .withColumn("offset", coalesce(sum($"subtotal").over(
+        Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bkt", $"offset")
+    local.join(broadcast(offsets), Seq("bkt"))
       .select($"doc_id", $"n_tok",
-        floor(($"cum" - $"n_tok").cast("double") / 1024.0).cast("long").as("pack_id"))
+        floor(($"offset" + $"local_cum" - $"n_tok").cast("double") / 1024.0)
+          .cast("long").as("pack_id"))
       .groupBy($"pack_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
@@ -126,8 +143,13 @@ object PipelineOps extends QueryModule {
         round($"w_raw".cast("double")
           / sum($"w_raw").over(all).cast("double"), 6))
       .withColumn("oversample_factor",
-        round($"weight" * sum($"n_tokens").over(all).cast("double")
-          / $"n_tokens".cast("double"), 6))
+        // Guard: a source whose docs are all empty has n_tokens = 0 and
+        // would emit 0*total/0 = NaN, whose division semantics differ
+        // across DuckDB builds; pin the factor to 0 on both engines.
+        when($"n_tokens" > 0,
+          round($"weight" * sum($"n_tokens").over(all).cast("double")
+            / $"n_tokens".cast("double"), 6))
+          .otherwise(lit(0.0)))
       .select($"source", $"n_docs", $"n_tokens", $"weight", $"oversample_factor")
       .orderBy($"source")
   }
@@ -220,10 +242,12 @@ object PipelineOps extends QueryModule {
          |SELECT source, n_docs, n_tokens,
          |       round(CAST(w_raw AS DOUBLE)
          |             / CAST(sum(w_raw) OVER () AS DOUBLE), 6) AS weight,
-         |       round(round(CAST(w_raw AS DOUBLE)
-         |                   / CAST(sum(w_raw) OVER () AS DOUBLE), 6)
-         |             * CAST(sum(n_tokens) OVER () AS DOUBLE)
-         |             / CAST(n_tokens AS DOUBLE), 6) AS oversample_factor
+         |       CASE WHEN n_tokens > 0 THEN
+         |         round(round(CAST(w_raw AS DOUBLE)
+         |                     / CAST(sum(w_raw) OVER () AS DOUBLE), 6)
+         |               * CAST(sum(n_tokens) OVER () AS DOUBLE)
+         |               / CAST(n_tokens AS DOUBLE), 6)
+         |       ELSE 0.0 END AS oversample_factor
          |FROM weighted ORDER BY source""".stripMargin,
     "d9_block_dedup" ->
       s"""WITH blk AS (

@@ -142,13 +142,19 @@ object TextAnalysis extends QueryModule {
   }
 
   /** t5 — quality-percentile filtering: drop the bottom quartile by
-    * quality score (the standard corpus-filtering step). Exact
-    * percent_rank here (oracle-able); at 100 TB use approx_percentile
-    * to derive the threshold without a global sort, then a plain
-    * filter — same output contract. */
+    * quality score (the standard corpus-filtering step). The cutpoint
+    * is an exact `percentile` SCALAR, broadcast into a plain filter —
+    * never a `percent_rank` window, whose empty partition spec plans a
+    * single-task sort of the whole corpus (the defining one-reducer
+    * bottleneck at 100×). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the interpolation formula
+    * `(ceil(rk)-rk)*lo + (rk-floor(rk))*hi` at rk = 0.25*(N-1) (exact
+    * in binary: 0.25 is a power of two), so the threshold is
+    * bit-identical across engines and the >= comparison cannot
+    * straddle. At 100 TB swap `percentile` for `approx_percentile`:
+    * same two-scan shape, sketch-mergeable, constant memory. */
   private def t5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val scored = Tables(spark, dir).documents
       .select($"doc_id", words($"text").as("w"))
       .select($"doc_id",
@@ -157,10 +163,9 @@ object TextAnalysis extends QueryModule {
           .cast("double").as("n_stop"))
       .select($"doc_id",
         when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0).as("q"))
-    scored
-      .withColumn("pr", percent_rank().over(Window.orderBy($"q")))
-      .filter($"pr" >= 0.25)
-      .select($"doc_id", $"q", $"pr")
+    val thr = scored.agg(percentile($"q", lit(0.25)).as("q25"))
+    scored.join(broadcast(thr), $"q" >= $"q25")
+      .select($"doc_id", $"q")
       .orderBy($"doc_id")
   }
 
@@ -304,12 +309,16 @@ object TextAnalysis extends QueryModule {
     * quality-filter (drop the bottom quartile by stopword-ratio score,
     * t5's rule) → exact dedup on normalized text among the survivors
     * (d6's rule, keep min doc_id) → per-language corpus accounting.
-    * This is the actual production shape: because it is a single
-    * Catalyst plan, the scan happens ONCE and every stage pipelines —
-    * no materialization between "steps" the way a script-per-stage
-    * pipeline would. At 100 TB the only global operation is the exact
-    * percentile (swap for approx_percentile, same contract); filter,
-    * hash-dedup, and the final aggregate are all map-combined. */
+    * This is the actual production shape: TWO embarrassingly-parallel
+    * passes over the corpus — a stats pass (column-pruned to `text`,
+    * map-combined `percentile` of the quality score) whose scalar
+    * threshold broadcasts into the main pass (filter → hash-dedup →
+    * aggregate, all pipelined in one plan). The earlier single-scan
+    * form bought its one scan with a `percent_rank()` global window —
+    * a single-task sort of the whole corpus; two parallel scans beat
+    * one serialized scan at any scale (and at 100 TB the stats pass
+    * drops to `approx_percentile`, same contract). Threshold
+    * bit-exactness across engines: see t5. */
   private def pipe1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -317,7 +326,7 @@ object TextAnalysis extends QueryModule {
       regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
     // Tokenize ONCE into a bound attribute (t12's projection
     // discipline); q and total_tokens both derive from its size.
-    val survivors = Tables(spark, dir).documents
+    val scored = Tables(spark, dir).documents
       .select($"doc_id", $"lang", $"n_chars", words($"text").as("w"),
         sha2(normalized, 256).as("norm_hash"))
       .select($"doc_id", $"lang", $"n_chars", $"norm_hash",
@@ -328,8 +337,10 @@ object TextAnalysis extends QueryModule {
         when($"n_tok" > 0,
           $"n_stop".cast("double") / $"n_tok".cast("double"))
           .otherwise(0.0).as("q"))
-      .withColumn("pr", percent_rank().over(Window.orderBy($"q")))
-      .filter($"pr" >= 0.25)
+    // The threshold branch prunes to text-only under column pruning:
+    // norm_hash/lang/n_chars never reach the stats pass.
+    val thr = scored.agg(percentile($"q", lit(0.25)).as("q25"))
+    val survivors = scored.join(broadcast(thr), $"q" >= $"q25")
     // Dedup via a per-hash ranking window, not groupBy-min + semi-join:
     // a self-referencing join would plant the survivor subtree (scan +
     // percentile window) TWICE in the plan; the window keeps it single.
@@ -454,10 +465,9 @@ object TextAnalysis extends QueryModule {
          |           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
          |           '\\s+', ' ', 'g'))) AS norm_hash
          |  FROM documents),
+         |thr AS (SELECT quantile_cont(q, 0.25) AS q25 FROM scored),
          |survivors AS (
-         |  SELECT * FROM (
-         |    SELECT *, percent_rank() OVER (ORDER BY q) AS pr FROM scored)
-         |  WHERE pr >= 0.25),
+         |  SELECT scored.* FROM scored CROSS JOIN thr WHERE q >= q25),
          |keep AS (SELECT min(doc_id) AS keep_id FROM survivors GROUP BY norm_hash)
          |SELECT lang, count(*) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -541,10 +551,10 @@ object TextAnalysis extends QueryModule {
          |                   x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
          |                   / CAST(len($wordsSql) AS DOUBLE)
          |              ELSE 0.0 END AS q
-         |  FROM documents)
-         |SELECT doc_id, q, pr FROM (
-         |  SELECT doc_id, q, percent_rank() OVER (ORDER BY q) AS pr FROM scored)
-         |WHERE pr >= 0.25 ORDER BY doc_id""".stripMargin,
+         |  FROM documents),
+         |thr AS (SELECT quantile_cont(q, 0.25) AS q25 FROM scored)
+         |SELECT doc_id, q FROM scored CROSS JOIN thr
+         |WHERE q >= q25 ORDER BY doc_id""".stripMargin,
     "t8_text_scrub" ->
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(text,

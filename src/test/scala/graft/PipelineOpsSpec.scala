@@ -292,6 +292,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t16 two-pass prefix sum is row-identical to the global-window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // The shipped operator computes the running sum as bucketed local
+    // cumsums + prefix-summed bucket offsets; this is the one-window
+    // specification form it must equal exactly (kept OUT of the shipped
+    // plan: an empty-partition window is a single-task corpus sort).
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowForm = Tables(spark, dir).documents
+      .select($"doc_id",
+        size(filter(split($"text", "\\s+"), t => t =!= lit("")))
+          .cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"doc_id", $"n_tok",
+        floor(($"cum" - $"n_tok").cast("double") / 1024.0).cast("long").as("pack_id"))
+      .groupBy($"pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"pack_id")
+      .collect().map(_.toSeq).toSeq
+    val twoPass = PipelineOps.queries("t16_seq_packing")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(twoPass == windowForm)
+  }
+
   test("t17 mixture weights sum to one and follow sqrt-token scaling") {
     val rows = PipelineOps.queries("t17_mixture_weights")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

@@ -89,11 +89,33 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1, p)
   }
 
-  test("pipe1 end-to-end prep scans the corpus exactly once") {
-    val p = TextAnalysis.queries("pipe1_corpus_prep")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(p).length == 1,
-      "filter->dedup->stats must pipeline over one scan\n" + p)
+  test("pipe1 end-to-end prep: two parallel scans (stats + main), never a corpus sort") {
+    // The quality threshold is a broadcast percentile scalar, which costs
+    // a second scan of the corpus; the alternative single-scan form needs
+    // a percent_rank global window = a single-task sort of everything.
+    // Two embarrassingly-parallel scans beat one serialized scan at 100×.
+    val qe = TextAnalysis.queries("pipe1_corpus_prep")(spark, dir).queryExecution
+    val p = qe.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length == 2,
+      "stats pass + main pass, nothing more\n" + p)
+  }
+
+  test("catalog-wide: no global-order window over unaggregated input") {
+    // An empty-partition window over corpus-sized input plans a
+    // single-partition sort of everything — the defining one-reducer
+    // bottleneck at scale. A global window is tolerable only above an
+    // Aggregate (input cardinality = group count, not corpus size).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      def aggregatedBelow(p: LogicalPlan): Boolean =
+        p.collectFirst { case _: Aggregate => () }.isDefined
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !aggregatedBelow(w.child) => name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global-sort windows over unaggregated input in: ${offenders.distinct.mkString(", ")}")
   }
 
   test("s5 centroids aggregate partially before the (label, dim) shuffle") {

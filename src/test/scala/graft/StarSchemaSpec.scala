@@ -155,8 +155,12 @@ class StarSchemaSpec extends AnyFunSuite {
 
   test("e11 gap profile matches a per-user replay of the event log") {
     import spark.implicits._
+    // Gap columns read null-safely: a single-event user has zero gaps and
+    // NULL mean/max (the operator's contract) — getDouble would NPE.
     val out = Events.queries("e11_interarrival")(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
     val byUser = Tables(spark, dir).events
       .select($"user_id", unix_micros($"ts"), $"event_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -165,11 +169,13 @@ class StarSchemaSpec extends AnyFunSuite {
     out.foreach { case (u, nEvents, nGaps, meanS, maxS) =>
       val ts = byUser(u).sortBy(e => (e._2, e._3)).map(_._2)
       assert(nEvents == ts.length && nGaps == ts.length - 1, s"user $u counts")
+      assert(meanS.isDefined == (nGaps > 0) && maxS.isDefined == (nGaps > 0),
+        s"user $u: gap stats must be NULL exactly when there are no gaps")
       if (nGaps > 0) {
         val gaps = ts.sliding(2).map { case Array(a, b) => b - a }.toSeq
-        assert(maxS == gaps.max.toDouble / 1e6, s"user $u max gap")
+        assert(maxS.get == gaps.max.toDouble / 1e6, s"user $u max gap")
         val mean = gaps.sum.toDouble / gaps.length / 1e6
-        assert(math.abs(meanS - mean) < 1e-5, s"user $u mean gap")
+        assert(math.abs(meanS.get - mean) < 1e-5, s"user $u mean gap")
       }
     }
   }
