@@ -287,6 +287,109 @@ object StarSchema extends QueryModule {
       .orderBy($"nation_group")
   }
 
+  /** TPC-H Q21-style: sole-problem-supplier reporting — for finished
+    * orders with a returned item, count per supplier the cases where
+    * that supplier was the ONLY one in the order whose item came back
+    * (the fixture lacks commit/receipt dates, so `l_returnflag = 'R'`
+    * plays Q21's lateness predicate; the multi-EXISTS/NOT-EXISTS
+    * topology against the same fact is identical). Decorrelated form:
+    * one left-semi (some OTHER supplier in the order) and one
+    * left-anti (no OTHER supplier with a returned item) hash join,
+    * both equi-keyed on l_orderkey with the supplier inequality as a
+    * join residual — never a per-row subquery, never a cartesian. The
+    * supplier dimension broadcasts; the three lineitem branches
+    * shuffle only on orderkey. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val nation3Supp = t.supplier
+      .join(t.nation.filter($"n_name" === "NATION_3"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    val l2 = t.lineitem.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
+    val l3 = t.lineitem.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
+    t.lineitem.filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(t.orders.filter($"o_orderstatus" === "F").select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      .join(broadcast(nation3Supp), $"l_suppkey" === $"s_suppkey")
+      .join(l2, $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
+      .join(l3, $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+
+  /** TPC-H Q2-style: minimum-cost supplier per part — for STANDARD
+    * size-15 parts, the ASIA-region supplier(s) whose supply cost is
+    * that part's regional minimum (the fixture lacks partsupp, so the
+    * supply catalog is derived: cost of (part, supplier) = min
+    * l_extendedprice over their lineitems). The correlated scalar-min
+    * subquery decorrelates to a `min` window partitioned by part —
+    * partition-parallel, no per-row subquery execution. `min` is
+    * order-independent (no accumulation), so the equality against it
+    * is engine-exact without decimal routing. Dimensions broadcast;
+    * the only fact shuffle is the (part, supplier) aggregate. */
+  private def q2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val ps = t.lineitem.groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice").as("supply_cost"))
+    val asiaSupp = t.supplier
+      .join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .join(t.region.filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val parts = t.part.filter($"p_size" === 15 && $"p_type" === "STANDARD")
+      .select($"p_partkey", $"p_name")
+    ps.join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(asiaSupp), $"l_suppkey" === $"s_suppkey")
+      .withColumn("min_cost",
+        min($"supply_cost").over(Window.partitionBy($"p_partkey")))
+      .filter($"supply_cost" === $"min_cost")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"supply_cost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q20-style: dominant promo-part suppliers — NATION_3
+    * suppliers who, for some PROMO part, shipped MORE than half that
+    * part's total 1996 quantity (the fixture lacks partsupp.availqty,
+    * so Q20's half-of-shipped-volume threshold is expressed against
+    * the per-part total). The nested semi-join chain survives intact:
+    * part filter semi-joins into lineitem, the correlated per-part
+    * threshold decorrelates to a decimal `sum` window partitioned by
+    * part (exact, associative — a double window sum would be
+    * partition-order-dependent across engines), and the qualifying
+    * supplier set semi-joins into the supplier dimension. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val promoParts = t.part.filter($"p_type" === "PROMO").select($"p_partkey")
+    val sp = t.lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey", $"l_partkey")
+      .agg(sum($"l_quantity".cast("decimal(18,6)")).as("supp_qty"))
+    val eligible = sp
+      .withColumn("part_qty",
+        sum($"supp_qty").over(Window.partitionBy($"l_partkey")))
+      .filter($"supp_qty".cast("double") > lit(0.5) * $"part_qty".cast("double"))
+      .select($"l_suppkey").distinct()
+    t.supplier
+      .join(broadcast(t.nation.filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(eligible, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_name", $"s_suppkey")
+  }
+
   private val Salt = 8
 
   /** Two-phase salted aggregation: phase 1 groups by (key, salt) —
@@ -305,6 +408,9 @@ object StarSchema extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q2"           -> (q2 _),
+    "tpch_q20"          -> (q20 _),
+    "tpch_q21"          -> (q21 _),
     "tpch_q4"           -> (q4 _),
     "tpch_q5"           -> (q5 _),
     "tpch_q7"           -> (q7 _),
@@ -321,6 +427,64 @@ object StarSchema extends QueryModule {
     "skew_salted_agg"   -> (salted _))
 
   val oracles: Map[String, String] = Map(
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+    "tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |regional AS (
+        |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, supply_cost
+        |  FROM ps
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA' AND p_size = 15 AND p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        |FROM regional r1
+        |WHERE supply_cost = (SELECT min(supply_cost) FROM regional r2
+        |                     WHERE r2.p_partkey = r1.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q20" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         sum(cast(l_quantity AS DECIMAL(18,6))) AS supp_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY l_suppkey, l_partkey),
+        |eligible AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, supp_qty,
+        |           sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |    FROM sp)
+        |  WHERE CAST(supp_qty AS DOUBLE) > 0.5 * CAST(part_qty AS DOUBLE))
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM eligible)
+        |ORDER BY s_name, s_suppkey""".stripMargin,
     "tpch_q5" ->
       s"""SELECT n_name, ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM region

@@ -118,6 +118,24 @@ class PlanSpec extends AnyFunSuite {
       s"global-sort windows over unaggregated input in: ${offenders.distinct.mkString(", ")}")
   }
 
+  test("q21 decorrelates to semi + anti hash joins on the fact, no cartesian") {
+    val p = plan(StarSchema.queries("tpch_q21")(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "supplier dim must broadcast\n" + p)
+  }
+
+  test("q2 and q20 decorrelate the per-part subquery to a partitioned window") {
+    // No per-row subquery execution: the correlated min (q2) / share
+    // threshold (q20) must appear as a window partitioned by part.
+    Seq("tpch_q2", "tpch_q20").foreach { name =>
+      val p = plan(StarSchema.queries(name)(spark, dir))
+      assert(p.contains("Window"), s"$name\n" + p)
+      assert(!p.contains("CartesianProduct"), s"$name\n" + p)
+    }
+  }
+
   test("s5 centroids aggregate partially before the (label, dim) shuffle") {
     val p = plan(Similarity.queries("s5_embedding_centroids")(spark, dir))
     assert(p.contains("HashAggregate"), p)

@@ -37,7 +37,8 @@ class SqlParitySpec extends AnyFunSuite {
     "olap_window_suite", "olap_grouped_topk_udaf", "olap_scalar_subquery",
     "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
     "tpch_q18", "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    "tpch_q19", "tpch_q22", "olap_regr", "dim_supplier_geo", "skew_salted_agg",
+    "tpch_q19", "tpch_q22", "tpch_q2", "tpch_q20", "tpch_q21",
+    "olap_regr", "dim_supplier_geo", "skew_salted_agg",
     "e6_latest_per_user", "f_null_semantics",
     "flagship_buyer_home", "flagship_admin_home", "flagship_worker_home")
 

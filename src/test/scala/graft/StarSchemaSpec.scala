@@ -153,6 +153,83 @@ class StarSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("q21 sole-returner counts match a brute-force replay of the order log") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q21")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val finished = t.orders.filter($"o_orderstatus" === "F")
+      .select($"o_orderkey").collect().map(_.getLong(0)).toSet
+    val items = t.lineitem.select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byOrder = items.groupBy(_._1)
+    val nation3 = t.supplier.join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name" === "NATION_3")
+      .select($"s_suppkey", $"s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = items
+      .filter { case (o, s, rf) =>
+        rf == "R" && finished(o) && nation3.contains(s) && {
+          val others = byOrder(o).filter(_._2 != s)
+          others.nonEmpty && !others.exists(_._3 == "R")
+        }
+      }
+      .groupBy(e => nation3(e._2)).map { case (n, es) => n -> es.length.toLong }
+    // The operator LIMITs to 20; the fixture yields fewer — full equality.
+    assert(out == expect)
+  }
+
+  test("q2 returns exactly the per-part regional minimum-cost suppliers") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q2")(spark, dir).collect()
+      .map(r => (r.getLong(3), r.getString(1), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // Brute-force: regional candidate set via independent collects.
+    val asia = t.supplier.join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .join(t.region.filter($"r_name" === "ASIA"), $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val partKeys = t.part.filter($"p_size" === 15 && $"p_type" === "STANDARD")
+      .select($"p_partkey").collect().map(_.getLong(0)).toSet
+    val costs = t.lineitem
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(e => partKeys(e._1) && asia.contains(e._2))
+      .groupBy(e => (e._1, e._2)).map { case (k, es) => k -> es.map(_._3).min }
+    val expect = costs.groupBy(_._1._1).flatMap { case (p, sc) =>
+      val m = sc.values.min
+      sc.collect { case ((_, s), c) if c == m => (p, asia(s), c) }
+    }.toSet
+    assert(out.toSet == expect)
+  }
+
+  test("q20 flags exactly the suppliers shipping a majority of some promo part") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q20")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val promo = t.part.filter($"p_type" === "PROMO")
+      .select($"p_partkey").collect().map(_.getLong(0)).toSet
+    val nation3 = t.supplier.join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name" === "NATION_3")
+      .select($"s_suppkey").collect().map(_.getLong(0)).toSet
+    val sums = t.lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"l_partkey", $"l_suppkey", $"l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2))))
+      .filter(e => promo(e._1))
+    val byPart = sums.groupBy(_._1)
+    val expect = byPart.values.flatMap { es =>
+      val total = es.map(_._3).sum
+      es.groupBy(_._2).collect {
+        case (s, ses) if ses.map(_._3).sum * 2 > total => s
+      }
+    }.toSet.intersect(nation3)
+    assert(out == expect && out.nonEmpty)
+  }
+
   test("e11 gap profile matches a per-user replay of the event log") {
     import spark.implicits._
     // Gap columns read null-safely: a single-event user has zero gaps and
