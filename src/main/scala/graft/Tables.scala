@@ -68,4 +68,20 @@ object Tables {
 
   private val relationCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Embedding dimensionality, probed ONCE per (session, dir). The
+    * element count of a variable-length list column is not carried in
+    * the parquet schema, so the first call runs one single-row job;
+    * memoizing it keeps plan BUILDS job-free — s3/s4 construct
+    * dim-sized hyperplane literals at plan time, and a driver-blocking
+    * mini-job per plan build was measurable fixed cost per query. */
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  def embeddingDim(spark: SparkSession, dir: String): Int =
+    dimCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.functions.{col, size}
+      Tables(spark, dir).embeddings
+        .select(size(col("embedding"))).head().getInt(0)
+    })
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M8 — the persistent-catalog surface: a warehouse database whose
+  * tables are (a) EXTERNAL parquet tables registered over the fixture
+  * files via `CREATE TABLE ... USING PARQUET LOCATION` (no data copy,
+  * DROP never touches storage) and (b) bucketed MANAGED tables written
+  * with `bucketBy(...).sortBy(...).saveAsTable` — the layout that makes
+  * repeated fact-fact equi-joins shuffle-free. This is the "CREATE TABLE
+  * once, query forever" surface a warehouse user expects (the reference
+  * exposes named collections the same way, /root/reference/index.js:281-289);
+  * per-session temp views (`Tables.registerAll`) remain the ad-hoc tier.
+  *
+  * Catalog persistence scope: table STORAGE (warehouse directories,
+  * bucket spec in file layout) always persists; table METADATA persists
+  * exactly as far as the configured catalog does — the default
+  * in-memory catalog is session-lifetime, and pointing the session at a
+  * Hive/Glue metastore (`enableHiveSupport`) makes the very same DDL
+  * durable across sessions with zero code change here. Registration is
+  * idempotent and memoized per (session, dir); re-registering against a
+  * different scale-factor dir re-points the external tables.
+  *
+  * Scale notes: external registration is metadata-only (a footer read),
+  * cost-free at any data size. The bucketed pair is written ONCE and
+  * then every customer⋈orders-shaped join (c1's shape) runs with zero
+  * exchange on either side — at 100 TB that is the difference between
+  * re-shuffling the fact table per query and never shuffling it at all;
+  * bucket count scales with cluster width (8 here for local[32]).
+  */
+object CatalogOps extends QueryModule {
+
+  val Database = "graft"
+  private val Buckets = 8
+
+  /** Fixture tables registered as external catalog tables. `events` is
+    * excluded: its TIMESTAMP(NANOS) physical type needs the session-conf
+    * narrowing in `Tables.events`, which a bare catalog scan bypasses. */
+  private val ExternalNames =
+    Tables.names.filterNot(_ == "events")
+
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  /** Idempotent database + table registration (memoized per session+dir). */
+  def ensure(spark: SparkSession, dir: String): Unit =
+    registered.getOrElseUpdate((spark, dir), {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
+      ExternalNames.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS $Database.$n")
+        spark.sql(
+          s"""CREATE TABLE $Database.$n USING PARQUET
+             |LOCATION '$dir/$n.parquet'""".stripMargin)
+      }
+      Seq("orders_bucketed", "customer_bucketed").foreach(clearOrphan(spark, _))
+      Tables(spark, dir).orders.write
+        .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable(s"$Database.orders_bucketed")
+      Tables(spark, dir).customer.write
+        .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(s"$Database.customer_bucketed")
+      true
+    })
+
+  /** A managed-table location can outlive its in-memory catalog entry
+    * (new session, files on disk): saveAsTable would then refuse with
+    * LOCATION_ALREADY_EXISTS. Storage for a table the catalog has no
+    * record of is orphaned — clear it before the overwrite. */
+  private def clearOrphan(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(s"$Database.$table")) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val d = new java.io.File(s"$wh/$Database.db/$table")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (d.exists()) rm(d)
+    }
+
+  /** c1 — order accounting THROUGH the persistent catalog: plain SQL
+    * over the external tables, exactly what a warehouse user types
+    * after the one-time registration. */
+  private def c1(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir)
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       ${sqlDsum("o_totalprice")} AS total
+         |FROM $Database.orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** c2 — the bucketed co-located join: customer⋈orders on the shared
+    * bucket key with a merge hint (the broadcast path would hide the
+    * bucket layout at fixture scale; at warehouse scale SMJ is what
+    * runs). Neither side re-shuffles — `PlanSpec` pins the absence of
+    * an exchange on the join keys. */
+  private def c2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensure(spark, dir)
+    spark.table(s"$Database.orders_bucketed")
+      .hint("merge")
+      .join(spark.table(s"$Database.customer_bucketed"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_catalog_sql"     -> (c1 _),
+    "c2_bucketed_join"   -> (c2 _))
+
+  val oracles: Map[String, String] = Map(
+    "c1_catalog_sql" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+    "c2_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |       ${sqlDsum("o_totalprice")} AS total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+}

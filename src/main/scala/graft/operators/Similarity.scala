@@ -182,8 +182,9 @@ object Similarity extends QueryModule {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
-    val dim = Tables(spark, dir).embeddings
-      .select(size($"embedding")).as[Int].head()
+    // Memoized probe: no driver job at plan build after the first call
+    // per (session, dir) — see Tables.embeddingDim.
+    val dim = Tables.embeddingDim(spark, dir)
 
     // Bucket key per table: sign bits of hyperplane projections, each
     // projection = float_dot(embedding, ±1-plane literal). Accumulation

@@ -136,6 +136,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("c2 catalog join reads both bucketed sides without re-shuffling them") {
+    val p = plan(CatalogOps.queries("c2_bucketed_join")(spark, dir))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+    assert(!p.contains("hashpartitioning(o_custkey"), p)
+    assert(!p.contains("hashpartitioning(c_custkey"), p)
+  }
+
   test("s5 centroids aggregate partially before the (label, dim) shuffle") {
     val p = plan(Similarity.queries("s5_embedding_centroids")(spark, dir))
     assert(p.contains("HashAggregate"), p)

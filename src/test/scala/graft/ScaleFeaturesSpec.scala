@@ -59,6 +59,25 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("s3 plan build is driver-job-free once the dim probe is memoized") {
+    val sc = spark.sparkContext
+    Tables.embeddingDim(spark, dir) // warm the per-(session, dir) cache
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    sc.addSparkListener(listener)
+    try {
+      // Build + analyze + optimize WITHOUT executing: must launch no job
+      // (the old form ran a head() probe per invocation at plan build).
+      Similarity.queries("s3_ann_lsh_bucketed")(spark, dir)
+        .queryExecution.optimizedPlan
+      Thread.sleep(300) // listener bus is async; let stragglers surface
+      assert(jobs == 0, s"plan build launched $jobs driver job(s)")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("IVF ANN recall vs brute force is reported and nontrivial") {
     val exact = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet

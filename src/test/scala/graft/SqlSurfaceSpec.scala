@@ -42,6 +42,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS ext_orders") // external: data stays
   }
 
+  test("CatalogOps registers the warehouse database once and re-points on dir change") {
+    import graft.operators.CatalogOps
+    CatalogOps.ensure(spark, dir)
+    val tables = spark.catalog.listTables(CatalogOps.Database)
+      .collect().map(_.name).toSet
+    assert(Set("orders", "lineitem", "documents",
+      "orders_bucketed", "customer_bucketed").subsetOf(tables))
+    // External table reads the fixture in place (no copy) ...
+    val viaCatalog = spark.sql(
+      s"SELECT count(*) FROM ${CatalogOps.Database}.lineitem").head().getLong(0)
+    assert(viaCatalog == Tables(spark, dir).lineitem.count())
+    // ... and the bucketed managed table holds the same rows re-laid-out.
+    val viaBucketed = spark.sql(
+      s"SELECT count(*) FROM ${CatalogOps.Database}.orders_bucketed").head().getLong(0)
+    assert(viaBucketed == Tables(spark, dir).orders.count())
+    // Idempotent: a second ensure is memoized (no exception, same catalog).
+    CatalogOps.ensure(spark, dir)
+    assert(spark.catalog.listTables(CatalogOps.Database)
+      .collect().map(_.name).toSet == tables)
+  }
+
   test("SQL window + join + agg over views") {
     Tables(spark, dir).registerAll()
     val out = spark.sql(
