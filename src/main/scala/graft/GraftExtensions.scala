@@ -32,5 +32,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashArray].getName, "shingle_hashes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashArray(exprs(0))))
+
+    // Dialect-compat aliases: tiny, exactly-semantics-matched spellings
+    // Spark lacks, so catalog SQL written in the common warehouse dialect
+    // (and the DuckDB oracle texts) runs verbatim on this engine. Each is
+    // a pure rewrite to a builtin expression — codegen'd, no UDF tier.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Sha2, UnixMicros, UnixSeconds}
+    def alias(name: String, build: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        build))
+    // sha256(x) = lowercase-hex SHA-256, exactly DuckDB's output shape
+    // (Spark's sha2 already emits lowercase hex).
+    alias("sha256", exprs => Sha2(exprs(0), Literal(256)))
+    // epoch_us(ts) = microseconds since epoch (DuckDB spelling of unix_micros).
+    alias("epoch_us", exprs => UnixMicros(exprs(0)))
+    // epoch(ts) = whole seconds since epoch. DuckDB returns fractional
+    // seconds; identical wherever the result feeds integer bucketing
+    // (floor(epoch/k) with integer k), which is the catalog's only use.
+    alias("epoch", exprs => UnixSeconds(exprs(0)))
+
+    // The broader warehouse-dialect spellings (see DialectCompat's
+    // scaladoc for the exact-semantics notes). All pure rewrites to
+    // builtin codegen'd expressions.
+    import graft.functions.DialectCompat
+    import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, ArrayJoin, ArrayTransform, Explode, GetJsonObject, SortArray, StringInstr, StringSplit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    alias("len", exprs => DialectCompat.DuckLen(exprs(0)))
+    alias("list_filter", exprs => ArrayFilter(exprs(0), exprs(1)))
+    alias("list_transform", exprs => ArrayTransform(exprs(0), exprs(1)))
+    alias("list_distinct", exprs => ArrayDistinct(exprs(0)))
+    alias("array_to_string", exprs => ArrayJoin(exprs(0), exprs(1), None))
+    alias("string_split_regex",
+      exprs => StringSplit(exprs(0), exprs(1), Literal(-1)))
+    alias("unnest", exprs => Explode(exprs(0)))
+    alias("range", DialectCompat.rangeCompat)
+    alias("quantile_cont", exprs => new Percentile(exprs(0), exprs(1)))
+    alias("json_extract_string", exprs => GetJsonObject(exprs(0), exprs(1)))
+    alias("strpos", exprs => StringInstr(exprs(0), exprs(1)))
+    alias("regexp_replace", DialectCompat.regexpReplaceCompat)
+    alias("regexp_extract_all", DialectCompat.regexpExtractAllCompat)
+    alias("list_sort", exprs => SortArray(exprs(0), Literal(true)))
+    alias("list", exprs =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(exprs(0)))
   }
 }

@@ -440,9 +440,9 @@ object Olap extends QueryModule {
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "olap_pivot" ->
       """SELECT l_linestatus,
-        |       count(*) FILTER (WHERE l_returnflag = 'A') AS "A",
-        |       count(*) FILTER (WHERE l_returnflag = 'N') AS "N",
-        |       count(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+        |       count(*) FILTER (WHERE l_returnflag = 'A') AS A,
+        |       count(*) FILTER (WHERE l_returnflag = 'N') AS N,
+        |       count(*) FILTER (WHERE l_returnflag = 'R') AS R
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "olap_unpivot" ->
       """SELECT c_custkey, metric, value FROM (

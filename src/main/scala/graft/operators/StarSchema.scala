@@ -523,8 +523,8 @@ object StarSchema extends QueryModule {
          |LIMIT 20""".stripMargin,
     "olap_percentiles" ->
       """SELECT l_returnflag,
-        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
-        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+        |       percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "tpch_q14" ->

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-semantics pins for the dialect-compat spellings GraftExtensions
+  * injects (DialectCompat): each alias must match the warehouse dialect
+  * bit-for-bit on its edge cases, not just on the happy path. */
+class DialectCompatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one(sql: String) = spark.sql(s"SELECT $sql AS v").head()
+
+  test("len dispatches on type: char length for strings, size for arrays") {
+    assert(one("len('héllo')").getInt(0) == 5)
+    assert(one("len(array(1, 2, 3))").getInt(0) == 3)
+    assert(one("len(array())").getInt(0) == 0)
+    assert(one("len(CAST(NULL AS STRING))").isNullAt(0))
+  }
+
+  test("range is half-open and EMPTY when stop <= start (never counts down)") {
+    assert(one("range(2, 5)").getSeq[Long](0) == Seq(2L, 3L, 4L))
+    assert(one("range(1, 1)").getSeq[Long](0) == Seq.empty)
+    assert(one("range(1, 0)").getSeq[Long](0) == Seq.empty)
+    assert(one("range(3)").getSeq[Long](0) == Seq(0L, 1L, 2L))
+    // The trap the alias exists to avoid: bare sequence counts DOWNWARD.
+    assert(one("sequence(1, 0)").getSeq[Long](0) == Seq(1L, 0L))
+  }
+
+  test("regexp_replace accepts the 'g' flag as Spark's (global) default") {
+    assert(one("regexp_replace('a1b2', '[0-9]', '_', 'g')").getString(0) == "a_b_")
+    assert(one("regexp_replace('a1b2', '[0-9]', '_')").getString(0) == "a_b_")
+    // 4th-arg integer keeps Spark's position semantics.
+    assert(one("regexp_replace('a1b2', '[0-9]', '_', 3)").getString(0) == "a1b_")
+  }
+
+  test("regexp_extract_all 2-arg returns full matches (group 0)") {
+    assert(one("regexp_extract_all('a1 b22', '[0-9]+')").getSeq[String](0)
+      == Seq("1", "22"))
+  }
+
+  test("sha256 / epoch_us / epoch / strpos match the warehouse spellings") {
+    // sha256('') — the RFC test vector, lowercase hex.
+    assert(one("sha256('')").getString(0)
+      == "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+    assert(one("epoch_us(TIMESTAMP '1970-01-01 00:00:01')").getLong(0) == 1000000L)
+    assert(one("epoch(TIMESTAMP '1970-01-01 00:05:00')").getLong(0) == 300L)
+    assert(one("strpos('hello spark', 'spark')").getInt(0) == 7)
+    assert(one("strpos('hello', 'zz')").getInt(0) == 0)
+  }
+
+  test("string_split_regex keeps trailing empties; '' yields ['']") {
+    assert(one("string_split_regex('a  b ', '\\\\s+')").getSeq[String](0)
+      == Seq("a", "b", ""))
+    assert(one("string_split_regex('', '\\\\s+')").getSeq[String](0) == Seq(""))
+  }
+
+  test("list aliases: filter/transform/distinct/sort/to_string/collect") {
+    assert(one("list_filter(array(1, 2, 3), x -> x > 1)").getSeq[Int](0) == Seq(2, 3))
+    assert(one("list_transform(array(1, 2), x -> x * 10)").getSeq[Int](0) == Seq(10, 20))
+    assert(one("list_distinct(array(1, 1, 2))").getSeq[Int](0) == Seq(1, 2))
+    assert(one("list_sort(array(3, 1, 2))").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("array_to_string(array('a', 'b'), ',')").getString(0) == "a,b")
+    assert(spark.sql("SELECT array_to_string(list_sort(list(x)), ',') AS v " +
+      "FROM VALUES (2), (1) t(x)").head().getString(0) == "1,2")
+  }
+
+  test("quantile_cont equals the exact percentile interpolation") {
+    assert(spark.sql("SELECT quantile_cont(x, 0.25) AS v FROM VALUES (1.0), (2.0)," +
+      " (3.0), (4.0), (5.0) t(x)").head().getDouble(0) == 2.0)
+  }
+
+  test("json_extract_string follows $.path extraction") {
+    assert(one("""json_extract_string('{"k": "42"}', '$.k')""").getString(0) == "42")
+  }
+}
