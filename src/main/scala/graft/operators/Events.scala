@@ -250,7 +250,34 @@ object Events extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** e12 — event-transition matrix: per-user consecutive event-type
+    * pairs → corpus-wide transition counts and row-normalized
+    * probabilities (the Markov "user journey" primitive behind funnel
+    * discovery and next-action prediction). One user-keyed window for
+    * the lag pair, one map-combined count on the (prev, next) key —
+    * the transition key space is |event_types|², tiny at any log
+    * size. The row-normalizer (per-prev totals) rides a window OVER
+    * THE AGGREGATE (group-count-sized input, not the log; the
+    * catalog-wide plan spec allows exactly this shape). Probability
+    * is one long-ratio division rounded to 6 — both sides exact
+    * integers, so engines cannot diverge. */
+  private def e12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round($"n".cast("double")
+          / sum($"n").over(Window.partitionBy($"prev_type")).cast("double"), 6))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_transition_matrix" -> (e12 _),
     "e11_interarrival"     -> (e11 _),
     "e10_zscore_outliers"  -> (e10 _),
     "e9_cohort_retention"  -> (e9 _),
@@ -265,6 +292,19 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    "e12_transition_matrix" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |counts AS (
+        |  SELECT prev_type, next_type, count(*) AS n FROM pairs
+        |  WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |       round(CAST(n AS DOUBLE)
+        |             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+        |FROM counts ORDER BY prev_type, next_type""".stripMargin,
     "e11_interarrival" ->
       """WITH gapped AS (
         |  SELECT user_id,

@@ -397,7 +397,38 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t18 — character-entropy quality signal: per-doc Shannon entropy of
+    * the character distribution (nats). The perplexity-proxy tier of
+    * quality filtering — near-zero entropy flags repeated-character
+    * spam, abnormally high entropy flags binary-ish noise; both are
+    * cut classes a corpus filter drops before training. Shape: one
+    * (doc, char) count aggregate (key space = docs × alphabet, fully
+    * partition-parallel) + one per-doc aggregate. Engine-exactness:
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n, and the Σ runs over per-char terms
+    * each ROUNDED TO 9 DECIMALS and summed as exact decimals —
+    * a raw double Σ would be partition-order-dependent (same
+    * discipline as dsum; t9 sidesteps this with per-term rounding too,
+    * but here terms are summed, so they route through decimal). */
+  private def t18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter($"ch" =!= "")
+      .groupBy($"doc_id", $"ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"),
+        sum(round($"c".cast("double") * log($"c".cast("double")), 9)
+          .cast("decimal(28,9)")).as("t"))
+      .select($"doc_id", $"n_chars",
+        round(log($"n_chars".cast("double"))
+          - $"t".cast("double") / $"n_chars".cast("double"), 6)
+          .as("char_entropy_nats"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_char_entropy"    -> (t18 _),
     "t10_train_split"     -> (t10 _),
     "t11_source_cap"      -> (t11 _),
     "pipe1_corpus_prep"   -> (pipe1 _),
@@ -417,6 +448,23 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "t18_char_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |    FROM documents)
+        |  WHERE ch <> ''
+        |  GROUP BY doc_id, ch),
+        |agg AS (
+        |  SELECT doc_id, sum(c) AS n_chars,
+        |         sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+        |                  AS DECIMAL(28,9))) AS t
+        |  FROM counts GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       round(ln(CAST(n_chars AS DOUBLE))
+        |             - CAST(t AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+        |         AS char_entropy_nats
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // 3-gram construction matches d3's oracle idiom (range(1, len-1),
     // w[i:i+2] inclusive slice); <3-token docs fall out as empty lists.
     "t13_repetition_ratio" ->

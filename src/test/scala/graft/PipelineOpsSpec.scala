@@ -319,6 +319,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(twoPass == windowForm)
   }
 
+  test("t18 char entropy matches a per-doc frequency replay") {
+    import spark.implicits._
+    val out = TextAnalysis.queries("t18_char_entropy")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.count { case (_, t) => t.nonEmpty })
+    out.foreach { case (id, nChars, h) =>
+      val text = docs(id)
+      assert(nChars == text.length.toLong, s"doc $id char count")
+      val counts = text.groupBy(identity).values.map(_.length)
+      val expect = math.log(text.length.toDouble) -
+        counts.map(c => BigDecimal(c * math.log(c.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / text.length
+      assert(math.abs(h - expect) < 1e-5, s"doc $id entropy $h vs $expect")
+      // Entropy bounds: 0 (single repeated char) .. ln(alphabet size).
+      assert(h >= -1e-9 && h <= math.log(counts.size.toDouble) + 1e-9)
+    }
+  }
+
   test("t17 mixture weights sum to one and follow sqrt-token scaling") {
     val rows = PipelineOps.queries("t17_mixture_weights")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))

@@ -54,7 +54,8 @@ class SqlParitySpec extends AnyFunSuite {
     "dim_supplier_geo", "skew_salted_agg",
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
     "e5_session_window", "e6_latest_per_user", "e8_funnel",
-    "e10_zscore_outliers", "e11_interarrival",
+    "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
+    "t18_char_entropy",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",
     "d8_incremental_dedup",
     "t1_token_counts", "t2_quality_score", "t3_language_id",

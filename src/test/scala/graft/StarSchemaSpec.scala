@@ -230,6 +230,32 @@ class StarSchemaSpec extends AnyFunSuite {
     assert(out == expect && out.nonEmpty)
   }
 
+  test("e12 transition matrix matches an ordered per-user replay") {
+    import spark.implicits._
+    val out = Events.queries("e12_transition_matrix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val byUser = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val pairs = byUser.values.toSeq.flatMap { es =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }
+    val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out.keySet == counts.keySet)
+    val prevTotals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    counts.foreach { case (k, n) =>
+      val (gotN, gotP) = out(k)
+      assert(gotN == n, s"$k count")
+      assert(math.abs(gotP - n.toDouble / prevTotals(k._1)) < 1e-6, s"$k prob")
+    }
+    // Each row of the matrix sums to ~1.
+    out.toSeq.groupBy(_._1._1).foreach { case (prev, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-4, s"row $prev")
+    }
+  }
+
   test("e11 gap profile matches a per-user replay of the event log") {
     import spark.implicits._
     // Gap columns read null-safely: a single-event user has zero gaps and
