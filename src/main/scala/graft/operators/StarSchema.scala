@@ -390,6 +390,57 @@ object StarSchema extends QueryModule {
       .orderBy($"s_name", $"s_suppkey")
   }
 
+  /** TPC-H Q9-style: product-line profit by (supplier nation, order
+    * year) for one part color — profit = discounted revenue minus a
+    * cost basis of 40% of the part's retail price per unit (the
+    * fixture lacks partsupp.supplycost; retailprice is the part-level
+    * cost surrogate). Join topology is Q9's: both dimension chains
+    * broadcast after their filters, orders joins the fact for the
+    * year, one map-combined decimal aggregate on the tiny
+    * (nation, year) key space. */
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val redParts = t.part.filter($"p_name".startsWith("red"))
+      .select($"p_partkey", $"p_retailprice")
+    val suppNation = t.supplier
+      .join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation"))
+    t.lineitem
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(t.orders.select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        - $"p_retailprice" * lit(0.4) * $"l_quantity").as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** TPC-H Q16-style: supplier diversity per part class — how many
+    * distinct suppliers ship each (brand, type, size) combination,
+    * excluding one brand, one type family, and "problem" suppliers
+    * (negative balance stands in for the comment-flagged complaint
+    * suppliers; the NOT-IN anti-join shape is Q16's). Exclusion list
+    * anti-joins BEFORE the part broadcast join so excluded rows never
+    * widen; the count-distinct aggregate shuffles the (class, supp)
+    * key space only. */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val excluded = t.supplier.filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    val parts = t.part.filter($"p_brand" =!= "Brand#1"
+        && !$"p_type".startsWith("PROMO")
+        && $"p_size".isin(1, 5, 9, 15, 21, 27, 35, 41))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    t.lineitem.select($"l_partkey", $"l_suppkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
   private val Salt = 8
 
   /** Two-phase salted aggregation: phase 1 groups by (key, salt) —
@@ -409,6 +460,8 @@ object StarSchema extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2"           -> (q2 _),
+    "tpch_q9"           -> (q9 _),
+    "tpch_q16"          -> (q16 _),
     "tpch_q20"          -> (q20 _),
     "tpch_q21"          -> (q21 _),
     "tpch_q4"           -> (q4 _),
@@ -427,6 +480,29 @@ object StarSchema extends QueryModule {
     "skew_salted_agg"   -> (salted _))
 
   val oracles: Map[String, String] = Map(
+    "tpch_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.4 * l_quantity")}
+         |         AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE 'red%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 15, 21, 27, 35, 41)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "tpch_q21" ->
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1

@@ -49,8 +49,9 @@ class SqlParitySpec extends AnyFunSuite {
     "olap_window_suite", "olap_grouped_topk_udaf", "olap_scalar_subquery",
     "set_union", "set_intersect", "set_except",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
     "dim_supplier_geo", "skew_salted_agg",
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
     "e5_session_window", "e6_latest_per_user", "e8_funnel",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Events, Olap, StarSchema}
+import graft.operators.{dsum, Events, Olap, StarSchema}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -151,6 +151,47 @@ class StarSchemaSpec extends AnyFunSuite {
       assert(math.abs(i - bi) < 1e-6, s"$flag intercept")
       assert(math.abs(r - br) < 1e-6, s"$flag r2")
     }
+  }
+
+  test("q9 profit equals revenue minus cost recomputed as separate aggregates") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q9")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty)
+    val base = t.lineitem
+      .join(t.part.filter($"p_name".startsWith("red")), $"l_partkey" === $"p_partkey")
+      .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+      .join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("y"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"),
+        dsum($"p_retailprice" * lit(0.4) * $"l_quantity").as("cost"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(base.length == out.size)
+    base.foreach { case (n, y, rev, cost) =>
+      assert(math.abs(out((n, y)) - (rev - cost)) < 1e-6, s"($n, $y)")
+    }
+  }
+
+  test("q16 supplier counts exclude problem suppliers and match a replay") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q16")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(out.nonEmpty)
+    val bad = t.supplier.filter($"s_acctbal" < 0.0)
+      .select($"s_suppkey").collect().map(_.getLong(0)).toSet
+    val partClass = t.part.filter($"p_brand" =!= "Brand#1"
+        && !$"p_type".startsWith("PROMO")
+        && $"p_size".isin(1, 5, 9, 15, 21, 27, 35, 41))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3), r.getInt(4))).toMap
+    val expect = t.lineitem.select($"l_partkey", $"l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (p, s) => partClass.contains(p) && !bad(s) }
+      .groupBy(e => partClass(e._1))
+      .view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(out == expect)
   }
 
   test("q21 sole-returner counts match a brute-force replay of the order log") {
