@@ -243,8 +243,16 @@ object Events extends QueryModule {
       .agg(count(lit(1)).as("n_events"),
         count($"gap_us").as("n_gaps"),
         // Exact long sum, then one fixed division chain — avg() would
-        // accumulate in engine-specific order.
-        round(sum($"gap_us").cast("double") / count($"gap_us") / 1e6, 6)
+        // accumulate in engine-specific order. The mean rounds at
+        // INTEGER-microsecond scale, then converts to seconds: rounding
+        // at 6 decimals of seconds made DuckDB multiply the quotient
+        // back by 1e6 inside its round (two extra IEEE roundings vs
+        // Spark's exact-BigDecimal round), and at sf0.1 one user's mean
+        // landed close enough to a half-µs boundary to flip the last
+        // digit between engines. Scale-0 round has no multiply error:
+        // both engines round the SAME double, so they cannot disagree;
+        // µs resolution equals the previous 6-decimals-of-seconds.
+        (round(sum($"gap_us").cast("double") / count($"gap_us"), 0) / 1e6)
           .as("mean_gap_s"),
         (max($"gap_us").cast("double") / 1e6).as("max_gap_s"))
       .orderBy($"user_id")
@@ -312,7 +320,7 @@ object Events extends QueryModule {
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
-        |       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 6)
+        |       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us), 0) / 1e6
         |         AS mean_gap_s,
         |       CAST(max(gap_us) AS DOUBLE) / 1e6 AS max_gap_s
         |FROM gapped GROUP BY user_id ORDER BY user_id""".stripMargin,
