@@ -348,11 +348,14 @@ object Olap extends QueryModule {
         dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
         dsum(x * y).as("sxy"))
       .select($"l_returnflag", $"n",
-        when(dxx =!= 0, round(slope, 9)).as("slope"),
-        when(dxx =!= 0, round(($"sy" - slope * $"sx") / $"n", 9)).as("intercept"),
+        // round9stable, not round(_, 9): slope/intercept magnitudes reach
+        // 1e3-1e5, where the two engines' round implementations can flip
+        // the 9th decimal (see the helper's scaladoc).
+        when(dxx =!= 0, round9stable(slope)).as("slope"),
+        when(dxx =!= 0, round9stable(($"sy" - slope * $"sx") / $"n")).as("intercept"),
         when(dxx =!= 0 && dyy =!= 0,
-          round((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy"))
-            / (dxx * dyy), 9)).as("r2"))
+          round9stable((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy"))
+            / (dxx * dyy))).as("r2"))
       .orderBy($"l_returnflag")
   }
 
@@ -403,14 +406,13 @@ object Olap extends QueryModule {
     "olap_regr" ->
       s"""SELECT l_returnflag, n,
          |       CASE WHEN (n * sxx - sx * sx) <> 0
-         |            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+         |            THEN ${sqlRound9("(n * sxy - sx * sy) / (n * sxx - sx * sx)")}
          |       END AS slope,
          |       CASE WHEN (n * sxx - sx * sx) <> 0
-         |            THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+         |            THEN ${sqlRound9("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")}
          |       END AS intercept,
          |       CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
-         |            THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-         |                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+         |            THEN ${sqlRound9("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")}
          |       END AS r2
          |FROM (
          |  SELECT l_returnflag, count(*) AS n,

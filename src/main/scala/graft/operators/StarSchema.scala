@@ -241,7 +241,9 @@ object StarSchema extends QueryModule {
     brandItems
       .join(broadcast(thresholds), $"l_partkey" === $"t_partkey")
       .filter($"l_quantity" < $"qty_threshold")
-      .agg(round(dsum0($"l_extendedprice") / 7.0, 9).as("avg_yearly"))
+      // round9stable: avg_yearly reaches 1e5+, where round(_, 9)'s
+      // engine implementations can flip the 9th decimal.
+      .agg(round9stable(dsum0($"l_extendedprice") / 7.0).as("avg_yearly"))
   }
 
   /** TPC-H Q19-style: disjunctive brand/size/quantity predicates —
@@ -684,7 +686,7 @@ object StarSchema extends QueryModule {
          |  SELECT l_partkey AS t_partkey,
          |         ${sqlDavg("l_quantity")} * 0.2 AS qty_threshold
          |  FROM brand_items GROUP BY l_partkey)
-         |SELECT round(${sqlDsum0("l_extendedprice")} / 7.0, 9) AS avg_yearly
+         |SELECT ${sqlRound9(s"${sqlDsum0("l_extendedprice")} / 7.0")} AS avg_yearly
          |FROM brand_items JOIN thresholds ON l_partkey = t_partkey
          |WHERE l_quantity < qty_threshold""".stripMargin,
     "tpch_q19" ->

@@ -35,6 +35,21 @@ package object operators {
   def sqlDsum0(e: String): String = s"coalesce(${sqlDsum(e)}, 0.0)"
   def sqlDavg(e: String): String = s"(${sqlDsum(e)} / count($e))"
 
+  /** Cross-engine-stable 9-decimal round for LARGE-magnitude doubles.
+    * `round(x, 9)` diverges between engines when |x|·10⁹ nears 2^53:
+    * DuckDB rounds via `nearbyint(x * 1e9) / 1e9` while Spark rounds
+    * the exact BigDecimal expansion of x — near a half boundary the
+    * multiply's extra IEEE rounding can flip the last digit (observed
+    * on e11 at sf0.1: |x|≈3e4 at scale 6). Writing the multiply
+    * EXPLICITLY on both sides makes both engines round the identical
+    * scaled double — bit-equal always. Use for rounded columns whose
+    * magnitude can exceed ~1e3; plain `round(_, 9)` is fine for O(1)
+    * ratios (danger ≈ ulp(|x|·10⁹)/2 per value). */
+  def round9stable(c: Column): Column = round(c * 1e9, 0) / 1e9
+
+  /** Oracle-SQL fragment matching `round9stable`. */
+  def sqlRound9(e: String): String = s"round(($e) * 1e9, 0) / 1e9"
+
   /** Null-tolerant count-if (reference conditional counts,
     * /root/reference/index.js:335-337,557-559). */
   def countIf(cond: Column): Column = count(when(cond, lit(1)))
