@@ -144,7 +144,42 @@ object WritePath extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** w9 — small-files compaction: the table-maintenance pass every
+    * real warehouse runs. Streaming/micro-batch ingest fragments a
+    * table into thousands of tiny files (here: orders shattered into
+    * 64), which at 100 TB dominates query latency via open/footer
+    * costs and starves scan vectorization; compaction rewrites to
+    * target-sized files (here: 4) with content untouched. The output
+    * row carries the file accounting plus content invariants (row
+    * count + exact decimal sum) proving the rewrite is a no-op on the
+    * data. File counts are engine-internal (filesystem layout), so
+    * this is a rows-only entry; `WritePathSpec`-style assertions live
+    * in SourcesSpec. At scale: compact per partition, pick the file
+    * target from `spark.sql.files.maxPartitionBytes`, and run it as
+    * copy-on-write on cold partitions only. */
+  private def w9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"/tmp/graft_layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    def parquetFiles(p: String): Long =
+      Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .count(f => f.getName.endsWith(".parquet")).toLong
+    val orders = Tables(spark, dir).orders
+    orders.repartition(64)
+      .write.mode("overwrite").parquet(s"$base/fragmented")
+    spark.read.parquet(s"$base/fragmented").coalesce(4)
+      .write.mode("overwrite").parquet(s"$base/compacted")
+    val compacted = spark.read.parquet(s"$base/compacted")
+    compacted.agg(
+        count(lit(1)).as("n_rows"),
+        dsum($"o_totalprice").as("total_price"))
+      .select(
+        lit(parquetFiles(s"$base/fragmented")).as("n_files_fragmented"),
+        lit(parquetFiles(s"$base/compacted")).as("n_files_compacted"),
+        $"n_rows", $"total_price")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_compaction"        -> (w9 _),
     "w8_merge_upsert"      -> (w8 _),
     "w7_partitioned_write" -> (w7 _),
     "w1_insert_defaults" -> (w1 _),

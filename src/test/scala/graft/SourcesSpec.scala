@@ -69,4 +69,18 @@ class SourcesSpec extends AnyFunSuite {
     batch2.write.mode("append").parquet(out)
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  test("w9 compaction rewrites 64 fragments into few files with content untouched") {
+    import spark.implicits._
+    val r = graft.operators.WritePath.queries("w9_compaction")(spark, dir).head()
+    val (nFrag, nComp, nRows, total) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nFrag == 64L, s"fragmented layout should be 64 files, got $nFrag")
+    assert(nComp >= 1L && nComp <= 4L, s"compacted layout should be <=4 files, got $nComp")
+    val orders = Tables(spark, dir).orders
+    assert(nRows == orders.count(), "compaction must not change row count")
+    val expectTotal = orders
+      .agg(graft.operators.dsum($"o_totalprice")).head().getDouble(0)
+    assert(total == expectTotal, "compaction must not change content")
+  }
 }

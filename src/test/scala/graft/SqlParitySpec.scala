@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 106 of the
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), 110 of the
   * oracle texts run VERBATIM on Spark SQL. This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
