@@ -125,6 +125,37 @@ object StreamOps {
       }
   }
 
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** e12's streaming twin — per-user event-type transitions as keyed
+    * state: the state store holds each user's LAST event type; every
+    * arrival emits one (prev, next) pair. Downstream, a plain streaming
+    * groupBy over (prev_type, next_type) maintains the running
+    * transition matrix in Update mode — the sequential-feature
+    * extraction shape (n-gram-over-a-stream) a streaming corpus
+    * pipeline uses for next-action models. Assumes per-key in-order
+    * delivery (the source is ts-sorted per user, or an upstream
+    * watermark+sort stage provides it) — the same contract the batch
+    * e12 window encodes with ORDER BY ts. */
+  def transitionPairs(events: Dataset[UserEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[String]) =>
+          var prev = state.getOption
+          val out = Seq.newBuilder[Transition]
+          rows.foreach { e =>
+            prev.foreach(p => out += Transition(userId, p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the north-star dedup tier (d1/d2) in
     * streaming form: first event per (user_id, event_type) key wins,
     * duplicates arriving within the watermark horizon are dropped.

@@ -62,6 +62,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(UserBalance(1L, 3L, 13.0), UserBalance(2L, 1L, 11.0)))
   }
 
+  test("flatMapGroupsWithState transitions match the batch e12 matrix") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.Transition
+    // Feed the REAL fixture event log, ts-ordered (the operator's
+    // in-order-per-key delivery contract), through the state op...
+    val dir = "/root/testdata/sf0.001"
+    val fixture = Tables(spark, dir).events
+      .orderBy($"ts", $"event_id")
+      .select($"user_id", $"event_type", lit(0.0).as("value"))
+      .as[StreamOps.UserEvent].collect().toSeq
+    // single input partition → per-key arrival order = input order
+    val in = new MemoryStream[StreamOps.UserEvent](
+      scala.util.Random.nextInt(1 << 20) + (1 << 20), spark, Some(1))
+    in.addData(fixture)
+    val pairs = StreamOps.runToMemory(spark,
+      StreamOps.transitionPairs(in.toDS()).toDF(),
+      "transition_test", OutputMode.Append())
+      .as[Transition].collect()
+    val streamCounts = pairs.groupBy(t => (t.prev_type, t.next_type))
+      .view.mapValues(_.length.toLong).toMap
+    // ... and require the exact counts the batch window form computes.
+    val batch = graft.operators.Events.queries("e12_transition_matrix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamCounts == batch)
+  }
+
   test("checkpointed file stream is exactly-once across restarts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
