@@ -81,6 +81,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("d2 dedup is a fixpoint: survivors are dup-free and cover every text") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.queries("d2_dedup_exact_select")(spark, dir)
+      .join(Tables(spark, dir).documents.select($"doc_id", $"text"), "doc_id")
+    // No two survivors share a text (running dedup again changes nothing) ...
+    assert(out.groupBy($"text").count().filter($"count" > 1).count() == 0)
+    // ... and every corpus text has a surviving representative.
+    val missing = Tables(spark, dir).documents.select($"text")
+      .join(out.select($"text"), Seq("text"), "left_anti").count()
+    assert(missing == 0)
+  }
+
+  test("t10 split assignment is invariant to input partitioning") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val direct = TextAnalysis.queries("t10_train_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Same rule applied to an adversarially re-partitioned copy of the
+    // corpus: content-keyed assignment must not notice data layout —
+    // the property that makes the split stable under resharding and
+    // re-ingestion at warehouse scale.
+    val reshuffled = Tables(spark, dir).documents
+      .repartition(7, $"lang") // different key, different layout
+      .select($"doc_id",
+        when(substring(md5($"text"), 1, 2) < "cc", "train")
+          .when(substring(md5($"text"), 1, 2) < "e6", "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(direct == reshuffled)
+  }
+
   test("semi-join result is a subset with no duplication") {
     import spark.implicits._
     val gen = for {
