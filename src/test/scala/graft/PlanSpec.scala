@@ -136,6 +136,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-filter queries push a partial per-group top-k below the shuffle") {
+    // Catalyst's WindowGroupLimit turns `row_number() <= k` filters into
+    // a map-side per-group limit BEFORE the window's exchange — at 100 TB
+    // this is what keeps t11's per-source cap from shuffling the whole
+    // corpus to cap it. Pin that the optimization stays engaged.
+    Seq("t11_source_cap", "w5_capacity_rule", "e6_latest_per_user").foreach { n =>
+      val p = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), s"$n lost WindowGroupLimit\n" + p)
+    }
+  }
+
   test("c2 catalog join reads both bucketed sides without re-shuffling them") {
     val p = plan(CatalogOps.queries("c2_bucketed_join")(spark, dir))
     assert(p.contains("SortMergeJoin"), p)
