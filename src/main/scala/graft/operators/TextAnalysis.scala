@@ -169,6 +169,32 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t5b — t5's 100 TB tier: the same broadcast-cutpoint filter with
+    * `approx_percentile` (KLL-sketch, mergeable, constant memory)
+    * deriving the threshold instead of the exact `percentile` (whose
+    * state is per-distinct-value counts). Rows-only catalog entry —
+    * the sketch is engine-internal — with the exact tier as its
+    * in-repo oracle: the spec bounds the survivor-set disagreement by
+    * the sketch's rank-error guarantee. At accuracy 10⁴ the rank error
+    * is ≤ N/10⁴, so the two tiers can only disagree on documents whose
+    * quality sits within that sliver of the cutpoint. */
+  private def t5b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = Tables(spark, dir).documents
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id",
+        size($"w").cast("double").as("n_tok"),
+        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
+          .cast("double").as("n_stop"))
+      .select($"doc_id",
+        when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0).as("q"))
+    val thr = scored.agg(
+      expr("approx_percentile(q, 0.25, 10000)").as("q25"))
+    scored.join(broadcast(thr), $"q" >= $"q25")
+      .select($"doc_id", $"q")
+      .orderBy($"doc_id")
+  }
+
   /** t6 — corpus accounting: the numbers a training run budgets against
     * (doc/token/char totals, mean doc length, exact vocabulary size).
     * At 100 TB swap the exact vocab count for approx_count_distinct —
@@ -442,6 +468,7 @@ object TextAnalysis extends QueryModule {
     "t3_language_id"      -> (t3 _),
     "t4_fingerprint"      -> (t4 _),
     "t5_quality_filter"   -> (t5 _),
+    "t5b_quality_filter_approx" -> (t5b _),
     "t6_corpus_stats"     -> (t6 _))
 
   private val wordsSql =

@@ -319,6 +319,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(twoPass == windowForm)
   }
 
+  test("t5b approx tier agrees with the exact percentile filter within sketch error") {
+    val exact = TextAnalysis.queries("t5_quality_filter")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val approx = TextAnalysis.queries("t5b_quality_filter_approx")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val n = Tables(spark, dir).documents.count()
+    val maxDiff = math.max(1L, n / 100) // sketch rank error N/1e4, slack x100
+    val symDiff = (exact diff approx).size + (approx diff exact).size
+    assert(symDiff <= maxDiff, s"tiers disagree on $symDiff of $n docs")
+  }
+
   test("t18 char entropy matches a per-doc frequency replay") {
     import spark.implicits._
     val out = TextAnalysis.queries("t18_char_entropy")(spark, dir).collect()
