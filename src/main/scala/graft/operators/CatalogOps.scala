@@ -109,9 +109,29 @@ object CatalogOps extends QueryModule {
       .orderBy($"c_mktsegment")
   }
 
+  /** c3 — a persistent VIEW in the warehouse database: business logic
+    * (revenue by supplier nation) defined ONCE in DDL over the external
+    * tables, then queried like any table. Views are catalog metadata —
+    * same persistence scope as the tables (session-lifetime on the
+    * in-memory catalog, durable on a metastore), zero storage. */
+  private def c3(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir)
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $Database.revenue_by_nation AS
+         |SELECT n_name AS nation,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM $Database.lineitem
+         |JOIN $Database.supplier ON l_suppkey = s_suppkey
+         |JOIN $Database.nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin)
+    spark.sql(
+      s"SELECT nation, revenue FROM $Database.revenue_by_nation ORDER BY nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_catalog_sql"     -> (c1 _),
-    "c2_bucketed_join"   -> (c2 _))
+    "c2_bucketed_join"   -> (c2 _),
+    "c3_catalog_view"    -> (c3 _))
 
   val oracles: Map[String, String] = Map(
     "c1_catalog_sql" ->
@@ -125,5 +145,13 @@ object CatalogOps extends QueryModule {
          |       ${sqlDsum("o_totalprice")} AS total
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin)
+         |ORDER BY c_mktsegment""".stripMargin,
+    "c3_catalog_view" ->
+      s"""SELECT n_name AS nation,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY nation""".stripMargin)
 }

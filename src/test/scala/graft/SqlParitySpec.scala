@@ -65,7 +65,7 @@ class SqlParitySpec extends AnyFunSuite {
     "t15_doc_chunks", "t16_seq_packing", "t17_mixture_weights",
     "pipe1_corpus_prep",
     "f_string_suite", "f_null_semantics",
-    "c1_catalog_sql", "c2_bucketed_join",
+    "c1_catalog_sql", "c2_bucketed_join", "c3_catalog_view",
     "flagship_buyer_home", "flagship_admin_home", "flagship_worker_home")
 
   test(s"parity surface covers ${portable.size} oracle texts") {
