@@ -443,6 +443,70 @@ object StarSchema extends QueryModule {
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
   }
 
+  /** TPC-H Q11-style: important-stock identification — parts whose
+    * NATION_3-supplied stock value exceeds 1.5× the mean per-part value
+    * (the fixture lacks partsupp, so the supply catalog is lineitem-
+    * derived: value of a part = Σ l_extendedprice · l_quantity over its
+    * NATION_3-supplier lineitems; the fixed 0.0001 fraction of the
+    * original is mean-relative here so the selectivity is
+    * scale-invariant — ~24 % of parts at every SF). Q11's structure
+    * survives intact: grouped aggregate + HAVING against a global
+    * scalar subquery over the same derivation. The scalar (total,
+    * n_parts) is one broadcast row; the threshold compare converts the
+    * exact decimal sums to double on BOTH sides with the identical
+    * expression shape, so the engines compare identical IEEE values
+    * (the q20 discipline). One fact shuffle (the part aggregate). */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val n3Supp = t.supplier
+      .join(t.nation.filter($"n_name" === "NATION_3"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val ps = t.lineitem
+      .join(broadcast(n3Supp), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(sum(($"l_extendedprice" * $"l_quantity").cast("decimal(18,6)"))
+        .as("value_dec"))
+    val totals = ps.agg(sum($"value_dec").as("tot"), count(lit(1)).as("np"))
+    ps.crossJoin(broadcast(totals))
+      .filter($"value_dec".cast("double")
+        > lit(1.5) * $"tot".cast("double") / $"np")
+      .select($"l_partkey", round($"value_dec".cast("double"), 6).as("value"))
+      .orderBy($"value".desc, $"l_partkey")
+  }
+
+  /** TPC-H Q12-style: shipping-mode service levels — per mode class,
+    * how many late-shipped lineitems belonged to critical- vs
+    * normal-priority orders (the fixture lacks l_shipmode and the
+    * commit/receipt dates; l_returnflag's A/R classes stand in for the
+    * two audited modes and "shipped >45 days after the order was
+    * placed" is the lateness predicate over the columns the fixture
+    * does carry). Shape is Q12's: fact-dimension equi-join with a
+    * cross-table residual predicate, then a two-way conditional count
+    * over a 2-row key space — the join shuffles on orderkey, the
+    * aggregate is map-combined to 2 rows. Pure counts: engine-exact
+    * with no decimal routing. */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val critical = Seq("1-URGENT", "2-HIGH")
+    t.orders.select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .join(t.lineitem.select($"l_orderkey", $"l_returnflag", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .filter($"l_returnflag".isin("A", "R")
+        && $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 45 DAYS")
+        && $"l_shipdate" >= lit("1996-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin(critical: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin(critical: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
   private val Salt = 8
 
   /** Two-phase salted aggregation: phase 1 groups by (key, salt) —
@@ -463,6 +527,8 @@ object StarSchema extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q2"           -> (q2 _),
     "tpch_q9"           -> (q9 _),
+    "tpch_q11"          -> (q11 _),
+    "tpch_q12"          -> (q12 _),
     "tpch_q16"          -> (q16 _),
     "tpch_q20"          -> (q20 _),
     "tpch_q21"          -> (q21 _),
@@ -482,6 +548,33 @@ object StarSchema extends QueryModule {
     "skew_salted_agg"   -> (salted _))
 
   val oracles: Map[String, String] = Map(
+    "tpch_q11" ->
+      """WITH ps AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value_dec
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_3')
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT sum(value_dec) AS tot, count(*) AS np FROM ps)
+        |SELECT l_partkey, round(CAST(value_dec AS DOUBLE), 6) AS value
+        |FROM ps CROSS JOIN tot
+        |WHERE CAST(value_dec AS DOUBLE) > 1.5 * CAST(tot AS DOUBLE) / np
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate > o_orderdate + INTERVAL 45 DAYS
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "tpch_q9" ->
       s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |       ${sqlDsum("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.4 * l_quantity")}

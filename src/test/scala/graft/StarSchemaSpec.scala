@@ -323,4 +323,61 @@ class StarSchemaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q11 important stock matches a brute-force replay and its threshold") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q11")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty)
+    val n3 = t.supplier.join(t.nation, $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name" === "NATION_3")
+      .select($"s_suppkey").collect().map(_.getLong(0)).toSet
+    val values = t.lineitem
+      .select($"l_partkey", $"l_suppkey",
+        ($"l_extendedprice" * $"l_quantity").cast("decimal(18,6)").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+      .filter(e => n3(e._2))
+      .groupBy(_._1)
+      .view.mapValues(_.map(e => BigDecimal(e._3)).sum).toMap
+    val tot = values.values.sum
+    val threshold = 1.5 * tot.toDouble / values.size
+    val expect = values.filter(_._2.toDouble > threshold)
+      .map { case (p, v) => p -> BigDecimal(v.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    assert(out == expect)
+    // Every survivor genuinely clears 1.5x the mean; at least one part
+    // (the max, unless all-equal) must fail it — the filter is real.
+    assert(out.size < values.size, "threshold filters something")
+  }
+
+  test("q12 mode service levels match a per-lineitem replay") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = StarSchema.queries("tpch_q12")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet.subsetOf(Set("A", "R")) && out.nonEmpty)
+    val prio = t.orders
+      .select($"o_orderkey", unix_micros($"o_orderdate".cast("timestamp")),
+        $"o_orderpriority")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // UTC session: epoch micros for 1996-01-01 / 1997-01-01.
+    val y96 = 820454400000000L
+    val y97 = 852076800000000L
+    val counted = t.lineitem
+      .select($"l_orderkey", $"l_returnflag",
+        unix_micros($"l_shipdate".cast("timestamp"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter { case (ok, rf, ship) =>
+        val (odate, _) = prio(ok)
+        (rf == "A" || rf == "R") &&
+          ship > odate + 45L * 86400000000L &&
+          ship >= y96 && ship < y97
+      }
+    val expect = counted.groupBy(_._2).view.mapValues { rows =>
+      val hi = rows.count(e => Set("1-URGENT", "2-HIGH")(prio(e._1)._2)).toLong
+      (hi, rows.length - hi)
+    }.toMap
+    assert(out == expect.map { case (k, (h, l)) => k -> ((h, l)) })
+  }
 }
