@@ -31,13 +31,21 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Median-of-3 per query: a single shot lets one GC pause or a
+    // contended box masquerade as a regression (the round-4 driver run
+    // showed 2.5-6x phantom blowups that never reproduced). The median
+    // of three back-to-back runs is robust to one outlier at ~3x wall.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // release per-query persists; queries are self-contained
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // release per-query persists; queries are self-contained
+        dt
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

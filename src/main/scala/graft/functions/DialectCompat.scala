@@ -67,11 +67,18 @@ object DialectCompat {
       s"regexp_extract_all expects 2 or 3 arguments, got ${exprs.length}")
   }
 
-  /** regexp_replace with an optional trailing regex-flags argument. */
+  /** regexp_replace with an optional trailing regex-flags argument. Any
+    * LITERAL STRING 4th argument is matched here and only 'g' accepted —
+    * letting e.g. 'i' fall through to the position branch would have
+    * Spark implicitly cast the flag string to INT (null) and silently
+    * return NULL at runtime instead of failing at analysis. Integer
+    * positions keep the builtin behaviour. */
   def regexpReplaceCompat(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(s, re, rep) => RegExpReplace(s, re, rep)
-    case Seq(s, re, rep, Literal(flags, _)) if flags != null
-        && flags.toString == "g" => RegExpReplace(s, re, rep)
+    case Seq(s, re, rep, Literal(flags, org.apache.spark.sql.types.StringType)) =>
+      if (flags != null && flags.toString == "g") RegExpReplace(s, re, rep)
+      else throw new IllegalArgumentException(
+        s"regexp_replace: unsupported regex flags '$flags' (only 'g' is accepted)")
     case Seq(s, re, rep, pos) => RegExpReplace(s, re, rep, pos)
     case _ => throw new IllegalArgumentException(
       s"regexp_replace expects 3 or 4 arguments, got ${exprs.length}")

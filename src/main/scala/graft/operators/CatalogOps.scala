@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * exactly as far as the configured catalog does — the default
   * in-memory catalog is session-lifetime, and pointing the session at a
   * Hive/Glue metastore (`enableHiveSupport`) makes the very same DDL
-  * durable across sessions with zero code change here. Registration is
-  * idempotent and memoized per (session, dir); re-registering against a
-  * different scale-factor dir re-points the external tables.
+  * durable across sessions with zero code change here (proved by
+  * `HiveCatalogSpec`: derby-backed metastore, session restart, tables
+  * and the c3 view survive). Registration is idempotent and memoized
+  * per session on the currently-registered dir; ANY dir change —
+  * including back to a previously-seen dir — re-runs the DDL and
+  * re-points the external tables.
   *
   * Scale notes: external registration is metadata-only (a footer read),
   * cost-free at any data size. The bucketed pair is written ONCE and
@@ -41,28 +44,38 @@ object CatalogOps extends QueryModule {
   private val ExternalNames =
     Tables.names.filterNot(_ == "events")
 
+  /** The dir the session's graft.* tables currently point at. The
+    * catalog tables are session-GLOBAL, so the memo key must be the
+    * session alone: keying on (session, dir) would make
+    * ensure(A); ensure(B); ensure(A) a silent no-op on the third call,
+    * leaving the tables reading B's data while the caller thinks they
+    * read A's. Any dir change — including back to a previously-seen
+    * dir — re-runs the DDL. */
   private val registered =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
-  /** Idempotent database + table registration (memoized per session+dir). */
+  /** Idempotent database + table registration. Memoized per session on
+    * the CURRENTLY-registered dir; any dir change re-points the tables. */
   def ensure(spark: SparkSession, dir: String): Unit =
-    registered.getOrElseUpdate((spark, dir), {
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
-      ExternalNames.foreach { n =>
-        spark.sql(s"DROP TABLE IF EXISTS $Database.$n")
-        spark.sql(
-          s"""CREATE TABLE $Database.$n USING PARQUET
-             |LOCATION '$dir/$n.parquet'""".stripMargin)
+    registered.synchronized {
+      if (!registered.get(spark).contains(dir)) {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $Database")
+        ExternalNames.foreach { n =>
+          spark.sql(s"DROP TABLE IF EXISTS $Database.$n")
+          spark.sql(
+            s"""CREATE TABLE $Database.$n USING PARQUET
+               |LOCATION '$dir/$n.parquet'""".stripMargin)
+        }
+        Seq("orders_bucketed", "customer_bucketed").foreach(clearOrphan(spark, _))
+        Tables(spark, dir).orders.write
+          .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable(s"$Database.orders_bucketed")
+        Tables(spark, dir).customer.write
+          .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable(s"$Database.customer_bucketed")
+        registered.update(spark, dir)
       }
-      Seq("orders_bucketed", "customer_bucketed").foreach(clearOrphan(spark, _))
-      Tables(spark, dir).orders.write
-        .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
-        .mode("overwrite").saveAsTable(s"$Database.orders_bucketed")
-      Tables(spark, dir).customer.write
-        .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
-        .mode("overwrite").saveAsTable(s"$Database.customer_bucketed")
-      true
-    })
+    }
 
   /** A managed-table location can outlive its in-memory catalog entry
     * (new session, files on disk): saveAsTable would then refuse with

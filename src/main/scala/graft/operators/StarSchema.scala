@@ -486,7 +486,10 @@ object StarSchema extends QueryModule {
     * cross-table residual predicate, then a two-way conditional count
     * over a 2-row key space — the join shuffles on orderkey, the
     * aggregate is map-combined to 2 rows. Pure counts: engine-exact
-    * with no decimal routing. */
+    * with no decimal routing — but DuckDB types sum(CASE…) as HUGEINT
+    * (→ float64 in pandas), so the oracle casts both counts to BIGINT
+    * explicitly, the same rule q9/m4 apply to every integer
+    * aggregate. */
   private def q12(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
@@ -564,10 +567,10 @@ object StarSchema extends QueryModule {
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "tpch_q12" ->
       """SELECT l_returnflag,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |                THEN 1 ELSE 0 END) AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-        |                THEN 0 ELSE 1 END) AS low_line_count
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_returnflag IN ('A', 'R')
         |  AND l_shipdate > o_orderdate + INTERVAL 45 DAYS

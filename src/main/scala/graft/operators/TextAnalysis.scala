@@ -152,7 +152,17 @@ object TextAnalysis extends QueryModule {
     * in binary: 0.25 is a power of two), so the threshold is
     * bit-identical across engines and the >= comparison cannot
     * straddle. At 100 TB swap `percentile` for `approx_percentile`:
-    * same two-scan shape, sketch-mergeable, constant memory. */
+    * same two-scan shape, sketch-mergeable, constant memory.
+    *
+    * State bound: exact `percentile` keeps per-DISTINCT-VALUE counts,
+    * and a raw continuous ratio has ~N distinct values — O(corpus)
+    * aggregate state concentrated into one final merge. The score is
+    * therefore QUANTIZED to 9 decimals (identically in the oracle)
+    * before anything touches it: distinct values are capped at 1e9+1
+    * regardless of corpus size, the comparison scale loses nothing
+    * (q is a ratio of ≤ 4-digit token counts), and q ∈ [0,1] keeps
+    * plain `round` in the divergence-free O(1)-magnitude class (see
+    * round9stable's danger arithmetic). */
   private def t5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = Tables(spark, dir).documents
@@ -162,7 +172,8 @@ object TextAnalysis extends QueryModule {
         size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
           .cast("double").as("n_stop"))
       .select($"doc_id",
-        when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0).as("q"))
+        round(when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0), 9)
+          .as("q"))
     val thr = scored.agg(percentile($"q", lit(0.25)).as("q25"))
     scored.join(broadcast(thr), $"q" >= $"q25")
       .select($"doc_id", $"q")
@@ -187,7 +198,8 @@ object TextAnalysis extends QueryModule {
         size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
           .cast("double").as("n_stop"))
       .select($"doc_id",
-        when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0).as("q"))
+        round(when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0), 9)
+          .as("q")) // quantized like t5 so the tiers share one score scale
     val thr = scored.agg(
       expr("approx_percentile(q, 0.25, 10000)").as("q25"))
     scored.join(broadcast(thr), $"q" >= $"q25")
@@ -360,9 +372,9 @@ object TextAnalysis extends QueryModule {
         size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
           .cast("long").as("n_stop"))
       .select($"doc_id", $"lang", $"n_chars", $"n_tok", $"norm_hash",
-        when($"n_tok" > 0,
+        round(when($"n_tok" > 0,
           $"n_stop".cast("double") / $"n_tok".cast("double"))
-          .otherwise(0.0).as("q"))
+          .otherwise(0.0), 9).as("q")) // quantized: see t5's state bound
     // The threshold branch prunes to text-only under column pruning:
     // norm_hash/lang/n_chars never reach the stats pass.
     val thr = scored.agg(percentile($"q", lit(0.25)).as("q25"))
@@ -434,11 +446,17 @@ object TextAnalysis extends QueryModule {
     * each ROUNDED TO 9 DECIMALS and summed as exact decimals —
     * a raw double Σ would be partition-order-dependent (same
     * discipline as dsum; t9 sidesteps this with per-term rounding too,
-    * but here terms are summed, so they route through decimal). */
+    * but here terms are summed, so they route through decimal).
+    * "Character" means CODE POINT on both engines: `(?s).` matches one
+    * code point in Java regex and RE2 alike, so a non-BMP char (emoji)
+    * counts once — Spark's `split(text, '')` would shatter it into
+    * UTF-16 surrogate halves while DuckDB counts code points, silently
+    * diverging n_chars and the entropy. */
   private def t18(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
-      .select($"doc_id", explode(split($"text", "")).as("ch"))
+      .select($"doc_id",
+        explode(regexp_extract_all($"text", lit("(?s)."), lit(0))).as("ch"))
       .filter($"ch" =!= "")
       .groupBy($"doc_id", $"ch")
       .agg(count(lit(1)).as("c"))
@@ -478,7 +496,7 @@ object TextAnalysis extends QueryModule {
     "t18_char_entropy" ->
       """WITH counts AS (
         |  SELECT doc_id, ch, count(*) AS c FROM (
-        |    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
         |    FROM documents)
         |  WHERE ch <> ''
         |  GROUP BY doc_id, ch),
@@ -531,11 +549,11 @@ object TextAnalysis extends QueryModule {
     "pipe1_corpus_prep" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text, n_chars,
-         |         CASE WHEN len($wordsSql) > 0
+         |         round(CASE WHEN len($wordsSql) > 0
          |              THEN CAST(len(list_filter($wordsSql,
          |                   x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
          |                   / CAST(len($wordsSql) AS DOUBLE)
-         |              ELSE 0.0 END AS q,
+         |              ELSE 0.0 END, 9) AS q,
          |         sha256(trim(regexp_replace(
          |           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
          |           '\\s+', ' ', 'g'))) AS norm_hash
@@ -621,11 +639,11 @@ object TextAnalysis extends QueryModule {
     "t5_quality_filter" ->
       s"""WITH scored AS (
          |  SELECT doc_id,
-         |         CASE WHEN len($wordsSql) > 0
+         |         round(CASE WHEN len($wordsSql) > 0
          |              THEN CAST(len(list_filter($wordsSql,
          |                   x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
          |                   / CAST(len($wordsSql) AS DOUBLE)
-         |              ELSE 0.0 END AS q
+         |              ELSE 0.0 END, 9) AS q
          |  FROM documents),
          |thr AS (SELECT quantile_cont(q, 0.25) AS q25 FROM scored)
          |SELECT doc_id, q FROM scored CROSS JOIN thr

@@ -127,27 +127,38 @@ object StreamOps {
 
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
 
+  final case class TimedEvent(ts: java.sql.Timestamp, event_id: Long,
+                              user_id: Long, event_type: String)
+
   /** e12's streaming twin — per-user event-type transitions as keyed
     * state: the state store holds each user's LAST event type; every
     * arrival emits one (prev, next) pair. Downstream, a plain streaming
     * groupBy over (prev_type, next_type) maintains the running
     * transition matrix in Update mode — the sequential-feature
     * extraction shape (n-gram-over-a-stream) a streaming corpus
-    * pipeline uses for next-action models. Assumes per-key in-order
-    * delivery (the source is ts-sorted per user, or an upstream
-    * watermark+sort stage provides it) — the same contract the batch
-    * e12 window encodes with ORDER BY ts. */
-  def transitionPairs(events: Dataset[UserEvent]): Dataset[Transition] = {
+    * pipeline uses for next-action models.
+    *
+    * Ordering: a micro-batch hands each group its rows in ARRIVAL order
+    * — partition interleaving, not event time — so the rows are
+    * buffered and sorted by (ts, event_id) before pairing; a
+    * multi-partition or shuffled source within a batch still yields
+    * event-time pairs (spec feeds exactly that). ACROSS batches the
+    * source must deliver batches in event-time order (the watermark
+    * discipline every upstream stage provides) — per-batch state is the
+    * last event type only, matching the batch e12 window's ORDER BY
+    * ts, event_id. Buffering is bounded by one key's rows in one
+    * micro-batch, not the stream. */
+  def transitionPairs(events: Dataset[TimedEvent]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.OutputMode
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[String, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[UserEvent], state: GroupState[String]) =>
+        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[String]) =>
           var prev = state.getOption
           val out = Seq.newBuilder[Transition]
-          rows.foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             prev.foreach(p => out += Transition(userId, p, e.event_type))
             prev = Some(e.event_type)
           }

@@ -33,6 +33,32 @@ class DialectCompatSpec extends AnyFunSuite {
     assert(one("regexp_replace('a1b2', '[0-9]', '_', 3)").getString(0) == "a1b_")
   }
 
+  test("regexp_replace REJECTS non-'g' string flags at analysis (no silent NULL)") {
+    // Without the explicit string match, 'i' would fall through to the
+    // position branch, implicitly cast to INT (null), and the whole
+    // expression would silently return NULL at runtime.
+    Seq("i", "m", "gi").foreach { f =>
+      val e = intercept[Exception] {
+        one(s"regexp_replace('a1b2', '[0-9]', '_', '$f')")
+      }
+      assert(e.getMessage.contains("unsupported regex flags"),
+        s"flag '$f' must be rejected at analysis, got: ${e.getMessage}")
+    }
+  }
+
+  test("epoch truncates to whole seconds — INTENTIONAL divergence from fractional") {
+    // DuckDB's epoch() returns DOUBLE fractional seconds; this alias is
+    // UnixSeconds (BIGINT whole seconds). The truncation is safe exactly
+    // where the catalog uses it — integer bucketing floor(epoch/k) — and
+    // this pin documents the sub-second behaviour so a future oracle
+    // text over sub-second timestamps can't assume fractional parity.
+    assert(one("epoch(TIMESTAMP '1970-01-01 00:00:01.750')").getLong(0) == 1L)
+    assert(one("epoch(TIMESTAMP '1969-12-31 23:59:59.250')").getLong(0) == -1L)
+    // Bucketing at any whole-second granularity is unaffected:
+    assert(one("CAST(floor(epoch(TIMESTAMP '1970-01-01 00:00:59.9') / 60) AS BIGINT)")
+      .getLong(0) == 0L)
+  }
+
   test("regexp_extract_all 2-arg returns full matches (group 0)") {
     assert(one("regexp_extract_all('a1 b22', '[0-9]+')").getSeq[String](0)
       == Seq("1", "22"))

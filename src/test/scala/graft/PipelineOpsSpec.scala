@@ -340,15 +340,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length == docs.count { case (_, t) => t.nonEmpty })
     out.foreach { case (id, nChars, h) =>
       val text = docs(id)
-      assert(nChars == text.length.toLong, s"doc $id char count")
-      val counts = text.groupBy(identity).values.map(_.length)
-      val expect = math.log(text.length.toDouble) -
+      // Code points, not UTF-16 units — the contract t18 now splits on.
+      val cps = text.codePoints().toArray
+      assert(nChars == cps.length.toLong, s"doc $id char count")
+      val counts = cps.groupBy(identity).values.map(_.length)
+      val n = cps.length
+      val expect = math.log(n.toDouble) -
         counts.map(c => BigDecimal(c * math.log(c.toDouble))
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / text.length
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / n
       assert(math.abs(h - expect) < 1e-5, s"doc $id entropy $h vs $expect")
       // Entropy bounds: 0 (single repeated char) .. ln(alphabet size).
       assert(h >= -1e-9 && h <= math.log(counts.size.toDouble) + 1e-9)
     }
+  }
+
+  test("t18 counts non-BMP characters as single code points") {
+    import spark.implicits._
+    // An emoji is one code point but two UTF-16 units; a UTF-16-unit
+    // splitter would count it twice (as surrogate halves) and shift the
+    // entropy. Run t18 on a crafted corpus to pin the code-point contract.
+    val tmp = java.nio.file.Files.createTempDirectory("t18_nonbmp").toString
+    Seq(
+      (1L, "😀😀abc", "en", "web", 5L), // 😀😀abc = 5 cps
+      (2L, "aaaa", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.operators.TextAnalysis.queries("t18_char_entropy")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 5L, s"emoji doc counted ${out(1L)._1} chars, want 5")
+    // Distribution {😀:2, a:1, b:1, c:1} over n=5.
+    val expect1 = math.log(5.0) -
+      (2 * math.log(2.0)) / 5.0 // the three singleton terms are ln(1)=0
+    assert(math.abs(out(1L)._2 - expect1) < 1e-5)
+    assert(out(2L)._1 == 4L && math.abs(out(2L)._2) < 1e-9)
   }
 
   test("t17 mixture weights sum to one and follow sqrt-token scaling") {

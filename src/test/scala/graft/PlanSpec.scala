@@ -118,6 +118,40 @@ class PlanSpec extends AnyFunSuite {
       s"global-sort windows over unaggregated input in: ${offenders.distinct.mkString(", ")}")
   }
 
+  test("catalog-wide: exact-percentile state is bounded (quantized or discrete input)") {
+    // Exact `percentile` keeps per-DISTINCT-VALUE counts, so over a raw
+    // continuous column its aggregate state grows with the corpus and
+    // concentrates into one final merge — the t5 hazard the round-5
+    // quantization closed. Every exact percentile in the catalog must
+    // take either a quantized input (a round() somewhere in its
+    // producing expression) or a column from the domain-bounded
+    // allowlist, whose small value domain is value-asserted here.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Round}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.functions.countDistinct
+    val domainBounded = Set("olap_percentiles") // l_quantity: integer 1..50 scale
+    assert(Tables(spark, dir).lineitem
+      .select(countDistinct(org.apache.spark.sql.functions.col("l_quantity")))
+      .head.getLong(0) <= 64, "l_quantity domain grew — olap_percentiles exemption invalid")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => domainBounded(q._1)).flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        val defs: Map[Long, Expression] = plan.collect { case p => p.expressions }
+          .flatten.flatMap(_.collect { case a: Alias => a.exprId.id -> a.child })
+          .toMap
+        def quantized(e: Expression): Boolean = e match {
+          case _: Round     => true
+          case a: Attribute => defs.get(a.exprId.id).exists(quantized)
+          case other        => other.children.exists(quantized)
+        }
+        plan.flatMap(_.expressions.flatMap(_.collect {
+          case pc: Percentile if !quantized(pc.child) => name
+        }))
+      }
+    assert(offenders.isEmpty,
+      s"unbounded exact-percentile state in: ${offenders.distinct.mkString(", ")}")
+  }
+
   test("q21 decorrelates to semi + anti hash joins on the fact, no cartesian") {
     val p = plan(StarSchema.queries("tpch_q21")(spark, dir))
     assert(p.contains("LeftSemi"), p)

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 110 of the
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), 113 of the
   * oracle texts run VERBATIM on Spark SQL. This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
@@ -49,7 +49,8 @@ class SqlParitySpec extends AnyFunSuite {
     "olap_window_suite", "olap_grouped_topk_udaf", "olap_scalar_subquery",
     "set_union", "set_intersect", "set_except",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q14",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14",
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
     "tpch_q21", "tpch_q22",
     "dim_supplier_geo", "skew_salted_agg",

@@ -61,6 +61,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     CatalogOps.ensure(spark, dir)
     assert(spark.catalog.listTables(CatalogOps.Database)
       .collect().map(_.name).toSet == tables)
+    // Dir change A→B→A: the tables are session-global, so EVERY change
+    // must re-run the DDL — including back to a dir seen before. (A
+    // (session, dir)-keyed memo would silently leave the tables on B
+    // after the third call.)
+    val dirB = "/root/testdata/sf0.01"
+    val nA = viaCatalog
+    CatalogOps.ensure(spark, dirB)
+    val nB = spark.sql(
+      s"SELECT count(*) FROM ${CatalogOps.Database}.lineitem").head().getLong(0)
+    assert(nB == Tables(spark, dirB).lineitem.count() && nB != nA)
+    CatalogOps.ensure(spark, dir)
+    val nBack = spark.sql(
+      s"SELECT count(*) FROM ${CatalogOps.Database}.lineitem").head().getLong(0)
+    assert(nBack == nA, "ensure(A) after ensure(B) must re-point back to A")
   }
 
   test("SQL window + join + agg over views") {

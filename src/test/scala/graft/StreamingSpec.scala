@@ -66,16 +66,16 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     import graft.streaming.StreamOps.Transition
-    // Feed the REAL fixture event log, ts-ordered (the operator's
-    // in-order-per-key delivery contract), through the state op...
+    // Feed the REAL fixture event log DELIBERATELY out of order and
+    // over multiple input partitions — the operator's (ts, event_id)
+    // in-batch sort, not source ordering, must recover event time.
     val dir = "/root/testdata/sf0.001"
-    val fixture = Tables(spark, dir).events
-      .orderBy($"ts", $"event_id")
-      .select($"user_id", $"event_type", lit(0.0).as("value"))
-      .as[StreamOps.UserEvent].collect().toSeq
-    // single input partition → per-key arrival order = input order
-    val in = new MemoryStream[StreamOps.UserEvent](
-      scala.util.Random.nextInt(1 << 20) + (1 << 20), spark, Some(1))
+    val fixture = new scala.util.Random(42).shuffle(
+      Tables(spark, dir).events
+        .select($"ts", $"event_id", $"user_id", $"event_type")
+        .as[StreamOps.TimedEvent].collect().toSeq)
+    val in = new MemoryStream[StreamOps.TimedEvent](
+      scala.util.Random.nextInt(1 << 20) + (1 << 20), spark, Some(4))
     in.addData(fixture)
     val pairs = StreamOps.runToMemory(spark,
       StreamOps.transitionPairs(in.toDS()).toDF(),
