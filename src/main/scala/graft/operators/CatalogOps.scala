@@ -80,8 +80,9 @@ object CatalogOps extends QueryModule {
   /** A managed-table location can outlive its in-memory catalog entry
     * (new session, files on disk): saveAsTable would then refuse with
     * LOCATION_ALREADY_EXISTS. Storage for a table the catalog has no
-    * record of is orphaned — clear it before the overwrite. */
-  private def clearOrphan(spark: SparkSession, table: String): Unit =
+    * record of is orphaned — clear it before the overwrite. (Shared
+    * with Similarity's persistent ANN index build.) */
+  private[operators] def clearOrphan(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(s"$Database.$table")) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")

@@ -176,6 +176,40 @@ object Similarity extends QueryModule {
   private val SrpTables = 8
   private val SrpBits = 8
 
+  /** Bucket key per table: sign bits of hyperplane projections, each
+    * projection = float_dot(embedding, ±1-plane literal). Accumulation
+    * is (double)x * (double)sign left-to-right — bit-identical to the
+    * previous HOF formulation (±1 is exact in float). Shared by the
+    * in-query index (s3) and the persisted index build (s6). */
+  private def srpBucket(t: Int, dim: Int): Column = {
+    import org.apache.spark.sql.functions.col
+    val bits = (0 until SrpBits).map { p =>
+      val plane = typedLit((0 until dim).map(d => planeSignScala(t, p, d)))
+      val proj = dot(col("embedding"), plane)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Driver-side twin of `srpBucket` for a query payload vector: the
+    * identical plane family and the identical left-to-right
+    * float→double fold (FloatDotProduct's accumulation), so a vector
+    * hashed at the "server" lands in exactly the bucket the index
+    * assigned it. */
+  private[graft] def srpBucketLocal(t: Int, e: Array[Float]): Long = {
+    var key = 0L
+    var p = 0
+    while (p < SrpBits) {
+      var acc = 0.0; var d = 0
+      while (d < e.length) {
+        acc += e(d).toDouble * planeSignScala(t, p, d).toDouble; d += 1
+      }
+      if (acc >= 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
   /** s3 — SRP-LSH ANN: 8 tables × 8-bit sign buckets, exact re-rank of
     * candidates, top-10 per query. */
   private def s3(spark: SparkSession, dir: String): DataFrame = {
@@ -185,19 +219,7 @@ object Similarity extends QueryModule {
     // Memoized probe: no driver job at plan build after the first call
     // per (session, dir) — see Tables.embeddingDim.
     val dim = Tables.embeddingDim(spark, dir)
-
-    // Bucket key per table: sign bits of hyperplane projections, each
-    // projection = float_dot(embedding, ±1-plane literal). Accumulation
-    // is (double)x * (double)sign left-to-right — bit-identical to the
-    // previous HOF formulation (±1 is exact in float).
-    def bucket(t: Int): Column = {
-      val bits = (0 until SrpBits).map { p =>
-        val plane = typedLit((0 until dim).map(d => planeSignScala(t, p, d)))
-        val proj = dot($"embedding", plane)
-        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-      }
-      bits.reduce(_ bitwiseOR _)
-    }
+    def bucket(t: Int): Column = srpBucket(t, dim)
 
     // Persisted: the bucket table feeds BOTH join sides (corpus and the
     // query subset) — without it the scan + 64 projections run twice.
@@ -292,12 +314,95 @@ object Similarity extends QueryModule {
       .orderBy($"label", $"dim")
   }
 
+  /** The persisted LSH index the s3 scaladoc has always described: the
+    * (vector, table, bucket) expansion written ONCE as a managed
+    * parquet table bucketed on a SINGLE flattened key
+    * `bkey = t·2^SrpBits + bk` — single because Spark's bucket pruning
+    * (genBucketSet) only engages for one bucket column. 64 storage
+    * buckets ≈ cluster width; at billions of vectors this is the
+    * offline index-build job. */
+  val IndexTable = s"${CatalogOps.Database}.ann_srp_index"
+  private val IndexBuckets = 64
+
+  private val indexRegistered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Idempotent offline index build (same session-keyed dir-change
+    * semantics as CatalogOps.ensure). */
+  def ensureAnnIndex(spark: SparkSession, dir: String): Unit =
+    indexRegistered.synchronized {
+      if (!indexRegistered.get(spark).contains(dir)) {
+        import spark.implicits._
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS ${CatalogOps.Database}")
+        CatalogOps.clearOrphan(spark, "ann_srp_index")
+        val dim = Tables.embeddingDim(spark, dir)
+        val expanded = corpus(spark, dir)
+          .select($"vec_id", $"embedding", $"nrm",
+            explode(array((0 until SrpTables).map(t =>
+              (lit(t.toLong) * (1L << SrpBits) + srpBucket(t, dim))
+                .as("bkey")): _*)).as("bkey"))
+        expanded.write
+          .bucketBy(IndexBuckets, "bkey").sortBy("bkey")
+          .mode("overwrite").saveAsTable(IndexTable)
+        indexRegistered.update(spark, dir)
+      }
+    }
+
+  /** s6 — ANN served FROM the persisted index: the query-time half of
+    * the s3 split. The five query vectors are fetched as a pushed-down
+    * point lookup and hashed DRIVER-SIDE (`srpBucketLocal`) — the
+    * serving pattern, where the query vector is request payload and
+    * never a distributed dataset — and their ≤ 40 bucket keys become an
+    * IN-filter on the index table's single bucket column, so the scan
+    * reads only the matching storage buckets (PlanSpec pins
+    * SelectedBucketsCount < 64). Candidates then exact-re-rank exactly
+    * as s3, and the result is asserted row-identical to s3 in
+    * ScalaTest. This is the catalog's ONE deliberate query-path
+    * collect: O(|queries|) request-payload rows, not corpus data — the
+    * distributed-query-set formulation is s3 itself. Scale: query cost
+    * is (buckets hit / 64) of one corpus scan + |candidates| dots,
+    * independent of every other bucket. */
+  private def s6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    ensureAnnIndex(spark, dir)
+    graft.functions.VectorFunctions.register(spark)
+    // Request payload: the same five vectors every ANN tier queries.
+    val payload = Tables(spark, dir).embeddings
+      .filter($"vec_id" < 5).select($"vec_id", $"embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qRows = payload.flatMap { case (id, e) =>
+      var acc = 0.0; var d = 0
+      while (d < e.length) { acc += e(d).toDouble * e(d).toDouble; d += 1 }
+      val qn = math.sqrt(acc)
+      (0 until SrpTables).map(t =>
+        (id, e, qn, t.toLong * (1L << SrpBits) + srpBucketLocal(t, e)))
+    }.toSeq
+    val q = qRows.toDF("query_id", "qe", "qn", "bkey")
+    val keys = qRows.map(_._4).distinct
+    val candidates = spark.table(IndexTable)
+      .filter($"bkey".isin(keys: _*)) // → bucket-pruned file scan
+      .join(broadcast(q), Seq("bkey"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"qe", $"qn", $"vec_id", $"embedding", $"nrm")
+      .distinct()
+    val sims = candidates.select($"query_id", $"vec_id".as("neighbor_id"),
+      round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    val ranked = sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+    presentSorted(ranked, $"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce_topk" -> (s1 _),
     "s2_embedding_near_dup"  -> (s2 _),
     "s3_ann_lsh_bucketed"    -> (s3 _),
     "s4_ann_ivf"             -> (s4 _),
-    "s5_embedding_centroids" -> (s5 _))
+    "s5_embedding_centroids" -> (s5 _),
+    "s6_ann_persistent_index" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
     "s1_ann_bruteforce_topk" ->

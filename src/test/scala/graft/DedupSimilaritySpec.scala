@@ -202,4 +202,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
       exact.get(key).foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-9))
     }
   }
+
+  test("s6 persistent-index ANN serves the EXACT s3 result from the bucketed table") {
+    // Same SRP family, same candidate semantics (union of bucket
+    // matches over 8 tables, dedup, exact re-rank): the served path
+    // must be row-identical to the in-query path — proving the
+    // driver-side payload hashing (srpBucketLocal) matches the indexed
+    // srpBucket bit-for-bit, and the index lost nothing in the write.
+    val inQuery = Similarity.queries("s3_ann_lsh_bucketed")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val served = Similarity.queries("s6_ann_persistent_index")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == inQuery)
+    assert(served.nonEmpty)
+  }
 }

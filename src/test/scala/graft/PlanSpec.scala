@@ -181,6 +181,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s6 reads the persisted ANN index with bucket pruning engaged") {
+    // The serving path's whole point: the IN-filter on the single
+    // flattened bucket column prunes the file scan to the storage
+    // buckets the query payload hashes into — never a full index scan.
+    val p = graft.operators.Similarity.queries("s6_ann_persistent_index")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+    val m = sel.findFirstMatchIn(p)
+      .getOrElse(fail("no bucket pruning in s6 plan:\n" + p))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      "index scan must touch a strict subset of storage buckets\n" + p)
+    // Query side broadcasts; the index side never shuffles pre-join.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("c2 catalog join reads both bucketed sides without re-shuffling them") {
     val p = plan(CatalogOps.queries("c2_bucketed_join")(spark, dir))
     assert(p.contains("SortMergeJoin"), p)
