@@ -66,13 +66,20 @@ object CatalogOps extends QueryModule {
             s"""CREATE TABLE $Database.$n USING PARQUET
                |LOCATION '$dir/$n.parquet'""".stripMargin)
         }
-        Seq("orders_bucketed", "customer_bucketed").foreach(clearOrphan(spark, _))
+        Seq("orders_bucketed", "customer_bucketed", "documents_part")
+          .foreach(clearOrphan(spark, _))
         Tables(spark, dir).orders.write
           .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
           .mode("overwrite").saveAsTable(s"$Database.orders_bucketed")
         Tables(spark, dir).customer.write
           .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
           .mode("overwrite").saveAsTable(s"$Database.customer_bucketed")
+        // Hive-style lang-partitioned corpus copy: the layout that turns
+        // partition-column predicates — static OR runtime-discovered
+        // (c4's dynamic pruning) — into directory-level skipping.
+        Tables(spark, dir).documents.write
+          .partitionBy("lang")
+          .mode("overwrite").saveAsTable(s"$Database.documents_part")
         registered.update(spark, dir)
       }
     }
@@ -142,10 +149,47 @@ object CatalogOps extends QueryModule {
       s"SELECT nation, revenue FROM $Database.revenue_by_nation ORDER BY nation")
   }
 
+  /** c4 — DYNAMIC PARTITION PRUNING through the warehouse: the corpus
+    * stored lang-partitioned (`documents_part`), joined on its partition
+    * column against a dim that only exists at runtime — the languages
+    * holding > 20 % corpus share (exactly `en` on this corpus's ~40/15
+    * split, at every SF). No static filter on `lang` exists anywhere in
+    * the query, so partition pruning is impossible at plan time;
+    * Catalyst instead plants a DynamicPruningExpression on the fact
+    * scan that reuses the dim's broadcast — the fact side then opens
+    * ONLY the surviving partition directories. `PlanSpec` pins the
+    * `dynamicpruning` filter in the executed plan. At 100 TB this is
+    * the difference between scanning one language and scanning the
+    * whole corpus store every time the selector is data-dependent
+    * (dim-filtered fact joins are the most common warehouse query
+    * shape there is). */
+  private def c4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ensure(spark, dir)
+    // Share via a window over the AGGREGATED per-lang counts (|langs|
+    // rows — a global window here is fine; the catalog-wide PlanSpec
+    // walk only forbids them over unaggregated input). Deliberately NOT
+    // a scalar-aggregate cross join: the optimizer folds that filter
+    // into a join CONDITION, and DPP's selective-predicate detection
+    // only fires on a residual Filter node.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val sel = Tables(spark, dir).documents
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum($"n").over(w))
+      .filter($"n" > $"n_total" * 0.2)
+      .select($"lang")
+    spark.table(s"$Database.documents_part")
+      .join(broadcast(sel), Seq("lang"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_catalog_sql"     -> (c1 _),
     "c2_bucketed_join"   -> (c2 _),
-    "c3_catalog_view"    -> (c3 _))
+    "c3_catalog_view"    -> (c3 _),
+    "c4_dynamic_pruning" -> (c4 _))
 
   val oracles: Map[String, String] = Map(
     "c1_catalog_sql" ->
@@ -167,5 +211,17 @@ object CatalogOps extends QueryModule {
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |GROUP BY n_name
-         |ORDER BY nation""".stripMargin)
+         |ORDER BY nation""".stripMargin,
+    // The partitioned layout is storage strategy, not semantics: the
+    // oracle joins the runtime-derived language dim on the source table.
+    "c4_dynamic_pruning" ->
+      """WITH sel AS (
+        |  SELECT lang FROM documents GROUP BY lang
+        |  HAVING count(*) > 0.2 * (SELECT count(*) FROM documents))
+        |SELECT d.lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN sel USING (lang)
+        |GROUP BY d.lang
+        |ORDER BY lang""".stripMargin)
 }

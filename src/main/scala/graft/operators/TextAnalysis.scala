@@ -471,8 +471,59 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t19 — unigram log-probability (self-perplexity proxy) quality
+    * scorer: the word-level tier above t18's character entropy. Pass 1
+    * builds the corpus unigram model — word counts, a top-V vocabulary
+    * (V=1000, ties broken by word so the cut is deterministic in both
+    * engines), and Laplace-smoothed log-probs
+    * `ln((c+1)/(N+V+1))` with every out-of-vocabulary token scored at
+    * the floor `ln(1/(N+V+1))`. Pass 2 scores each document with the
+    * mean token log-prob — low means repetitive-gibberish or
+    * wrong-language text, the classic cheap perplexity filter a corpus
+    * pipeline runs before an LM-based one.
+    *
+    * Shape at 100 TB: one word-count shuffle (map-combined; key space =
+    * vocabulary, not corpus), a top-V via TakeOrdered (per-partition
+    * partial top-k, V rows to the driver), the V-row model BROADCAST
+    * back against the token stream (no corpus shuffle), and one per-doc
+    * aggregate. The model is two scans + a broadcast — never a
+    * corpus-sized join. Engine-exactness: t18's discipline — per-token
+    * ln terms rounded to 9 decimals, summed as exact decimals, mean
+    * rounded to 6. */
+  private def t19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val V = 1000
+    val tok = Tables(spark, dir).documents
+      .select($"doc_id", explode(words($"text")).as("w"))
+    val cnt = tok.groupBy($"w").agg(count(lit(1)).as("c"))
+    // N = total tokens; the OOV floor shares the smoothing denominator.
+    val model = cnt.agg(sum($"c").as("n_total"))
+      .select($"n_total",
+        round(log(lit(1.0) / ($"n_total" + V + 1).cast("double")), 9)
+          .as("lp_oov"))
+    val vocabLp = cnt.orderBy($"c".desc, $"w").limit(V)
+      .crossJoin(broadcast(model.select($"n_total")))
+      .select($"w",
+        round(log(($"c" + 1).cast("double")
+          / ($"n_total" + V + 1).cast("double")), 9).as("lp_w"))
+    tok.join(broadcast(vocabLp), Seq("w"), "left")
+      .crossJoin(broadcast(model.select($"lp_oov")))
+      .select($"doc_id",
+        coalesce($"lp_w", $"lp_oov").as("lp"),
+        $"lp_w".isNull.cast("long").as("is_oov"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum($"is_oov").as("n_oov"),
+        sum($"lp".cast("decimal(28,9)")).as("t"))
+      .select($"doc_id", $"n_tok", $"n_oov",
+        round($"t".cast("double") / $"n_tok".cast("double"), 6)
+          .as("mean_logprob"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_char_entropy"    -> (t18 _),
+    "t19_unigram_logprob" -> (t19 _),
     "t10_train_split"     -> (t10 _),
     "t11_source_cap"      -> (t11 _),
     "pipe1_corpus_prep"   -> (pipe1 _),
@@ -493,6 +544,30 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "t19_unigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT sum(c) AS n_total FROM cnt),
+         |vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000),
+         |lp AS (
+         |  SELECT w, round(ln(CAST(c + 1 AS DOUBLE)
+         |                     / CAST(n_total + 1001 AS DOUBLE)), 9) AS lp_w
+         |  FROM vocab CROSS JOIN tot),
+         |floor_lp AS (
+         |  SELECT round(ln(1.0 / CAST(n_total + 1001 AS DOUBLE)), 9) AS lp_oov
+         |  FROM tot),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         coalesce(lp.lp_w, f.lp_oov) AS lp,
+         |         CASE WHEN lp.w IS NULL THEN 1 ELSE 0 END AS is_oov
+         |  FROM tok t LEFT JOIN lp ON t.w = lp.w CROSS JOIN floor_lp f)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_tok,
+         |       CAST(sum(is_oov) AS BIGINT) AS n_oov,
+         |       round(CAST(sum(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS mean_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t18_char_entropy" ->
       """WITH counts AS (
         |  SELECT doc_id, ch, count(*) AS c FROM (

@@ -204,6 +204,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(c_custkey"), p)
   }
 
+  test("c4 fact scan carries a dynamic partition pruning filter") {
+    // No static `lang` predicate exists in the query, so the only way
+    // the partitioned fact scan skips directories is the runtime DPP
+    // subquery Catalyst plants from the broadcast dim — this is the pin
+    // that fails if a rewrite ever downgrades c4 to a full-corpus scan.
+    val p = CatalogOps.queries("c4_dynamic_pruning")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("s5 centroids aggregate partially before the (label, dim) shuffle") {
     val p = plan(Similarity.queries("s5_embedding_centroids")(spark, dir))
     assert(p.contains("HashAggregate"), p)

@@ -59,6 +59,73 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-order layout: 2-D box skips most row groups; 1-D sort skips none") {
+    // The w10 claim made executable: read the parquet FOOTERS of both
+    // layouts and count row groups whose [min,max] on BOTH box columns
+    // overlap the box (the exact check the scan's stats pruning does).
+    // The Z-ordered copy must confine the 2-D box to ≲¼ of row groups
+    // (+ boundary blocks); the l_partkey-sorted control has tight stats
+    // on partkey only, so the box's l_suppkey edge overlaps EVERY block.
+    import graft.operators.WritePath
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+
+    WritePath.writeZordered(spark, dir)
+    val control = "/tmp/graft_layout/control_partkey_sorted"
+    Tables(spark, dir).lineitem
+      .repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(control)
+
+    val b = Tables(spark, dir).lineitem.agg(
+      fmin($"l_partkey"), fmax($"l_partkey"),
+      fmin($"l_suppkey"), fmax($"l_suppkey")).head()
+    // Ceiling midpoints — w10's box floors; see its scaladoc for why.
+    val pLo = (b.getLong(0) + b.getLong(1) + 1) >> 1
+    val sLo = (b.getLong(2) + b.getLong(3) + 1) >> 1
+
+    // (pmin, pmax, smin, smax) per row group, straight from the footers.
+    def rowGroupStats(path: String): Seq[(Long, Long, Long, Long)] = {
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(path).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet")).flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.toSeq.map { blk =>
+            val byName = blk.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            def mm(col: String): (Long, Long) = {
+              val s = byName(col)
+              (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }
+            val (pmn, pmx) = mm("l_partkey"); val (smn, smx) = mm("l_suppkey")
+            (pmn, pmx, smn, smx)
+          } finally r.close()
+        }
+    }
+    // Box extends to each key's max, so a block overlaps iff its max
+    // reaches the box floor on the checked dims.
+    val zStats = rowGroupStats(WritePath.zorderPath(dir))
+    val cStats = rowGroupStats(control)
+    def frac(stats: Seq[(Long, Long, Long, Long)])
+            (keep: ((Long, Long, Long, Long)) => Boolean): Double =
+      stats.count(keep).toDouble / stats.size
+
+    // 2-D box on the Z layout: confined to ~the (1,1) quadrant's
+    // contiguous Z-range (~¼ of blocks + boundary).
+    val z2d = frac(zStats) { case (_, pmx, _, smx) => pmx >= pLo && smx >= sLo }
+    assert(z2d <= 0.55, s"z-order should confine the 2-D box; got $z2d")
+    // The second dim ALONE: the partkey-sorted control has no suppkey
+    // locality, so every block overlaps; the Z layout still skips.
+    val cS = frac(cStats) { case (_, _, _, smx) => smx >= sLo }
+    val zS = frac(zStats) { case (_, _, _, smx) => smx >= sLo }
+    assert(cS >= 0.95,
+      s"1-D control should overlap ~all blocks on the 2nd dim; got $cS")
+    assert(zS <= 0.8, s"z-order should skip on the 2nd dim too; got $zS")
+  }
+
   test("s3 plan build is driver-job-free once the dim probe is memoized") {
     val sc = spark.sparkContext
     Tables.embeddingDim(spark, dir) // warm the per-(session, dir) cache
