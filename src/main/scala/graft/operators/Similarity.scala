@@ -396,7 +396,54 @@ object Similarity extends QueryModule {
     presentSorted(ranked, $"query_id", $"rank")
   }
 
+  /** s7 — int8 SCALAR-QUANTIZED brute-force top-k: the
+    * memory-bandwidth tier of ANN. Each vector is symmetrically
+    * quantized to [-127, 127] with a per-vector scale
+    * (127 / max|xᵢ|) — 4× smaller at rest and in flight than float32,
+    * the first lever every billion-vector serving system pulls
+    * (before IVF/PQ); and because the per-vector scales CANCEL in
+    * cosine, the quantized cosine needs no dequantization at all.
+    * Exactness across engines: quantized components are integers
+    * ≤ 127, so every dot product is a sum of exact doubles (< 2^53 —
+    * association order cannot matter), making this tier fully
+    * ORACLE-GATED where s3/s4 are rows-only. The quantized arrays are
+    * float-typed solely to reuse the codegen'd `float_dot` (integers
+    * ≤ 127 are exact in float32). Recall@10 vs the float32 ground
+    * truth (s1) is asserted in ScalaTest. Scale: same
+    * broadcast-queries × partitioned-corpus shape as s1 — no corpus
+    * shuffle — at ¼ the scan bytes; compose with s3/s6's bucket
+    * pruning for the full billion-vector path.
+    *
+    * Lambda-CSE discipline (t12's): the scale binds to its own
+    * attribute BEFORE the quantizing transform — inlining
+    * `array_max(...)` into the lambda re-evaluates it per element. */
+  private def s7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val scaled = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding",
+        (lit(127.0) / array_max(transform($"embedding", x => abs(x)))
+          .cast("double")).as("sc"))
+    val quant = scaled.select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") * $"sc").cast("float")).as("qe"))
+      .select($"vec_id", $"qe", sqrt(call_function("float_dot", $"qe", $"qe")).as("nrm"))
+    val q = quant.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"qe".as("pe"), $"nrm".as("qn"))
+    val sims = quant.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(call_function("float_dot", $"pe", $"qe") / ($"qn" * $"nrm"), 6)
+          .as("qsim_r"))
+    val w = Window.partitionBy($"query_id").orderBy($"qsim_r".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"qsim_r")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_ann_quantized"       -> (s7 _),
     "s1_ann_bruteforce_topk" -> (s1 _),
     "s2_embedding_near_dup"  -> (s2 _),
     "s3_ann_lsh_bucketed"    -> (s3 _),
@@ -405,6 +452,27 @@ object Similarity extends QueryModule {
     "s6_ann_persistent_index" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    // Quantized components are small integers: every arithmetic step
+    // below is exact in double on both engines, so the quantized tier
+    // hash-compares where the float tiers need rounded-key rows-only.
+    "s7_ann_quantized" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sc AS (SELECT vec_id, e,
+        |              127.0 / list_max(list_transform(e, x -> abs(x))) AS s
+        |       FROM v),
+        |q8 AS (SELECT vec_id, list_transform(e, x -> round(x * s)) AS qe FROM sc),
+        |n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS nrm FROM q8),
+        |qq AS (SELECT vec_id AS query_id, qe AS pe, nrm AS qn
+        |       FROM n WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT qq.query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(qq.pe, c.qe) / (qq.qn * c.nrm), 6) AS qsim_r
+        |  FROM qq JOIN n c ON c.vec_id <> qq.query_id)
+        |SELECT query_id, rank, neighbor_id, qsim_r FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY qsim_r DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "s1_ann_bruteforce_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),

@@ -521,9 +521,46 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t20 — heavy-hitter tokens via a MERGEABLE Misra-Gries sketch +
+    * exact refinement (the classic 2-pass frequent-items pattern).
+    * Pass 1 runs `graft.functions.MisraGries(64)` as a typed aggregate:
+    * O(64) state per partition, ONE 64-entry buffer shuffled per
+    * partition — where a full word `groupBy` shuffles the whole
+    * vocabulary (web-scale: billions of keys). The sketch GUARANTEES
+    * every token with frequency > N/65 survives, so its ≤ 64
+    * candidates are a superset of everything above the support
+    * threshold N/32; pass 2 broadcast-semi-joins the candidates and
+    * counts them EXACTLY, keeping tokens with 32·count > N. That
+    * two-step makes the output independent of partitioning and merge
+    * order — which is why this sketch query is fully ORACLE-GATED
+    * (the SQL equivalent is simply HAVING 32·count > N) where a raw
+    * sketch dump could only ever be rows-only. Guarantee: candidates ⊇
+    * {w : count(w) > N/65} ⊇ {w : 32·count(w) > N}, so the refined
+    * output EQUALS the true heavy-hitter set. */
+  private def t20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables(spark, dir).documents
+      .select($"doc_id", explode(words($"text")).as("w"))
+    val mg = new graft.functions.MisraGries(64)
+    // A tuple-typed Aggregator output arrives FLATTENED as (_1, _2).
+    val cand = tok.select($"w").as[String]
+      .select(mg.toColumn)
+      .select(explode($"_1").as("kv"), $"_2".as("n_total"))
+      .select($"kv._1".as("w"), $"n_total")
+    tok.join(broadcast(cand), Seq("w"))
+      .groupBy($"w", $"n_total")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter($"n_occ" * 32 > $"n_total")
+      .select($"w".as("token"), $"n_occ",
+        round($"n_occ".cast("double") / $"n_total".cast("double"), 6)
+          .as("share_r"))
+      .orderBy($"n_occ".desc, $"token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t18_char_entropy"    -> (t18 _),
     "t19_unigram_logprob" -> (t19 _),
+    "t20_heavy_hitters"   -> (t20 _),
     "t10_train_split"     -> (t10 _),
     "t11_source_cap"      -> (t11 _),
     "pipe1_corpus_prep"   -> (pipe1 _),
@@ -544,6 +581,20 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // The MG sketch + exact-refinement output equals the plain
+    // threshold query — that equality IS the sketch's containment
+    // guarantee, and this oracle is what enforces it per-run.
+    "t20_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($wordsSql) AS w FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT w AS token,
+         |       CAST(count(*) AS BIGINT) AS n_occ,
+         |       round(count(*) / CAST(n_total AS DOUBLE), 6) AS share_r
+         |FROM tok CROSS JOIN tot
+         |GROUP BY w, n_total
+         |HAVING count(*) * 32 > n_total
+         |ORDER BY n_occ DESC, token""".stripMargin,
     "t19_unigram_logprob" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),

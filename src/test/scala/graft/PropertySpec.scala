@@ -94,6 +94,43 @@ class PropertySpec extends AnyFunSuite {
     assert(missing == 0)
   }
 
+  test("Misra-Gries: estimates undercount by ≤ N/(k+1); heavy items always survive") {
+    // The mergeable-summaries contract behind t20, checked as pure
+    // merge algebra under RANDOM merge trees and partitionings — no
+    // Spark needed: reduce/merge are exactly what Spark's partial and
+    // final aggregation call.
+    val gen = for {
+      n <- Gen.chooseNum(50, 400)
+      // Skewed alphabet so genuine heavy hitters exist.
+      xs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.oneOf("the", "a", "of"),
+        3 -> Gen.oneOf("b", "c", "d", "e"),
+        2 -> Gen.alphaLowerStr.map(_.take(3))))
+      cuts <- Gen.listOfN(4, Gen.chooseNum(0, n))
+    } yield (xs, cuts)
+    check(Prop.forAll(gen) { case (xs, cuts) =>
+      val k = 8
+      val mg = new graft.functions.MisraGries(k)
+      // Split the stream at random cut points, reduce each slice, then
+      // merge the slice buffers left-to-right (any tree is valid).
+      val bounds = (0 +: cuts.sorted :+ xs.length).distinct.sorted
+      val slices = bounds.zip(bounds.tail).map { case (a, b) => xs.slice(a, b) }
+      val merged = slices
+        .map(s => s.foldLeft(mg.zero)(mg.reduce))
+        .foldLeft(mg.zero)(mg.merge)
+      val (est, total) = mg.finish(merged)
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val estMap = est.toMap
+      val n = xs.length.toLong
+      total == n &&
+        // No overestimate, bounded underestimate:
+        estMap.forall { case (w, c) =>
+          c <= truth(w) && truth(w) - c <= n / (k + 1) } &&
+        // Containment: every item above the guarantee threshold present.
+        truth.forall { case (w, c) => c <= n / (k + 1) || estMap.contains(w) }
+    })
+  }
+
   test("t10 split assignment is invariant to input partitioning") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

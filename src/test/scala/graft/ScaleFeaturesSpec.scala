@@ -145,6 +145,20 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("int8-quantized ANN recall@10 vs float32 ground truth") {
+    // The quantization claim made executable: the int8 tier's top-10
+    // neighbor sets against the exact float32 ranking (s1). 64-dim
+    // embeddings at 8 bits keep relative dot-product error ~1/127 —
+    // the ranking perturbs only near-ties, so recall stays high.
+    val exact = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val q8 = Similarity.queries("s7_ann_quantized")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & q8).size.toDouble / exact.size
+    info(f"int8 recall@10: $recall%.2f")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("IVF ANN recall vs brute force is reported and nontrivial") {
     val exact = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
