@@ -442,7 +442,47 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s8 — one LLOYD ITERATION of k-means: the TRAINING step behind
+    * s4's coarse quantizer (s4 serves from fixed centroids; s8 is how
+    * those centroids are learned — classic Lloyd 1957/1982, the same
+    * loop every IVF index build runs). Deterministic init (the k=8
+    * lowest vec_ids), then one full assign + recompute pass:
+    * assignment is nearest centroid by ROUNDED cosine (the catalog's
+    * round-6 key discipline — rank decisions identical across
+    * engines), recompute is the per-(cell, dim) mean of the assigned
+    * vectors (s5's posexplode shape, rounded on both sides).
+    *
+    * Scale notes (100 TB): centroids are k·d doubles — broadcast; the
+    * assignment is a map-side argmin over the broadcast (no corpus
+    * shuffle); the recompute shuffles only partial (cell, dim) sums —
+    * map-side combine caps traffic at k·d rows PER PARTITION
+    * regardless of corpus size. An iteration is one scan; the full
+    * training loop is this query iterated with the output fed back as
+    * the centroid literal (cheap driver-side: k·d values). */
+  private val KmeansK = 8
+
+  private def s8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val cents = c.filter($"vec_id" < KmeansK)
+      .select($"vec_id".as("cell"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val byVec = Window.partitionBy($"vec_id")
+      .orderBy(round(dot($"embedding", $"ce") / ($"nrm" * $"cn"), 6).desc, $"cell")
+    val assigned = c.join(broadcast(cents), lit(true))
+      .withColumn("crk", row_number().over(byVec))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"embedding", $"cell")
+    assigned
+      .select($"cell", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"cell", $"dim".cast("long").as("dim"))
+      .agg(round(avg($"x".cast("double")), 6).as("centroid_r"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy($"cell", $"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_kmeans_iteration"    -> (s8 _),
     "s7_ann_quantized"       -> (s7 _),
     "s1_ann_bruteforce_topk" -> (s1 _),
     "s2_embedding_near_dup"  -> (s2 _),
@@ -452,6 +492,25 @@ object Similarity extends QueryModule {
     "s6_ann_persistent_index" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    // Assignment uses the rounded-cosine key (rank decisions identical
+    // across engines); the recomputed means are rounded on both sides
+    // (same 1-ulp absorption as s5's centroid oracle).
+    "s8_kmeans_iteration" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+        |sims AS (SELECT n.vec_id, n.e, c.cell,
+        |                round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn), 6) AS sim
+        |         FROM n CROSS JOIN c),
+        |assigned AS (SELECT vec_id, e, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY sim DESC, cell) AS rk
+        |    FROM sims) WHERE rk = 1)
+        |SELECT cell, dim, round(avg(x), 6) AS centroid_r,
+        |       count(*) AS n_vectors
+        |FROM (SELECT cell, unnest(e) AS x, unnest(range(len(e))) AS dim
+        |      FROM assigned)
+        |GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
     // Quantized components are small integers: every arithmetic step
     // below is exact in double on both engines, so the quantized tier
     // hash-compares where the float tiers need rounded-key rows-only.

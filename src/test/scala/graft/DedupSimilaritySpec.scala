@@ -216,4 +216,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(served == inQuery)
     assert(served.nonEmpty)
   }
+
+  test("s8 Lloyd iteration partitions the corpus and improves the k-means objective") {
+    import org.apache.spark.sql.functions._
+    val res = Similarity.queries("s8_kmeans_iteration")(spark, dir).collect()
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dim = corpus.head._2.length
+    // Shape: k cells × d dims, every dim of a cell carrying the same count.
+    assert(res.length == 8 * dim)
+    val counts = res.map(r => (r.getLong(0), r.getLong(3))).distinct
+    assert(counts.length == 8) // one count per cell
+    assert(counts.map(_._2).sum == corpus.length) // assignment is a partition
+
+    // Lloyd's guarantee (for the spherical/cosine variant): one
+    // assign+recompute pass never worsens the mean best-cosine
+    // objective. Evaluate both centroid sets locally (fixture-sized).
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dt += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dt / math.sqrt(na * nb)
+    }
+    val init = corpus.filter(_._1 < 8).sortBy(_._1).map(_._2)
+    val learned = res.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toArray
+    }.toArray
+    def objective(cents: Array[Array[Double]]): Double =
+      corpus.map { case (_, e) => cents.map(c => cos(e, c)).max }.sum / corpus.length
+    assert(objective(learned) >= objective(init) - 1e-9)
+  }
 }
