@@ -182,7 +182,40 @@ object Joins extends QueryModule {
       .orderBy($"s_nationkey")
   }
 
+  /** J9 — runtime-bloom-eligible LARGE ⋈ LARGE join: lineitem against
+    * the selectively-filtered orders (high-priority only), the shape
+    * Catalyst's `InjectRuntimeFilter` rule targets. When BOTH sides are
+    * big enough to shuffle (orders at 100 TB does not broadcast), the
+    * optimizer plants a `BloomFilterAggregate` over the filtered
+    * orders' keys and a `might_contain` predicate at the lineitem
+    * scan, so ~4/5 of fact rows (the non-urgent-order lines) die
+    * BEFORE the join shuffle — the automatic twin of j7's explicit
+    * bloom semi-join.
+    *
+    * At fixture scale the rule correctly declines: the filtered dim
+    * broadcasts (so there is no shuffle to protect) and the fact scan
+    * is under `...bloomFilter.applicationSideScanSizeThreshold`
+    * (10 GB) — injection would be pure overhead, and the catalog query
+    * deliberately mutates NO session conf (plans must not depend on
+    * which catalog query ran first). `PlanSpec` proves eligibility
+    * executable-y: the same plan builder under cluster-realistic
+    * forced conditions (no broadcast, threshold 0) carries
+    * `might_contain` on the fact side of the final plan. */
+  private[graft] def j9(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val sel = t.orders.filter($"o_orderpriority" === "2-HIGH")
+      .select($"o_orderkey", $"o_orderdate")
+    val fact = t.lineitem.select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    fact.join(sel, $"l_orderkey" === $"o_orderkey")
+      .groupBy(month($"o_orderdate").cast("long").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j9_runtime_bloom_join" -> (j9 _),
     "j8_skew_salted_join" -> (j8 _),
     "j7_bloom_semi_join"  -> (j7 _),
     "j6_range_band_join"  -> (j6 _),
@@ -193,6 +226,16 @@ object Joins extends QueryModule {
     "j5_anti_join_guard"  -> (jAnti _))
 
   val oracles: Map[String, String] = Map(
+    // Runtime-filter injection is execution strategy, not semantics:
+    // the oracle is the plain filtered join.
+    "j9_runtime_bloom_join" ->
+      s"""SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+         |       count(*) AS n_items,
+         |       ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '2-HIGH'
+         |GROUP BY month(o_orderdate)
+         |ORDER BY month""".stripMargin,
     // Salting is topology, not semantics: the oracle is the plain join.
     "j8_skew_salted_join" ->
       s"""SELECT s_nationkey, count(*) AS n_items,

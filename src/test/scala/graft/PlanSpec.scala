@@ -251,4 +251,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter"), p)
     assert(p.split("FullOuter").length <= 3, "exactly one full-outer join\n" + p)
   }
+
+  test("j9 is runtime-bloom-eligible: injection fires under cluster conditions, declines at fixture scale") {
+    // Fixture-scale default: the filtered dim broadcasts and the fact
+    // scan is far below applicationSideScanSizeThreshold — Catalyst
+    // must NOT pay for a bloom filter there.
+    val unforced = plan(Joins.queries("j9_runtime_bloom_join")(spark, dir))
+    assert(!unforced.contains("might_contain"), unforced)
+    // Cluster-realistic conditions (neither side broadcastable, fact
+    // scan size above threshold): the SAME plan builder must carry a
+    // bloom `might_contain` predicate on the fact side, fed by a
+    // BloomFilterAggregate subquery over the filtered orders keys.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val forced = Joins.j9(spark, dir)
+      val p = plan(forced)
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // The filter must sit on the lineitem (application) side scan
+      // branch, keyed by the join key.
+      assert(p.contains("l_orderkey"), p)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
