@@ -177,4 +177,54 @@ class ScaleFeaturesSpec extends AnyFunSuite {
         .foreach(s => assert(s == r.getDouble(3)))
     }
   }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    // j8's scaladoc claims AQE handles SMJ skew automatically AFTER the
+    // skewed shuffle materializes; this makes that claim executable.
+    // Hot key: ~4/5 of lineitem rows map to suppkey 1 — one shuffle
+    // partition holds most of the fact. Thresholds are scaled to the
+    // fixture (AQE's defaults target 256 MB partitions); the MECHANISM
+    // under test — OptimizeSkewedJoin splitting one oversized partition
+    // into multiple tasks joined against a replicated other side — is
+    // byte-count-invariant.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // dim must not broadcast
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // Shuffle block sizes are COMPRESSED: the hot partition's
+      // constant key column squeezes ~100×, so thresholds sit well
+      // below the raw row-count arithmetic.
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      // Splitting must not be undone by AQE's partition coalescing.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t = Tables(spark, "/root/testdata/sf0.01")
+      // repartition(16) gives the join shuffle 16 mappers: AQE can only
+      // split a skewed reduce partition at MAP-OUTPUT BLOCK granularity,
+      // and the fixture parquet is a single row group (one mapper → one
+      // indivisible block). On a cluster the fact arrives from thousands
+      // of scan tasks, so this is the realistic shape, not a cheat.
+      val fact = t.lineitem.repartition(16).select(
+        when(pmod($"l_orderkey", lit(5)) < 4, lit(1L))
+          .otherwise($"l_suppkey").as("k"),
+        $"l_extendedprice")
+      val dim = t.supplier.select($"s_suppkey".as("k"), $"s_nationkey")
+      // sum(price) keeps the incompressible double payload flowing
+      // through the shuffle (a count alone lets column pruning shrink
+      // the hot blocks to a compressed constant column).
+      val joined = fact.join(dim, Seq("k"))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), sum($"l_extendedprice").as("vol"))
+      val rows = joined.collect() // AQE finalizes the plan during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("skew=true"), "AQE did not split the skewed partition\n" + p)
+      // Semantics unchanged by the split: totals match the plain count.
+      assert(rows.map(_.getLong(1)).sum == t.lineitem.count())
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
