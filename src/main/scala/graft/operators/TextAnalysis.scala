@@ -557,7 +557,44 @@ object TextAnalysis extends QueryModule {
       .orderBy($"n_occ".desc, $"token")
   }
 
+  /** t21 — quality TIERING over the t19 model score: split the corpus
+    * into head / middle / tail (CCNet's bucketing, Wenzek et al. 2020,
+    * there by LM perplexity tercile; here by the t19 unigram log-prob)
+    * and report each tier's volume — the standard shape for
+    * quality-weighted mixture sampling (take all of head, downsample
+    * tail). Cutpoints are exact `percentile` scalars at 0.25/0.75 —
+    * powers of two, so the interpolation rank is exact in binary and
+    * the cutpoint is bit-identical across engines (t5's discipline;
+    * CCNet's 1/3 terciles would put the rank itself one ulp from the
+    * oracle's). Scores are t19's rounded 6-decimal values → discrete,
+    * so percentile state stays bounded (the catalog-wide PlanSpec
+    * walk's requirement). Boundary scores tie into 'middle' in both
+    * engines because the comparisons share one bit-identical cutpoint.
+    *
+    * Shape at 100 TB: t19's two scans + broadcast model, then ONE
+    * 2-value percentile scalar broadcast back over the doc scores —
+    * no corpus sort, no window; the tier label is a map-side CASE. */
+  private def t21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = t19(spark, dir).select($"doc_id", $"n_tok", $"mean_logprob")
+    val cuts = scored.agg(
+      percentile($"mean_logprob", lit(0.25)).as("c_lo"),
+      percentile($"mean_logprob", lit(0.75)).as("c_hi"))
+    scored.crossJoin(broadcast(cuts))
+      .select($"n_tok", $"mean_logprob",
+        when($"mean_logprob" < $"c_lo", "tail")
+          .when($"mean_logprob" > $"c_hi", "head")
+          .otherwise("middle").as("tier"))
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("total_tokens"),
+        round(sum($"mean_logprob".cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_score"))
+      .orderBy($"tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_quality_tiers"   -> (t21 _),
     "t18_char_entropy"    -> (t18 _),
     "t19_unigram_logprob" -> (t19 _),
     "t20_heavy_hitters"   -> (t20 _),
@@ -581,6 +618,41 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // Extends the t19 oracle with the quartile cutpoints and the tier
+    // CASE; sum(BIGINT) casts back to BIGINT (DuckDB types it HUGEINT).
+    "t21_quality_tiers" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT sum(c) AS n_total FROM cnt),
+         |vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000),
+         |lp AS (
+         |  SELECT w, round(ln(CAST(c + 1 AS DOUBLE)
+         |                     / CAST(n_total + 1001 AS DOUBLE)), 9) AS lp_w
+         |  FROM vocab CROSS JOIN tot),
+         |floor_lp AS (
+         |  SELECT round(ln(1.0 / CAST(n_total + 1001 AS DOUBLE)), 9) AS lp_oov
+         |  FROM tot),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_tok,
+         |         round(CAST(sum(CAST(coalesce(lp.lp_w, f.lp_oov)
+         |                              AS DECIMAL(28,9))) AS DOUBLE)
+         |               / CAST(count(*) AS DOUBLE), 6) AS mean_logprob
+         |  FROM tok t LEFT JOIN lp ON t.w = lp.w CROSS JOIN floor_lp f
+         |  GROUP BY t.doc_id),
+         |cuts AS (SELECT quantile_cont(mean_logprob, 0.25) AS c_lo,
+         |                quantile_cont(mean_logprob, 0.75) AS c_hi
+         |         FROM scored)
+         |SELECT CASE WHEN mean_logprob < c_lo THEN 'tail'
+         |            WHEN mean_logprob > c_hi THEN 'head'
+         |            ELSE 'middle' END AS tier,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |       round(CAST(sum(CAST(mean_logprob AS DECIMAL(18,6))) AS DOUBLE)
+         |             / count(*), 6) AS mean_score
+         |FROM scored CROSS JOIN cuts
+         |GROUP BY 1 ORDER BY tier""".stripMargin,
     // The MG sketch + exact-refinement output equals the plain
     // threshold query — that equality IS the sketch's containment
     // guarantee, and this oracle is what enforces it per-run.

@@ -405,4 +405,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == expect)
     assert(out.forall(_._2 >= 2))
   }
+
+  test("t21 tiers partition the corpus with quartile-bounded head/tail") {
+    val rows = TextAnalysis.queries("t21_quality_tiers")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("head", "middle", "tail"))
+    val nDocs = TextAnalysis.queries("t19_unigram_logprob")(spark, dir).count()
+    assert(rows.values.map(_._1).sum == nDocs) // tiers cover every doc once
+    // Strict-inequality cutpoints put boundary ties in 'middle': head
+    // and tail each hold AT MOST a quartile, middle at least half.
+    assert(rows("head")._1 <= nDocs / 4 + 1, rows.toString)
+    assert(rows("tail")._1 <= nDocs / 4 + 1, rows.toString)
+    // Ordering sanity: head scores above middle above tail.
+    assert(rows("head")._3 > rows("middle")._3)
+    assert(rows("middle")._3 > rows("tail")._3)
+  }
 }
