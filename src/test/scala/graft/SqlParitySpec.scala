@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 113 of the
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), 118 of the
   * oracle texts run VERBATIM on Spark SQL. This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
@@ -16,12 +16,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * as raw regex characters ('\s+'), where Spark's default parser would
   * consume them as escapes — a silent regex rewrite, not an error.
   *
-  * The 19 remaining texts use constructs with no shared spelling or
+  * The 22 remaining texts use constructs with no shared spelling or
   * shared SEMANTICS to bridge: 1-based array subscripts and `a[i:j]`
   * slices (t4/t12/t13/t14, d3/d4/d9), parallel-unnest zipping (s5),
-  * `[...]` list literals and `DOUBLE[]` casts (s1/s2/e4), recursive
-  * CTEs with UNION dedup (d7), IGNORE NULLS inside the call parens
-  * (e7), string-unit date_diff parsed before the function registry can
+  * `[...]` list literals and `DOUBLE[]` casts (s1/s2/s7/s8/e4), recursive
+  * CTEs with UNION dedup (d7), parser-level `//` integer division
+  * (w10), IGNORE NULLS inside the call parens (e7), string-unit date_diff parsed before the function registry can
   * see it (e9, f_date), length-free VARCHAR casts and fmt-style format
   * (f_scalar), and BLOB casts (m1/m3/m4). Their cross-engine check is
   * the driver's DuckDB gate.
@@ -57,7 +57,8 @@ class SqlParitySpec extends AnyFunSuite {
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
     "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
-    "t18_char_entropy",
+    "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
+    "t21_quality_tiers", "j9_runtime_bloom_join", "c4_dynamic_pruning",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",
     "d8_incremental_dedup",
     "t1_token_counts", "t2_quality_score", "t3_language_id",
