@@ -144,7 +144,28 @@ object Scalars extends QueryModule {
         dsum0($"s_acctbal").as("sum_acctbal"))
   }
 
+  /** x3 — ORC round-trip: the third columnar-warehouse format Spark
+    * ships natively (after parquet and the text formats). Unlike CSV,
+    * ORC is self-describing — the read-back needs no schema hint, and
+    * types (incl. timestamps and decimals) survive exactly. Same
+    * lossless-hop contract as x2: the oracle aggregates the SOURCE
+    * table, so any loss in the write→read hop fails the hash. Scale:
+    * both ORC and parquet scans vectorize and push filters; the engine
+    * treats the format as a storage detail behind one `read`/`write`
+    * call — exactly how a 100 TB lake mixes formats. */
+  private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_x3_orc"
+    val src = Tables(spark, dir).orders
+    src.write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"o_orderkey").as("n_keys"),
+        dsum0($"o_totalprice").as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x3_orc_roundtrip"   -> (orcRoundtrip _),
     "x2_csv_roundtrip"   -> (csvRoundtrip _),
     "f_scalar_suite"     -> (f _),
     "f_string_suite"     -> (strings _),
@@ -153,6 +174,13 @@ object Scalars extends QueryModule {
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    // Like x2: the ORC hop is storage strategy, not semantics — the
+    // oracle aggregates the source table directly (lossless round-trip).
+    "x3_orc_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |       count(DISTINCT o_orderkey) AS n_keys,
+         |       ${sqlDsum0("o_totalprice")} AS sum_price
+         |FROM orders""".stripMargin,
     // The CSV hop is storage strategy, not semantics: the oracle
     // aggregates the source table directly (lossless round-trip).
     "x2_csv_roundtrip" ->

@@ -593,7 +593,56 @@ object TextAnalysis extends QueryModule {
       .orderBy($"tier")
   }
 
+  /** t22 — ZIPF-LAW fit, the corpus-health diagnostic: least-squares
+    * slope of ln(frequency) on ln(rank) over the top-100 tokens. A
+    * natural-language corpus fits slope ≈ −1 with high r²; template
+    * spam, boilerplate floods, or tokenizer breakage bend the curve —
+    * the cheapest whole-corpus sanity gauge a pipeline can run after
+    * every ingest (Zipf 1949; used for corpus QA since Baayen 2001).
+    *
+    * Exactness: ln terms are rounded to 9 decimals and cast to
+    * DECIMAL(12,9) — small enough that products (scale 18, ≤ 25
+    * digits) and their sums stay EXACT decimals on BOTH engines (no
+    * scale truncation: Spark caps result precision at 38 only beyond
+    * DECIMAL(18,*) inputs) — then the regression closes over exact
+    * moments in double with `round9stable`, olap_regr's discipline.
+    * The rank denominator can never degenerate: ranks are distinct, so
+    * n·sxx − sx² > 0 whenever n ≥ 2.
+    *
+    * Shape at 100 TB: one map-combined word-count shuffle (key space =
+    * vocabulary), TakeOrdered for the top-100 (per-partition partial
+    * top-k, 100 rows to the driver), a 100-row window, one scalar
+    * aggregate — the corpus itself is scanned once. */
+  private def t22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables(spark, dir).documents
+      .select(explode(words($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val top = cnt.orderBy($"c".desc, $"w").limit(100)
+    val byFreq = Window.orderBy($"c".desc, $"w") // 100 rows: global window is fine
+    val ranked = top
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .select(
+        round(log($"rank".cast("double")), 9).cast("decimal(12,9)").as("x"),
+        round(log($"c".cast("double")), 9).cast("decimal(12,9)").as("y"))
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+      sum($"x" * $"x").cast("double").as("sxx"),
+      sum($"x" * $"y").cast("double").as("sxy"),
+      sum($"y" * $"y").cast("double").as("syy"))
+    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    m.select($"n",
+      round9stable(slope).as("slope_r"),
+      round9stable(($"sy" - slope * $"sx") / $"n").as("intercept_r"),
+      round9stable(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")
+        / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+        .as("r2_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_zipf_fit"        -> (t22 _),
     "t21_quality_tiers"   -> (t21 _),
     "t18_char_entropy"    -> (t18 _),
     "t19_unigram_logprob" -> (t19 _),
@@ -618,6 +667,28 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // Rounded-ln DECIMAL(12,9) terms keep every product/sum exact on
+    // both engines; final regression math in double + round9stable.
+    "t22_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest($wordsSql) AS w FROM documents),
+         |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 100),
+         |ranked AS (
+         |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, w)
+         |                            AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+         |         CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+         |  FROM top),
+         |m AS (SELECT count(*) AS n,
+         |             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |             CAST(sum(x*x) AS DOUBLE) AS sxx,
+         |             CAST(sum(x*y) AS DOUBLE) AS sxy,
+         |             CAST(sum(y*y) AS DOUBLE) AS syy
+         |      FROM ranked)
+         |SELECT n,
+         |       ${sqlRound9("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope_r,
+         |       ${sqlRound9("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept_r,
+         |       ${sqlRound9("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2_r
+         |FROM m""".stripMargin,
     // Extends the t19 oracle with the quartile cutpoints and the tier
     // CASE; sum(BIGINT) casts back to BIGINT (DuckDB types it HUGEINT).
     "t21_quality_tiers" ->

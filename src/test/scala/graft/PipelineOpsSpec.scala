@@ -406,6 +406,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(_._2 >= 2))
   }
 
+  test("t22 zipf fit matches a driver-side least-squares recompute; flags the synthetic corpus") {
+    import org.apache.spark.sql.functions._
+    val row = TextAnalysis.queries("t22_zipf_fit")(spark, dir).head()
+    val (n, slope, intercept, r2) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // Recompute from the raw counts with plain doubles.
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }.take(100)
+    assert(n == counts.length)
+    val xs = counts.indices.map(i => math.log(i + 1.0))
+    val ys = counts.map(c => math.log(c._2.toDouble))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val syy = ys.map(y => y * y).sum
+    val den = n * sxx - sx * sx
+    val expSlope = (n * sxy - sx * sy) / den
+    assert(math.abs(slope - expSlope) < 1e-6, s"slope $slope vs $expSlope")
+    assert(math.abs(intercept - (sy - expSlope * sx) / n) < 1e-6)
+    val expR2 = (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      (den * (n * syy - sy * sy))
+    assert(math.abs(r2 - expR2) < 1e-6)
+    // The gauge WORKING: the synthetic fixture's near-uniform 31-word
+    // pool is exactly the template-text shape the diagnostic exists to
+    // flag — far from a natural corpus's slope ≈ -1, r2 ≳ 0.9.
+    assert(slope < 0, s"counts are non-increasing in rank: slope $slope")
+    assert(r2 >= 0 && r2 <= 1)
+    info(f"zipf slope=$slope%.3f r2=$r2%.3f over n=$n ranks (non-Zipfian, as expected for synthetic text)")
+  }
+
   test("t21 tiers partition the corpus with quartile-bounded head/tail") {
     val rows = TextAnalysis.queries("t21_quality_tiers")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap

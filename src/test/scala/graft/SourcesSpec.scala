@@ -83,4 +83,16 @@ class SourcesSpec extends AnyFunSuite {
       .agg(graft.operators.dsum($"o_totalprice")).head().getDouble(0)
     assert(total == expectTotal, "compaction must not change content")
   }
+
+  test("ORC sink + source roundtrip is self-describing: schema and rows survive exactly") {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc"
+    val src = Tables(spark, dir).orders
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out) // no schema hint — ORC carries it
+    assert(back.schema == src.schema, s"${back.schema} != ${src.schema}")
+    assert(back.count() == src.count())
+    assert(back.agg(graft.operators.dsum($"o_totalprice")).head().getDouble(0) ==
+      src.agg(graft.operators.dsum($"o_totalprice")).head().getDouble(0))
+  }
 }
