@@ -217,6 +217,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("d10 served from the persisted index equals d4's pairs restricted to batch x history") {
+    // d4 computes all (i < j) near-dup pairs in-query; d10 must return
+    // exactly its mixed-parity subset — same signatures, same bands,
+    // same verify kernel, only the INDEX half persisted — with
+    // bit-identical jaccard values (proving the table round-trip lost
+    // nothing and yesterday's index matches today's signatures).
+    val full = Dedup.queries("d4_dedup_minhash_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.collect {
+      case (i, j, jac) if i % 2 != j % 2 =>
+        val (batch, hist) = if (i % 2 == 1) (i, j) else (j, i)
+        (batch, hist, jac)
+    }.toSet
+    val served = Dedup.queries("d10_incremental_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == expected)
+    assert(served.nonEmpty) // the fixture plants cross-parity near-dups
+  }
+
   test("s8 Lloyd iteration partitions the corpus and improves the k-means objective") {
     import org.apache.spark.sql.functions._
     val res = Similarity.queries("s8_kmeans_iteration")(spark, dir).collect()

@@ -252,6 +252,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("FullOuter").length <= 3, "exactly one full-outer join\n" + p)
   }
 
+  test("d10 serving never shuffles the persisted band index (batch broadcasts)") {
+    // The whole point of the persisted index: daily serving cost is
+    // O(batch), so the corpus-sized index side must stream from its
+    // buckets without an exchange on the band key.
+    val p = plan(Dedup.queries("d10_incremental_neardup")(spark, dir))
+    assert(!p.contains("hashpartitioning(bkey"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("j9 is runtime-bloom-eligible: injection fires under cluster conditions, declines at fixture scale") {
     // Fixture-scale default: the filtered dim broadcasts and the fact
     // scan is far below applicationSideScanSizeThreshold — Catalyst
