@@ -84,6 +84,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(total == expectTotal, "compaction must not change content")
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet batches") {
+    // The lake reality at 100 TB: yesterday's files lack the column
+    // added today. mergeSchema reconciles footers at read time — old
+    // rows surface NULL for the new column, no rewrite of history.
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_evolve"
+    val v1 = Tables(spark, dir).supplier.select($"s_suppkey", $"s_nationkey")
+    val v2 = Tables(spark, dir).supplier
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+    new java.io.File(out).delete()
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("s_suppkey", "s_nationkey", "s_acctbal"))
+    assert(merged.count() == 2 * v1.count())
+    // Old-batch rows carry NULL in the evolved column; new-batch rows don't.
+    assert(merged.filter($"s_acctbal".isNull).count() == v1.count())
+    assert(merged.filter($"s_acctbal".isNotNull).count() == v1.count())
+  }
+
   test("ORC sink + source roundtrip is self-describing: schema and rows survive exactly") {
     import spark.implicits._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc"
