@@ -631,7 +631,61 @@ object Dedup extends QueryModule {
     verified.filter($"jaccard" >= 0.8).orderBy($"batch_id", $"hist_id")
   }
 
+  /** pipe2 — the INCREMENTAL INGEST FUNNEL, pipe1's daily-job twin:
+    * the new batch flows exact-dedup (within-batch + vs history
+    * hashes, d8) → near-dup vs the persisted index (d10) → quality
+    * gate (t5's stopword-ratio score against a fixed offline-learned
+    * threshold, 0.04 ≈ the fixture's p25), and the output is the
+    * per-stage FUNNEL — the numbers every ingest dashboard shows.
+    * Composition discipline: stages are FLAGS on one batch frame
+    * folded by a single aggregate (one pass over the batch), never a
+    * chain of anti-joins each re-materializing the survivors.
+    *
+    * Scale notes (100 TB history, ~TB batch): history appears only as
+    * its hash set (d8's shape — bucketed at scale) and the d10 index;
+    * the funnel aggregate itself is a single map-side-combined pass
+    * over the batch. Threshold 0.04 is exact in decimal and q is
+    * quantized to 9 decimals, so the gate comparison cannot straddle
+    * engines. */
+  private def pipe2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val historyHashes = docs.filter($"doc_id" % 2 === 0)
+      .select(sha2($"text", 256).as("h")).distinct()
+      .withColumn("hist_hit", lit(1))
+    val nearHits = d10(spark, dir)
+      .select($"batch_id".as("doc_id")).distinct()
+      .withColumn("near_hit", lit(1))
+    val byHash = Window.partitionBy($"h").orderBy($"doc_id")
+    val scored = docs.filter($"doc_id" % 2 === 1)
+      .select($"doc_id", sha2($"text", 256).as("h"),
+        TextAnalysis.words($"text").as("wv"))
+      .select($"doc_id", $"h",
+        size($"wv").cast("double").as("n_tok"),
+        size(filter($"wv", x =>
+          x.isin(TextAnalysis.Stopwords.map(lit(_)): _*)))
+          .cast("double").as("n_stop"))
+      .select($"doc_id", $"h",
+        round(when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0), 9)
+          .as("q"))
+    val flagged = scored
+      .withColumn("rn", row_number().over(byHash))
+      .join(historyHashes, Seq("h"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select(
+        ($"rn" > 1 || $"hist_hit".isNotNull).as("e_dup"),
+        $"near_hit".isNotNull.as("n_dup"),
+        $"q")
+    flagged.agg(
+      count(lit(1)).as("n_batch"),
+      count(when(!$"e_dup", 1)).as("n_after_exact"),
+      count(when(!$"e_dup" && !$"n_dup", 1)).as("n_after_neardup"),
+      count(when(!$"e_dup" && !$"n_dup" && $"q" >= 0.04, 1)).as("n_ingested"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe2_incremental_ingest" -> (pipe2 _),
     "d10_incremental_neardup" -> (d10 _),
     "d8_incremental_dedup"   -> (d8 _),
     "d6_dedup_normalized"    -> (d6 _),
@@ -669,6 +723,51 @@ object Dedup extends QueryModule {
        |ORDER BY i, j""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The funnel recomputed declaratively: near-dup hits from the
+    // brute-force restricted Jaccard (d10's oracle), exact hits from
+    // the history hash set, the same rounded q against the same exact
+    // decimal threshold.
+    "pipe2_incremental_ingest" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w)-1),
+        |                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT b.doc_id AS batch_id, a.doc_id AS hist_id, count(*) AS c
+        |  FROM e a JOIN e b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+        |near AS (
+        |  SELECT DISTINCT batch_id FROM inter
+        |  JOIN sz sa ON sa.doc_id = hist_id
+        |  JOIN sz sb ON sb.doc_id = batch_id
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
+        |hist AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |flags AS (
+        |  SELECT b.doc_id,
+        |         (b.rn > 1 OR b.h IN (SELECT h FROM hist)) AS e_dup,
+        |         b.doc_id IN (SELECT batch_id FROM near) AS n_dup,
+        |         round(CASE WHEN len(b.w) > 0
+        |               THEN CAST(len(list_filter(b.w,
+        |                    x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+        |                    / CAST(len(b.w) AS DOUBLE)
+        |               ELSE 0.0 END, 9) AS q
+        |  FROM (SELECT doc_id, sha256(text) AS h,
+        |               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+        |               row_number() OVER (PARTITION BY sha256(text)
+        |                                  ORDER BY doc_id) AS rn
+        |        FROM documents WHERE doc_id % 2 = 1) b)
+        |SELECT count(*) AS n_batch,
+        |       count(CASE WHEN NOT e_dup THEN 1 END) AS n_after_exact,
+        |       count(CASE WHEN NOT e_dup AND NOT n_dup THEN 1 END) AS n_after_neardup,
+        |       count(CASE WHEN NOT e_dup AND NOT n_dup AND q >= 0.04 THEN 1 END)
+        |         AS n_ingested
+        |FROM flags""".stripMargin,
     // Same ground-truth form as d3/d4, restricted to (batch × history)
     // pairs; the persisted index is execution strategy, not semantics.
     "d10_incremental_neardup" ->

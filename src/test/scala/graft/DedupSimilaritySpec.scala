@@ -236,6 +236,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(served.nonEmpty) // the fixture plants cross-parity near-dups
   }
 
+  test("pipe2 funnel equals a driver-side recompute from the standalone stages") {
+    val r = Dedup.queries("pipe2_incremental_ingest")(spark, dir).head()
+    val funnel = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+    val history = docs.filter(_._1 % 2 == 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 2 == 1).sortBy(_._1)
+    // Exact stage: first occurrence within batch AND text not in history.
+    val seen = scala.collection.mutable.Set.empty[String]
+    val exactSurv = batch.filter { case (_, t) =>
+      !history.contains(t) && seen.add(t)
+    }.map(_._1).toSet
+    // Near stage: remove d10's batch-side hits.
+    val nearIds = Dedup.queries("d10_incremental_neardup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val nearSurv = exactSurv -- nearIds
+    // Quality stage: t5's score, recomputed with BigDecimal HALF_UP.
+    val stop = Set("the", "a", "of", "and", "is", "to", "in")
+    def q(t: String): Double = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      val raw = if (w.isEmpty) 0.0 else w.count(stop).toDouble / w.length
+      new java.math.BigDecimal(java.lang.Double.toString(raw))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val ingested = batch.filter { case (id, t) => nearSurv(id) && q(t) >= 0.04 }
+    assert(funnel == ((batch.length.toLong, exactSurv.size.toLong,
+      nearSurv.size.toLong, ingested.length.toLong)))
+    // Every stage is a real gate somewhere across the SFs; locally at
+    // least the near-dup and quality stages must bite.
+    assert(funnel._3 < funnel._2 && funnel._4 < funnel._3)
+  }
+
   test("s8 Lloyd iteration partitions the corpus and improves the k-means objective") {
     import org.apache.spark.sql.functions._
     val res = Similarity.queries("s8_kmeans_iteration")(spark, dir).collect()
