@@ -83,12 +83,54 @@ object Windows extends QueryModule {
       .limit(100)
   }
 
+  /** Time-based RANGE frame — the moving aggregate ROWS frames cannot
+    * express: "revenue in the last 7 DAYS" must include every row
+    * whose date falls in the interval, however many (or few) rows each
+    * day carries. Pre-aggregating to daily totals first keeps the
+    * window input |days|-sized (aggregated — allowed by the
+    * catalog-wide global-window rule, and genuinely small at any
+    * corpus scale); the ORDER BY key is epoch-day (datediff from a
+    * fixed origin), so the frame arithmetic is integer, and the moving
+    * sum runs over EXACT decimals — engines may implement moving
+    * frames differently (DuckDB's segment tree re-associates the sum),
+    * but decimal addition is associative, so the result is identical
+    * and only the final output casts to double. */
+  private def rollingRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).orders
+      .groupBy($"o_orderdate")
+      .agg(sum(dec($"o_totalprice")).as("day_rev"))
+    val last7d = Window
+      .orderBy(datediff($"o_orderdate", lit("1990-01-01").cast("date")))
+      .rangeBetween(-6, 0)
+    daily.select($"o_orderdate",
+        $"day_rev".cast("double").as("day_rev"),
+        sum($"day_rev").over(last7d).cast("double").as("rev_7d"))
+      .orderBy($"o_orderdate")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_rolling_range"       -> (rollingRange _),
     "olap_window_suite"        -> (suite _),
     "olap_grouped_topk_udaf"   -> (groupedTopK _),
     "tpch_q18"                 -> (q18 _))
 
   val oracles: Map[String, String] = Map(
+    // Moving-frame sums stay DECIMAL through the window (associative →
+    // engine frame-evaluation strategy cannot matter), double at the end.
+    "olap_rolling_range" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev
+        |  FROM orders GROUP BY o_orderdate)
+        |SELECT o_orderdate,
+        |       CAST(day_rev AS DOUBLE) AS day_rev,
+        |       CAST(sum(day_rev) OVER (
+        |              ORDER BY date_diff('day', DATE '1990-01-01',
+        |                                 CAST(o_orderdate AS DATE))
+        |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS rev_7d
+        |FROM daily ORDER BY o_orderdate""".stripMargin,
     "olap_window_suite" ->
       s"""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
          |  row_number() OVER w AS seq,

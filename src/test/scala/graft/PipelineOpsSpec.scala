@@ -440,6 +440,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(f"zipf slope=$slope%.3f r2=$r2%.3f over n=$n ranks (non-Zipfian, as expected for synthetic text)")
   }
 
+  test("olap_rolling_range: 7-day RANGE frame matches a calendar recompute (gaps respected)") {
+    import graft.operators.Windows
+    val rows = Windows.queries("olap_rolling_range")(spark, dir).collect()
+      .map { r =>
+        val day = r.get(0) match {
+          case t: java.time.LocalDateTime => t.toLocalDate.toEpochDay
+          case t: java.sql.Timestamp      => t.getTime / 86400000L
+        }
+        (day, r.getDouble(1), r.getDouble(2))
+      }
+    val byDay = rows.map { case (d, rev, _) => d -> rev }.toMap
+    rows.foreach { case (d, _, rev7) =>
+      val expect = (d - 6 to d).flatMap(byDay.get).sum
+      assert(math.abs(rev7 - expect) < 1e-6, s"day $d: $rev7 vs $expect")
+    }
+    // The frame is CALENDAR-based, not row-based: wherever the 7-day
+    // lookback spans a missing day, a ROWS 6-PRECEDING frame would sum
+    // a different set — assert the fixture actually exercises that.
+    val days = rows.map(_._1).sorted
+    val hasGap = days.sliding(2).exists { case Array(a, b) => b - a > 1; case _ => false }
+    if (hasGap) {
+      val idx = days.zipWithIndex.toMap
+      val divergent = rows.exists { case (d, _, rev7) =>
+        val i = idx(d)
+        val rowsSum = days.slice(math.max(0, i - 6), i + 1).map(byDay).sum
+        math.abs(rowsSum - rev7) > 1e-6
+      }
+      assert(divergent, "gaps exist but ROWS and RANGE frames never diverge")
+    }
+  }
+
   test("t21 tiers partition the corpus with quartile-bounded head/tail") {
     val rows = TextAnalysis.queries("t21_quality_tiers")(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
