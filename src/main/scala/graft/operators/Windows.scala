@@ -109,13 +109,51 @@ object Windows extends QueryModule {
       .orderBy($"o_orderdate")
   }
 
+  /** The remaining window functions: distribution ranks (percent_rank,
+    * cume_dist — single IEEE divisions of small integers, identical
+    * across engines) and positional values over the FULL-partition
+    * frame (first/last/nth — the default growing frame makes
+    * last_value a no-op, so the frame is explicit). The order key
+    * (date, orderkey) is unique per partition → no tie ambiguity;
+    * single-order customers pin the edge cases (percent_rank = 0,
+    * nth_value(…, 2) = NULL) identically in both engines. */
+  private def suite2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byCust = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val full = byCust.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir).orders
+      .filter($"o_custkey" < 200L)
+      .select($"o_custkey", $"o_orderkey",
+        percent_rank().over(byCust).as("pct_rank"),
+        cume_dist().over(byCust).as("cume"),
+        first($"o_orderkey").over(full).as("first_order"),
+        last($"o_orderkey").over(full).as("last_order"),
+        nth_value($"o_orderkey", 2).over(full).as("second_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_window_suite2"       -> (suite2 _),
     "olap_rolling_range"       -> (rollingRange _),
     "olap_window_suite"        -> (suite _),
     "olap_grouped_topk_udaf"   -> (groupedTopK _),
     "tpch_q18"                 -> (q18 _))
 
   val oracles: Map[String, String] = Map(
+    "olap_window_suite2" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // Moving-frame sums stay DECIMAL through the window (associative →
     // engine frame-evaluation strategy cannot matter), double at the end.
     "olap_rolling_range" ->

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 120 of the
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), 121 of the
   * oracle texts run VERBATIM on Spark SQL. This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
@@ -16,13 +16,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * as raw regex characters ('\s+'), where Spark's default parser would
   * consume them as escapes — a silent regex rewrite, not an error.
   *
-  * The 22 remaining texts use constructs with no shared spelling or
+  * The 25 remaining texts use constructs with no shared spelling or
   * shared SEMANTICS to bridge: 1-based array subscripts and `a[i:j]`
-  * slices (t4/t12/t13/t14, d3/d4/d9), parallel-unnest zipping (s5),
+  * slices (t4/t12/t13/t14, d3/d4/d9/d10/pipe2), parallel-unnest zipping (s5),
   * `[...]` list literals and `DOUBLE[]` casts (s1/s2/s7/s8/e4), recursive
   * CTEs with UNION dedup (d7), parser-level `//` integer division
-  * (w10), IGNORE NULLS inside the call parens (e7), string-unit date_diff parsed before the function registry can
-  * see it (e9, f_date), length-free VARCHAR casts and fmt-style format
+  * (w10), IGNORE NULLS inside the call parens (e7), string-unit date_diff parsed before
+  * the function registry can see it (e9, f_date, olap_rolling_range), length-free VARCHAR casts and fmt-style format
   * (f_scalar), and BLOB casts (m1/m3/m4). Their cross-engine check is
   * the driver's DuckDB gate.
   */
@@ -46,7 +46,8 @@ class SqlParitySpec extends AnyFunSuite {
     "olap_distinct", "olap_count_distinct", "olap_ntile_quartiles",
     "olap_corr", "olap_regr", "olap_histogram", "olap_pivot", "olap_unpivot",
     "olap_string_agg", "olap_bool_aggregates", "olap_percentiles",
-    "olap_window_suite", "olap_grouped_topk_udaf", "olap_scalar_subquery",
+    "olap_window_suite", "olap_window_suite2", "olap_grouped_topk_udaf",
+    "olap_scalar_subquery",
     "set_union", "set_intersect", "set_except",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
