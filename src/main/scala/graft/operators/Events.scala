@@ -284,7 +284,36 @@ object Events extends QueryModule {
       .orderBy($"prev_type", $"next_type")
   }
 
+  /** e13 — DAU / WAU engagement: per day, the distinct active users
+    * that day and over the trailing 7 days, plus the stickiness ratio
+    * (DAU/WAU — the product-analytics staple). COUNT DISTINCT over a
+    * sliding RANGE is the one moving aggregate window frames cannot
+    * express (distinct doesn't decompose over frame slides); the
+    * scalable shape is: dedup the log to (day, user) pairs FIRST
+    * (|users|·|days| rows, orders of magnitude below the event log),
+    * then a broadcast range-join of the pairs against the day dim and
+    * one grouped distinct per day. Scale: the event log is touched
+    * once (the dedup shuffle); the range join replicates each pair to
+    * ≤ 7 days against a broadcast |days|-row dim — never a
+    * self-joined log. */
+  private def e13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables(spark, dir).events
+      .select(to_date($"ts").as("d"), $"user_id").distinct().persist()
+    val days = pairs.select($"d".as("day")).distinct()
+    val dau = pairs.groupBy($"d".as("day"))
+      .agg(countDistinct($"user_id").as("dau"))
+    val wau = pairs.join(broadcast(days),
+        datediff($"day", $"d").between(0, 6))
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select($"day", $"dau", $"wau",
+        round($"dau".cast("double") / $"wau", 6).as("stickiness"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_dau_wau"          -> (e13 _),
     "e12_transition_matrix" -> (e12 _),
     "e11_interarrival"     -> (e11 _),
     "e10_zscore_outliers"  -> (e10 _),
@@ -300,6 +329,21 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    // DAU/WAU from the deduped (day, user) pairs — count(DISTINCT) is
+    // BIGINT in both engines; the ratio is one IEEE division + round.
+    "e13_dau_wau" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM pairs),
+        |dau AS (SELECT d AS day, count(DISTINCT user_id) AS dau
+        |        FROM pairs GROUP BY 1),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+        |        FROM pairs JOIN days ON d BETWEEN day - 6 AND day
+        |        GROUP BY day)
+        |SELECT day, dau, wau,
+        |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     "e12_transition_matrix" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id

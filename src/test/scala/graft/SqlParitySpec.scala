@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 121 of the
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), 122 of the
   * oracle texts run VERBATIM on Spark SQL. This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
@@ -58,6 +58,7 @@ class SqlParitySpec extends AnyFunSuite {
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
     "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
+    "e13_dau_wau",
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
     "c4_dynamic_pruning", "x3_orc_roundtrip",
