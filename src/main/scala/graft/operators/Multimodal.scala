@@ -137,13 +137,47 @@ object Multimodal extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** m5 — per-modality STORAGE BUDGET: the capacity-planning rollup
+    * over the media catalog (count, total/mean bytes, p95 payload) —
+    * what decides bucket sizing, tiering, and scan parallelism before
+    * any 100 TB multimodal ingest. Payload sizes are integers →
+    * percentile state is discrete (catalog rule) and the p95
+    * interpolation runs on identical rank doubles in both engines;
+    * sum(BIGINT) gets the BIGINT cast in the oracle (HUGEINT rule). */
+  private def m5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(
+        when($"doc_id" % 3 === 0, "image")
+          .when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        octet_length($"text".cast("binary")).cast("long").as("n_bytes"))
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"n_bytes").as("total_bytes"),
+        round(avg($"n_bytes"), 6).as("mean_bytes"),
+        round(percentile($"n_bytes", lit(0.95)), 6).as("p95_bytes"))
+      .orderBy($"media_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_storage_budget"   -> (m5 _),
     "m1_media_catalog"    -> (m1 _),
     "m2_media_features"   -> (m2 _),
     "m3_frame_sample"     -> (m3 _),
     "m4_frame_stats"      -> (m4 _))
 
   val oracles: Map[String, String] = Map(
+    "m5_storage_budget" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       count(*) AS n_items,
+        |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |       round(avg(octet_length(CAST(text AS BLOB))), 6) AS mean_bytes,
+        |       round(quantile_cont(octet_length(CAST(text AS BLOB)), 0.95), 6)
+        |         AS p95_bytes
+        |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
     "m1_media_catalog" ->
       """SELECT doc_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

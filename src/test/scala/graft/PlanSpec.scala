@@ -129,10 +129,20 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Round}
     import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
     import org.apache.spark.sql.functions.countDistinct
-    val domainBounded = Set("olap_percentiles") // l_quantity: integer 1..50 scale
+    val domainBounded = Set(
+      "olap_percentiles", // l_quantity: integer 1..50 scale
+      // m5: payload byte lengths — distinct values ≤ max payload size,
+      // a value-domain bound independent of corpus cardinality.
+      "m5_storage_budget")
     assert(Tables(spark, dir).lineitem
       .select(countDistinct(org.apache.spark.sql.functions.col("l_quantity")))
       .head.getLong(0) <= 64, "l_quantity domain grew — olap_percentiles exemption invalid")
+    assert(Tables(spark, dir).documents
+      .select(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.octet_length(
+          org.apache.spark.sql.functions.col("text").cast("binary"))))
+      .head.getInt(0) <= (1 << 20),
+      "m5 payload-length domain grew — m5_storage_budget exemption invalid")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => domainBounded(q._1)).flatMap { case (name, fn) =>
         val plan = fn(spark, dir).queryExecution.optimizedPlan
