@@ -134,7 +134,38 @@ object Windows extends QueryModule {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Gap filling over a CALENDAR SPINE — the time-series completion
+    * every reporting layer runs before charting or model features:
+    * generate the full day range (sequence over the aggregated min/max
+    * — |days| rows, never corpus-sized), left-join the daily totals,
+    * and repair gaps BOTH ways: zero-fill (additive metrics) and
+    * forward-fill via `last(…, ignoreNulls)` over the growing frame
+    * (level metrics). The global window rides the |days|-row spine
+    * above an Aggregate — exactly the cardinality class the
+    * catalog-wide walk permits; day totals stay exact DECIMAL until
+    * the output cast. The fixture's order calendar genuinely has holes
+    * (asserted in the rolling_range spec), so the fills are exercised,
+    * not vacuous. */
+  private def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).orders
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(dec($"o_totalprice")).as("day_rev"))
+    val spine = daily.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+    val grow = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("day"), "left")
+      .select($"day",
+        $"day_rev".isNull.cast("long").as("is_gap"),
+        coalesce($"day_rev", lit(0)).cast("double").as("rev_zero_fill"),
+        last($"day_rev", ignoreNulls = true).over(grow)
+          .cast("double").as("rev_ffill"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "olap_gap_fill"            -> (gapFill _),
     "olap_window_suite2"       -> (suite2 _),
     "olap_rolling_range"       -> (rollingRange _),
     "olap_window_suite"        -> (suite _),
@@ -142,6 +173,26 @@ object Windows extends QueryModule {
     "tpch_q18"                 -> (q18 _))
 
   val oracles: Map[String, String] = Map(
+    // DuckDB spells the ignore-nulls fill as last_value(x IGNORE NULLS)
+    // — inside the parens, the e7 dialect split; semantics identical.
+    "olap_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+        |                                (SELECT max(day) FROM daily),
+        |                                INTERVAL 1 DAY))::DATE AS day)
+        |SELECT s.day,
+        |       CAST(d.day_rev IS NULL AS BIGINT) AS is_gap,
+        |       CAST(coalesce(d.day_rev, 0) AS DOUBLE) AS rev_zero_fill,
+        |       CAST(last_value(d.day_rev IGNORE NULLS)
+        |              OVER (ORDER BY s.day
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS rev_ffill
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY s.day""".stripMargin,
     "olap_window_suite2" ->
       """SELECT o_custkey, o_orderkey,
         |  percent_rank() OVER w AS pct_rank,
