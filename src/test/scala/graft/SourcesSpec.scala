@@ -104,6 +104,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(merged.filter($"s_acctbal".isNotNull).count() == v1.count())
   }
 
+  test("malformed JSON: PERMISSIVE quarantines rows in _corrupt_record, FAILFAST throws") {
+    // Ingest reality: a 100 TB feed always carries some broken records.
+    // The engine must degrade row-wise (quarantine column), not
+    // job-wise — and must be able to demand strictness when asked.
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_badjson"
+    val lines = Seq(
+      """{"id": 1, "v": "ok"}""",
+      """{"id": 2, "v": "also ok"}""",
+      """{"id": 3, "v": BROKEN""", // malformed
+      """{"id": 4, "v": "fine"}""")
+    new java.io.File(out).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/part.json"),
+      lines.mkString("\n").getBytes)
+    val schema = "id BIGINT, v STRING, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(out).cache()
+    assert(permissive.count() == 4) // every line surfaces as a row
+    assert(permissive.filter($"_corrupt_record".isNotNull).count() == 1)
+    assert(permissive.filter($"_corrupt_record".isNull)
+      .select(sum($"id")).head().getLong(0) == 1 + 2 + 4)
+    permissive.unpersist()
+    val thrown = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id BIGINT, v STRING")
+        .option("mode", "FAILFAST").json(out).collect()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("malformed")
+      || Option(thrown.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
   test("ORC sink + source roundtrip is self-describing: schema and rows survive exactly") {
     import spark.implicits._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc"
