@@ -174,6 +174,14 @@ object Scalars extends QueryModule {
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    // x1's JSON hop must be LOSSLESS to the aggregate: the oracle
+    // aggregates the source rows directly (x2/x3's contract) — a
+    // to_json/from_json print-parse wobble in any value would break
+    // the decimal-sum hash. Promoted from rows-only in round 5.
+    "x1_json_roundtrip" ->
+      s"""SELECT count(*) AS n_roundtripped,
+         |       ${sqlDsum0("value")} AS sum_value
+         |FROM events""".stripMargin,
     // Like x2: the ORC hop is storage strategy, not semantics — the
     // oracle aggregates the source table directly (lossless round-trip).
     "x3_orc_roundtrip" ->

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 122 of the
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), 123 of the
   * oracle texts run VERBATIM on Spark SQL. This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
@@ -16,14 +16,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * as raw regex characters ('\s+'), where Spark's default parser would
   * consume them as escapes — a silent regex rewrite, not an error.
   *
-  * The 25 remaining texts use constructs with no shared spelling or
+  * The 27 remaining texts use constructs with no shared spelling or
   * shared SEMANTICS to bridge: 1-based array subscripts and `a[i:j]`
   * slices (t4/t12/t13/t14, d3/d4/d9/d10/pipe2), parallel-unnest zipping (s5),
   * `[...]` list literals and `DOUBLE[]` casts (s1/s2/s7/s8/e4), recursive
   * CTEs with UNION dedup (d7), parser-level `//` integer division
-  * (w10), IGNORE NULLS inside the call parens (e7), string-unit date_diff parsed before
+  * (w10), IGNORE NULLS inside the call parens (e7, olap_gap_fill), string-unit date_diff parsed before
   * the function registry can see it (e9, f_date, olap_rolling_range), length-free VARCHAR casts and fmt-style format
-  * (f_scalar), and BLOB casts (m1/m3/m4). Their cross-engine check is
+  * (f_scalar), and BLOB casts (m1/m3/m4/m5). Their cross-engine check is
   * the driver's DuckDB gate.
   */
 class SqlParitySpec extends AnyFunSuite {
@@ -41,7 +41,8 @@ class SqlParitySpec extends AnyFunSuite {
     "j7_bloom_semi_join", "j8_skew_salted_join",
     "w1_insert_defaults", "w2_masked_update", "w3_balance_ledger",
     "w4_delete_rewrite", "w5_capacity_rule", "w6_scd2_intervals",
-    "w7_partitioned_write", "w8_merge_upsert", "x2_csv_roundtrip",
+    "w7_partitioned_write", "w8_merge_upsert", "x1_json_roundtrip",
+    "x2_csv_roundtrip",
     "a7_grouped_agg", "olap_rollup", "olap_cube", "olap_grouping_sets",
     "olap_distinct", "olap_count_distinct", "olap_ntile_quartiles",
     "olap_corr", "olap_regr", "olap_histogram", "olap_pivot", "olap_unpivot",
