@@ -118,6 +118,44 @@ class PlanSpec extends AnyFunSuite {
       s"global-sort windows over unaggregated input in: ${offenders.distinct.mkString(", ")}")
   }
 
+  test("catalog-wide: every condition-less join keeps a statically-bounded side (scalar-subquery shape)") {
+    // A condition-less Join over two corpus-sized inputs is the O(n·m)
+    // disaster plan. Every cross join in this catalog exists to
+    // broadcast a SCALAR — a grouping-free Aggregate (statically one
+    // row) or a literal local relation — into a filter; this walk
+    // makes that audit executable so a future corpus×corpus cross
+    // join cannot ship.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // s4/s8 broadcast the k CENTROIDS (vec_id < k, k ≤ 16) against the
+    // corpus — every-vector×every-centroid IS the assignment semantics
+    // and the bound is a data fact, not a plan shape; assert it.
+    val centroidBounded = Set("s4_ann_ivf", "s8_kmeans_iteration")
+    assert(Tables(spark, dir).embeddings
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
+      .count() <= 16, "centroid-side bound grew — s4/s8 exemption invalid")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => centroidBounded(q._1)).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.optimizedPlan
+      def bounded(p: LogicalPlan): Boolean = p match {
+        case a: Aggregate     => a.groupingExpressions.isEmpty // exactly 1 row
+        case l: LocalRelation => l.data.length <= 64           // literal dim
+        case p: Project       => bounded(p.child)
+        case f: Filter        => bounded(f.child)              // ≤ child rows
+        case s: SubqueryAlias => bounded(s.child)
+        case j: Join          => bounded(j.left) && bounded(j.right)
+        case l: GlobalLimit   => true                          // limit k
+        case l: LocalLimit    => bounded(l.child)
+        case _                => false
+      }
+      plan.collect {
+        case j: Join if j.condition.isEmpty && !bounded(j.left) && !bounded(j.right) =>
+          name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded condition-less joins in: ${offenders.distinct.mkString(", ")}")
+  }
+
   test("catalog-wide: exact-percentile state is bounded (quantized or discrete input)") {
     // Exact `percentile` keeps per-DISTINCT-VALUE counts, so over a raw
     // continuous column its aggregate state grows with the corpus and
