@@ -164,7 +164,32 @@ object Scalars extends QueryModule {
         dsum0($"o_totalprice").as("sum_price"))
   }
 
+  /** MAP-type surface (SURVEY §1.3 — the reference's documents ARE
+    * string-keyed maps): construct, size, lookup, key-set, value
+    * transform, and entry filter, all through Spark's map kernel. The
+    * oracle restates each output declaratively from the source columns
+    * (f_scalar_suite's pattern): what is verified is that the map
+    * round-trip — build, transform, extract — loses nothing. */
+  private def maps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter($"doc_id" < 100L)
+      .select($"doc_id",
+        map(lit("lang"), $"lang", lit("source"), $"source",
+          lit("head"), substring($"text", 1, 8)).as("m"))
+      .select($"doc_id",
+        size($"m").cast("long").as("n_keys"),
+        element_at($"m", "lang").as("lang_val"),
+        array_join(array_sort(map_keys($"m")), ",").as("keys_sorted"),
+        element_at(transform_values($"m", (_, v) => upper(v)), "source")
+          .as("source_upper"),
+        size(map_filter($"m", (_, v) => length(v) > 4)).cast("long")
+          .as("n_long_vals"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_map_suite"        -> (maps _),
     "x3_orc_roundtrip"   -> (orcRoundtrip _),
     "x2_csv_roundtrip"   -> (csvRoundtrip _),
     "f_scalar_suite"     -> (f _),
@@ -174,6 +199,19 @@ object Scalars extends QueryModule {
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    // Declarative restatement of the map pipeline from the source
+    // columns — the map build/transform/extract must lose nothing.
+    "f_map_suite" ->
+      """SELECT doc_id,
+        |       CAST(3 AS BIGINT) AS n_keys,
+        |       lang AS lang_val,
+        |       'head,lang,source' AS keys_sorted,
+        |       upper(source) AS source_upper,
+        |       CAST((CASE WHEN length(lang) > 4 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN length(source) > 4 THEN 1 ELSE 0 END)
+        |          + (CASE WHEN length(substring(text, 1, 8)) > 4 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_long_vals
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // x1's JSON hop must be LOSSLESS to the aggregate: the oracle
     // aggregates the source rows directly (x2/x3's contract) — a
     // to_json/from_json print-parse wobble in any value would break

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 123 of the
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), 124 of the
   * oracle texts run VERBATIM on Spark SQL. This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
@@ -70,7 +70,7 @@ class SqlParitySpec extends AnyFunSuite {
     "t9_tfidf_top_terms", "t10_train_split", "t11_source_cap",
     "t15_doc_chunks", "t16_seq_packing", "t17_mixture_weights",
     "pipe1_corpus_prep",
-    "f_string_suite", "f_null_semantics",
+    "f_string_suite", "f_null_semantics", "f_map_suite",
     "c1_catalog_sql", "c2_bucketed_join", "c3_catalog_view",
     "flagship_buyer_home", "flagship_admin_home", "flagship_worker_home")
 
