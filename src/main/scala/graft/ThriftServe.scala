@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SERVING surface — the reference is literally a server (it answers
+  * queries over a wire protocol: /root/reference/index.js:1409-1411
+  * self-describes as an HTTP API with 47 routes), so parity needs a
+  * socket, not just a library. Spark's public equivalent of "queries
+  * arrive over the network and run against the warehouse" is the
+  * Hive-compatible Thrift/JDBC endpoint (`HiveThriftServer2`), started
+  * here over the SAME metastore-backed `graft.*` catalog that
+  * `HiveRoundTrip` proves durable. Any HiveServer2 client — beeline,
+  * `org.apache.hive.jdbc.HiveDriver`, any BI tool — can connect and run
+  * every catalog SQL text.
+  *
+  * Run by `ThriftServerSpec` as a CHILD JVM (the server must own its
+  * session lifecycle); the SPEC is the remote client: it connects from
+  * the test JVM over a real loopback TCP socket with the stock Hive
+  * JDBC driver and row-compares the wire results against the in-process
+  * results printed below — the full query path (client → Thrift binary
+  * protocol → SparkSQLOperationManager → Catalyst → warehouse → wire
+  * serialization → client) is what's under test.
+  *
+  * stdout protocol (parsed by the spec):
+  *   THRIFT_INPROC <name> <rowCount> <row;;row;;...>   (canonical rows)
+  *   THRIFT_READY port=<port>
+  * then blocks on stdin; any line (or EOF) shuts the server down.
+  *
+  * Scale posture: HiveServer2's thrift pool serves concurrent sessions
+  * against one SparkSession — on a real cluster this binary is exactly
+  * `sbin/start-thriftserver.sh` semantics (fair-scheduler pools,
+  * cluster-wide execution); nothing here is local-mode-specific except
+  * the master URL.
+  */
+object ThriftServe {
+
+  /** The SQL texts served over the wire — the same c1/c3 shapes the
+    * correctness gate oracles, spelled against the warehouse tables so
+    * client and engine run the identical text. */
+  val served: Map[String, String] = Map(
+    "c1" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       ${graft.operators.sqlDsum("o_totalprice")} AS total
+         |FROM graft.orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+    // The c3 view is created by DDL before serving; the served text
+    // queries it like any table (view resolution happens server-side).
+    "c3" ->
+      "SELECT nation, revenue FROM graft.revenue_by_nation ORDER BY nation")
+
+  /** One canonical print form shared by the in-process dump (child) and
+    * the JDBC read-back (spec): Spark `Row` values and Hive JDBC
+    * `getObject` values must agree stringwise iff they agree valuewise. */
+  def canon(v: Any): String = v match {
+    case null                    => "␀" // visible NULL sentinel
+    case d: java.math.BigDecimal => d.toPlainString
+    case b: Array[Byte]          => b.map("%02x".format(_)).mkString
+    case other                   => other.toString
+  }
+  def canonRow(vals: Seq[Any]): String = vals.map(canon).mkString("|")
+
+  def main(args: Array[String]): Unit = {
+    val Array(port, base, sfDir) = args
+    // HiveConf overlays matching system properties onto every new conf —
+    // the documented way to pick a port for an embedded HiveServer2.
+    System.setProperty("hive.server2.thrift.port", port)
+    System.setProperty("hive.server2.thrift.bind.host", "localhost")
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-thrift-serve")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", s"$base/warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      graft.operators.CatalogOps.ensure(spark, sfDir)
+      // c3's DDL creates graft.revenue_by_nation in the metastore.
+      graft.operators.CatalogOps.queries("c3_catalog_view")(spark, sfDir)
+        .collect()
+      served.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+        val rows = spark.sql(sql).collect().map(r => canonRow(r.toSeq))
+        println(s"THRIFT_INPROC $name ${rows.length} ${rows.mkString(";;")}")
+      }
+      val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        .startWithSparkSession(spark, exitOnError = false)
+      println(s"THRIFT_READY port=$port")
+      Console.out.flush()
+      // Serve until the parent closes stdin or sends any line.
+      scala.io.StdIn.readLine()
+      server.stop()
+    } finally spark.stop()
+  }
+}

@@ -15,37 +15,10 @@ class HiveCatalogSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   private def runPhase(phase: String, base: String): String = {
-    // The forked test JVM carries the full classpath (spark jars +
-    // compiled classes) and the JDK-17 add-opens flags Spark needs;
-    // hand both straight to the child.
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val addOpens = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getInputArguments
-      .toArray.map(_.toString).filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports"))
-    val opens =
-      if (addOpens.nonEmpty) addOpens.toSeq
-      else Seq("java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(javaBin) ++ opens ++ Seq(
-      "-Xmx2g", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.HiveRoundTrip", phase, base, sfDir)
-    val out = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val reader = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getInputStream))
-    Iterator.continually(reader.readLine()).takeWhile(_ != null)
-      .foreach(l => out.append(l).append('\n'))
-    val rc = proc.waitFor()
-    assert(rc == 0, s"$phase exited $rc:\n${out.toString.takeRight(4000)}")
-    out.toString
+    val (rc, out) =
+      ChildJvm.run("graft.HiveRoundTrip", Seq(phase, base, sfDir))
+    assert(rc == 0, s"$phase exited $rc:\n${out.takeRight(4000)}")
+    out
   }
 
   private def parse(out: String): Map[String, String] = {

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The wire-protocol gate: the reference is a SERVER (47 HTTP routes,
+  * /root/reference/index.js:1409-1411); our parity claim therefore needs a
+  * query to arrive over a real socket and run against the warehouse.
+  * `ThriftServe` (child JVM) starts Spark's Hive-compatible Thrift/JDBC
+  * endpoint over the metastore-backed graft.* catalog; THIS JVM is the
+  * remote client — it connects over loopback TCP with the stock Hive
+  * JDBC driver (`org.apache.hive.jdbc.HiveDriver`), discovers the
+  * catalog through standard JDBC metadata, runs the served SQL texts,
+  * and row-compares the wire results against the in-process results the
+  * server printed before opening its port. Everything a BI tool or
+  * beeline does, end to end.
+  */
+class ThriftServerSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  test("JDBC client over the Thrift socket returns row-identical results to the in-process engine") {
+    val base = java.nio.file.Files.createTempDirectory("graft_thrift").toString
+    val port = freePort()
+    val proc = new ProcessBuilder(
+      ChildJvm.command("graft.ThriftServe",
+        Seq(port.toString, base, sfDir)): _*)
+      .redirectErrorStream(true).start()
+    val out = new java.lang.StringBuilder
+    val inproc = scala.collection.mutable.Map.empty[String, Seq[String]]
+    @volatile var ready = false
+    val reader = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      Iterator.continually(br.readLine()).takeWhile(_ != null).foreach { l =>
+        out.synchronized { out.append(l).append('\n') }
+        if (l.startsWith("THRIFT_INPROC ")) {
+          val parts = l.split(" ", 4)
+          val rows = if (parts(2).toInt == 0) Seq.empty[String]
+                     else parts(3).split(";;", -1).toSeq
+          inproc.synchronized { inproc(parts(1)) = rows }
+        }
+        if (l.startsWith("THRIFT_READY")) ready = true
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    try {
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (!ready && proc.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(ready, s"server never became ready:\n${
+        out.synchronized(out.toString.takeRight(4000))}")
+
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // The port opens slightly after THRIFT_READY (service start is
+      // async inside HiveServer2) — retry the connect briefly.
+      var conn: java.sql.Connection = null
+      var attempts = 0
+      while (conn == null && attempts < 60) {
+        try conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/graft", "anonymous", "")
+        catch { case _: java.sql.SQLException =>
+          attempts += 1; Thread.sleep(1000) }
+      }
+      assert(conn != null, s"could not connect to jdbc:hive2://localhost:$port")
+      try {
+        // Standard JDBC catalog discovery sees the warehouse tables.
+        val md = conn.getMetaData
+        val rs = md.getTables(null, "graft", "%", null)
+        val tables = Iterator.continually(rs)
+          .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toSet
+        assert(tables.contains("orders") && tables.contains("lineitem"),
+          s"JDBC metadata missing warehouse tables: $tables")
+        assert(tables.contains("revenue_by_nation"),
+          s"c3 view not visible over the wire: $tables")
+
+        // The served texts, run over the wire, must match the engine
+        // row-for-row in order (both texts end in a total ORDER BY).
+        ThriftServe.served.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+          val st = conn.createStatement()
+          val r = st.executeQuery(sql)
+          val n = r.getMetaData.getColumnCount
+          val wire = Iterator.continually(r).takeWhile(_.next())
+            .map(row => ThriftServe.canonRow((1 to n).map(row.getObject)))
+            .toSeq
+          st.close()
+          val local = inproc.synchronized(inproc.get(name))
+          assert(local.isDefined, s"no in-process rows printed for $name")
+          assert(wire.nonEmpty, s"$name returned zero rows over the wire")
+          assert(wire == local.get,
+            s"$name wire/in-process mismatch:\nwire : $wire\nlocal: ${local.get}")
+        }
+      } finally conn.close()
+    } finally {
+      // Graceful shutdown: any stdin line stops the server.
+      try {
+        proc.getOutputStream.write('\n'); proc.getOutputStream.flush()
+      } catch { case _: java.io.IOException => () }
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+    }
+  }
+}
