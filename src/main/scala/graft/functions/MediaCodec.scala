@@ -1,0 +1,369 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+/** Real media-container codec for the multimodal path (SURVEY §2 / M6).
+  * The reference treats uploads as opaque blobs with metadata; a 100 TB
+  * training pipeline has to pull that metadata OUT of the bytes. This is
+  * pure-JVM header parsing of public formats — PNG (ISO 15948 §5/§11),
+  * JPEG (ITU T.81 SOF segments), GIF (GIF89a spec), BMP
+  * (BITMAPINFOHEADER), and RIFF containers (WAV fmt/data chunks, AVI
+  * avih) — no native codecs, no dependencies beyond `java.util.zip`.
+  *
+  * Encoders produce REAL files: the PNG writer deflates genuine
+  * filtered scanlines and stamps correct CRC-32s, the BMP writer emits
+  * a valid 24-bit DIB, the WAV writer a canonical 44-byte PCM header —
+  * `MediaCodecSpec` proves each against the JDK's own independent
+  * readers (`javax.imageio.ImageIO`, `javax.sound.sampled.AudioSystem`)
+  * down to the pixel / sample-frame level, and proves the decoders
+  * against files the JDK encoded. The AVI writer emits a structurally
+  * valid RIFF tree (hdrl/strl/movi with per-frame 00db chunks); its
+  * frame payloads are raw DIB slices, not codec output — header-true,
+  * which is exactly what metadata extraction at scale reads.
+  *
+  * Scale posture: `decode` touches only leading bytes (JPEG/GIF walk
+  * segment tables, never entropy-coded data), is allocation-light, and
+  * runs per-row inside `mapPartitions` batches — no shuffle, no driver
+  * involvement, parallelism == partition count.
+  */
+object MediaCodec {
+
+  /** Decoded container metadata. Fields are None where the format has
+    * no such notion (audio has no pixels; stills have no duration). */
+  final case class Meta(
+    format: String,
+    width: Option[Int] = None,
+    height: Option[Int] = None,
+    channels: Option[Int] = None,
+    sampleRate: Option[Int] = None,
+    nFrames: Option[Long] = None,
+    durationMs: Option[Long] = None)
+
+  // ---------- byte readers (bounds-checked by callers) ----------
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3).toLong << 24)) & 0xFFFFFFFFL
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Sniff + parse. Tries each container's magic; None for anything
+    * unrecognized, truncated, or (PNG) CRC-corrupt. */
+  def decode(b: Array[Byte]): Option[Meta] =
+    if (b == null || b.length < 12) None
+    else decodePng(b).orElse(decodeJpeg(b)).orElse(decodeGif(b))
+      .orElse(decodeBmp(b)).orElse(decodeRiff(b))
+
+  // ---------- PNG (signature + IHDR, CRC-verified) ----------
+  private val PngSig = Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def decodePng(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 33 || (0 until 8).exists(i => u8(b, i) != PngSig(i))) return None
+    // First chunk MUST be IHDR, length 13 (ISO 15948 §11.2.2).
+    if (be32(b, 8) != 13 || tag(b, 12) != "IHDR") return None
+    val crc = new CRC32; crc.update(b, 12, 4 + 13)
+    if (crc.getValue != le32ToBe(b, 29)) return None // stored CRC is big-endian
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0) return None
+    val colorType = u8(b, 25)
+    val ch = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    Some(Meta("png", Some(w), Some(h), channels = Some(ch), nFrames = Some(1L)))
+  }
+  private def le32ToBe(b: Array[Byte], i: Int): Long = be32(b, i).toLong & 0xFFFFFFFFL
+
+  // ---------- JPEG (marker walk to the first SOFn) ----------
+  private def decodeJpeg(b: Array[Byte]): Option[Meta] = {
+    if (u8(b, 0) != 0xFF || u8(b, 1) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xFF) return None
+      var m = u8(b, i + 1)
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+      if (m == 0xD9 || m == 0xDA) return None // EOI / SOS before any SOF
+      if (m >= 0xD0 && m <= 0xD8) { i += 2 } // standalone RSTn/SOI
+      else {
+        if (i + 4 > b.length) return None
+        val segLen = be16(b, i + 2)
+        if (segLen < 2) return None
+        val isSof = (m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          if (i + 9 >= b.length) return None
+          val h = be16(b, i + 5); val w = be16(b, i + 7); val nc = u8(b, i + 9)
+          if (w <= 0 || h <= 0) return None
+          return Some(Meta("jpeg", Some(w), Some(h), channels = Some(nc), nFrames = Some(1L)))
+        }
+        i += 2 + segLen
+      }
+    }
+    None
+  }
+
+  // ---------- GIF (logical screen + image-descriptor frame count) ----------
+  private def decodeGif(b: Array[Byte]): Option[Meta] = {
+    val hdr = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    if (b.length < 13) return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0) return None
+    val packed = u8(b, 10)
+    var i = 13
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1)) // global color table
+    var frames = 0L
+    var done = false
+    def skipSubBlocks(): Boolean = { // data sub-blocks end with a 0-length block
+      while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+      if (i >= b.length) false else { i += 1; true }
+    }
+    while (!done && i < b.length) {
+      u8(b, i) match {
+        case 0x3B => done = true // trailer
+        case 0x21 => // extension: label byte then sub-blocks
+          i += 2; if (!skipSubBlocks()) done = true
+        case 0x2C => // image descriptor
+          if (i + 10 > b.length) { done = true }
+          else {
+            frames += 1
+            val lp = u8(b, i + 9); i += 10
+            if ((lp & 0x80) != 0) i += 3 * (1 << ((lp & 0x07) + 1)) // local color table
+            i += 1 // LZW minimum code size
+            if (!skipSubBlocks()) done = true
+          }
+        case _ => done = true // corrupt block stream: stop counting
+      }
+    }
+    Some(Meta("gif", Some(w), Some(h), nFrames = Some(math.max(frames, 1L))))
+  }
+
+  // ---------- BMP (BITMAPCOREHEADER or BITMAPINFOHEADER+) ----------
+  private def decodeBmp(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 26 || u8(b, 0) != 'B' || u8(b, 1) != 'M') return None
+    val dib = le32(b, 14)
+    if (dib == 12) { // OS/2 core header: 16-bit dims
+      val w = le16(b, 18); val h = le16(b, 20); val bpp = le16(b, 24)
+      if (w <= 0 || h <= 0) None
+      else Some(Meta("bmp", Some(w), Some(h), channels = Some(math.max(bpp / 8, 1)), nFrames = Some(1L)))
+    } else if (dib >= 40 && b.length >= 34) { // BITMAPINFOHEADER family: signed 32-bit dims
+      val w = le32(b, 18).toInt; val h = math.abs(le32(b, 22).toInt) // negative = top-down
+      val bpp = le16(b, 28)
+      if (w <= 0 || h == 0) None
+      else Some(Meta("bmp", Some(w), Some(h), channels = Some(math.max(bpp / 8, 1)), nFrames = Some(1L)))
+    } else None
+  }
+
+  // ---------- RIFF (WAV fmt/data; AVI avih) ----------
+  private def decodeRiff(b: Array[Byte]): Option[Meta] = {
+    if (tag(b, 0) != "RIFF") return None
+    tag(b, 8) match {
+      case "WAVE" => decodeWav(b)
+      case "AVI " => decodeAvi(b)
+      case _      => None
+    }
+  }
+
+  private def decodeWav(b: Array[Byte]): Option[Meta] = {
+    var i = 12
+    var channels, rate, block = -1
+    var dataLen = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val id = tag(b, i); val sz = le32(b, i + 4)
+      if (sz < 0 || sz > b.length) return None // corrupt size field
+      id match {
+        case "fmt " if i + 8 + 16 <= b.length =>
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12).toInt
+          block = le16(b, i + 20)
+        case "data" => dataLen = sz
+        case _ => ()
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || block <= 0 || dataLen < 0) None
+    else {
+      val frames = dataLen / block
+      Some(Meta("wav", channels = Some(channels), sampleRate = Some(rate),
+        nFrames = Some(frames), durationMs = Some(frames * 1000L / rate)))
+    }
+  }
+
+  private def decodeAvi(b: Array[Byte]): Option[Meta] = {
+    // Walk the RIFF tree for the first avih chunk (AVIMAINHEADER).
+    def walk(from: Int, to: Int): Option[Meta] = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = tag(b, i)
+        if (le32(b, i + 4) > b.length) return None // corrupt size field
+        val sz = le32(b, i + 4).toInt
+        if (id == "LIST") {
+          val r = walk(i + 12, math.min(to, i + 8 + sz))
+          if (r.isDefined) return r
+        } else if (id == "avih" && sz >= 40 && i + 8 + 40 <= to) {
+          val usPerFrame = le32(b, i + 8)
+          val totalFrames = le32(b, i + 8 + 16)
+          val w = le32(b, i + 8 + 32).toInt; val h = le32(b, i + 8 + 36).toInt
+          if (w <= 0 || h <= 0) return None
+          return Some(Meta("avi", Some(w), Some(h),
+            nFrames = Some(totalFrames),
+            durationMs = Some(totalFrames * usPerFrame / 1000L)))
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      None
+    }
+    walk(12, b.length)
+  }
+
+  // ====================== encoders ======================
+
+  private def srcByte(src: Array[Byte], i: Long): Byte =
+    if (src.isEmpty) 0 else src((i % src.length).toInt)
+
+  /** Valid 8-bit grayscale PNG: real deflated scanlines (filter 0) and
+    * correct CRC-32 on every chunk; pixel (x,y) = src[(y*w+x) mod len]. */
+  def pngGray(w: Int, h: Int, src: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val out = new ByteArrayOutputStream(64 + w * h / 4)
+    PngSig.foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(intBe(data.length)); out.write(t); out.write(data)
+      val crc = new CRC32; crc.update(t); crc.update(data)
+      out.write(intBe(crc.getValue.toInt))
+    }
+    val ihdr = new ByteArrayOutputStream(13)
+    ihdr.write(intBe(w)); ihdr.write(intBe(h))
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    val raw = new Array[Byte](h * (1 + w))
+    var y = 0
+    while (y < h) {
+      raw(y * (1 + w)) = 0 // filter type None
+      var x = 0
+      while (x < w) { raw(y * (1 + w) + 1 + x) = srcByte(src, y.toLong * w + x); x += 1 }
+      y += 1
+    }
+    chunk("IDAT", deflate(raw))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Valid bottom-up 24-bit BMP; pixel (x,y) channels filled from src. */
+  def bmp24(w: Int, h: Int, src: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowSize = (w * 3 + 3) & ~3
+    val imgSize = rowSize * h
+    val out = new ByteArrayOutputStream(54 + imgSize)
+    out.write('B'); out.write('M')
+    out.write(intLe(54 + imgSize)); out.write(intLe(0)); out.write(intLe(54))
+    out.write(intLe(40)); out.write(intLe(w)); out.write(intLe(h))
+    out.write(shortLe(1)); out.write(shortLe(24))
+    out.write(intLe(0)); out.write(intLe(imgSize))
+    out.write(intLe(2835)); out.write(intLe(2835)); out.write(intLe(0)); out.write(intLe(0))
+    val row = new Array[Byte](rowSize)
+    var y = h - 1 // bottom-up storage: emit last scanline first
+    while (y >= 0) {
+      var x = 0
+      while (x < w * 3) { row(x) = srcByte(src, y.toLong * w * 3 + x); x += 1 }
+      while (x < rowSize) { row(x) = 0; x += 1 }
+      out.write(row)
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Canonical 44-byte-header PCM16 WAV; data truncated to a whole
+    * number of sample frames (blockAlign = 2*channels). */
+  def wavPcm16(channels: Int, sampleRate: Int, data: Array[Byte]): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0)
+    val block = 2 * channels
+    val dataLen = data.length - data.length % block
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    out.write("RIFF".getBytes); out.write(intLe(36 + dataLen)); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); out.write(intLe(16))
+    out.write(shortLe(1)); out.write(shortLe(channels))
+    out.write(intLe(sampleRate)); out.write(intLe(sampleRate * block))
+    out.write(shortLe(block)); out.write(shortLe(16))
+    out.write("data".getBytes); out.write(intLe(dataLen))
+    out.write(data, 0, dataLen)
+    out.toByteArray
+  }
+
+  /** Structurally valid AVI RIFF tree: hdrl(avih + strl(strh vids/DIB,
+    * strf BITMAPINFOHEADER 24bpp)) + movi with one 00db chunk per frame
+    * (8 raw bytes each — header-true, not codec output). 25 fps via
+    * dwMicroSecPerFrame. */
+  def avi(w: Int, h: Int, nFrames: Int, usPerFrame: Int, src: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames >= 0 && usPerFrame > 0)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream(8 + data.length + 1)
+      o.write(id.getBytes); o.write(intLe(data.length)); o.write(data)
+      if ((data.length & 1) == 1) o.write(0)
+      o.toByteArray
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream(12 + body.length)
+      o.write("LIST".getBytes); o.write(intLe(4 + body.length)); o.write(typ.getBytes); o.write(body)
+      o.toByteArray
+    }
+    val avih = new ByteArrayOutputStream(56)
+    avih.write(intLe(usPerFrame)); avih.write(intLe(0)); avih.write(intLe(0))
+    avih.write(intLe(0x10)) // AVIF_HASINDEX clear, AVIF_WASCAPTUREFILE clear; 0x10 = AVIF_ISINTERLEAVED
+    avih.write(intLe(nFrames)); avih.write(intLe(0)); avih.write(intLe(1)); avih.write(intLe(64))
+    avih.write(intLe(w)); avih.write(intLe(h))
+    (0 until 4).foreach(_ => avih.write(intLe(0)))
+    val strh = new ByteArrayOutputStream(56)
+    strh.write("vids".getBytes); strh.write("DIB ".getBytes)
+    strh.write(intLe(0)); strh.write(shortLe(0)); strh.write(shortLe(0)); strh.write(intLe(0))
+    strh.write(intLe(1)) // dwScale
+    strh.write(intLe((1000000L / usPerFrame).toInt.max(1))) // dwRate → fps
+    strh.write(intLe(0)); strh.write(intLe(nFrames)); strh.write(intLe(64))
+    strh.write(intLe(-1)); strh.write(intLe(0))
+    strh.write(shortLe(0)); strh.write(shortLe(0)); strh.write(shortLe(w)); strh.write(shortLe(h))
+    val strf = new ByteArrayOutputStream(40)
+    strf.write(intLe(40)); strf.write(intLe(w)); strf.write(intLe(h))
+    strf.write(shortLe(1)); strf.write(shortLe(24)); strf.write(intLe(0))
+    strf.write(intLe(((w * 3 + 3) & ~3) * h))
+    strf.write(intLe(0)); strf.write(intLe(0)); strf.write(intLe(0)); strf.write(intLe(0))
+    val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++
+      list("strl", chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray)))
+    val frames = new ByteArrayOutputStream(nFrames * 16)
+    var f = 0
+    while (f < nFrames) {
+      val d = new Array[Byte](8)
+      var k = 0
+      while (k < 8) { d(k) = srcByte(src, f.toLong * 8 + k); k += 1 }
+      frames.write(chunk("00db", d))
+      f += 1
+    }
+    val movi = list("movi", frames.toByteArray)
+    val body = new ByteArrayOutputStream(4 + hdrl.length + movi.length)
+    body.write("AVI ".getBytes); body.write(hdrl); body.write(movi)
+    val out = new ByteArrayOutputStream(8 + body.size())
+    out.write("RIFF".getBytes); out.write(intLe(body.size())); body.writeTo(out)
+    out.toByteArray
+  }
+
+  // ---------- little/big-endian writers ----------
+  private def intBe(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def intLe(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def shortLe(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+}
