@@ -296,10 +296,21 @@ object Events extends QueryModule {
     * once (the dedup shuffle); the range join replicates each pair to
     * ≤ 7 days against a broadcast |days|-row dim — never a
     * self-joined log. */
+  /** e13's deduped (day, user) pairs, persisted ONCE per (session, dir)
+    * — repeated catalog passes reuse the same cache entry instead of
+    * accumulating duplicates (ADVICE r5; Dedup.cachedShingleHashes'
+    * pattern). The frame feeds three plan subtrees (days dim, DAU,
+    * WAU), which is why it is cached at all. */
+  private val pairsCacheMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def cachedDayUserPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCacheMemo.computeIfAbsent((spark.sparkContext.applicationId, dir),
+      _ => Tables(spark, dir).events
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct().persist())
+
   private def e13(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables(spark, dir).events
-      .select(to_date($"ts").as("d"), $"user_id").distinct().persist()
+    val pairs = cachedDayUserPairs(spark, dir)
     val days = pairs.select($"d".as("day")).distinct()
     val dau = pairs.groupBy($"d".as("day"))
       .agg(countDistinct($"user_id").as("dau"))

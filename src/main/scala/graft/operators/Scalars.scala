@@ -133,11 +133,27 @@ object Scalars extends QueryModule {
     * and can drift types between runs), then aggregated. Exercises the
     * text-format source/sink surface (SURVEY §2.1 S5/S6 generalized
     * beyond JSON); quoting handles embedded delimiters. */
+  /** Round-trip sink paths are SESSION-UNIQUE (appId suffix) and the
+    * write is memoized per (session, dir, format): concurrent catalog
+    * runs on one machine can no longer clobber each other's files
+    * mid-read, and plan-only walks that construct these queries
+    * repeatedly trigger at most one physical write (ADVICE r5). */
+  private val sinkMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+  private def materializedSink(spark: SparkSession, dir: String, name: String)(
+      write: String => Unit): String =
+    sinkMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, name), { _ =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
+        s"${spark.sparkContext.applicationId}_${math.abs(dir.hashCode).toString}"
+      write(out); out
+    })
+
   private def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_x2_csv"
     val src = Tables(spark, dir).supplier
-    src.write.mode("overwrite").option("header", "true").csv(out)
+    val out = materializedSink(spark, dir, "x2_csv") { p =>
+      src.write.mode("overwrite").option("header", "true").csv(p)
+    }
     spark.read.schema(src.schema).option("header", "true").csv(out)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct($"s_suppkey").as("n_keys"),
@@ -155,9 +171,10 @@ object Scalars extends QueryModule {
     * call — exactly how a 100 TB lake mixes formats. */
   private def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_x3_orc"
     val src = Tables(spark, dir).orders
-    src.write.mode("overwrite").orc(out)
+    val out = materializedSink(spark, dir, "x3_orc") { p =>
+      src.write.mode("overwrite").orc(p)
+    }
     spark.read.orc(out)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct($"o_orderkey").as("n_keys"),

@@ -633,11 +633,16 @@ object TextAnalysis extends QueryModule {
       sum($"x" * $"y").cast("double").as("sxy"),
       sum($"y" * $"y").cast("double").as("syy"))
     val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
+    // The y-denominator CAN degenerate (all top-100 counts equal ⇒
+    // n·syy − sy² = 0); engines spell 0/0 differently, so r² is NULL
+    // there by contract — guarded identically in the oracle (ADVICE r5).
+    val yden = $"n" * $"syy" - $"sy" * $"sy"
     m.select($"n",
       round9stable(slope).as("slope_r"),
       round9stable(($"sy" - slope * $"sx") / $"n").as("intercept_r"),
-      round9stable(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")
-        / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+      round9stable(when(yden === 0.0, lit(null).cast("double"))
+        .otherwise(($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy")
+          / (($"n" * $"sxx" - $"sx" * $"sx") * yden)))
         .as("r2_r"))
   }
 
@@ -687,7 +692,7 @@ object TextAnalysis extends QueryModule {
          |SELECT n,
          |       ${sqlRound9("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope_r,
          |       ${sqlRound9("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")} AS intercept_r,
-         |       ${sqlRound9("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2_r
+         |       ${sqlRound9("CASE WHEN n * syy - sy * sy = 0 THEN NULL ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END")} AS r2_r
          |FROM m""".stripMargin,
     // Extends the t19 oracle with the quartile cutpoints and the tier
     // CASE; sum(BIGINT) casts back to BIGINT (DuckDB types it HUGEINT).

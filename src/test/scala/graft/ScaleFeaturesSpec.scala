@@ -202,7 +202,11 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val t = Tables(spark, "/root/testdata/sf0.01")
+      // Deliberately sf0.01, NOT this suite's sf0.001 `dir`: the hot
+      // partition must exceed the 16KB compressed skew threshold above,
+      // and sf0.001's lineitem is too small to ever trip it (ADVICE r5).
+      val skewDir = "/root/testdata/sf0.01"
+      val t = Tables(spark, skewDir)
       // repartition(16) gives the join shuffle 16 mappers: AQE can only
       // split a skewed reduce partition at MAP-OUTPUT BLOCK granularity,
       // and the fixture parquet is a single row group (one mapper → one

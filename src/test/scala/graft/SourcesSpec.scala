@@ -89,7 +89,7 @@ class SourcesSpec extends AnyFunSuite {
     // added today. mergeSchema reconciles footers at read time — old
     // rows surface NULL for the new column, no rewrite of history.
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_evolve"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_evolve_${spark.sparkContext.applicationId}"
     val v1 = Tables(spark, dir).supplier.select($"s_suppkey", $"s_nationkey")
     val v2 = Tables(spark, dir).supplier
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
@@ -109,7 +109,7 @@ class SourcesSpec extends AnyFunSuite {
     // The engine must degrade row-wise (quarantine column), not
     // job-wise — and must be able to demand strictness when asked.
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_badjson"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_badjson_${spark.sparkContext.applicationId}"
     val lines = Seq(
       """{"id": 1, "v": "ok"}""",
       """{"id": 2, "v": "also ok"}""",
@@ -136,7 +136,7 @@ class SourcesSpec extends AnyFunSuite {
 
   test("ORC sink + source roundtrip is self-describing: schema and rows survive exactly") {
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc_${spark.sparkContext.applicationId}"
     val src = Tables(spark, dir).orders
     src.write.mode("overwrite").orc(out)
     val back = spark.read.orc(out) // no schema hint — ORC carries it
