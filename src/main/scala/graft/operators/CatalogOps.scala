@@ -91,13 +91,12 @@ object CatalogOps extends QueryModule {
     * with Similarity's persistent ANN index build.) */
   private[operators] def clearOrphan(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(s"$Database.$table")) {
+      // Hadoop FileSystem API, not java.io.File: the warehouse dir is a
+      // URI (file:, hdfs:, s3a:) and this must work on all of them.
       val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val d = new java.io.File(s"$wh/$Database.db/$table")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      if (d.exists()) rm(d)
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$Database.db/$table")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) { fs.delete(p, true); () }
     }
 
   /** c1 — order accounting THROUGH the persistent catalog: plain SQL
