@@ -126,6 +126,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spec.nonEmpty)
   }
 
+  test("d5b md5-simhash kernel fingerprints equal the declarative spec form") {
+    val docs = Tables(spark, dir).documents
+    val spec = Dedup.md5SimhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Dedup.md5SimhashFingerprintsKernel(spark, docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == spec)
+    assert(spec.nonEmpty)
+  }
+
   test("d1 exact-dedup groups cover every document exactly once") {
     val total = Tables(spark, dir).documents.count()
     val d1 = Dedup.queries("d1_dedup_exact_groups")(spark, dir)
