@@ -36,4 +36,56 @@ object SparkEntry {
       ("flagship_buyer_home" -> Flagship.flagshipSql) +
       ("flagship_admin_home" -> Flagship.adminHomeSql) +
       ("flagship_worker_home" -> Flagship.workerHomeSql)
+
+  /** The oracle texts that run VERBATIM on Spark SQL under the parity
+    * profile (GraftExtensions dialect-compat spellings +
+    * `spark.sql.parser.escapedStringLiterals=true`) — the engine's
+    * one-text-three-engines surface. Asserted row-identical to the
+    * DataFrame programs by `SqlParitySpec`, and served over the
+    * Thrift/JDBC wire by `ThriftServe` (hash-compared end-to-end by
+    * `ThriftServerSpec`). The remaining oracle texts use constructs
+    * with no shared spelling (see SqlParitySpec's scaladoc). */
+  val sqlPortable: Seq[String] = Seq(
+    "p1_point_lookup_key", "p2_point_lookup_id", "p3_conjunctive_lookup",
+    "p4_filter_scan", "p5_ne_null_semantics", "p6_in_list",
+    "p9_projection_rename", "s3_dynamic_scan", "o1_sort_desc_feed", "o2_topk",
+    "a1_filtered_counts", "a2_compound_count", "a3_global_sum_empty0",
+    "a4_filter_sum", "a5_conditional_counts", "a6_null_safe_sum",
+    "j1_semi_join", "j2_enrichment_join", "j3_two_hop_chase",
+    "j4_existence_check", "j5_anti_join_guard", "j6_range_band_join",
+    "j7_bloom_semi_join", "j8_skew_salted_join",
+    "w1_insert_defaults", "w2_masked_update", "w3_balance_ledger",
+    "w4_delete_rewrite", "w5_capacity_rule", "w6_scd2_intervals",
+    "w7_partitioned_write", "w8_merge_upsert", "x1_json_roundtrip",
+    "x2_csv_roundtrip",
+    "a7_grouped_agg", "olap_rollup", "olap_cube", "olap_grouping_sets",
+    "olap_distinct", "olap_count_distinct", "olap_ntile_quartiles",
+    "olap_corr", "olap_regr", "olap_histogram", "olap_pivot", "olap_unpivot",
+    "olap_string_agg", "olap_bool_aggregates", "olap_percentiles",
+    "olap_window_suite", "olap_window_suite2", "olap_grouped_topk_udaf",
+    "olap_scalar_subquery",
+    "set_union", "set_intersect", "set_except",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
+    "dim_supplier_geo", "skew_salted_agg",
+    "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
+    "e5_session_window", "e6_latest_per_user", "e8_funnel",
+    "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
+    "e13_dau_wau",
+    "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
+    "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
+    "c4_dynamic_pruning", "x3_orc_roundtrip",
+    "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",
+    "d8_incremental_dedup",
+    "t1_token_counts", "t2_quality_score", "t3_language_id",
+    "t5_quality_filter", "t6_corpus_stats", "t8_text_scrub",
+    "t9_tfidf_top_terms", "t10_train_split", "t11_source_cap",
+    "t15_doc_chunks", "t16_seq_packing", "t17_mixture_weights",
+    "pipe1_corpus_prep",
+    "f_string_suite", "f_null_semantics", "f_map_suite",
+    "c1_catalog_sql", "c2_bucketed_join", "c3_catalog_view",
+    "flagship_buyer_home", "flagship_admin_home", "flagship_worker_home")
 }

@@ -21,10 +21,27 @@ import org.apache.spark.sql.SparkSession
   * protocol → SparkSQLOperationManager → Catalyst → warehouse → wire
   * serialization → client) is what's under test.
   *
+  * Beyond the two full-row-compared texts, the ENTIRE Spark-portable
+  * parity surface (`SparkEntry.sqlPortable`, 120+ texts) is served:
+  * the child prints an MD5 over each text's canonical rows, and the
+  * spec re-runs every text over the wire — concurrently, from several
+  * JDBC connections — and must reproduce each hash exactly. Texts
+  * whose result schema contains complex types are skipped with an
+  * explicit marker (Hive's wire protocol renders arrays/maps/structs
+  * as JSON strings, not typed values).
+  *
   * stdout protocol (parsed by the spec):
   *   THRIFT_INPROC <name> <rowCount> <row;;row;;...>   (canonical rows)
+  *   THRIFT_SQLHASH <name> <rowCount> <md5hex>         (parity texts)
+  *   THRIFT_SKIP <name> <reason>
   *   THRIFT_READY port=<port>
   * then blocks on stdin; any line (or EOF) shuts the server down.
+  *
+  * `spark.sql.hive.thriftServer.singleSession=true`: every JDBC
+  * connection shares the parent session, so the temp-view fixture
+  * catalog and the parity parser profile hold on the wire path too —
+  * and concurrent statements still execute in parallel (operations,
+  * not sessions, are the unit of concurrency).
   *
   * Scale posture: HiveServer2's thrift pool serves concurrent sessions
   * against one SparkSession — on a real cluster this binary is exactly
@@ -56,9 +73,34 @@ object ThriftServe {
     case null                    => "␀" // visible NULL sentinel
     case d: java.math.BigDecimal => d.toPlainString
     case b: Array[Byte]          => b.map("%02x".format(_)).mkString
+    // TIMESTAMP_NTZ collects as LocalDateTime ("1999-07-08T00:00") but
+    // crosses the Hive wire as a Timestamp — normalize to the wire form.
+    case t: java.time.LocalDateTime => java.sql.Timestamp.valueOf(t).toString
     case other                   => other.toString
   }
   def canonRow(vals: Seq[Any]): String = vals.map(canon).mkString("|")
+
+  /** Order-INsensitive canonical hash (rows sorted first): texts whose
+    * ORDER BY does not break every tie can legitimately return tied
+    * rows in different orders across two executions, and the wire run
+    * is a separate execution from the in-process one. Same discipline
+    * as the driver's DuckDB compare, which sorts before hashing. */
+  def hashRows(rows: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.sorted.foreach(r =>
+      md.update((r + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Types the Hive wire protocol carries as typed values; anything
+    * else (array/map/struct) arrives as a rendered string and cannot
+    * be canon-compared against the in-process Row. */
+  private def wireComparable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType
+       | _: org.apache.spark.sql.types.MapType
+       | _: org.apache.spark.sql.types.StructType => false
+    case _ => true
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(port, base, sfDir) = args
@@ -67,14 +109,15 @@ object ThriftServe {
     System.setProperty("hive.server2.thrift.port", port)
     System.setProperty("hive.server2.thrift.bind.host", "localhost")
     val spark = SparkSession.builder()
-      .master("local[2]")
+      .master("local[4]")
       .appName("graft-thrift-serve")
-      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport()
       .getOrCreate()
@@ -87,6 +130,21 @@ object ThriftServe {
       served.toSeq.sortBy(_._1).foreach { case (name, sql) =>
         val rows = spark.sql(sql).collect().map(r => canonRow(r.toSeq))
         println(s"THRIFT_INPROC $name ${rows.length} ${rows.mkString(";;")}")
+      }
+      // The parity surface: fixture temp views + the parity parser
+      // profile, then one canonical hash per text. The same session
+      // serves the wire (singleSession), so what the client runs is
+      // byte-for-byte what hashed here.
+      graft.Tables(spark, sfDir).registerAll()
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+      SparkEntry.sqlPortable.foreach { name =>
+        val df = spark.sql(SparkEntry.oracleSql(name))
+        if (!df.schema.forall(f => wireComparable(f.dataType)))
+          println(s"THRIFT_SKIP $name complex-typed-result")
+        else {
+          val rows = df.collect().map(r => canonRow(r.toSeq))
+          println(s"THRIFT_SQLHASH $name ${rows.length} ${hashRows(rows)}")
+        }
       }
       val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         .startWithSparkSession(spark, exitOnError = false)

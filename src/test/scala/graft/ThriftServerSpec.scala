@@ -10,9 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * remote client — it connects over loopback TCP with the stock Hive
   * JDBC driver (`org.apache.hive.jdbc.HiveDriver`), discovers the
   * catalog through standard JDBC metadata, runs the served SQL texts,
-  * and row-compares the wire results against the in-process results the
-  * server printed before opening its port. Everything a BI tool or
-  * beeline does, end to end.
+  * and compares wire results against the in-process results the server
+  * printed before opening its port: full-row equality for the two
+  * showcase texts, canonical-MD5 equality for the ENTIRE Spark-portable
+  * parity surface (120+ texts), executed CONCURRENTLY from four JDBC
+  * connections — everything a BI tool or beeline does, end to end,
+  * under concurrent load.
   */
 class ThriftServerSpec extends AnyFunSuite {
 
@@ -23,7 +26,7 @@ class ThriftServerSpec extends AnyFunSuite {
     try s.getLocalPort finally s.close()
   }
 
-  test("JDBC client over the Thrift socket returns row-identical results to the in-process engine") {
+  test("JDBC clients over the Thrift socket reproduce the in-process engine, concurrently") {
     val base = java.nio.file.Files.createTempDirectory("graft_thrift").toString
     val port = freePort()
     val proc = new ProcessBuilder(
@@ -32,6 +35,8 @@ class ThriftServerSpec extends AnyFunSuite {
       .redirectErrorStream(true).start()
     val out = new java.lang.StringBuilder
     val inproc = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val sqlHash = scala.collection.mutable.Map.empty[String, (Long, String)]
+    val skipped = scala.collection.mutable.Set.empty[String]
     @volatile var ready = false
     val reader = new Thread(() => {
       val br = new java.io.BufferedReader(
@@ -44,13 +49,19 @@ class ThriftServerSpec extends AnyFunSuite {
                      else parts(3).split(";;", -1).toSeq
           inproc.synchronized { inproc(parts(1)) = rows }
         }
+        if (l.startsWith("THRIFT_SQLHASH ")) {
+          val parts = l.split(" ", 4)
+          sqlHash.synchronized { sqlHash(parts(1)) = (parts(2).toLong, parts(3)) }
+        }
+        if (l.startsWith("THRIFT_SKIP "))
+          skipped.synchronized { skipped += l.split(" ", 3)(1); () }
         if (l.startsWith("THRIFT_READY")) ready = true
       }
     })
     reader.setDaemon(true)
     reader.start()
     try {
-      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
       while (!ready && proc.isAlive && System.nanoTime() < deadline)
         Thread.sleep(200)
       assert(ready, s"server never became ready:\n${
@@ -59,15 +70,30 @@ class ThriftServerSpec extends AnyFunSuite {
       Class.forName("org.apache.hive.jdbc.HiveDriver")
       // The port opens slightly after THRIFT_READY (service start is
       // async inside HiveServer2) — retry the connect briefly.
-      var conn: java.sql.Connection = null
-      var attempts = 0
-      while (conn == null && attempts < 60) {
-        try conn = java.sql.DriverManager.getConnection(
-          s"jdbc:hive2://localhost:$port/graft", "anonymous", "")
-        catch { case _: java.sql.SQLException =>
-          attempts += 1; Thread.sleep(1000) }
+      def connect(): java.sql.Connection = {
+        var conn: java.sql.Connection = null
+        var attempts = 0
+        while (conn == null && attempts < 60) {
+          try conn = java.sql.DriverManager.getConnection(
+            s"jdbc:hive2://localhost:$port/graft", "anonymous", "")
+          catch { case _: java.sql.SQLException =>
+            attempts += 1; Thread.sleep(1000) }
+        }
+        assert(conn != null, s"could not connect to jdbc:hive2://localhost:$port")
+        conn
       }
-      assert(conn != null, s"could not connect to jdbc:hive2://localhost:$port")
+      def wireRows(conn: java.sql.Connection, sql: String): Seq[String] = {
+        val st = conn.createStatement()
+        try {
+          val r = st.executeQuery(sql)
+          val n = r.getMetaData.getColumnCount
+          Iterator.continually(r).takeWhile(_.next())
+            .map(row => ThriftServe.canonRow((1 to n).map(row.getObject)))
+            .toSeq
+        } finally st.close()
+      }
+
+      val conn = connect()
       try {
         // Standard JDBC catalog discovery sees the warehouse tables.
         val md = conn.getMetaData
@@ -79,16 +105,9 @@ class ThriftServerSpec extends AnyFunSuite {
         assert(tables.contains("revenue_by_nation"),
           s"c3 view not visible over the wire: $tables")
 
-        // The served texts, run over the wire, must match the engine
-        // row-for-row in order (both texts end in a total ORDER BY).
+        // The showcase texts: full row-for-row equality in order.
         ThriftServe.served.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-          val st = conn.createStatement()
-          val r = st.executeQuery(sql)
-          val n = r.getMetaData.getColumnCount
-          val wire = Iterator.continually(r).takeWhile(_.next())
-            .map(row => ThriftServe.canonRow((1 to n).map(row.getObject)))
-            .toSeq
-          st.close()
+          val wire = wireRows(conn, sql)
           val local = inproc.synchronized(inproc.get(name))
           assert(local.isDefined, s"no in-process rows printed for $name")
           assert(wire.nonEmpty, s"$name returned zero rows over the wire")
@@ -96,6 +115,44 @@ class ThriftServerSpec extends AnyFunSuite {
             s"$name wire/in-process mismatch:\nwire : $wire\nlocal: ${local.get}")
         }
       } finally conn.close()
+
+      // The parity surface, CONCURRENTLY: four JDBC connections split
+      // the hashed texts round-robin; each hash must reproduce exactly.
+      val hashed = sqlHash.synchronized(sqlHash.toMap)
+      val skippedNow = skipped.synchronized(skipped.toSet)
+      assert(hashed.size + skippedNow.size == SparkEntry.sqlPortable.size,
+        s"server hashed ${hashed.size} + skipped ${skippedNow.size} " +
+          s"!= ${SparkEntry.sqlPortable.size} portable texts")
+      assert(hashed.size >= 100,
+        s"wire-served surface shrank: only ${hashed.size} hashed texts " +
+          s"(skipped: $skippedNow)")
+      val names = hashed.keys.toSeq.sorted
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val nWorkers = sys.props.getOrElse("graft.thrift.workers", "4").toInt
+      val workers = (0 until nWorkers).map { w =>
+        new Thread(() => {
+          val c = connect()
+          try {
+            names.zipWithIndex.filter(_._2 % nWorkers == w).map(_._1).foreach { name =>
+              try {
+                val rows = wireRows(c, SparkEntry.oracleSql(name))
+                val (nLocal, hLocal) = hashed(name)
+                if (rows.length != nLocal)
+                  failures.add(s"$name: ${rows.length} wire rows != $nLocal")
+                else if (ThriftServe.hashRows(rows) != hLocal)
+                  failures.add(s"$name: wire hash mismatch; first wire row: " +
+                    rows.headOption.getOrElse("").take(300))
+              } catch {
+                case e: Exception => failures.add(s"$name: ${e.getMessage}")
+              }
+            }
+          } finally c.close()
+        })
+      }
+      workers.foreach(_.start())
+      workers.foreach(_.join(600000))
+      assert(failures.isEmpty,
+        s"wire mismatches:\n${failures.toArray.mkString("\n")}")
     } finally {
       // Graceful shutdown: any stdin line stops the server.
       try {
