@@ -136,6 +136,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spec.nonEmpty)
   }
 
+  test("s10 PC1: unit norm, eigen residual tiny, beats every axis variance") {
+    val d = 64
+    val cov = Similarity.queries("s9_embedding_covariance")(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    def c(i: Int, j: Int): Double = cov((math.min(i, j), math.max(i, j)))
+    val out = Similarity.queries("s10_pca_power")(spark, dir).collect()
+    assert(out.length == d)
+    val v = out.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val lambda = out.head.getDouble(2)
+    val share = out.head.getDouble(3)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6, "unit norm")
+    // Eigen residual: ||Cv - λv||∞ small relative to λ.
+    val resid = (0 until d).map { i =>
+      math.abs((0 until d).map(j => c(i, j) * v(j)).sum - lambda * v(i))
+    }.max
+    assert(resid <= 1e-4 * lambda, s"residual $resid vs lambda $lambda")
+    // PC1 variance dominates every coordinate axis; share in (0, 1].
+    val maxDiag = (0 until d).map(i => c(i, i)).max
+    assert(lambda >= maxDiag - 1e-9, s"lambda $lambda < max axis var $maxDiag")
+    assert(share > 0 && share <= 1.0 + 1e-9)
+    // Sign convention: the largest-|loading| coordinate is positive.
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
+  }
+
   test("d1 exact-dedup groups cover every document exactly once") {
     val total = Tables(spark, dir).documents.count()
     val d1 = Dedup.queries("d1_dedup_exact_groups")(spark, dir)
