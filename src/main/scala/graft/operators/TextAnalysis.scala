@@ -632,6 +632,53 @@ object TextAnalysis extends QueryModule {
       .orderBy($"tier")
   }
 
+  /** t23 — BIGRAM conditional log-probability scorer: the sequence-
+    * aware tier above t19's unigram bag — P(w₂|w₁) Laplace-smoothed
+    * over top-V bigram and unigram models, so word-salad documents
+    * (plausible unigrams, impossible transitions) score low where t19
+    * cannot see them. Score = mean over a doc's bigrams of
+    * ln((c₂(w₁w₂)+1)/(c₁(w₁)+V+1)), both counts 0 outside their top-V
+    * table (ties broken by text so the cut is deterministic in both
+    * engines); docs under 2 words have no bigrams and drop out.
+    *
+    * Shape at 100 TB: t19's exactly — two map-combined count shuffles
+    * (key spaces = vocabularies), two top-V TakeOrdered cuts, both
+    * models BROADCAST back against the bigram stream (the corpus is
+    * never join-shuffled), one per-doc aggregate. Engine-exactness:
+    * per-bigram ln terms rounded to 9 decimals and summed as exact
+    * decimals, mean rounded to 6 (t18/t19's discipline). */
+  private def t23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val V = 1000
+    val wv = words($"text")
+    val docs = Tables(spark, dir).documents
+    val tok = docs.select($"doc_id", explode(wv).as("t"))
+    val cnt1 = tok.groupBy($"t").agg(count(lit(1)).as("c1"))
+    val top1 = cnt1.orderBy($"c1".desc, $"t").limit(V)
+    val bi = docs
+      .select($"doc_id", wv.as("wv"))
+      .filter(size($"wv") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"wv") - 1),
+        i => array_join(slice($"wv", i, lit(2)), " "))).as("b"))
+    val cnt2 = bi.groupBy($"b").agg(count(lit(1)).as("c2"))
+    val top2 = cnt2.orderBy($"c2".desc, $"b").limit(V)
+    bi.join(broadcast(top2), Seq("b"), "left")
+      .withColumn("w1", split($"b", " ").getItem(0))
+      .join(broadcast(top1.withColumnRenamed("t", "w1")), Seq("w1"), "left")
+      .select($"doc_id",
+        round(log((coalesce($"c2", lit(0L)) + 1).cast("double")
+          / (coalesce($"c1", lit(0L)) + V + 1).cast("double")), 9).as("lp"),
+        $"c2".isNull.cast("long").as("is_oov"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum($"is_oov").as("n_oov"),
+        sum($"lp".cast("decimal(28,9)")).as("t"))
+      .select($"doc_id", $"n_bigrams", $"n_oov",
+        round($"t".cast("double") / $"n_bigrams".cast("double"), 6)
+          .as("mean_logprob"))
+      .orderBy($"doc_id")
+  }
+
   /** t22 — ZIPF-LAW fit, the corpus-health diagnostic: least-squares
     * slope of ln(frequency) on ln(rank) over the top-100 tokens. A
     * natural-language corpus fits slope ≈ −1 with high r²; template
@@ -687,6 +734,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_zipf_fit"        -> (t22 _),
+    "t23_bigram_logprob"  -> (t23 _),
     "t21_quality_tiers"   -> (t21 _),
     "t18_char_entropy"    -> (t18 _),
     "t19_unigram_logprob" -> (t19 _),
@@ -711,6 +759,32 @@ object TextAnalysis extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // t23: both top-V models rebuilt in SQL (ties by text, same cut);
+    // per-bigram ln terms rounded to 9 and decimal-summed (t19's rules).
+    "t23_bigram_logprob" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $wordsSql AS wv FROM documents),
+         |tok AS (SELECT doc_id, unnest(wv) AS t FROM w),
+         |cnt1 AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+         |top1 AS (SELECT t, c1 FROM cnt1 ORDER BY c1 DESC, t LIMIT 1000),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(wv)),
+         |                        i -> array_to_string(wv[i:i+1], ' '))) AS b
+         |  FROM w WHERE len(wv) >= 2),
+         |cnt2 AS (SELECT b, count(*) AS c2 FROM bi GROUP BY b),
+         |top2 AS (SELECT b, c2 FROM cnt2 ORDER BY c2 DESC, b LIMIT 1000),
+         |scored AS (
+         |  SELECT bi.doc_id,
+         |         round(ln(CAST(coalesce(t2.c2, 0) + 1 AS DOUBLE)
+         |                  / CAST(coalesce(t1.c1, 0) + 1001 AS DOUBLE)), 9) AS lp,
+         |         CASE WHEN t2.b IS NULL THEN 1 ELSE 0 END AS is_oov
+         |  FROM bi LEFT JOIN top2 t2 ON bi.b = t2.b
+         |          LEFT JOIN top1 t1 ON string_split(bi.b, ' ')[1] = t1.t)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       CAST(sum(is_oov) AS BIGINT) AS n_oov,
+         |       round(CAST(sum(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS mean_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Rounded-ln DECIMAL(12,9) terms keep every product/sum exact on
     // both engines; final regression math in double + round9stable.
     "t22_zipf_fit" ->
