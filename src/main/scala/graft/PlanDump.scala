@@ -43,7 +43,13 @@ object PlanDump {
     "j9_runtime_bloom_join" -> "InjectRuntimeFilter-eligible large-x-large join (fixture scale: correct decline; see PlanSpec)",
     "d10_incremental_neardup" -> "near-dup serving from the persisted band index: batch bands broadcast, index never shuffles",
     "pipe2_incremental_ingest" -> "ingest funnel: dedup/near-dup/quality as flags folded by one aggregate over the batch",
-    "olap_rolling_range" -> "time-based RANGE frame over daily pre-aggregates: moving sum stays decimal through the window")
+    "olap_rolling_range" -> "time-based RANGE frame over daily pre-aggregates: moving sum stays decimal through the window",
+    "t18_char_entropy"   -> "per-doc code-point histogram as a one-pass kernel: zero exchange from scan to result (r6)",
+    "t23_bigram_logprob" -> "bigram LM scoring: two top-V models broadcast against the bigram stream, corpus never join-shuffled (r6)",
+    "d5b_simhash_oracle" -> "md5-bit SimHash kernel + banded pigeonhole pairing (4x15-bit chunks) — the oracle-gated near-dup tier (r6)",
+    "m2_media_features"  -> "real PNG/BMP/WAV/AVI encode->header-parse decode in mapPartitions batches, no shuffle (r6)",
+    "s9_embedding_covariance" -> "64x64 covariance: in-task pair explode, partial aggregation caps shuffle at tasks x d(d+1)/2 rows (r6)",
+    "t11_source_cap"     -> "two-level salted per-source cap: 16 parallel bounded windows + one 800-row re-cap, no hot partition (r6)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args
