@@ -730,12 +730,24 @@ object Dedup extends QueryModule {
     * at j ≥ 0.8 is 1−(1−j²)¹⁶ ≈ 1−1e-22). */
   private def d10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.functions.ArrayFunctions.sortedIntersectCount
     ensureLshIndex(spark, dir)
-    // Filter over the session-shared cached frame — pipe2's nested d10
-    // call and repeated catalog passes hit the same single cache entry.
-    val batchArr = cachedShingleHashes(spark, dir)
-      .filter($"doc_id" % 2 === 1)
+    // Filter over the session-shared cached frame — pipe2's nested call
+    // and repeated catalog passes hit the same single cache entry.
+    nearDupPairs(spark, cachedShingleHashes(spark, dir)
+        .filter($"doc_id" % 2 === 1))
+      .orderBy($"batch_id", $"hist_id")
+  }
+
+  /** The d10 probe core over an ARBITRARY batch of hashed-shingle arrays
+    * `(doc_id, hs)` — shared by d10 (the whole odd half in one batch)
+    * and the streaming funnel (`graft.streaming.StreamingFunnel`), which
+    * probes one micro-batch at a time. Each batch doc's result depends
+    * only on its own signature and the persisted index (never on other
+    * batch docs), so probing is invariant to micro-batch splits.
+    * Precondition: `ensureLshIndex` has run for this session/dir. */
+  private[graft] def nearDupPairs(spark: SparkSession, batchArr: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.functions.ArrayFunctions.sortedIntersectCount
     val batchBands = bandKeys(minhashSignatures(batchArr))
       .select($"doc_id".as("batch_id"), $"bkey")
     val candidates = spark.table(BandIndexTable)
@@ -752,7 +764,7 @@ object Dedup extends QueryModule {
       .select($"batch_id", $"hist_id",
         jaccard(sortedIntersectCount(spark, $"hh", $"hb"), $"na", $"nb")
           .as("jaccard"))
-    verified.filter($"jaccard" >= 0.8).orderBy($"batch_id", $"hist_id")
+    verified.filter($"jaccard" >= 0.8)
   }
 
   /** pipe2 — the INCREMENTAL INGEST FUNNEL, pipe1's daily-job twin:
@@ -773,16 +785,42 @@ object Dedup extends QueryModule {
     * engines. */
   private def pipe2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ensureLshIndex(spark, dir)
+    funnelCounts(spark, dir,
+      Tables(spark, dir).documents.filter($"doc_id" % 2 === 1),
+      cachedShingleHashes(spark, dir).filter($"doc_id" % 2 === 1),
+      seenPrev = None)
+  }
+
+  /** The funnel core over an ARBITRARY batch frame — shared verbatim by
+    * pipe2 (the whole odd half as one batch) and its streaming twin
+    * (`graft.streaming.StreamingFunnel`), which feeds micro-batches
+    * plus the hashes already seen in EARLIER micro-batches (`seenPrev`,
+    * treated exactly like history hashes). The counts are invariant to
+    * how the batch is split: exact-dedup survivorship counts each
+    * distinct unseen hash once regardless of which copy arrives first,
+    * and the near-dup and quality flags are text-local (identical text
+    * ⇒ identical flags), so WHICH copy survives cannot move any count.
+    * `StreamingFunnelSpec` makes that literal against a mid-stream
+    * restart. Precondition: `ensureLshIndex` has run.
+    * `batchArr` is the batch's `(doc_id, hs)` hashed-shingle frame —
+    * a parameter so pipe2 can pass the session-shared cached corpus
+    * frame while streaming computes it per micro-batch. */
+  private[graft] def funnelCounts(spark: SparkSession, dir: String,
+      batch: DataFrame, batchArr: DataFrame,
+      seenPrev: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-    val historyHashes = docs.filter($"doc_id" % 2 === 0)
-      .select(sha2($"text", 256).as("h")).distinct()
-      .withColumn("hist_hit", lit(1))
-    val nearHits = d10(spark, dir)
+    val histBase = docs.filter($"doc_id" % 2 === 0)
+      .select(sha2($"text", 256).as("h"))
+    val historyHashes = seenPrev.fold(histBase)(histBase.unionByName(_))
+      .distinct().withColumn("hist_hit", lit(1))
+    val nearHits = nearDupPairs(spark, batchArr)
       .select($"batch_id".as("doc_id")).distinct()
       .withColumn("near_hit", lit(1))
     val byHash = Window.partitionBy($"h").orderBy($"doc_id")
-    val scored = docs.filter($"doc_id" % 2 === 1)
+    val scored = batch
       .select($"doc_id", sha2($"text", 256).as("h"),
         TextAnalysis.words($"text").as("wv"))
       .select($"doc_id", $"h",
