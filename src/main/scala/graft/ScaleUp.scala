@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up for the EMPIRICAL scaling probe
+  * (SURVEY §12): replicate a source fixture R× with disjoint key
+  * spaces, so catalog queries can be timed at sf0.1 / ~sf0.3 / ~sf1 and
+  * per-query scaling exponents measured rather than argued.
+  *
+  * Replication discipline — the point is to scale VOLUME without
+  * manufacturing cross-replica structure that changes a query's
+  * asymptotic class:
+  *   - Keys shift by `r·(max+1)` per key domain; foreign keys shift by
+  *     the SAME rule, so replica r's orders reference replica r's
+  *     customers — join fanout and group cardinality per key are
+  *     EXACTLY the source's, while key-space cardinality grows R×.
+  *   - `documents.text` (replicas r>0): every WORD is suffixed with a
+  *     replica tag — an injective per-replica vocabulary rename. Shingle
+  *     sets rename injectively with it, so within a replica every
+  *     pairwise shingle intersection/union (hence every Jaccard value,
+  *     hence the whole near/exact-dup structure) is EXACTLY the
+  *     source's, while any cross-replica shingle overlap is exactly
+  *     zero — near-dup volume grows linearly with R, never
+  *     quadratically. (A first design appended a marker token after
+  *     every 4th word; ScaleUpSpec caught 41k cross-replica colliding
+  *     shingles — the 3-word gaps between markers are themselves
+  *     complete unmarked 3-gram windows.)
+  *   - `embeddings` (replicas r>0): a seeded per-replica ORTHOGONAL
+  *     transform (dimension permutation + sign flips). Within a
+  *     replica all pairwise angles and norms are untouched (ANN/
+  *     centroid structure replicates exactly); across replicas vectors
+  *     decorrelate, so near-neighbor volume scales linearly.
+  *   - `region`/`nation` are fixed dimensions — copied as-is (a bigger
+  *     corpus does not grow the world's nation list).
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <replicas> */
+object ScaleUp {
+
+  private def shifted(df: DataFrame, rep: Int, keys: (String, Long)*): DataFrame =
+    keys.foldLeft(df) { case (d, (k, domain)) =>
+      d.withColumn(k, col(k) + lit(rep * domain))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, repStr) = args
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, src, out, repStr.toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS) (see Tables.events): read
+    // the physical int64 nanos; the replica keeps them as plain INT64,
+    // which Tables.events narrows identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import spark.implicits._
+
+    def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
+    def domain(df: DataFrame, k: String): Long =
+      df.agg(max(col(k))).head().getLong(0) + 1L
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    Seq("region", "nation").foreach(n => write(tbl(n), n))
+
+    val (cust, supp, part, ord, li, ev, doc, emb) =
+      (tbl("customer"), tbl("supplier"), tbl("part"), tbl("orders"),
+        tbl("lineitem"), tbl("events"), tbl("documents"), tbl("embeddings"))
+    val (dCust, dSupp, dPart, dOrd) =
+      (domain(cust, "c_custkey"), domain(supp, "s_suppkey"),
+        domain(part, "p_partkey"), domain(ord, "o_orderkey"))
+    val (dEv, dUser) = (domain(ev, "event_id"), domain(ev, "user_id"))
+    val (dDoc, dVec) = (domain(doc, "doc_id"), domain(emb, "vec_id"))
+
+    def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until reps).map(r => f(df, r)).reduce(_ unionByName _)
+
+    write(rep(cust)(shifted(_, _, "c_custkey" -> dCust)), "customer")
+    write(rep(supp)(shifted(_, _, "s_suppkey" -> dSupp)), "supplier")
+    write(rep(part)(shifted(_, _, "p_partkey" -> dPart)), "part")
+    write(rep(ord)(shifted(_, _, "o_orderkey" -> dOrd, "o_custkey" -> dCust)), "orders")
+    write(rep(li)(shifted(_, _, "l_orderkey" -> dOrd, "l_partkey" -> dPart,
+      "l_suppkey" -> dSupp)), "lineitem")
+    write(rep(ev)(shifted(_, _, "event_id" -> dEv, "user_id" -> dUser)), "events")
+
+    write(rep(doc) { (d, r) =>
+      val s = shifted(d, r, "doc_id" -> dDoc)
+      if (r == 0) s
+      else s
+        .withColumn("text", array_join(
+          transform(split($"text", " "), w => concat(w, lit(s"_r$r"))),
+          " "))
+        .withColumn("n_chars", length($"text"))
+    }, "documents")
+
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    write(rep(emb) { (d, r) =>
+      val s = shifted(d, r, "vec_id" -> dVec)
+      if (r == 0) s
+      else {
+        val rng = new scala.util.Random(42 + r)
+        val perm = rng.shuffle((0 until dim).toList)
+        val sign = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        s.withColumn("embedding", array((0 until dim).map(i =>
+          $"embedding" (perm(i)) * lit(sign(i))): _*))
+      }
+    }, "embeddings")
+
+    println(s"scaled $src x$reps -> $out")
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The empirical-scaling fixture generator must scale VOLUME without
+  * changing any query's asymptotic class (ScaleUp's scaladoc contract).
+  * Each test pins one of the structural invariants the scaling-exponent
+  * measurements in SURVEY §12 depend on. */
+class ScaleUpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val src = "/root/testdata/sf0.001"
+  private val reps = 3
+  private lazy val out: String = {
+    val d = s"/tmp/graft_scaleup_spec_${spark.sparkContext.applicationId}"
+    ScaleUp.run(spark, src, d, reps)
+    d
+  }
+
+  private def srcT(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
+  private def outT(n: String): DataFrame = spark.read.parquet(s"$out/$n.parquet")
+
+  test("row counts: fixed dims copied 1x, every fact table exactly Rx, schemas unchanged") {
+    for (n <- Seq("region", "nation")) {
+      assert(outT(n).count() == srcT(n).count(), n)
+      assert(outT(n).schema == srcT(n).schema, n)
+    }
+    for (n <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")) {
+      assert(outT(n).count() == reps * srcT(n).count(), n)
+      assert(outT(n).schema == srcT(n).schema, n)
+    }
+  }
+
+  test("key shift preserves join fanout: orders-per-customer distribution is identical per replica") {
+    import spark.implicits._
+    // Histogram of (orders per custkey) -> count of custkeys with that
+    // fanout. Replication must multiply every histogram bar by exactly
+    // R: join fanout and group cardinality per key are the source's.
+    def hist(df: DataFrame): Map[Long, Long] =
+      df.groupBy($"o_custkey").count()
+        .groupBy($"count".as("fanout")).count()
+        .as[(Long, Long)].collect().toMap
+    val s = hist(srcT("orders"))
+    val o = hist(outT("orders"))
+    assert(o == s.map { case (fanout, nKeys) => fanout -> (nKeys * reps) })
+  }
+
+  test("foreign keys stay within their replica: every scaled lineitem joins an order, Rx join rows") {
+    val joined = outT("lineitem").join(outT("orders"),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == reps * srcT("lineitem").count())
+  }
+
+  test("replica-perturbed documents: exact-dup structure replicates; cross-replica shingles disjoint") {
+    import spark.implicits._
+    // Within-replica: identical source texts perturb identically, so
+    // the dup-group histogram (group size -> #groups) scales by exactly R.
+    def dupHist(df: DataFrame): Map[Long, Long] =
+      df.groupBy($"text").count().where($"count" > 1)
+        .groupBy($"count".as("sz")).count().as[(Long, Long)].collect().toMap
+    val s = dupHist(srcT("documents"))
+    assert(dupHist(outT("documents")) ==
+      s.map { case (sz, n) => sz -> (n * reps) })
+    // ... and distinct-text cardinality scales exactly Rx (replica tags
+    // make texts cross-replica distinct; perturbation is injective).
+    assert(outT("documents").select($"text").distinct().count() ==
+      reps * srcT("documents").select($"text").distinct().count())
+    // Across replicas: the marker token after every 4th word breaks
+    // every 3-gram shingle window, so a doc shares NO shingle with its
+    // own replica twin -> cross-replica Jaccard is 0 and near-dup
+    // volume grows linearly in R, never quadratically.
+    val dDoc = srcT("documents").agg(max($"doc_id")).head().getLong(0) + 1L
+    val shingles = outT("documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= 3) // sequence(0, n-3) reverses when n<3
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+    val crossPairs = shingles.as("a").join(shingles.as("b"),
+        $"a.sh" === $"b.sh" &&
+          ($"a.doc_id" % dDoc) === ($"b.doc_id" % dDoc) &&
+          $"a.doc_id" < $"b.doc_id")
+      .count()
+    assert(crossPairs == 0L)
+  }
+
+  test("orthogonal embedding transform: within-replica geometry exact, cross-replica decorrelated") {
+    import spark.implicits._
+    val nSrc = srcT("embeddings").agg(max($"vec_id")).head().getLong(0) + 1L
+    val dot = (a: Seq[Float], b: Seq[Float]) =>
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val byId = outT("embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    val srcById = srcT("embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    // Norms are preserved exactly up to summation order (permutation +
+    // sign flips permute the squared terms); pairwise dots likewise.
+    for ((id, v) <- srcById.take(50)) {
+      for (r <- 0 until reps) {
+        val w = byId(id + r * nSrc)
+        assert(math.abs(dot(w, w) - dot(v, v)) < 1e-4, s"norm, id=$id rep=$r")
+      }
+    }
+    val ids = srcById.keys.toSeq.sorted.take(20)
+    for (i <- ids; j <- ids if i < j; r <- 1 until reps) {
+      val (a0, b0) = (srcById(i), srcById(j))
+      val (a1, b1) = (byId(i + r * nSrc), byId(j + r * nSrc))
+      // same replica: inner products survive the orthogonal transform
+      assert(math.abs(dot(a1, b1) - dot(a0, b0)) < 1e-4, s"pair ($i,$j) rep $r")
+    }
+    // cross-replica: a vector against its own twin must NOT stay at
+    // cosine 1 (the transform decorrelates replicas). Averaged over a
+    // sample, |cos| should drop to random-direction levels (<0.5).
+    val twinCos = ids.map { i =>
+      val (v, w) = (srcById(i), byId(i + 1 * nSrc))
+      math.abs(dot(v, w)) / math.sqrt(dot(v, v) * dot(w, w))
+    }
+    assert(twinCos.sum / twinCos.size < 0.5,
+      s"replica twins still correlated: ${twinCos.sum / twinCos.size}")
+  }
+}
