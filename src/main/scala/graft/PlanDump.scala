@@ -49,7 +49,8 @@ object PlanDump {
     "d5b_simhash_oracle" -> "md5-bit SimHash kernel + banded pigeonhole pairing (4x15-bit chunks) — the oracle-gated near-dup tier (r6)",
     "m2_media_features"  -> "real PNG/BMP/WAV/AVI encode->header-parse decode in mapPartitions batches, no shuffle (r6)",
     "s9_embedding_covariance" -> "64x64 covariance: in-task pair explode, partial aggregation caps shuffle at tasks x d(d+1)/2 rows (r6)",
-    "t11_source_cap"     -> "two-level salted per-source cap: 16 parallel bounded windows + one 800-row re-cap, no hot partition (r6)")
+    "t11_source_cap"     -> "two-level salted per-source cap: 16 parallel bounded windows + one 800-row re-cap, no hot partition (r6)",
+    "d11_substring_spans" -> "ExactSubstr spans: linear k-gram occurrence join + per-doc islands merge — the suffix-array monolith re-expressed as shuffles (r6)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

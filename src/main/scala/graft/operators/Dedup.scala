@@ -846,8 +846,72 @@ object Dedup extends QueryModule {
       count(when(!$"e_dup" && !$"n_dup" && $"q" >= 0.04, 1)).as("n_ingested"))
   }
 
+  /** k-gram width for d11 exact-substring spans. 8 tokens ≈ the point
+    * where a match stops being phrase-level coincidence and starts
+    * being copied text on this fixture's ~31-word vocabulary (collision
+    * odds 31⁻⁸); production ExactSubstr uses 50 BPE tokens — the knob
+    * trades span granularity, never correctness. */
+  private val SubstrK = 8
+
+  /** d11 — exact-substring duplicate spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022 — the ExactSubstr
+    * tier): for each doc, the MAXIMAL token spans of ≥ K consecutive
+    * tokens that also appear verbatim in some other doc. This is the
+    * dedup family's span-level member — d1 removes whole identical
+    * docs, d3/d4 find whole near-dup docs, d11 locates the copied
+    * REGIONS inside otherwise-distinct docs (the spans a training
+    * pipeline cuts rather than dropping the doc).
+    *
+    * The paper's single-node engine is a suffix array over the whole
+    * corpus — inherently monolithic. The distributed re-expression is a
+    * k-gram occurrence join: two docs share a ≥K-token span iff they
+    * share a K-token window, and the union of overlapping shared
+    * windows IS the maximal span (every length-L≥K shared run contains
+    * exactly L−K+1 shared K-windows, which merge back to [start, L)).
+    * So: posexplode K-windows (in-task, linear), one map-combined
+    * aggregate marks K-grams seen in ≥2 docs, one join brings marked
+    * positions back, and a per-doc (NEVER global) window merges
+    * overlapping windows into islands — gaps-and-islands with fixed K,
+    * where `lag(pos)` suffices as the running maximum because pos is
+    * strictly increasing and every interval has identical width.
+    *
+    * Scale shape (100 TB): shuffle volume is O(total tokens) — the
+    * K-gram string (~60 B) + (doc_id, pos) per window, map-combined on
+    * the K-gram key; the quadratic pair space is never materialized
+    * (contrast d3). A hot boilerplate K-gram costs candidate rows
+    * linear in its occurrences, not pairs. At petabyte scale the join
+    * key would be a 128-bit K-gram hash to cut shuffle bytes; the
+    * fixture keeps the string itself so the DuckDB oracle restates the
+    * join verbatim. Integer-only output: no float can diverge. */
+  private def d11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val occ = Tables(spark, dir).documents
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= SubstrK)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(w)-$SubstrK), i -> concat_ws(' ', slice(w, i+1, $SubstrK)))")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("kg"))
+    val shared = occ.groupBy($"kg")
+      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2)
+      .select($"kg")
+    val marked = occ.join(shared, Seq("kg")).select($"doc_id", $"pos").distinct()
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = marked
+      .withColumn("b", when(lag($"pos", 1).over(byDoc).isNull ||
+        $"pos" > lag($"pos", 1).over(byDoc) + SubstrK, 1L).otherwise(0L))
+      .withColumn("g", sum($"b").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (SubstrK - 1)).as("span_end"),
+        (max($"pos") - min($"pos") + SubstrK).as("span_tokens"))
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+    presentSorted(spans, $"doc_id", $"span_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe2_incremental_ingest" -> (pipe2 _),
+    "d11_substring_spans"    -> (d11 _),
     "d10_incremental_neardup" -> (d10 _),
     "d8_incremental_dedup"   -> (d8 _),
     "d6_dedup_normalized"    -> (d6 _),
@@ -887,6 +951,32 @@ object Dedup extends QueryModule {
        |ORDER BY i, j""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d11: DuckDB restates the K-gram occurrence join verbatim (1-based
+    // list slicing vs Spark's slice) and the same fixed-width
+    // gaps-and-islands merge. Integer-only — bitwise identical.
+    "d11_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |occ AS (SELECT doc_id, (u.i-1)::BIGINT AS pos,
+         |               array_to_string(w[u.i:u.i+$SubstrK-1], ' ') AS kg
+         |        FROM toks, unnest(generate_series(1, len(w)-$SubstrK+1)) u(i)
+         |        WHERE len(w) >= $SubstrK),
+         |shared AS (SELECT kg FROM occ GROUP BY kg
+         |           HAVING count(DISTINCT doc_id) >= 2),
+         |mpos AS (SELECT DISTINCT o.doc_id, o.pos
+         |         FROM occ o JOIN shared s USING (kg)),
+         |brk AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + $SubstrK
+         |        THEN 1 ELSE 0 END AS b FROM mpos),
+         |isl AS (SELECT doc_id, pos,
+         |        sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |        FROM brk)
+         |SELECT doc_id, min(pos) AS span_start,
+         |       max(pos) + $SubstrK - 1 AS span_end,
+         |       max(pos) - min(pos) + $SubstrK AS span_tokens
+         |FROM isl GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin,
     // d5b: DuckDB recomputes SimHash generation from md5 hex digits AND
     // verifies pairs by brute-force bit_count(xor(...)) — the engine must
     // reach the identical set through the banded pigeonhole join.

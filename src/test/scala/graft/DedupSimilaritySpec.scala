@@ -332,4 +332,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
       corpus.map { case (_, e) => cents.map(c => cos(e, c)).max }.sum / corpus.length
     assert(objective(learned) >= objective(init) - 1e-9)
   }
+
+  test("d11 substring spans equal a driver-side suffix-style recompute; spans maximal") {
+    val K = 8
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    // Ground truth the paper's way, feasible at fixture scale: a
+    // position is covered iff its K-window occurs in another doc.
+    val byKg = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, w) <- docs; i <- 0 to w.length - K)
+      byKg.getOrElseUpdate(w.slice(i, i + K).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val expected = (for {
+      (id, w) <- docs.toSeq
+      positions = (0 to w.length - K).filter { i =>
+        byKg(w.slice(i, i + K).mkString(" ")).size >= 2
+      }
+      if positions.nonEmpty
+      span <- positions.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: t, p) if p <= e + 1 => (s, math.max(e, p + K - 1L)) :: t
+        case (acc, p) => (p.toLong, p + K - 1L) :: acc
+      }.reverse
+    } yield (id, span._1, span._2, span._2 - span._1 + 1)).toSet
+    val got = Dedup.queries("d11_substring_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the fixture genuinely contains copied spans
+    // Maximality: spans of one doc never overlap and never merge — a
+    // gap of at least K-1 uncovered... strictly: next start > end + 1.
+    for ((id, spans) <- got.groupBy(_._1)) {
+      val sorted = spans.toSeq.sortBy(_._2)
+      for (Seq(a, b) <- sorted.sliding(2) if sorted.length > 1)
+        assert(b._2 > a._3 + 1, s"doc $id: spans $a and $b should have merged")
+    }
+  }
 }
