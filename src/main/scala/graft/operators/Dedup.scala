@@ -886,16 +886,7 @@ object Dedup extends QueryModule {
   private def d11(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val occ = Tables(spark, dir).documents
-      .select($"doc_id", split($"text", " ").as("w"))
-      .where(size($"w") >= SubstrK)
-      .select($"doc_id", posexplode(expr(
-        s"transform(sequence(0, size(w)-$SubstrK), i -> concat_ws(' ', slice(w, i+1, $SubstrK)))")))
-      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("kg"))
-    val shared = occ.groupBy($"kg")
-      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2)
-      .select($"kg")
-    val marked = occ.join(shared, Seq("kg")).select($"doc_id", $"pos").distinct()
+    val marked = markedPositions(spark, dir)
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     val spans = marked
       .withColumn("b", when(lag($"pos", 1).over(byDoc).isNull ||
@@ -909,9 +900,58 @@ object Dedup extends QueryModule {
     presentSorted(spans, $"doc_id", $"span_start")
   }
 
+  /** d12 — the CUT that d11's spans exist for: rewrite the corpus with
+    * every duplicated span excised (ExactSubstr's action step; the
+    * released deduplicate-text-datasets tool likewise cuts every
+    * occurrence — keeping one canonical copy is a policy knob layered
+    * on top, not a different algorithm). Emits the full corpus:
+    * (doc_id, n_tokens, n_cut, text_clean), with exact-dup docs
+    * reduced to '' and untouched docs passed through verbatim.
+    *
+    * Scale shape: the covered-position set reduces to ONE bounded array
+    * per affected doc (|tokens| worst case), joined doc-level against
+    * the corpus — the token stream itself never shuffles; the excision
+    * is an in-task indexed-HOF filter over the token array. Contrast
+    * the naive token-level anti-join, which ships every corpus token
+    * through an exchange. */
+  private def d12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val covered = markedPositions(spark, dir)
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (SubstrK - 1))).as("cpos"))
+      .groupBy($"doc_id").agg(collect_set($"cpos").as("cov"))
+    val out = docs.join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", split($"text", " ").as("w"), $"cov")
+      .select(
+        $"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        coalesce(size($"cov"), lit(0)).cast("long").as("n_cut"),
+        when($"cov".isNull, array_join($"w", " ")).otherwise(
+          array_join(filter($"w", (_, i) => !array_contains($"cov", i.cast("long"))), " "))
+          .as("text_clean"))
+    presentSorted(out, $"doc_id")
+  }
+
+  /** Shared by d11 (span assembly) and d12 (excision): the distinct
+    * (doc_id, pos) K-window positions whose K-gram occurs in ≥2 docs. */
+  private def markedPositions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = Tables(spark, dir).documents
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= SubstrK)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(w)-$SubstrK), i -> concat_ws(' ', slice(w, i+1, $SubstrK)))")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("kg"))
+    val shared = occ.groupBy($"kg")
+      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2)
+      .select($"kg")
+    occ.join(shared, Seq("kg")).select($"doc_id", $"pos").distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe2_incremental_ingest" -> (pipe2 _),
     "d11_substring_spans"    -> (d11 _),
+    "d12_substring_cut"      -> (d12 _),
     "d10_incremental_neardup" -> (d10 _),
     "d8_incremental_dedup"   -> (d8 _),
     "d6_dedup_normalized"    -> (d6 _),
@@ -977,6 +1017,38 @@ object Dedup extends QueryModule {
          |       max(pos) - min(pos) + $SubstrK AS span_tokens
          |FROM isl GROUP BY doc_id, g
          |ORDER BY doc_id, span_start""".stripMargin,
+    // d12: same marked positions, expanded to covered token positions;
+    // DuckDB rebuilds the cleaned text token-by-token (no indexed list
+    // lambda in its dialect) — string-identical to the engine's in-task
+    // indexed-HOF excision.
+    "d12_substring_cut" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |occ AS (SELECT doc_id, (u.i-1)::BIGINT AS pos,
+         |               array_to_string(w[u.i:u.i+$SubstrK-1], ' ') AS kg
+         |        FROM toks, unnest(generate_series(1, len(w)-$SubstrK+1)) u(i)
+         |        WHERE len(w) >= $SubstrK),
+         |shared AS (SELECT kg FROM occ GROUP BY kg
+         |           HAVING count(DISTINCT doc_id) >= 2),
+         |mpos AS (SELECT DISTINCT o.doc_id, o.pos
+         |         FROM occ o JOIN shared s USING (kg)),
+         |cov AS (SELECT DISTINCT doc_id, u.c::BIGINT AS cpos
+         |        FROM mpos, unnest(generate_series(pos, pos+$SubstrK-1)) u(c)),
+         |tok AS (SELECT doc_id, (u.i-1)::BIGINT AS p, w[u.i] AS tk
+         |        FROM toks, unnest(generate_series(1, len(w))) u(i)),
+         |kept AS (SELECT t.doc_id,
+         |               array_to_string(list(t.tk ORDER BY t.p), ' ') AS text_clean
+         |        FROM tok t LEFT JOIN cov c
+         |          ON t.doc_id = c.doc_id AND t.p = c.cpos
+         |        WHERE c.cpos IS NULL GROUP BY t.doc_id),
+         |ncov AS (SELECT doc_id, count(*)::BIGINT AS n_cut FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+         |       coalesce(n.n_cut, 0) AS n_cut,
+         |       coalesce(k.text_clean, '') AS text_clean
+         |FROM documents d
+         |LEFT JOIN kept k ON k.doc_id = d.doc_id
+         |LEFT JOIN ncov n ON n.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // d5b: DuckDB recomputes SimHash generation from md5 hex digits AND
     // verifies pairs by brute-force bit_count(xor(...)) — the engine must
     // reach the identical set through the banded pigeonhole join.

@@ -367,4 +367,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(b._2 > a._3 + 1, s"doc $id: spans $a and $b should have merged")
     }
   }
+
+  test("d12 cut is exactly d11's spans excised: token accounting and surviving text agree") {
+    val spans = Dedup.queries("d11_substring_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val cut = Dedup.queries("d12_substring_cut")(spark, dir).collect()
+    assert(cut.length == docs.size) // every doc surfaces, touched or not
+    var touched = 0
+    for (r <- cut) {
+      val (id, nTok, nCut, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val w = docs(id).split(" ", -1)
+      assert(nTok == w.length, s"doc $id token count")
+      val ss = spans.getOrElse(id, Array.empty)
+      assert(nCut == ss.map { case (s, e) => e - s + 1 }.sum, s"doc $id cut count")
+      val keep = w.indices.filterNot(i => ss.exists { case (s, e) => i >= s && i <= e })
+      assert(clean == keep.map(w).mkString(" "), s"doc $id surviving text")
+      if (nCut > 0) touched += 1
+    }
+    assert(touched > 0) // the fixture genuinely loses spans
+  }
 }
