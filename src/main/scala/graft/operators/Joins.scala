@@ -214,7 +214,54 @@ object Joins extends QueryModule {
       .orderBy($"month")
   }
 
+  /** j10 — fuzzy (approximate-string) self-join: every supplier-name
+    * pair within Levenshtein distance ≤ 1 — the entity-resolution /
+    * vendor-master-dedup primitive, and the catalog's one join whose
+    * predicate no equality key can express directly.
+    *
+    * The naive form is an O(n²) cross join with an edit-distance
+    * filter. The scalable re-expression is SymSpell's deletion-
+    * neighborhood blocking (Garbe's symmetric-delete algorithm; public):
+    * N(s) = {s} ∪ {s minus one character}. Two strings are within
+    * distance 1 iff they share a neighborhood member — substitution ⇒
+    * deleting the differing position from both yields the same string;
+    * insertion/deletion ⇒ the shorter string IS a member of the
+    * longer's neighborhood — so blocking recall is exactly 1, proven,
+    * not tuned. Each row emits |s|+1 variants (in-task transform), the
+    * equi-join on the variant key generates candidates, and one exact
+    * `levenshtein` verify removes the false positives the pigeonhole
+    * admits. Shuffle volume is O(n·|s|) variant rows, never O(n²);
+    * a hot variant bucket costs its own candidates only (the d4/d5
+    * banding discipline). Both engines implement standard Levenshtein,
+    * so the verified distance is integer-identical. */
+  private def j10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables(spark, dir).supplier
+      .select($"s_suppkey".as("id"), $"s_name".as("name"))
+    presentSorted(fuzzyPairs(s), col("i"), col("j"))
+  }
+
+  /** The blocking + verify kernel of j10, frame-parametric (columns
+    * `id`, `name`) so ScalaTest can drive crafted insertion/deletion/
+    * substitution cases the fixed-width fixture names never exercise. */
+  private[graft] def fuzzyPairs(names: DataFrame): DataFrame = {
+    import names.sparkSession.implicits._
+    val variants = names.select($"id", $"name", explode(array_union(
+      array($"name"),
+      expr("transform(sequence(1, length(name)), i -> " +
+        "concat(substring(name, 1, i-1), substring(name, i+1, length(name)-i)))")))
+      .as("v"))
+    val cand = variants.as("a").join(variants.as("b"),
+        $"a.v" === $"b.v" && $"a.id" < $"b.id")
+      .select($"a.id".as("i"), $"a.name".as("na"),
+        $"b.id".as("j"), $"b.name".as("nb"))
+      .distinct()
+    cand.filter(levenshtein($"na", $"nb") <= 1)
+      .select($"i", $"j", levenshtein($"na", $"nb").cast("long").as("distance"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_fuzzy_join" -> (j10 _),
     "j9_runtime_bloom_join" -> (j9 _),
     "j8_skew_salted_join" -> (j8 _),
     "j7_bloom_semi_join"  -> (j7 _),
@@ -226,6 +273,15 @@ object Joins extends QueryModule {
     "j5_anti_join_guard"  -> (jAnti _))
 
   val oracles: Map[String, String] = Map(
+    // j10: the oracle is the quadratic form the blocking replaces —
+    // brute-force levenshtein over all pairs. The engine must reach the
+    // identical pair set through the deletion-neighborhood join.
+    "j10_fuzzy_join" ->
+      """SELECT a.s_suppkey AS i, b.s_suppkey AS j,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS distance
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY i, j""".stripMargin,
     // Runtime-filter injection is execution strategy, not semantics:
     // the oracle is the plain filtered join.
     "j9_runtime_bloom_join" ->

@@ -391,4 +391,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(touched > 0) // the fixture genuinely loses spans
   }
+
+  test("j10 deletion-neighborhood blocking has recall 1 on crafted ins/del/sub cases") {
+    import spark.implicits._
+    // The fixture's fixed-width names only exercise substitution; this
+    // drives the other SymSpell completeness legs (insertion, deletion)
+    // plus the precision leg: 'ab'/'ba' share deletion variants {a,b}
+    // but sit at distance 2 — a blocked candidate the exact verify
+    // must kill.
+    val names = Seq(
+      (1L, "graft"), (2L, "grafts"), // insertion at the end
+      (3L, "grat"),                  // deletion inside (graft minus f)
+      (4L, "graff"),                 // substitution (t -> f)
+      (5L, "craft"),                 // substitution at position 1
+      (6L, "ab"), (7L, "ba"),        // distance 2 but share deletion variants
+      (8L, "zzz")                    // far from everything
+    ).toDF("id", "name")
+    val got = graft.operators.Joins.fuzzyPairs(names).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Driver-side brute force is the ground truth.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = Seq((1L, "graft"), (2L, "grafts"), (3L, "grat"), (4L, "graff"),
+      (5L, "craft"), (6L, "ab"), (7L, "ba"), (8L, "zzz"))
+    val expected = (for {
+      (i, a) <- rows; (j, b) <- rows if i < j && lev(a, b) <= 1
+    } yield (i, j, lev(a, b).toLong)).toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 == 1) && expected.size >= 4) // ins+del+sub all present
+    assert(!got.exists(p => p._1 == 6L && p._2 == 7L)) // ab/ba: blocked candidate, verified out
+  }
 }
