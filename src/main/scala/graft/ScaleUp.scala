@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   *     the SAME rule, so replica r's orders reference replica r's
   *     customers — join fanout and group cardinality per key are
   *     EXACTLY the source's, while key-space cardinality grows R×.
+  *   - Entity-NAME columns (`s_name`, `c_name`, replicas r>0) get a
+  *     3-char repeated-digit suffix: a common suffix leaves every
+  *     within-replica Levenshtein distance unchanged, while distinct
+  *     replica tags differ in all 3 positions, so no cross-replica
+  *     name pair lands within edit distance 1 — fuzzy-join (j10)
+  *     output volume grows linearly, matching the key-space rule.
+  *     (Measured before the fix: unperturbed names made every entity
+  *     appear R× verbatim and j10's true answer R²-sized — 12.3× wall
+  *     at 10×; the operator was output-bound, the INPUT was wrong.)
   *   - `documents.text` (replicas r>0): every WORD is suffixed with a
   *     replica tag — an injective per-replica vocabulary rename. Shingle
   *     sets rename injectively with it, so within a replica every
@@ -82,8 +91,15 @@ object ScaleUp {
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until reps).map(r => f(df, r)).reduce(_ unionByName _)
 
-    write(rep(cust)(shifted(_, _, "c_custkey" -> dCust)), "customer")
-    write(rep(supp)(shifted(_, _, "s_suppkey" -> dSupp)), "supplier")
+    // Single-digit replica tags keep the 3-positions-differ guarantee;
+    // ≥11 replicas would need a wider alphabet.
+    require(reps <= 10, s"name tags support at most 10 replicas, got $reps")
+    def tagName(df: DataFrame, r: Int, c: String): DataFrame =
+      if (r == 0) df
+      else df.withColumn(c, concat(col(c), lit(s"#$r$r$r")))
+
+    write(rep(cust)((d, r) => tagName(shifted(d, r, "c_custkey" -> dCust), r, "c_name")), "customer")
+    write(rep(supp)((d, r) => tagName(shifted(d, r, "s_suppkey" -> dSupp), r, "s_name")), "supplier")
     write(rep(part)(shifted(_, _, "p_partkey" -> dPart)), "part")
     write(rep(ord)(shifted(_, _, "o_orderkey" -> dOrd, "o_custkey" -> dCust)), "orders")
     write(rep(li)(shifted(_, _, "l_orderkey" -> dOrd, "l_partkey" -> dPart,

@@ -85,6 +85,29 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(crossPairs == 0L)
   }
 
+  test("name tags: within-replica edit distances unchanged, no cross-replica pair within distance 1") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val dSupp = srcT("supplier").agg(max($"s_suppkey")).head().getLong(0) + 1L
+    val srcN = srcT("supplier").select($"s_suppkey", $"s_name")
+      .as[(Long, String)].collect().toMap
+    val outN = outT("supplier").select($"s_suppkey", $"s_name")
+      .as[(Long, String)].collect().toMap
+    // a common suffix leaves Levenshtein distances exactly unchanged
+    for ((i, a) <- srcN; (j, b) <- srcN if i < j; r <- 0 until reps)
+      assert(lev(outN(i + r * dSupp), outN(j + r * dSupp)) == lev(a, b))
+    // distinct replica tags differ in all 3 positions -> never fuzzy-joinable
+    for ((i, a) <- outN; (j, b) <- outN
+         if i < j && (i / dSupp) != (j / dSupp))
+      assert(lev(a, b) > 1, s"cross-replica pair ($i,$j) within distance 1")
+  }
+
   test("orthogonal embedding transform: within-replica geometry exact, cross-replica decorrelated") {
     import spark.implicits._
     val nSrc = srcT("embeddings").agg(max($"vec_id")).head().getLong(0) + 1L
