@@ -20,7 +20,7 @@ object SparkEntry {
 
   /** The operator-family modules making up the catalog. */
   private val modules: Seq[QueryModule] = Seq(ReadPath, Joins, WritePath, Olap, Events, Dedup, TextAnalysis,
-      PipelineOps, Similarity, Multimodal, Scalars, StarSchema, Windows, CatalogOps)
+      PipelineOps, Similarity, Multimodal, Scalars, StarSchema, Windows, CatalogOps, Graph)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
