@@ -77,6 +77,7 @@ object SparkEntry {
     "e13_dau_wau",
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
+    "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
     "c4_dynamic_pruning", "x3_orc_roundtrip",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",
     "d8_incremental_dedup",

@@ -64,4 +64,13 @@ package object operators {
     * `orderBy` (distributed range sort). */
   def presentSorted(df: org.apache.spark.sql.DataFrame, cols: Column*): org.apache.spark.sql.DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Idempotent cache re-assertion for memoized build-once frames: an
+    * external `spark.catalog.clearCache()` (the bench does this between
+    * reps) unregisters the plan, after which a memoized iterative frame
+    * silently recomputes its subtree at EVERY reference. Re-persisting
+    * on access restores build-once semantics; the storageLevel guard
+    * keeps the already-cached path warning-free. */
+  def ensureCached(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
 }

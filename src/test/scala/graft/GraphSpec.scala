@@ -42,4 +42,68 @@ class GraphSpec extends AnyFunSuite {
     // Shape: suppliers aggregate many customers' mass — the top node is one.
     assert(got.head._1.startsWith("S"))
   }
+
+  /** Driver-side co-purchase pair set (ck, sk) — shared by the BFS and
+    * k-NN recomputes below. */
+  private def copurchasePairs(): Array[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, dir)
+    t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("g2 equals a driver-side BFS; levels partition the reach set") {
+    val adj = copurchasePairs()
+      .flatMap { case (c, s) => Seq((s"C$c", s"S$s"), (s"S$s", s"C$c")) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dist = scala.collection.mutable.Map[String, Int]("S1" -> 0, "S2" -> 0, "S3" -> 0)
+    var frontier = Set("S1", "S2", "S3")
+    for (h <- 1 to 4) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      next.foreach(dist(_) = h)
+      frontier = next
+    }
+    val expected = adj.keySet.toSeq.map(n => (n, dist.getOrElse(n, -1)))
+      .sortBy { case (n, d) => (d, n) }
+    val got = graft.operators.Graph.queries("g2_bfs_hops")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq == expected)
+    // Seeds at 0; every non-seed reached node's distance is 1 + (min
+    // neighbor distance) — the BFS invariant, checked on the engine's
+    // own output.
+    val gd = got.toMap
+    for ((n, d) <- got if d > 0)
+      assert(adj(n).map(m => gd.getOrElse(m, Int.MaxValue)).min == d - 1, n)
+  }
+
+  test("g3/g4: mutual k-NN graph + triangles equal a driver-side recompute") {
+    val pairs = copurchasePairs()
+    val co = pairs.groupBy(_._1).values.toSeq
+      .flatMap(g => for (a <- g.toSeq; b <- g.toSeq if a._2 < b._2) yield (a._2, b._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val directed = co.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val knn = directed.groupBy(_._1).values.flatMap(
+      _.sortBy { case (_, t, n) => (-n, t) }.take(5).map { case (s, t, _) =>
+        (math.min(s, t), math.max(s, t)) })
+    // NB: not Map#collect-to-tuples — that overload REBUILDS A MAP and
+    // silently collapses edges sharing a source id.
+    val mutual = knn.groupBy(identity).filter(_._2.size == 2).keySet
+    val expectedEdges = mutual.toSeq.sorted
+    val gotEdges = graft.operators.Graph.queries("g3_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotEdges.toSeq == expectedEdges)
+    // Mutuality bounds the graph by construction: ≤ K·|V|/2 edges.
+    val nodes = mutual.flatMap(e => Seq(e._1, e._2))
+    assert(mutual.size <= 5 * math.max(nodes.size, 1) / 2)
+    val expectedTris = (for {
+      (a, b) <- mutual; (b2, c) <- mutual
+      if b2 == b && mutual.contains((a, c))
+    } yield (a, b, c)).toSeq.sorted
+    val gotTris = graft.operators.Graph.queries("g4_knn_triangles")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotTris.toSeq == expectedTris)
+    // Orientation a<b<c: each triangle reported exactly once.
+    gotTris.foreach { case (a, b, c) => assert(a < b && b < c) }
+  }
 }
