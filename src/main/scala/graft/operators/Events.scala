@@ -323,7 +323,44 @@ object Events extends QueryModule {
       .orderBy($"day")
   }
 
+  /** e14 — marketing attribution: for every purchase, the FIRST-touch
+    * and LAST-touch channel (click/view) within a 7-day lookback,
+    * rolled up to a (first, last) transition matrix — the
+    * multi-touch-attribution primitive (first-touch and last-touch are
+    * the two canonical single-touch models; U-shaped interpolates).
+    *
+    * Shape: ONE pass over the log — a per-user window ordered by exact
+    * epoch-micros with a RANGE frame of 604,800,000,000 µs. The touch
+    * candidate is `when(marketing, struct(us, eid, ch))`: min() of the
+    * struct over the frame IS the earliest touch (struct comparison is
+    * field-lexicographic, us first; eid makes same-microsecond ties a
+    * total order in both engines), max() the latest; non-marketing
+    * rows contribute NULL, which min/max skip, and a touchless window
+    * coalesces to 'none'. No self-join of the log, no collect; the
+    * one shuffle is the per-user window partition (the e6/e10 shape —
+    * user cardinality scales with the log, so partitions stay small;
+    * a mega-user is the j8 salting case). Exactness: epoch micros are
+    * integers, counts are longs — no float anywhere. */
+  private def e14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type", $"event_id")
+    val touch = when($"event_type".isin("click", "view"),
+      struct($"us", $"event_id".as("eid"), $"event_type".as("ch")))
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-604800000000L, Window.currentRow)
+    val out = ev
+      .withColumn("ft", min(touch).over(w))
+      .withColumn("lt", max(touch).over(w))
+      .filter($"event_type" === "purchase")
+      .select(coalesce($"ft.ch", lit("none")).as("first_touch"),
+        coalesce($"lt.ch", lit("none")).as("last_touch"))
+      .groupBy($"first_touch", $"last_touch").agg(count(lit(1)).as("n"))
+    presentSorted(out, $"first_touch", $"last_touch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_attribution"      -> (e14 _),
     "e13_dau_wau"          -> (e13 _),
     "e12_transition_matrix" -> (e12 _),
     "e11_interarrival"     -> (e11 _),
@@ -340,6 +377,29 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    // First/last touch via min/max over a struct whose field order
+    // (us, eid, ch) gives the identical lexicographic total order in
+    // both engines; epoch_us(ts) = Spark's unix_micros under the UTC
+    // session. struct_pack/named_struct spellings differ — the one
+    // non-shared construct keeping this text off the parity list.
+    "e14_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN event_type IN ('click', 'view')
+        |             THEN struct_pack(us := us, eid := event_id, ch := event_type) END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS ft,
+        |    max(CASE WHEN event_type IN ('click', 'view')
+        |             THEN struct_pack(us := us, eid := event_id, ch := event_type) END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS lt
+        |  FROM ev)
+        |SELECT coalesce(ft.ch, 'none') AS first_touch,
+        |       coalesce(lt.ch, 'none') AS last_touch, count(*) AS n
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DAU/WAU from the deduped (day, user) pairs — count(DISTINCT) is
     // BIGINT in both engines; the ratio is one IEEE division + round.
     "e13_dau_wau" ->

@@ -647,6 +647,75 @@ object TextAnalysis extends QueryModule {
     * never join-shuffled), one per-doc aggregate. Engine-exactness:
     * per-bigram ln terms rounded to 9 decimals and summed as exact
     * decimals, mean rounded to 6 (t18/t19's discipline). */
+  /** t24 — BPE merge trainer (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): the first 8 merge
+    * steps of byte-pair-encoding vocabulary construction, the trace a
+    * tokenizer build actually produces — per step, the adjacent
+    * symbol-pair with the highest corpus frequency (count desc, pair
+    * asc: a deterministic total order) and its count at selection
+    * time. Symbols are the chars of lowercase [a-z]+ WORD TYPES
+    * (space-separated in the working representation, so `replace(sym,
+    * 'a b', 'ab')` applies a merge exactly as BPE does: left-to-right,
+    * non-overlapping); counts weight each type by its corpus
+    * frequency.
+    *
+    * Shape at 100 TB: the corpus is touched ONCE (the word-type count
+    * shuffle — map-combined, key space = vocabulary); all 8 training
+    * steps run over the persisted VOCAB frame (|types| rows, orders of
+    * magnitude below the corpus), each step one in-task pair explode +
+    * map-combined aggregate and a TakeOrdered(1) whose single row
+    * comes back to the driver and is re-applied as a LITERAL (the s10
+    * driver-eigensolve precedent, memoized per (session, dir)). The
+    * literal matters structurally: keeping the argmax as a broadcast
+    * subtree puts vocab_{i-1} in vocab_i's plan TWICE (once direct,
+    * once under m_i), doubling the logical plan per step — 2⁸ copies
+    * of the corpus aggregate blew an 8 GiB driver at ANALYSIS time
+    * before any row moved. With the literal the chain is linear, each
+    * step executes once against its predecessor's cache, and the
+    * intermediates unpersist when training ends — the memoized trace
+    * is 8 local rows. The oracle restates the steps as MATERIALIZED
+    * CTEs — DuckDB's default CTE inlining re-expands the chain the
+    * same near-exponential way (the no-CSE-across-references trap,
+    * g1's union-leg lesson). All counts are BIGINTs; no float exists
+    * anywhere. */
+  private val BpeSteps = 8
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def t24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val trace = bpeMemo.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
+      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+      var vocab = Tables(spark, dir).documents
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .select(trim(regexp_replace($"w", "(.)", "$1 ")).as("sym"), $"c")
+        .persist()
+      persisted += vocab
+      val rows = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+      for (i <- 1 to BpeSteps) {
+        val top = vocab
+          .select(split($"sym", " ").as("a"), $"c")
+          .filter(size($"a") >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(a) - 2), j -> concat(a[j], ' ', a[j + 1]))")).as("pair"),
+            $"c")
+          .groupBy($"pair").agg(sum($"c").as("n"))
+          .orderBy($"n".desc, $"pair").limit(1)
+          .head()
+        val pair = top.getString(0)
+        rows += ((i, pair, top.getLong(1)))
+        vocab = vocab
+          .select(replace($"sym", lit(pair), lit(pair.replace(" ", ""))).as("sym"), $"c")
+          .groupBy($"sym").agg(sum($"c").as("c"))
+          .persist()
+        persisted += vocab
+      }
+      persisted.foreach(_.unpersist()) // training done; the trace is local rows
+      rows.toSeq.toDF("step", "pair", "n")
+    })
+    trace.orderBy($"step")
+  }
+
   private def t23(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val V = 1000
@@ -735,6 +804,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t22_zipf_fit"        -> (t22 _),
     "t23_bigram_logprob"  -> (t23 _),
+    "t24_bpe_merges"      -> (t24 _),
     "t21_quality_tiers"   -> (t21 _),
     "t18_char_entropy"    -> (t18 _),
     "t19_unigram_logprob" -> (t19 _),
@@ -758,7 +828,41 @@ object TextAnalysis extends QueryModule {
   private val wordsSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+  /** t24's 8 training steps as a MATERIALIZED CTE chain (inlining
+    * would re-expand the chain near-exponentially — see t24's
+    * scaladoc). DuckDB sum(BIGINT) widens to HUGEINT, hence the casts;
+    * list indexing is 1-based where Spark arrays are 0-based. */
+  private val bpeOracle: String = {
+    val head =
+      """WITH words AS MATERIALIZED (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |vocab0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym,
+        |         count(*) AS c
+        |  FROM words GROUP BY 1)""".stripMargin
+    val steps = (1 to BpeSteps).map { i =>
+      val p = i - 1
+      s"""cnt$i AS MATERIALIZED (
+         |  SELECT pr AS pair, CAST(sum(c) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(string_split(sym, ' '))),
+         |                  j -> string_split(sym, ' ')[j] || ' ' || string_split(sym, ' ')[j + 1])) AS pr,
+         |           c
+         |    FROM vocab$p) GROUP BY 1),
+         |m$i AS MATERIALIZED (SELECT pair, n FROM cnt$i ORDER BY n DESC, pair LIMIT 1),
+         |vocab$i AS MATERIALIZED (
+         |  SELECT replace(sym, (SELECT pair FROM m$i),
+         |                 replace((SELECT pair FROM m$i), ' ', '')) AS sym,
+         |         CAST(sum(c) AS BIGINT) AS c
+         |  FROM vocab$p GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeSteps)
+      .map(i => s"SELECT $i AS step, pair, n FROM m$i").mkString(" UNION ALL ")
+    s"$head,\n$steps\nSELECT step, pair, n FROM ($sel) ORDER BY step"
+  }
+
   val oracles: Map[String, String] = Map(
+    "t24_bpe_merges" -> bpeOracle,
     // t23: both top-V models rebuilt in SQL (ties by text, same cut);
     // per-bigram ln terms rounded to 9 and decimal-summed (t19's rules).
     "t23_bigram_logprob" ->

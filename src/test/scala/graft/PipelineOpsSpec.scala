@@ -485,4 +485,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows("head")._3 > rows("middle")._3)
     assert(rows("middle")._3 > rows("tail")._3)
   }
+
+  test("t24 BPE merge trace equals a driver-side trainer replay") {
+    import spark.implicits._
+    val got = graft.operators.TextAnalysis.queries("t24_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // Driver replay: word-type counts, then 8 greedy merges with the
+    // same (count desc, pair asc) selection and left-to-right
+    // non-overlapping application (String.replace's semantics).
+    val wordRe = "[a-z]+".r
+    var vocab: Map[String, Long] = Tables(spark, dir).documents
+      .select($"text").collect().map(_.getString(0))
+      .flatMap(t => wordRe.findAllIn(t.toLowerCase).toSeq)
+      .groupBy(w => w.map(_.toString).mkString(" "))
+      .view.mapValues(_.size.toLong).toMap
+    val trace = (1 to 8).map { step =>
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((sym, c) <- vocab) {
+        val units = sym.split(" ")
+        for (j <- 0 until units.length - 1)
+          counts(units(j) + " " + units(j + 1)) += c
+      }
+      val (pair, n) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      vocab = vocab.toSeq
+        .map { case (sym, c) => (sym.replace(pair, pair.replace(" ", "")), c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (step, pair, n)
+    }
+    assert(got.toSeq == trace)
+    // Merge counts are non-increasing in a greedy trainer only per
+    // pair lineage, not globally — but every selected count must be
+    // positive and every pair two space-separated units.
+    got.foreach { case (_, p, n) => assert(n > 0 && p.split(" ").length == 2) }
+  }
 }

@@ -297,6 +297,33 @@ class StarSchemaSpec extends AnyFunSuite {
     }
   }
 
+  test("e14 attribution matrix matches a per-purchase lookback replay") {
+    import spark.implicits._
+    val out = Events.queries("e14_attribution")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byUser = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val week = 604800000000L
+    val attributed = byUser.values.toSeq.flatMap { es =>
+      es.filter(_._4 == "purchase").map { p =>
+        // Candidates: marketing touches in (p.us - 7d, p.us], total-ordered
+        // by (us, event_id) exactly like the engine's struct comparison.
+        val touches = es.filter(e =>
+            (e._4 == "click" || e._4 == "view") &&
+            e._2 >= p._2 - week && e._2 <= p._2)
+          .sortBy(e => (e._2, e._3))
+        if (touches.isEmpty) ("none", "none")
+        else (touches.head._4, touches.last._4)
+      }
+    }
+    val expect = attributed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == expect)
+    // The matrix covers every purchase exactly once.
+    assert(out.values.sum == attributed.size)
+  }
+
   test("e11 gap profile matches a per-user replay of the event log") {
     import spark.implicits._
     // Gap columns read null-safely: a single-event user has zero gaps and
