@@ -50,7 +50,12 @@ object PlanDump {
     "m2_media_features"  -> "real PNG/BMP/WAV/AVI encode->header-parse decode in mapPartitions batches, no shuffle (r6)",
     "s9_embedding_covariance" -> "64x64 covariance: in-task pair explode, partial aggregation caps shuffle at tasks x d(d+1)/2 rows (r6)",
     "t11_source_cap"     -> "two-level salted per-source cap: 16 parallel bounded windows + one 800-row re-cap, no hot partition (r6)",
-    "d11_substring_spans" -> "ExactSubstr spans: linear k-gram occurrence join + per-doc islands merge — the suffix-array monolith re-expressed as shuffles (r6)")
+    "d11_substring_spans" -> "ExactSubstr spans: linear k-gram occurrence join + per-doc islands merge — the suffix-array monolith re-expressed as shuffles (r6)",
+    "g1_pagerank"         -> "3 PageRank supersteps in exact 1e-9-unit BIGINT: one rank-edge shuffle + one map-combined aggregate per iteration (r6)",
+    "g2_bfs_hops"         -> "delta-frontier BFS: per hop one frontier-to-edge-cache join + one EXCEPT; persisted frontiers, settled nodes never re-expand (r6)",
+    "g4_knn_triangles"    -> "a<b<c oriented triangle join over the mutual top-K graph — K|V|/2 edges by construction (r6)",
+    "e14_attribution"     -> "first/last touch as min/max of a (us,eid,ch) struct over a 7-day RANGE frame — one log pass, no self-join (r6)",
+    "t24_bpe_merges"      -> "BPE trainer: corpus touched once, 8 argmax+apply steps over the persisted vocab frame, trace returned as local rows (r6)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args
