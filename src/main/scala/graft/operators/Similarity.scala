@@ -481,6 +481,83 @@ object Similarity extends QueryModule {
       .orderBy($"cell", $"dim")
   }
 
+  /** s11 — PRODUCT QUANTIZATION with ADC lookup (Jégou/Douze/Schmid,
+    * "Product Quantization for Nearest Neighbor Search", PAMI 2011):
+    * the memory-compression ANN tier the catalog was missing between
+    * s7 (scalar int8: 4× scan reduction, full-dimension arithmetic)
+    * and s4/s6 (IVF/LSH: candidate pruning, full-precision vectors).
+    * PQ stores each vector as M=8 4-bit codes (64 dims → 4 bytes, a
+    * 64× compression) and answers queries from an M×K lookup table —
+    * the building block of IVF-PQ, the de-facto billion-vector layout.
+    *
+    * ENTIRELY INTEGER, hence fully ORACLE-GATED where s3/s4/s6 are
+    * rows-only: coordinates quantize to 1e-6 units (s9's floor(v·1e6
+    * + 0.5)); codebook training is one Lloyd step from deterministic
+    * seeds (the K=16 lowest vec_ids, per 8-dim subspace) with
+    * distances as exact BIGINT Σ(q−c)² (ties → lowest cell), centroid
+    * update as integer `div` means (both engines truncate toward
+    * zero — verified on negatives); encoding is the same argmin
+    * against the refined codebook; ADC is Σ over subspaces of the
+    * query's precomputed distance-table entry. min(struct(dist,
+    * cell)) IS the argmin with deterministic ties (e14's struct-order
+    * trick).
+    *
+    * Scale notes (100 TB): training runs on a SAMPLE in production —
+    * here the 2000-vector fixture corpus is its own sample; what must
+    * scale is ENCODING (one corpus pass: in-task dim explode, ×K
+    * broadcast-joined distance rows map-combined to N·M·K → N·M
+    * partials before the struct-min shuffle of N·M code rows) and
+    * QUERY (the M×K table broadcasts; the corpus side contributes
+    * N·M code rows re-aggregated to N ADC sums — never a
+    * full-precision vector). Recall vs s1 is spec-asserted alongside
+    * the oracle. */
+  private val PqM = 8        // subspaces
+  private val PqDsub = 8     // dims per subspace
+  private val PqK = 16       // centroids per subspace
+
+  private def s11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // (vec_id, dim, sub, qx): 1e-6-unit integer coordinates.
+    val coords = Tables(spark, dir).embeddings
+      .select($"vec_id",
+        posexplode(transform($"embedding",
+          v => floor(v.cast("double") * 1e6 + 0.5).cast("long"))).as(Seq("dim", "qx")))
+      .select($"vec_id", $"dim", ($"dim".cast("long") / PqDsub).cast("long").as("sub"), $"qx")
+    val seeds = coords.filter($"vec_id" < PqK)
+      .select($"vec_id".as("cell"), $"dim", $"sub", $"qx".as("qc"))
+    def assign(cb: DataFrame): DataFrame =
+      coords.join(broadcast(cb), Seq("dim", "sub"))
+        .groupBy($"vec_id", $"sub", $"cell")
+        .agg(sum(($"qx" - $"qc") * ($"qx" - $"qc")).as("dist"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min(struct($"dist", $"cell")).as("m"))
+        .select($"vec_id", $"sub", $"m.cell".as("cell"))
+    // One Lloyd step: per-(sub, cell, dim) integer-mean of assigned vectors.
+    val refined = assign(seeds)
+      .join(coords, Seq("vec_id", "sub"))
+      .groupBy($"sub", $"cell", $"dim")
+      .agg(expr("sum(qx) div count(1)").as("qc"))
+    val codes = assign(refined).withColumnRenamed("cell", "code")
+    // Query-side distance table: 5 queries × M×K entries.
+    val qdist = coords.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"dim", $"sub", $"qx".as("qq"))
+      .join(broadcast(refined), Seq("dim", "sub"))
+      .groupBy($"query_id", $"sub", $"cell")
+      .agg(sum(($"qq" - $"qc") * ($"qq" - $"qc")).as("d"))
+    val adc = codes.join(broadcast(qdist),
+        codes("sub") === qdist("sub") && codes("code") === qdist("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d").as("adc"))
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc")
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc")
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---- s9/s10: covariance + PCA (the spectral-analytics tier) ----
 
   /** s9 — the 64×64 embedding COVARIANCE matrix (upper triangle: 2080
@@ -576,6 +653,7 @@ object Similarity extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_embedding_covariance" -> (s9 _),
     "s10_pca_power"          -> (s10 _),
+    "s11_pq_adc"             -> (s11 _),
     "s8_kmeans_iteration"    -> (s8 _),
     "s7_ann_quantized"       -> (s7 _),
     "s1_ann_bruteforce_topk" -> (s1 _),
@@ -586,6 +664,56 @@ object Similarity extends QueryModule {
     "s6_ann_persistent_index" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    // s11: the full PQ pipeline — quantize, seed, one Lloyd step,
+    // encode, ADC — restated in integer SQL. min(struct(dist, cell))
+    // is the deterministic argmin in both engines (field-lexicographic
+    // struct order); // and `div` both truncate toward zero, verified
+    // on negatives. MATERIALIZED: coords feeds four consumers.
+    "s11_pq_adc" ->
+      s"""WITH coords AS MATERIALIZED (
+         |  SELECT vec_id, CAST(j AS BIGINT) AS dim, CAST(j AS BIGINT) // $PqDsub AS sub,
+         |         CAST(floor(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+         |                    * 1e6 + 0.5) AS BIGINT) AS qx
+         |  FROM embeddings, range(64) r(j)),
+         |seeds AS MATERIALIZED (
+         |  SELECT vec_id AS cell, dim, sub, qx AS qc FROM coords WHERE vec_id < $PqK),
+         |a1 AS MATERIALIZED (
+         |  SELECT vec_id, sub, (min(struct_pack(d := dist, cell := cell))).cell AS cell FROM (
+         |    SELECT c.vec_id, c.sub, s.cell,
+         |           CAST(sum((c.qx - s.qc) * (c.qx - s.qc)) AS BIGINT) AS dist
+         |    FROM coords c JOIN seeds s ON c.dim = s.dim AND c.sub = s.sub
+         |    GROUP BY c.vec_id, c.sub, s.cell) d1
+         |  GROUP BY vec_id, sub),
+         |refined AS MATERIALIZED (
+         |  SELECT a.sub, a.cell, c.dim, CAST(sum(c.qx) AS BIGINT) // count(*) AS qc
+         |  FROM a1 a JOIN coords c ON a.vec_id = c.vec_id AND a.sub = c.sub
+         |  GROUP BY a.sub, a.cell, c.dim),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, sub, (min(struct_pack(d := dist, cell := cell))).cell AS code FROM (
+         |    SELECT c.vec_id, c.sub, r.cell,
+         |           CAST(sum((c.qx - r.qc) * (c.qx - r.qc)) AS BIGINT) AS dist
+         |    FROM coords c JOIN refined r ON c.dim = r.dim AND c.sub = r.sub
+         |    GROUP BY c.vec_id, c.sub, r.cell) d2
+         |  GROUP BY vec_id, sub),
+         |qdist AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, q.sub, r.cell,
+         |         CAST(sum((q.qx - r.qc) * (q.qx - r.qc)) AS BIGINT) AS d
+         |  FROM coords q JOIN refined r ON q.dim = r.dim AND q.sub = r.sub
+         |  WHERE q.vec_id < 5
+         |  GROUP BY 1, 2, 3),
+         |adc AS (
+         |  SELECT query_id, vec_id AS neighbor_id, CAST(sum(d) AS BIGINT) AS adc
+         |  FROM codes k JOIN qdist ON k.sub = qdist.sub AND k.code = qdist.cell
+         |  WHERE k.vec_id <> qdist.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, neighbor_id) AS rank,
+         |         neighbor_id, adc
+         |  FROM adc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // s9: quantized-integer moments make the covariance exact-decimal
     // up to one fixed-shape IEEE expression — mirrored op-for-op here.
     "s9_embedding_covariance" ->

@@ -110,6 +110,40 @@ object WritePath extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** w11 — CDC APPLY with delete semantics: the change-data-capture
+    * feed shape w8's MERGE cannot express (w8 reconciles two
+    * snapshots; real CDC is an ordered op log where the LAST operation
+    * per key decides existence — a trailing D must tombstone the row
+    * no matter what precedes it). Feed synthesized deterministically
+    * from orders: every key INSERTs at seq 1, keys ≡0 (mod 3) UPDATE
+    * at seq 2 (+10.00 — an exact double add, no aggregation ever
+    * touches the price), keys ≡0 (mod 7) DELETE at seq 3.
+    *
+    * Apply = ONE map-combined aggregate: max(struct(seq, op, price))
+    * per key IS latest-op-wins (struct order compares seq first, so
+    * the D row's NULL price is never reached in the comparison), then
+    * op <> 'D' drops tombstones. No window, no self-join — at 100 TB
+    * the feed shuffles once on the key and partial aggregation
+    * collapses each partition to one candidate per key before the
+    * exchange; the same plan applies a billion-row day of CDC against
+    * any key width. */
+  private def w11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables(spark, dir).orders
+    val feed = o.select($"o_orderkey".as("k"), lit(1).as("seq"), lit("I").as("op"),
+        $"o_totalprice".as("price"))
+      .union(o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", lit(2), lit("U"), $"o_totalprice" + 10.0))
+      .union(o.filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey", lit(3), lit("D"), lit(null).cast("double")))
+    val latest = feed.groupBy($"k")
+      .agg(max(struct($"seq", $"op", $"price")).as("m"))
+      .select($"k", $"m.op".as("op"), $"m.price".as("price"))
+      .filter($"op" =!= "D")
+      .orderBy($"k") // |keys|-sized result: distributed range sort, not presentSorted
+    latest
+  }
+
   /** w8 — batch MERGE (CDC upsert): a change batch applied onto a base
     * snapshot, updates-win-by-recency. Base = latest state per user
     * before the cutoff; changes = events at/after it, reduced to latest
@@ -266,6 +300,7 @@ object WritePath extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_cdc_apply"        -> (w11 _),
     "w10_zorder_cluster"   -> (w10 _),
     "w9_compaction"        -> (w9 _),
     "w8_merge_upsert"      -> (w8 _),
@@ -277,6 +312,25 @@ object WritePath extends QueryModule {
     "w5_capacity_rule"   -> (w5 _))
 
   val oracles: Map[String, String] = Map(
+    // w11: latest-op-wins via max(struct(seq, op, price)) — struct
+    // order compares seq first in both engines, so the tombstone's
+    // NULL price never participates in a comparison.
+    "w11_cdc_apply" ->
+      """WITH feed AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice + 10.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT k,
+        |         (max(struct_pack(seq := seq, op := op, price := price))).op AS op,
+        |         (max(struct_pack(seq := seq, op := op, price := price))).price AS price
+        |  FROM feed GROUP BY k)
+        |SELECT k, op, price FROM latest WHERE op <> 'D' ORDER BY k""".stripMargin,
     // Clustering is storage strategy, not semantics: the oracle runs
     // the same box aggregate on the source table.
     "w10_zorder_cluster" ->

@@ -98,6 +98,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("w11 CDC apply: tombstones drop, updates win, inserts survive") {
+    import spark.implicits._
+    val got = WritePath.queries("w11_cdc_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    orders.foreach { case (k, price) =>
+      if (k % 7 == 0) assert(!got.contains(k), s"key $k should be tombstoned")
+      else if (k % 3 == 0) assert(got(k) == ("U", price + 10.0), s"key $k update")
+      else assert(got(k) == ("I", price), s"key $k insert")
+    }
+    assert(got.size == orders.count(_._1 % 7 != 0))
+  }
+
   test("w8 merged snapshot equals latest-event-per-user over the full log") {
     import spark.implicits._
     val merged = WritePath.queries("w8_merge_upsert")(spark, dir)
