@@ -234,6 +234,56 @@ object Graph extends QueryModule {
         .persist()
     })
 
+  /** g5 — hop-bounded CHEAPEST path (min-plus / Bellman-Ford relaxation,
+    * unrolled MaxHops times): from the {S1,S2,S3} seed set, the minimum
+    * total cost within ≤4 hops, edge cost = 1e9 div n (inverse
+    * co-purchase frequency — strong ties are cheap, so the metric reads
+    * "how well-connected", the weighted complement of g2's hop count).
+    * All-BIGINT min-plus: min() and + are exact, so no tie-break is
+    * even needed — only the value ships. Per iteration: ONE join of the
+    * settled-distance frame to the edge cache + ONE map-combined min
+    * aggregate over (old ∪ relaxed) — the textbook distributed
+    * Bellman-Ford step; dist frames stay |V|-sized and persist via the
+    * memo (each feeds the next round's join AND union). The 4th round
+    * relaxes nothing at fixture diameter 3 — kept as the convergence
+    * proof the spec pins (one more round must be a fixpoint). */
+  private val sssMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, Seq[DataFrame])]()
+  private def cheapest(spark: SparkSession, dir: String): DataFrame = {
+    val (dist, cached) = sssMemo.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
+      import spark.implicits._
+      val (pairs, _, nodes) = graphFrames(spark, dir)
+      val edges = pairs.select(explode(array(
+          struct(concat(lit("C"), $"ck").as("src"), concat(lit("S"), $"sk").as("dst")),
+          struct(concat(lit("S"), $"sk").as("src"), concat(lit("C"), $"ck").as("dst")))).as("e"),
+          expr("1000000000L div n").as("cost"))
+        .select($"e.src", $"e.dst", $"cost")
+      val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+      var dist = nodes.select($"node",
+        when($"node".isin("S1", "S2", "S3"), 0L).cast("long").as("d")).persist()
+      persisted += dist
+      for (_ <- 1 to MaxHops) {
+        val relaxed = edges
+          .join(dist.filter($"d".isNotNull).withColumnRenamed("node", "sn"), $"src" === $"sn")
+          .select($"dst".as("node"), ($"d" + $"cost").as("d"))
+        dist = dist.select($"node", $"d").union(relaxed)
+          .groupBy($"node").agg(min($"d").as("d"))
+          .persist()
+        persisted += dist
+      }
+      (dist, persisted.toSeq)
+    })
+    cached.foreach(ensureCached)
+    dist
+  }
+
+  private def g5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = cheapest(spark, dir)
+      .select($"node", coalesce($"d", lit(-1L)).as("cost"))
+    presentSorted(out, col("cost"), col("node"))
+  }
+
   private def g3(spark: SparkSession, dir: String): DataFrame = {
     val m = mutualKnn(spark, dir)
     presentSorted(m.select(col("a").as("s1"), col("b").as("s2")),
@@ -252,7 +302,8 @@ object Graph extends QueryModule {
     "g1_pagerank" -> (g1 _),
     "g2_bfs_hops" -> (g2 _),
     "g3_knn_graph" -> (g3 _),
-    "g4_knn_triangles" -> (g4 _))
+    "g4_knn_triangles" -> (g4 _),
+    "g5_cheapest_path" -> (g5 _))
 
   /** Shared oracle prelude: the co-purchase pair aggregate and the
     * mutual-k-NN graph build, restated verbatim in SQL. */
@@ -285,6 +336,35 @@ object Graph extends QueryModule {
     * g2 oracle unrolls the 4 Δ-frontier supersteps (EXCEPT = Spark's
     * `except`, both distinct set semantics). */
   val oracles: Map[String, String] = Map(
+    "g5_cheapest_path" -> {
+      def relax(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT node, min(d) AS d FROM (
+           |    SELECT node, d FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.d + e.cost AS d
+           |    FROM edges e JOIN $prev p ON e.src = p.node AND p.d IS NOT NULL
+           |  ) u GROUP BY node)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT o.o_custkey AS ck, l.l_suppkey AS sk, count(*) AS n
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY o.o_custkey, l.l_suppkey),
+         |edges AS (
+         |  SELECT 'C' || ck AS src, 'S' || sk AS dst, 1000000000 // n AS cost FROM pairs
+         |  UNION ALL
+         |  SELECT 'S' || sk AS src, 'C' || ck AS dst, 1000000000 // n AS cost FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |d0 AS (
+         |  SELECT node,
+         |         CASE WHEN node IN ('S1', 'S2', 'S3') THEN CAST(0 AS BIGINT) END AS d
+         |  FROM nodes),
+         |${relax("d0", "d1")},
+         |${relax("d1", "d2")},
+         |${relax("d2", "d3")},
+         |${relax("d3", "d4")}
+         |SELECT node, coalesce(d, -1) AS cost
+         |FROM d4 ORDER BY cost, node""".stripMargin
+    },
     "g2_bfs_hops" -> {
       def hop(prevF: String, prevS: String, f: String, s: String) =
         s"""$f AS (

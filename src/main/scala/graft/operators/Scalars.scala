@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.7 — the reference's scalar-function surface (F1-F10) in
@@ -205,7 +205,45 @@ object Scalars extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** f_array_suite — the ARRAY-type function surface (the one
+    * collection family the f-suites didn't cover): build, distinct,
+    * min/max, HOF fold/transform/filter, slice, reverse, join —
+    * over per-order quantity lists. `array_sort(collect_list(...))`
+    * is the determinism move: collect_list's element order is
+    * partition-arrival order, which no engine pair (or two Spark
+    * runs) need agree on; sorting makes every downstream elementwise
+    * op identical. Integers only, so the HOF fold is exact. Scale:
+    * one map-combined groupBy on the natural key; arrays stay
+    * per-order-bounded (≤7 elements). */
+  private def arrStr(a: Column): Column =
+    array_join(transform(a, x => x.cast("string")), ",")
+
+  private def arraysSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey", $"l_quantity".cast("long").as("q"))
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list($"q")).as("arr"))
+      .select($"l_orderkey",
+        size($"arr").cast("long").as("n"),
+        size(array_distinct($"arr")).cast("long").as("n_distinct"),
+        array_min($"arr").as("q_min"),
+        array_max($"arr").as("q_max"),
+        aggregate($"arr", lit(0L), (a, x) => a + x).as("q_sum"),
+        array_contains($"arr", 7L).as("has7"),
+        // Array-valued intermediates leave as joined strings: the
+        // hash-compare harness hashes scalars, not nested lists.
+        arrStr(slice($"arr", 1, 2)).as("first2"),
+        arrStr(transform($"arr", x => x * 2)).as("doubled"),
+        arrStr(filter($"arr", x => x % 2 === 0)).as("evens"),
+        arrStr(reverse($"arr")).as("rev"),
+        arrStr($"arr").as("joined"))
+      .orderBy($"l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f_array_suite"      -> (arraysSuite _),
     "f_map_suite"        -> (maps _),
     "x3_orc_roundtrip"   -> (orcRoundtrip _),
     "x2_csv_roundtrip"   -> (csvRoundtrip _),
@@ -216,6 +254,27 @@ object Scalars extends QueryModule {
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
+    // Arrays: list(… ORDER BY …) is DuckDB's ordered collect; every
+    // elementwise op then mirrors Spark's over the same sorted list.
+    "f_array_suite" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |         list(CAST(l_quantity AS BIGINT)
+        |              ORDER BY CAST(l_quantity AS BIGINT)) AS arr
+        |  FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CAST(len(arr) AS BIGINT) AS n,
+        |       CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+        |       list_min(arr) AS q_min,
+        |       list_max(arr) AS q_max,
+        |       CAST(list_sum(arr) AS BIGINT) AS q_sum,
+        |       list_contains(arr, 7) AS has7,
+        |       array_to_string(arr[1:2], ',') AS first2,
+        |       array_to_string(list_transform(arr, x -> x * 2), ',') AS doubled,
+        |       coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
+        |       array_to_string(list_reverse(arr), ',') AS rev,
+        |       array_to_string(arr, ',') AS joined
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     // Declarative restatement of the map pipeline from the source
     // columns — the map build/transform/extract must lose nothing.
     "f_map_suite" ->

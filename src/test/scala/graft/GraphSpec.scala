@@ -77,6 +77,45 @@ class GraphSpec extends AnyFunSuite {
       assert(adj(n).map(m => gd.getOrElse(m, Int.MaxValue)).min == d - 1, n)
   }
 
+  test("g5 equals a driver-side 4-round Bellman-Ford; round 4 is a fixpoint") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, dir)
+    val pairsN = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = pairsN.flatMap { case (c, s, n) =>
+      val cost = 1000000000L / n
+      Seq((s"C$c", s"S$s", cost), (s"S$s", s"C$c", cost))
+    }
+    val nodes = edges.map(_._1).distinct
+    var dist: Map[String, Long] = Seq("S1", "S2", "S3").map(_ -> 0L).toMap
+    val rounds = scala.collection.mutable.Buffer(dist)
+    for (_ <- 1 to 5) { // 5th round: fixpoint check
+      val next = scala.collection.mutable.Map[String, Long]() ++ dist
+      for ((src, dst, cost) <- edges; d <- dist.get(src)) {
+        val cand = d + cost
+        if (next.get(dst).forall(_ > cand)) next(dst) = cand
+      }
+      dist = next.toMap
+      rounds += dist
+    }
+    assert(rounds(5) == rounds(4), "round 5 must relax nothing at diameter 3")
+    val expected = nodes.map(v => (v, rounds(4).getOrElse(v, -1L)))
+      .sortBy { case (v, c) => (c, v) }
+    val got = graft.operators.Graph.queries("g5_cheapest_path")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
+    // Triangle inequality vs g2: cost path uses >= dist hops, each hop
+    // costs >= the cheapest edge — so any finite cost is >= hop count
+    // times the global min edge cost.
+    val minCost = edges.map(_._3).min
+    val hops = graft.operators.Graph.queries("g2_bfs_hops")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    got.filter(_._2 >= 0).foreach { case (v, c) =>
+      assert(c >= minCost * math.max(hops(v), 0), v)
+    }
+  }
+
   test("g3/g4: mutual k-NN graph + triangles equal a driver-side recompute") {
     val pairs = copurchasePairs()
     val co = pairs.groupBy(_._1).values.toSeq
