@@ -680,10 +680,12 @@ object TextAnalysis extends QueryModule {
     * anywhere. */
   private val BpeSteps = 8
   private val bpeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def t24(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val trace = bpeMemo.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Int, String, Long)]]()
+  /** The trained merge trace as driver rows — t24 presents it, t25
+    * applies it. */
+  private def bpeTrace(spark: SparkSession, dir: String): Seq[(Int, String, Long)] =
+    bpeMemo.computeIfAbsent((spark.sparkContext.applicationId, dir), _ => {
+      import spark.implicits._
       val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
       var vocab = Tables(spark, dir).documents
         .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
@@ -711,9 +713,48 @@ object TextAnalysis extends QueryModule {
         persisted += vocab
       }
       persisted.foreach(_.unpersist()) // training done; the trace is local rows
-      rows.toSeq.toDF("step", "pair", "n")
+      rows.toSeq
     })
-    trace.orderBy($"step")
+
+  private def t24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrace(spark, dir).toDF("step", "pair", "n").orderBy($"step")
+  }
+
+  /** t25 — ENCODE with the trained tokenizer: t24's 8 merges applied
+    * to the corpus, yielding per-doc token counts under the learned
+    * subword vocabulary plus chars-per-token (the compression ratio a
+    * tokenizer build is judged by — and the number that prices a
+    * training run, since compute is per TOKEN). Train-then-encode is
+    * the composition every real pipeline runs; here encode reuses the
+    * memoized trace, applying the merges as a fold of literal
+    * `replace` steps over WORD TYPES (|vocab| rows — the corpus is
+    * touched once for (doc, word) counts, and per-word unit counts
+    * join back; no broadcast hint — vocab scales with the corpus, so
+    * Catalyst picks broadcast vs shuffle from stats). The oracle
+    * extends t24's MATERIALIZED chain: vocab8 IS the trained
+    * vocabulary, word = replace(sym, ' ', ''), units =
+    * len(string_split(sym)). Integer counts; the one double is the
+    * final ratio (round-6, the catalog's O(1)-ratio discipline). */
+  private def t25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrace(spark, dir).map(_._2)
+    val words = Tables(spark, dir).documents
+      .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val wcounts = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
+    val applied = merges.foldLeft(trim(regexp_replace($"w", "(.)", "$1 ")): Column)(
+      (c, p) => replace(c, lit(p), lit(p.replace(" ", ""))))
+    val units = words.select($"w").distinct()
+      .select($"w", size(split(applied, " ")).cast("long").as("units"))
+    wcounts.join(units, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_words"),
+        sum($"n" * $"units").as("n_tokens"),
+        sum($"n" * length($"w").cast("long")).as("n_chars"))
+      .select($"doc_id", $"n_words", $"n_tokens", $"n_chars",
+        round($"n_chars".cast("double") / $"n_tokens".cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy($"doc_id")
   }
 
   private def t23(spark: SparkSession, dir: String): DataFrame = {
@@ -805,6 +846,7 @@ object TextAnalysis extends QueryModule {
     "t22_zipf_fit"        -> (t22 _),
     "t23_bigram_logprob"  -> (t23 _),
     "t24_bpe_merges"      -> (t24 _),
+    "t25_bpe_encode"      -> (t25 _),
     "t21_quality_tiers"   -> (t21 _),
     "t18_char_entropy"    -> (t18 _),
     "t19_unigram_logprob" -> (t19 _),
@@ -861,8 +903,31 @@ object TextAnalysis extends QueryModule {
     s"$head,\n$steps\nSELECT step, pair, n FROM ($sel) ORDER BY step"
   }
 
+  /** t25's oracle: the same trained chain, then vocab8 applied back to
+    * per-doc word counts. */
+  private val bpeEncodeOracle: String = {
+    val body = bpeOracle.substring(0, bpeOracle.lastIndexOf("\nSELECT"))
+    s"""$body,
+       |wt AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |wc AS (SELECT doc_id, w, count(*) AS n FROM wt GROUP BY 1, 2),
+       |u AS (SELECT replace(sym, ' ', '') AS w,
+       |             CAST(len(string_split(sym, ' ')) AS BIGINT) AS units
+       |      FROM vocab$BpeSteps)
+       |SELECT doc_id,
+       |       CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * units) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n * len(w)) AS BIGINT) AS n_chars,
+       |       round(CAST(sum(n * len(w)) AS DOUBLE)
+       |             / CAST(sum(n * units) AS DOUBLE), 6) AS chars_per_token
+       |FROM wc JOIN u USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeOracle,
+    "t25_bpe_encode" -> bpeEncodeOracle,
     // t23: both top-V models rebuilt in SQL (ties by text, same cut);
     // per-bigram ln terms rounded to 9 and decimal-summed (t19's rules).
     "t23_bigram_logprob" ->

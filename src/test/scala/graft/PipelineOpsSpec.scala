@@ -532,5 +532,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // pair lineage, not globally — but every selected count must be
     // positive and every pair two space-separated units.
     got.foreach { case (_, p, n) => assert(n > 0 && p.split(" ").length == 2) }
+
+    // t25: encoding with the trained merges must match a driver replay
+    // applying the same merge sequence to every word occurrence.
+    val unitCount: String => Long = { w =>
+      var sym = w.map(_.toString).mkString(" ")
+      for ((_, pair, _) <- trace) sym = sym.replace(pair, pair.replace(" ", ""))
+      sym.split(" ").length.toLong
+    }
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", $"text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val ws = wordRe.findAllIn(text.toLowerCase).toSeq
+      (id, ws.size.toLong, ws.map(unitCount).sum, ws.map(_.length.toLong).sum)
+    }.sortBy(_._1)
+    val enc = graft.operators.TextAnalysis.queries("t25_bpe_encode")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(enc.map(e => (e._1, e._2, e._3, e._4)).toSeq == expected.toSeq)
+    // Subword bounds: every word is >= 1 unit, every unit >= 1 char.
+    enc.foreach { case (_, nw, nt, nc, ratio) =>
+      assert(nt >= nw && nc >= nt)
+      assert(ratio >= 1.0)
+    }
   }
 }
