@@ -181,7 +181,38 @@ object PipelineOps extends QueryModule {
       .orderBy($"block_hash")
   }
 
+  /** pipe3 — the TRAINING MANIFEST: the summary a data-prep run hands
+    * to the training job. Composes three catalog rules verbatim —
+    * d2's exact dedup (lowest doc_id per md5(text) survives), t10's
+    * content-keyed split (md5 bucket thresholds 'cc'/'e6' →
+    * train/val/test), t1's whitespace tokens — and accounts each
+    * split: docs, tokens, and 512-token packed sequences under
+    * stream packing (concatenate-then-chop, the standard LLM packing;
+    * n_seqs = ceil(tokens/512) needs no window at all — ceiling
+    * division over the aggregate). One corpus scan, one window on the
+    * hash-partitioned dedup key, one 3-group aggregate; every number
+    * a BIGINT. */
+  private def pipe3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    val survivors = Tables(spark, dir).documents
+      .select($"doc_id", $"text")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val bucket = substring(md5($"text"), 1, 2)
+    survivors.select(
+        when(bucket < "cc", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"),
+        size(TextAnalysis.words($"text")).cast("long").as("n_tok"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .select($"split", $"n_docs", $"n_tokens",
+        expr("(n_tokens + 511) div 512").as("n_seqs"))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe3_train_manifest" -> (pipe3 _),
     "t14_decontamination"   -> (t14 _),
     "t15_doc_chunks"        -> (t15 _),
     "t16_seq_packing"       -> (t16 _),
@@ -192,6 +223,24 @@ object PipelineOps extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // pipe3: d2's dedup rule + t10's split rule + t1's tokens,
+    // restated; stream-packed sequence count is ceiling division.
+    "pipe3_train_manifest" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents) d WHERE rn = 1),
+        |labeled AS (
+        |  SELECT CASE WHEN substring(md5(text), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substring(md5(text), 1, 2) < 'e6' THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM survivors)
+        |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       (CAST(sum(n_tok) AS BIGINT) + 511) // 512 AS n_seqs
+        |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
     // 5-grams via d3's oracle idiom: range end is exclusive in DuckDB,
     // inclusive slice w[i:i+4]; <5-token docs fall out as empty lists.
     "t14_decontamination" ->

@@ -98,6 +98,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("pipe3 manifest is consistent with its component queries (d2, t10, t1)") {
+    import spark.implicits._
+    val rows = graft.operators.PipelineOps.queries("pipe3_train_manifest")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    // Total docs = d2's exact-dedup survivor count.
+    val d2Count = graft.operators.Dedup.queries("d2_dedup_exact_select")(spark, dir).count()
+    assert(rows.values.map(_._1).sum == d2Count)
+    // Packing: ceiling division, per split.
+    rows.values.foreach { case (_, toks, seqs) =>
+      assert(seqs == (toks + 511) / 512 && toks > 0)
+    }
+    // Content-keyed split lands near 80/10/10 (md5 is uniform).
+    val total = rows.values.map(_._1).sum.toDouble
+    assert(rows("train")._1 / total > 0.70 && rows("train")._1 / total < 0.90)
+  }
+
   test("w11 CDC apply: tombstones drop, updates win, inserts survive") {
     import spark.implicits._
     val got = WritePath.queries("w11_cdc_apply")(spark, dir).collect()
