@@ -55,7 +55,11 @@ object PlanDump {
     "g2_bfs_hops"         -> "delta-frontier BFS: per hop one frontier-to-edge-cache join + one EXCEPT; persisted frontiers, settled nodes never re-expand (r6)",
     "g4_knn_triangles"    -> "a<b<c oriented triangle join over the mutual top-K graph — K|V|/2 edges by construction (r6)",
     "e14_attribution"     -> "first/last touch as min/max of a (us,eid,ch) struct over a 7-day RANGE frame — one log pass, no self-join (r6)",
-    "t24_bpe_merges"      -> "BPE trainer: corpus touched once, 8 argmax+apply steps over the persisted vocab frame, trace returned as local rows (r6)")
+    "t24_bpe_merges"      -> "BPE trainer: corpus touched once, 8 argmax+apply steps over the persisted vocab frame, trace returned as local rows (r6)",
+    "s11_pq_adc"          -> "product quantization: integer codebook train+encode, ADC from the broadcast MxK table — fully oracle-gated ANN (r6)",
+    "w11_cdc_apply"       -> "CDC op-log apply: latest-op-wins as ONE max(struct) map-combined aggregate, tombstones filtered (r6)",
+    "g5_cheapest_path"    -> "hop-bounded min-plus Bellman-Ford: per round one settled-frame join + one map-combined min (r6)",
+    "pipe3_train_manifest" -> "training handoff: dedup -> content split -> token/sequence accounting, stream-pack count as ceiling division (r6)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args
