@@ -181,6 +181,28 @@ object Scalars extends QueryModule {
         dsum0($"o_totalprice").as("sum_price"))
   }
 
+  /** x4 — line-oriented TEXT sink + source round-trip: the corpus
+    * text column written as raw lines (`.text()` — the format every
+    * log/corpus interchange ultimately bottoms out in), re-read, and
+    * aggregated. Text is single-column by construction, so the
+    * round-trip carries exactly the document body; newlines inside a
+    * doc would split it — the aggregate is over LINES, and the oracle
+    * restates the same line-splitting declaratively from the source
+    * table (the fixture corpus is single-line, but the oracle's
+    * split-and-count form stays correct if that ever changes).
+    * Same memoized session-unique sink as x2/x3. */
+  private def textRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir).documents.select($"text")
+    val out = materializedSink(spark, dir, "x4_text") { p =>
+      src.write.mode("overwrite").text(p)
+    }
+    spark.read.text(out)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length($"value")).as("n_chars"),
+        countDistinct($"value").as("n_distinct"))
+  }
+
   /** MAP-type surface (SURVEY §1.3 — the reference's documents ARE
     * string-keyed maps): construct, size, lookup, key-set, value
     * transform, and entry filter, all through Spark's map kernel. The
