@@ -37,20 +37,31 @@ object Bench {
     // of three back-to-back runs is robust to one outlier at ~3x wall.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = selected.map { case (name, fn) =>
+      var failed: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        catch { case e: Throwable =>
+          // A throwing query is a FAILURE, not a 3 ms time — record it as
+          // such so a broken catalog shows up red in the bench artifact
+          // instead of looking fast (round-6 lesson: 23 broken queries
+          // surfaced as silent 2-4 ms entries).
+          System.err.println(s"[bench] $name: $e")
+          failed = Some(e.getClass.getSimpleName)
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // release per-query persists; queries are self-contained
         dt
       }.sorted
-      name -> times(times.length / 2)
+      name -> (if (failed.isDefined) Left(failed.get) else Right(times(times.length / 2)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(err)) => "\"" + k + "\":\"error:" + err + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    val errs = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

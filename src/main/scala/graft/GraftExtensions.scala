@@ -76,5 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     alias("list_sort", exprs => SortArray(exprs(0), Literal(true)))
     alias("list", exprs =>
       org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(exprs(0)))
+    // divide(a, b) = integer division on integral args — the warehouse
+    // dialect's named spelling of its parser-level `//` operator (Spark
+    // spells it `a div b`; neither operator parses in the other engine,
+    // the named form runs in both). Registered as IntegralDivide: the
+    // catalog uses it on BIGINT only, where both engines agree exactly
+    // (truncating division, all-positive operands in every text).
+    alias("divide", exprs =>
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(exprs(0), exprs(1)))
   }
 }

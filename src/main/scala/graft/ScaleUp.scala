@@ -65,9 +65,11 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
-    // events.parquet carries TIMESTAMP(NANOS) (see Tables.events): read
-    // the physical int64 nanos; the replica keeps them as plain INT64,
-    // which Tables.events narrows identically.
+    // events.ts physical encoding varies by fixture generation (int64
+    // NANOS or TIMESTAMP_NTZ — see Tables.events). The conf surfaces a
+    // NANOS file as plain INT64; either way the replica copies the
+    // column verbatim and the schema-adaptive Tables.events loader
+    // normalizes both encodings identically.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
 

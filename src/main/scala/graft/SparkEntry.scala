@@ -74,10 +74,12 @@ object SparkEntry {
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
     "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
-    "e13_dau_wau",
+    "e13_dau_wau", "e14_attribution",
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
-    "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
+    "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
+    "g5_cheapest_path", "w10_zorder_cluster", "w11_cdc_apply",
+    "pipe3_train_manifest",
     "c4_dynamic_pruning", "x3_orc_roundtrip",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",
     "d8_incremental_dedup",

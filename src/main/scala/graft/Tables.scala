@@ -41,24 +41,58 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = load("documents")
   def embeddings: DataFrame = load("embeddings")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the physical
-    * int64 nanos via the legacy conf, then floor-convert to microsecond
-    * TimestampType with integer `div` (never `/`: double division loses
-    * precision on ~1.7e18 nano values). DuckDB/pandas floor the same ns
-    * values when narrowing to µs, so both engines agree exactly. */
+  /** events.parquet's `ts` physical encoding has drifted across fixture
+    * generations (TIMESTAMP(NANOS) → TIMESTAMP_NTZ µs), and a 100 TB lake
+    * ingests files written by many producers over years — so the loader
+    * adapts to the schema the footer actually declares instead of
+    * hard-binding one encoding (the reference tolerates producer drift by
+    * being schemaless, index.js:281-289; this is our equivalent contract).
+    * All branches normalize to microsecond TimestampType under the pinned
+    * UTC session zone, so every downstream query and the DuckDB oracle see
+    * identical wall-clock values regardless of the file's encoding:
+    *   - int64 NANOS (surfaced as LongType via the legacy conf, which the
+    *     vectorized reader otherwise rejects with PARQUET_TYPE_ILLEGAL):
+    *     floor-convert with integer `div` (never `/`: double division
+    *     loses precision on ~1.7e18 nano values; DuckDB/pandas floor the
+    *     same way when narrowing, so both engines agree exactly);
+    *   - TIMESTAMP_NTZ (isAdjustedToUTC=false): cast to TimestampType —
+    *     wall-clock-preserving because the session zone is UTC;
+    *   - TIMESTAMP (instant µs/ms): already the target type. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical encoding $other (expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 
   private def table(name: String): DataFrame =
     if (name == "events") events else load(name)
 
   /** Register every fixture as a temp view so the same queries run via
-    * `spark.sql` — the Hive-style catalog surface of the engine. */
-  def registerAll(): Unit =
-    Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+    * `spark.sql` — the Hive-style catalog surface of the engine.
+    *
+    * Fault-isolated: one sick table costs exactly the queries that touch
+    * it, never the whole catalog (the reference's 47 routes fail
+    * independently per request, index.js; in round 6 an events encoding
+    * break took down three pure-lineitem olap queries and the Thrift
+    * server wholesale). Returns the sick views (name → error) so callers
+    * can surface them; healthy views are always registered. */
+  def registerAll(): Map[String, String] =
+    Tables.names.flatMap { n =>
+      try { table(n).createOrReplaceTempView(n); None }
+      catch { case e: Exception =>
+        System.err.println(s"[tables] view '$n' failed to register: ${e.getMessage}")
+        Some(n -> String.valueOf(e.getMessage))
+      }
+    }.toMap
 }
 
 object Tables {

@@ -128,22 +128,36 @@ object ThriftServe {
       graft.operators.CatalogOps.queries("c3_catalog_view")(spark, sfDir)
         .collect()
       served.toSeq.sortBy(_._1).foreach { case (name, sql) =>
-        val rows = spark.sql(sql).collect().map(r => canonRow(r.toSeq))
-        println(s"THRIFT_INPROC $name ${rows.length} ${rows.mkString(";;")}")
+        // Per-query isolation: a query over a sick view reports and moves
+        // on — the healthy surface still serves (round-6 lesson: one bad
+        // table must not take down the whole server).
+        try {
+          val rows = spark.sql(sql).collect().map(r => canonRow(r.toSeq))
+          println(s"THRIFT_INPROC $name ${rows.length} ${rows.mkString(";;")}")
+        } catch { case e: Exception =>
+          println(s"THRIFT_QUERY_FAILED $name ${e.getMessage}")
+        }
       }
       // The parity surface: fixture temp views + the parity parser
       // profile, then one canonical hash per text. The same session
       // serves the wire (singleSession), so what the client runs is
       // byte-for-byte what hashed here.
-      graft.Tables(spark, sfDir).registerAll()
+      val sick = graft.Tables(spark, sfDir).registerAll()
+      sick.toSeq.sortBy(_._1).foreach { case (view, err) =>
+        println(s"THRIFT_SICK_VIEW $view $err")
+      }
       spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
       SparkEntry.sqlPortable.foreach { name =>
-        val df = spark.sql(SparkEntry.oracleSql(name))
-        if (!df.schema.forall(f => wireComparable(f.dataType)))
-          println(s"THRIFT_SKIP $name complex-typed-result")
-        else {
-          val rows = df.collect().map(r => canonRow(r.toSeq))
-          println(s"THRIFT_SQLHASH $name ${rows.length} ${hashRows(rows)}")
+        try {
+          val df = spark.sql(SparkEntry.oracleSql(name))
+          if (!df.schema.forall(f => wireComparable(f.dataType)))
+            println(s"THRIFT_SKIP $name complex-typed-result")
+          else {
+            val rows = df.collect().map(r => canonRow(r.toSeq))
+            println(s"THRIFT_SQLHASH $name ${rows.length} ${hashRows(rows)}")
+          }
+        } catch { case e: Exception =>
+          println(s"THRIFT_QUERY_FAILED $name ${e.getMessage}")
         }
       }
       val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2

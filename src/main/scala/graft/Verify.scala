@@ -18,6 +18,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev aid: SPARK_GRAFT_ONLY=a,b restricts the dump (driver leaves it unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -32,7 +33,12 @@ object Verify {
         spark.createDataFrame(rows, df.schema).coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
+        // A broken query must be a first-class artifact, not silent
+        // absence (round-6 lesson: a catastrophic break produced NO
+        // correctness rows instead of red ones) — collected into
+        // _failures.json below.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       } finally {
         // Some queries persist() intermediates (d3/d4 shingles); drop them
         // so cached blocks don't accumulate across the ~90-query run.
@@ -54,6 +60,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
   }
 }

@@ -303,10 +303,13 @@ object Events extends QueryModule {
     * WAU), which is why it is cached at all. */
   private val pairsCacheMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def cachedDayUserPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCacheMemo.computeIfAbsent((spark.sparkContext.applicationId, dir),
-      _ => Tables(spark, dir).events
-        .select(to_date(col("ts")).as("d"), col("user_id")).distinct().persist())
+  private def cachedDayUserPairs(spark: SparkSession, dir: String): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    evictOtherDirs(pairsCacheMemo, app, dir)(Seq(_))
+    pairsCacheMemo.computeIfAbsent((app, dir),
+      _ => checkpointed(Tables(spark, dir).events
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()))
+  }
 
   private def e13(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -377,27 +380,38 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
-    // First/last touch via min/max over a struct whose field order
-    // (us, eid, ch) gives the identical lexicographic total order in
-    // both engines; epoch_us(ts) = Spark's unix_micros under the UTC
-    // session. struct_pack/named_struct spellings differ — the one
-    // non-shared construct keeping this text off the parity list.
+    // First/last touch via min/max over a FIXED-WIDTH SORT KEY: the
+    // former struct form ordered by (us, eid, ch), but anonymous-struct
+    // spellings have no Spark∩DuckDB overlap (struct_pack vs
+    // named_struct) — so the triple is instead encoded as
+    // lpad(us,20)‖lpad(eid,20)‖ch, whose lexicographic order equals the
+    // tuple order exactly (both numerics are non-negative and
+    // zero-padded to fixed width; ch only breaks (us,eid) ties, which
+    // cannot occur — event_id is unique). substr(key, 41) recovers the
+    // channel. One text, runs verbatim on both engines: e14 joins the
+    // parity surface. epoch_us(ts) = Spark's unix_micros under the UTC
+    // session. The engine's DataFrame program keeps the typed
+    // min/max(struct) kernel — same total order, same result.
     "e14_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events),
         |t AS (
         |  SELECT event_type,
         |    min(CASE WHEN event_type IN ('click', 'view')
-        |             THEN struct_pack(us := us, eid := event_id, ch := event_type) END)
+        |             THEN lpad(CAST(us AS VARCHAR(20)), 20, '0')
+        |                  || lpad(CAST(event_id AS VARCHAR(20)), 20, '0')
+        |                  || event_type END)
         |      OVER (PARTITION BY user_id ORDER BY us
         |            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS ft,
         |    max(CASE WHEN event_type IN ('click', 'view')
-        |             THEN struct_pack(us := us, eid := event_id, ch := event_type) END)
+        |             THEN lpad(CAST(us AS VARCHAR(20)), 20, '0')
+        |                  || lpad(CAST(event_id AS VARCHAR(20)), 20, '0')
+        |                  || event_type END)
         |      OVER (PARTITION BY user_id ORDER BY us
         |            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS lt
         |  FROM ev)
-        |SELECT coalesce(ft.ch, 'none') AS first_touch,
-        |       coalesce(lt.ch, 'none') AS last_touch, count(*) AS n
+        |SELECT coalesce(substr(ft, 41), 'none') AS first_touch,
+        |       coalesce(substr(lt, 41), 'none') AS last_touch, count(*) AS n
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // DAU/WAU from the deduped (day, user) pairs — count(DISTINCT) is

@@ -239,7 +239,7 @@ object PipelineOps extends QueryModule {
         |                              x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM survivors)
         |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-        |       (CAST(sum(n_tok) AS BIGINT) + 511) // 512 AS n_seqs
+        |       divide(CAST(sum(n_tok) AS BIGINT) + 511, 512) AS n_seqs
         |FROM labeled GROUP BY split ORDER BY split""".stripMargin,
     // 5-grams via d3's oracle idiom: range end is exclusive in DuckDB,
     // inclusive slice w[i:i+4]; <5-token docs fall out as empty lists.

@@ -312,9 +312,13 @@ object WritePath extends QueryModule {
     "w5_capacity_rule"   -> (w5 _))
 
   val oracles: Map[String, String] = Map(
-    // w11: latest-op-wins via max(struct(seq, op, price)) — struct
-    // order compares seq first in both engines, so the tombstone's
-    // NULL price never participates in a comparison.
+    // w11: latest-op-wins via max_by(value, seq) — seq is UNIQUE within
+    // a key (1/2/3 from the three feed legs), so arg-max is
+    // deterministic in both engines and spells identically (the former
+    // max(struct_pack(...)) form was DuckDB-only; max_by puts w11 on
+    // the verbatim parity surface). The engine's DataFrame program
+    // keeps the one-pass max(struct) kernel — same result by the
+    // seq-first comparison order.
     "w11_cdc_apply" ->
       """WITH feed AS (
         |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price
@@ -326,9 +330,7 @@ object WritePath extends QueryModule {
         |  SELECT o_orderkey, 3, 'D', NULL
         |  FROM orders WHERE o_orderkey % 7 = 0),
         |latest AS (
-        |  SELECT k,
-        |         (max(struct_pack(seq := seq, op := op, price := price))).op AS op,
-        |         (max(struct_pack(seq := seq, op := op, price := price))).price AS price
+        |  SELECT k, max_by(op, seq) AS op, max_by(price, seq) AS price
         |  FROM feed GROUP BY k)
         |SELECT k, op, price FROM latest WHERE op <> 'D' ORDER BY k""".stripMargin,
     // Clustering is storage strategy, not semantics: the oracle runs
@@ -341,8 +343,8 @@ object WritePath extends QueryModule {
          |SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |       ${sqlDsum("l_extendedprice")} AS revenue
          |FROM lineitem, b
-         |WHERE l_partkey >= (pmin + pmax + 1) // 2
-         |  AND l_suppkey >= (smin + smax + 1) // 2""".stripMargin,
+         |WHERE l_partkey >= divide(pmin + pmax + 1, 2)
+         |  AND l_suppkey >= divide(smin + smax + 1, 2)""".stripMargin,
     "w8_merge_upsert" ->
       """WITH base AS (
         |  SELECT user_id, event_id, ts, event_type, value FROM (

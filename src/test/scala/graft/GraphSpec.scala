@@ -145,4 +145,52 @@ class GraphSpec extends AnyFunSuite {
     // Orientation a<b<c: each triangle reported exactly once.
     gotTris.foreach { case (a, b, c) => assert(a < b && b < c) }
   }
+
+  test("session caches stay bounded cycling fixture dirs: one dir's frames per memo, blocks released") {
+    // Round-6 review measured episodic multi-second inflation on trivial
+    // queries in long multi-dir sessions (ScaleUp cycles three dirs)
+    // from never-evicted session state. Contract: per memo, at most ONE
+    // fixture dir's frames stay alive — first access of a new dir
+    // releases the old dir's checkpoint blocks.
+    val app = spark.sparkContext.applicationId
+    val d2 = "/root/testdata/sf0.01"
+    def runAll(d: String): Unit =
+      Seq("g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g5_cheapest_path")
+        .foreach(q => graft.operators.Graph.queries(q)(spark, d).collect())
+    runAll(dir)
+    val blocksAfterFirst = spark.sparkContext.getPersistentRDDs.size
+    runAll(d2)   // evicts dir's frames, builds d2's
+    runAll(dir)  // evicts d2's, rebuilds dir's
+    assert(graft.operators.Graph.memoDirs(app) == Set(dir))
+    // Same dir again is a no-op on the block budget; the cycle must not
+    // have accumulated the other dirs' blocks (small slack: unpersist
+    // is async).
+    runAll(dir)
+    val blocksAfterCycle = spark.sparkContext.getPersistentRDDs.size
+    assert(blocksAfterCycle <= blocksAfterFirst + 2,
+      s"persistent RDDs grew $blocksAfterFirst -> $blocksAfterCycle across a dir cycle")
+  }
+
+  test("g3 mega-hub guard: fixture max per-customer degree is within DegCap at every SF") {
+    // g3's co-occurrence expansion is Σ_c C(deg_c, 2) — quadratic in ONE
+    // customer's degree, so the operator caps each customer at its
+    // DegCap strongest supplier links before the pair self-join. The
+    // uncapped driver-side recompute above proves the cap changes
+    // nothing WHEN degrees fit; this is the executable data-bound
+    // making that precondition loud (the percentile-walk discipline):
+    // if a fixture regeneration ever grows a customer past DegCap, this
+    // fails here instead of silently diverging from the oracle.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+      val t = Tables(spark, d)
+      val maxDeg = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("l_suppkey")).as("deg"))
+        .agg(max(col("deg"))).head().getLong(0)
+      assert(maxDeg <= graft.operators.Graph.DegCap,
+        s"$d: max per-customer degree $maxDeg exceeds DegCap ${graft.operators.Graph.DegCap} — " +
+          "the g3 cap would now change results; raise DegCap or salt the expansion")
+    }
+  }
 }

@@ -134,6 +134,63 @@ class SourcesSpec extends AnyFunSuite {
       || Option(thrown.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
 
+  test("events.ts fixture-encoding compatibility: int64-nanos, TIMESTAMP_NTZ and TIMESTAMP files load to identical rows") {
+    // The driver regenerated events.parquet mid-round-6 with ts re-encoded
+    // TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs) and the then-hard-bound loader
+    // took down 23 catalog queries. This pins the contract that all three
+    // physical encodings of the same logical instants normalize to the
+    // same microsecond TimestampType rows (the engine's schemaless-source
+    // equivalent of the reference's accept-any-document-shape posture,
+    // index.js:281-289).
+    import spark.implicits._
+    val micros = Seq(1700000000000000L, 1700000123456789L, 1712345678901234L)
+    val base = tmp()
+    // (a) raw int64 nano values — what TIMESTAMP(NANOS) surfaces as
+    //     LongType under spark.sql.legacy.parquet.nanosAsLong.
+    micros.zipWithIndex.map { case (us, i) => (i.toLong, us * 1000L) }
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$base/nanos/events.parquet")
+    // (b) TIMESTAMP_NTZ (isAdjustedToUTC=false µs) — the round-7 fixture.
+    micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(s"$base/ntz/events.parquet")
+    // (c) instant TIMESTAMP µs — the target type itself.
+    micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+      .select($"event_id", timestamp_micros($"us").as("ts"))
+      .write.mode("overwrite").parquet(s"$base/tz/events.parquet")
+    val loaded = Seq("nanos", "ntz", "tz").map { enc =>
+      val df = Tables(spark, s"$base/$enc").events
+      assert(df.schema("ts").dataType == TimestampType, s"$enc: ${df.schema("ts").dataType}")
+      enc -> df.orderBy($"event_id").collect().toSeq
+    }.toMap
+    assert(loaded("nanos") == loaded("ntz"))
+    assert(loaded("ntz") == loaded("tz"))
+  }
+
+  test("registerAll fault isolation: a sick events table costs only its own view, the rest still answer") {
+    // Round-6 failure mode: eager registerAll died wholesale on the events
+    // encoding break, taking down three pure-lineitem olap queries and the
+    // Thrift server. The contract now: per-table tolerance — healthy views
+    // register, sick ones are reported (the reference's 47 routes fail
+    // independently per request; this is the catalog equivalent).
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val d = tmp()
+    Tables.names.filterNot(_ == "events").foreach { n =>
+      JFiles.createSymbolicLink(
+        Paths.get(s"$d/$n.parquet"), Paths.get(s"$dir/$n.parquet"))
+    }
+    // ts as string: an encoding the loader rightly refuses.
+    Seq(("boom", 1L)).toDF("ts", "event_id")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val sick = Tables(spark, d).registerAll()
+    assert(sick.keySet == Set("events"), sick)
+    assert(spark.sql("SELECT count(*) AS c FROM lineitem").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) AS c FROM region").head().getLong(0) == 5)
+    // Restore canonical views for any spec that runs after this one.
+    assert(Tables(spark, dir).registerAll().isEmpty)
+  }
+
   test("ORC sink + source roundtrip is self-describing: schema and rows survive exactly") {
     import spark.implicits._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc_${spark.sparkContext.applicationId}"

@@ -16,15 +16,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * as raw regex characters ('\s+'), where Spark's default parser would
   * consume them as escapes — a silent regex rewrite, not an error.
   *
-  * The 27 remaining texts use constructs with no shared spelling or
+  * The remaining texts use constructs with no shared spelling or
   * shared SEMANTICS to bridge: 1-based array subscripts and `a[i:j]`
   * slices (t4/t12/t13/t14, d3/d4/d9/d10/pipe2), parallel-unnest zipping (s5),
   * `[...]` list literals and `DOUBLE[]` casts (s1/s2/s7/s8/e4), recursive
-  * CTEs with UNION dedup (d7), parser-level `//` integer division
-  * (w10), IGNORE NULLS inside the call parens (e7, olap_gap_fill), string-unit date_diff parsed before
+  * CTEs with UNION dedup (d7), anonymous-struct aggregation orders with
+  * possible value ties that arg-min/max cannot tie-break portably
+  * (s11's min(struct(d, cell))), IGNORE NULLS inside the call parens
+  * (e7, olap_gap_fill), string-unit date_diff parsed before
   * the function registry can see it (e9, f_date, olap_rolling_range), length-free VARCHAR casts and fmt-style format
   * (f_scalar), and BLOB casts (m1/m3/m4/m5). Their cross-engine check is
   * the driver's DuckDB gate.
+  *
+  * Round-7 bridges: `divide(a, b)` (the named spelling of integer
+  * division, IntegralDivide on Spark) moved g1/g5/w10/pipe3 onto the
+  * surface; `max_by` with a unique ordering key moved w11; a
+  * fixed-width lpad sort-key encoding of the (us, eid, ch) struct order
+  * moved e14.
   */
 class SqlParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
