@@ -55,13 +55,19 @@ object Bench {
       }.sorted
       name -> (if (failed.isDefined) Left(failed.get) else Right(times(times.length / 2)))
     }
+    // 0.1 ms precision: full nanosecond doubles made the 180-query JSON
+    // line ~6 KB and the driver's stdout tail capture truncated it
+    // mid-record (BENCH_r06 lost half the alphabet); rounded, the whole
+    // line fits the capture window with precision far beyond run noise.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Right(v)) => "\"" + k + "\":" + fmt(v)
       case (k, Left(err)) => "\"" + k + "\":\"error:" + err + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errs = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -558,6 +558,111 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s12 — IVF-ADC: the COMPOSED billion-vector serving layout
+    * (Jégou/Douze/Schmid PAMI 2011 §IV; the architecture behind every
+    * production ANN store). s4 prunes candidates with a coarse
+    * quantizer but scans full-precision vectors; s11 compresses
+    * vectors to PQ codes but scans ALL of them. IVF-ADC is the
+    * composition that scales both axes at once: a coarse quantizer
+    * routes each vector to a cell, PQ encodes the RESIDUAL
+    * (vector − its coarse centroid — the paper's key refinement:
+    * residuals concentrate near zero, so the same K codes quantize
+    * them much finer than raw coordinates), and a query probes only
+    * its `IvfProbe` nearest cells, scoring candidates from an M×K
+    * lookup table built per probed cell.
+    *
+    * Same determinism discipline as s11, so fully ORACLE-GATED where
+    * every production IVF-PQ is float-fuzzy: 1e-6-unit integer
+    * coordinates, BIGINT Σ(q−c)² distances, argmin =
+    * min(struct(dist, cell)) with tie→lowest-cell, integer-`div`
+    * centroid means (residuals are negative-heavy: Spark `div` and
+    * DuckDB `//` both truncate toward zero, verified on negatives),
+    * and the residual subtraction is exact by construction.
+    *
+    * Scale shape (100 TB): the coarse layer adds one broadcast-join
+    * assign pass (C centroids broadcast; corpus vectors never
+    * shuffle); encoding shuffles N·M code rows exactly as s11; the
+    * query side touches only the probed cells' code rows — the
+    * candidate set is |corpus|·(probe/C) BY CONSTRUCTION, and the
+    * per-cell distance tables are (queries × probe × M × K) rows,
+    * broadcast. Nothing query-side ever reads a full-precision
+    * vector. Training (both quantizers) runs on a sample in
+    * production; the fixture corpus is its own sample. */
+  private val IvfC = 8       // coarse cells
+  private val IvfProbe = 2   // cells probed per query
+
+  private def s12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val coords = Tables(spark, dir).embeddings
+      .select($"vec_id",
+        posexplode(transform($"embedding",
+          v => floor(v.cast("double") * 1e6 + 0.5).cast("long"))).as(Seq("dim", "qx")))
+      .select($"vec_id", $"dim", ($"dim".cast("long") / PqDsub).cast("long").as("sub"), $"qx")
+    // Coarse quantizer: full-dimension k-means, seeds = lowest IvfC
+    // ids, one Lloyd step (the s11/s8 training recipe).
+    val cseeds = coords.filter($"vec_id" < IvfC)
+      .select($"vec_id".as("cell"), $"dim", $"qx".as("qc"))
+    def cassign(cb: DataFrame): DataFrame =
+      coords.join(broadcast(cb), Seq("dim"))
+        .groupBy($"vec_id", $"cell")
+        .agg(sum(($"qx" - $"qc") * ($"qx" - $"qc")).as("dist"))
+        .groupBy($"vec_id").agg(min(struct($"dist", $"cell")).as("m"))
+        .select($"vec_id", $"m.cell".as("ccell"))
+    val crefined = cassign(cseeds).join(coords, Seq("vec_id"))
+      .groupBy($"ccell", $"dim").agg(expr("sum(qx) div count(1)").as("qc"))
+      .select($"ccell".as("cell"), $"dim", $"qc")
+    val cass = cassign(crefined)
+    // Residuals vs the assigned coarse centroid — exact BIGINT.
+    val res = coords.join(cass, Seq("vec_id"))
+      .join(broadcast(crefined.select($"cell".as("ccell"), $"dim", $"qc".as("cqc"))),
+        Seq("ccell", "dim"))
+      .select($"vec_id", $"dim", $"sub", ($"qx" - $"cqc").as("rx"), $"ccell")
+    // PQ codebook on residuals: per-subspace k-means, same recipe.
+    val pseeds = res.filter($"vec_id" < PqK)
+      .select($"vec_id".as("cell"), $"dim", $"sub", $"rx".as("qc"))
+    def passign(cb: DataFrame): DataFrame =
+      res.join(broadcast(cb), Seq("dim", "sub"))
+        .groupBy($"vec_id", $"sub", $"cell")
+        .agg(sum(($"rx" - $"qc") * ($"rx" - $"qc")).as("dist"))
+        .groupBy($"vec_id", $"sub").agg(min(struct($"dist", $"cell")).as("m"))
+        .select($"vec_id", $"sub", $"m.cell".as("cell"))
+    val prefined = passign(pseeds).join(res, Seq("vec_id", "sub"))
+      .groupBy($"sub", $"cell", $"dim").agg(expr("sum(rx) div count(1)").as("qc"))
+    val codes = passign(prefined).withColumnRenamed("cell", "code")
+    // Query routing: IvfProbe nearest refined coarse cells, exact.
+    val qcoords = coords.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"dim", $"sub", $"qx".as("qq"))
+    val cdist = qcoords.join(broadcast(crefined), Seq("dim"))
+      .groupBy($"query_id", $"cell")
+      .agg(sum(($"qq" - $"qc") * ($"qq" - $"qc")).as("dist"))
+    val wp = Window.partitionBy($"query_id").orderBy($"dist", $"cell")
+    val probes = cdist.withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= IvfProbe).select($"query_id", $"cell".as("pcell"))
+    // Per-(query, probed cell) residual distance table vs the PQ codebook.
+    val qres = qcoords.join(broadcast(probes), Seq("query_id"))
+      .join(broadcast(crefined.select($"cell".as("pcell"), $"dim", $"qc".as("cqc"))),
+        Seq("pcell", "dim"))
+      .select($"query_id", $"pcell", $"dim", $"sub", ($"qq" - $"cqc").as("rq"))
+    val dtab = qres.join(broadcast(prefined), Seq("dim", "sub"))
+      .groupBy($"query_id", $"pcell", $"sub", $"cell")
+      .agg(sum(($"rq" - $"qc") * ($"rq" - $"qc")).as("d"))
+      .select($"query_id", $"pcell", $"sub".as("dsub"), $"cell".as("dcell"), $"d")
+    // ADC restricted to the probed cells' vectors — the IVF cut.
+    val adc = codes.join(cass, Seq("vec_id"))
+      .join(broadcast(dtab),
+        $"ccell" === $"pcell" && $"sub" === $"dsub" && $"code" === $"dcell")
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(sum($"d").as("adc"))
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc")
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor_id")
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc")
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---- s9/s10: covariance + PCA (the spectral-analytics tier) ----
 
   /** s9 — the 64×64 embedding COVARIANCE matrix (upper triangle: 2080
@@ -654,6 +759,7 @@ object Similarity extends QueryModule {
     "s9_embedding_covariance" -> (s9 _),
     "s10_pca_power"          -> (s10 _),
     "s11_pq_adc"             -> (s11 _),
+    "s12_ann_ivf_adc"        -> (s12 _),
     "s8_kmeans_iteration"    -> (s8 _),
     "s7_ann_quantized"       -> (s7 _),
     "s1_ann_bruteforce_topk" -> (s1 _),
@@ -664,6 +770,89 @@ object Similarity extends QueryModule {
     "s6_ann_persistent_index" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    // s12: the full IVF-ADC pipeline — coarse train/assign, residual
+    // PQ train/encode, cell probing, per-cell distance tables, probed
+    // ADC — restated in integer SQL (s11's oracle pattern with the
+    // coarse layer on top). Same argmin/`//` determinism notes as s11.
+    "s12_ann_ivf_adc" ->
+      s"""WITH coords AS MATERIALIZED (
+         |  SELECT vec_id, CAST(j AS BIGINT) AS dim, CAST(j AS BIGINT) // $PqDsub AS sub,
+         |         CAST(floor(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+         |                    * 1e6 + 0.5) AS BIGINT) AS qx
+         |  FROM embeddings, range(64) r(j)),
+         |cseeds AS (
+         |  SELECT vec_id AS cell, dim, qx AS qc FROM coords WHERE vec_id < $IvfC),
+         |ca1 AS MATERIALIZED (
+         |  SELECT vec_id, (min(struct_pack(d := dist, cell := cell))).cell AS ccell FROM (
+         |    SELECT c.vec_id, s.cell,
+         |           CAST(sum((c.qx - s.qc) * (c.qx - s.qc)) AS BIGINT) AS dist
+         |    FROM coords c JOIN cseeds s ON c.dim = s.dim
+         |    GROUP BY c.vec_id, s.cell) d GROUP BY vec_id),
+         |crefined AS MATERIALIZED (
+         |  SELECT a.ccell AS cell, c.dim, CAST(sum(c.qx) AS BIGINT) // count(*) AS qc
+         |  FROM ca1 a JOIN coords c ON a.vec_id = c.vec_id
+         |  GROUP BY a.ccell, c.dim),
+         |cass AS MATERIALIZED (
+         |  SELECT vec_id, (min(struct_pack(d := dist, cell := cell))).cell AS ccell FROM (
+         |    SELECT c.vec_id, r.cell,
+         |           CAST(sum((c.qx - r.qc) * (c.qx - r.qc)) AS BIGINT) AS dist
+         |    FROM coords c JOIN crefined r ON c.dim = r.dim
+         |    GROUP BY c.vec_id, r.cell) d GROUP BY vec_id),
+         |res AS MATERIALIZED (
+         |  SELECT c.vec_id, c.dim, c.sub, c.qx - r.qc AS rx, a.ccell
+         |  FROM coords c JOIN cass a ON c.vec_id = a.vec_id
+         |  JOIN crefined r ON r.cell = a.ccell AND r.dim = c.dim),
+         |pseeds AS (
+         |  SELECT vec_id AS cell, dim, sub, rx AS qc FROM res WHERE vec_id < $PqK),
+         |pa1 AS MATERIALIZED (
+         |  SELECT vec_id, sub, (min(struct_pack(d := dist, cell := cell))).cell AS cell FROM (
+         |    SELECT c.vec_id, c.sub, s.cell,
+         |           CAST(sum((c.rx - s.qc) * (c.rx - s.qc)) AS BIGINT) AS dist
+         |    FROM res c JOIN pseeds s ON c.dim = s.dim AND c.sub = s.sub
+         |    GROUP BY c.vec_id, c.sub, s.cell) d GROUP BY vec_id, sub),
+         |prefined AS MATERIALIZED (
+         |  SELECT a.sub, a.cell, c.dim, CAST(sum(c.rx) AS BIGINT) // count(*) AS qc
+         |  FROM pa1 a JOIN res c ON a.vec_id = c.vec_id AND a.sub = c.sub
+         |  GROUP BY a.sub, a.cell, c.dim),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, sub, (min(struct_pack(d := dist, cell := cell))).cell AS code FROM (
+         |    SELECT c.vec_id, c.sub, r.cell,
+         |           CAST(sum((c.rx - r.qc) * (c.rx - r.qc)) AS BIGINT) AS dist
+         |    FROM res c JOIN prefined r ON c.dim = r.dim AND c.sub = r.sub
+         |    GROUP BY c.vec_id, c.sub, r.cell) d GROUP BY vec_id, sub),
+         |cdist AS (
+         |  SELECT q.vec_id AS query_id, r.cell,
+         |         CAST(sum((q.qx - r.qc) * (q.qx - r.qc)) AS BIGINT) AS dist
+         |  FROM coords q JOIN crefined r ON q.dim = r.dim
+         |  WHERE q.vec_id < 5 GROUP BY 1, 2),
+         |probes AS MATERIALIZED (
+         |  SELECT query_id, cell AS pcell FROM (
+         |    SELECT query_id, cell,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS pr
+         |    FROM cdist) p WHERE pr <= $IvfProbe),
+         |qres AS (
+         |  SELECT q.vec_id AS query_id, p.pcell, q.dim, q.sub, q.qx - r.qc AS rq
+         |  FROM coords q JOIN probes p ON q.vec_id = p.query_id
+         |  JOIN crefined r ON r.cell = p.pcell AND r.dim = q.dim),
+         |dtab AS MATERIALIZED (
+         |  SELECT q.query_id, q.pcell, q.sub, r.cell,
+         |         CAST(sum((q.rq - r.qc) * (q.rq - r.qc)) AS BIGINT) AS d
+         |  FROM qres q JOIN prefined r ON q.dim = r.dim AND q.sub = r.sub
+         |  GROUP BY 1, 2, 3, 4),
+         |adc AS (
+         |  SELECT t.query_id, k.vec_id AS neighbor_id, CAST(sum(t.d) AS BIGINT) AS adc
+         |  FROM codes k JOIN cass a ON k.vec_id = a.vec_id
+         |  JOIN dtab t ON t.pcell = a.ccell AND t.sub = k.sub AND t.cell = k.code
+         |  WHERE k.vec_id <> t.query_id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY adc, neighbor_id) AS rank,
+         |         neighbor_id, adc
+         |  FROM adc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // s11: the full PQ pipeline — quantize, seed, one Lloyd step,
     // encode, ADC — restated in integer SQL. min(struct(dist, cell))
     // is the deterministic argmin in both engines (field-lexicographic

@@ -159,6 +159,40 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("s12 IVF-ADC: recall@10 vs exact L2 bounded by the probe cut, shape sane") {
+    import org.apache.spark.sql.functions._
+    // Exact L2 ground truth on the same 1e-6-unit integer coords
+    // (the s11 recipe). IVF-ADC adds the coarse probe cut on top of
+    // PQ loss, so its recall is bounded by s11's, never above it —
+    // but must stay far over chance, and its candidate restriction
+    // must be REAL: every reported neighbor shares a probed cell.
+    val coords = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    val exact = (0L until 5L).flatMap { q =>
+      coords.keys.filter(_ != q).toSeq
+        .map(v => (v, coords(v).zip(coords(q)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum))
+        .sortBy { case (v, d) => (d, v) }.take(10)
+        .map { case (v, _) => (q, v) }
+    }.toSet
+    val got = graft.operators.Similarity.queries("s12_ann_ivf_adc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val recall = (exact & got.map(x => (x._1, x._3)).toSet).size.toDouble / exact.size
+    info(f"IVF-ADC recall@10 vs exact L2: $recall%.2f")
+    assert(recall >= 0.15, s"recall $recall")
+    // Shape: 5 queries × 10 ranks, ranks 1..10, ADC nonneg ascending.
+    assert(got.length == 50)
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to 10L))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+      assert(sorted.head._4 >= 0L)
+    }
+  }
+
   test("s11 PQ-ADC: recall@10 vs exact L2, codes bounded, ADC sums exact") {
     import org.apache.spark.sql.functions._
     // Exact L2 ground truth on the SAME 1e-6-unit integer coords the
