@@ -59,7 +59,9 @@ object PlanDump {
     "s11_pq_adc"          -> "product quantization: integer codebook train+encode, ADC from the broadcast MxK table — fully oracle-gated ANN (r6)",
     "w11_cdc_apply"       -> "CDC op-log apply: latest-op-wins as ONE max(struct) map-combined aggregate, tombstones filtered (r6)",
     "g5_cheapest_path"    -> "hop-bounded min-plus Bellman-Ford: per round one settled-frame join + one map-combined min (r6)",
-    "pipe3_train_manifest" -> "training handoff: dedup -> content split -> token/sequence accounting, stream-pack count as ceiling division (r6)")
+    "pipe3_train_manifest" -> "training handoff: dedup -> content split -> token/sequence accounting, stream-pack count as ceiling division (r6)",
+    "s12_ann_ivf_adc"     -> "IVF-ADC: queries probe 2 coarse cells, score residual-PQ codes from broadcast per-cell tables; index served from checkpoint blocks (r7)",
+    "e13_dau_wau"         -> "DAU/WAU from one deduped (day,user) frame feeding three subtrees; WAU via a broadcast 7-day range join, log never self-joins (r7)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args
