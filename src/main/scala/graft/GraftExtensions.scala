@@ -84,5 +84,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (truncating division, all-positive operands in every text).
     alias("divide", exprs =>
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(exprs(0), exprs(1)))
+    // list_value(a, b, ...) = array constructor (the warehouse dialect's
+    // named spelling of its `[...]` literal, which Spark cannot parse).
+    alias("list_value", exprs =>
+      org.apache.spark.sql.catalyst.expressions.CreateArray(exprs))
+    // list_dot_product: same left-to-right double accumulation as the
+    // engine's float_dot kernel — see ListDotProduct's scaladoc for the
+    // bit-exactness argument that puts s1/s2 on the parity surface.
+    alias("list_dot_product", exprs =>
+      graft.functions.ListDotProduct(exprs(0), exprs(1)))
+    alias("list_max", exprs =>
+      org.apache.spark.sql.catalyst.expressions.ArrayMax(exprs(0)))
   }
 }

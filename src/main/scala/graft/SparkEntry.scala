@@ -71,8 +71,9 @@ object SparkEntry {
     "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
     "tpch_q21", "tpch_q22",
     "dim_supplier_geo", "skew_salted_agg",
+    "s1_ann_bruteforce_topk", "s2_embedding_near_dup", "s7_ann_quantized",
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
-    "e5_session_window", "e6_latest_per_user", "e8_funnel",
+    "e4_sliding_window", "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
     "e13_dau_wau", "e14_attribution",
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",

@@ -549,11 +549,13 @@ object Events extends QueryModule {
       s"""SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
          |       event_type, count(*) AS n, ${sqlDsum0("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // list_value is the shared named spelling of the array constructor
+    // (`[...]` is DuckDB-parser-only) — e4 runs verbatim on both engines.
     "e4_sliding_window" ->
       s"""SELECT window_start, count(*) AS n, ${sqlDsum0("value")} AS sum_value
          |FROM (
-         |  SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
-         |                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+         |  SELECT unnest(list_value(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+         |                           CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)))
          |           AS window_start,
          |         value
          |  FROM events)

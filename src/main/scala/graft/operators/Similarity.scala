@@ -971,7 +971,9 @@ object Similarity extends QueryModule {
     // below is exact in double on both engines, so the quantized tier
     // hash-compares where the float tiers need rounded-key rows-only.
     "s7_ann_quantized" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id,
+        |                  list_transform(embedding, y -> CAST(y AS DOUBLE)) AS e
+        |           FROM embeddings),
         |sc AS (SELECT vec_id, e,
         |              127.0 / list_max(list_transform(e, x -> abs(x))) AS s
         |       FROM v),
@@ -988,8 +990,16 @@ object Similarity extends QueryModule {
         |                               ORDER BY qsim_r DESC, neighbor_id) AS rank
         |  FROM sims)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s1/s2: `list_transform(..., v -> CAST(v AS DOUBLE))` replaces the
+    // DuckDB-only `CAST(... AS DOUBLE[])` spelling, and list_dot_product
+    // is registered on Spark with the same left-to-right double
+    // accumulation as the engine's float_dot kernel (float→double
+    // widening is exact), so both texts run verbatim on both engines
+    // with bit-identical rounded similarities.
     "s1_ann_bruteforce_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n WHERE vec_id < 5),
         |sims AS (
@@ -1010,7 +1020,9 @@ object Similarity extends QueryModule {
         |      FROM embeddings)
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "s2_embedding_near_dup" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)
         |SELECT a.vec_id AS i, b.vec_id AS j,
         |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim_r

@@ -19,10 +19,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * The remaining texts use constructs with no shared spelling or
   * shared SEMANTICS to bridge: 1-based array subscripts and `a[i:j]`
   * slices (t4/t12/t13/t14, d3/d4/d9/d10/pipe2), parallel-unnest zipping (s5),
-  * `[...]` list literals and `DOUBLE[]` casts (s1/s2/s7/s8/e4), recursive
+  * parallel-unnest zipping (s8, like s5), recursive
   * CTEs with UNION dedup (d7), anonymous-struct aggregation orders with
   * possible value ties that arg-min/max cannot tie-break portably
-  * (s11's min(struct(d, cell))), IGNORE NULLS inside the call parens
+  * (s11/s12's min(struct(d, cell))), IGNORE NULLS inside the call parens
   * (e7, olap_gap_fill), string-unit date_diff parsed before
   * the function registry can see it (e9, f_date, olap_rolling_range), length-free VARCHAR casts and fmt-style format
   * (f_scalar), and BLOB casts (m1/m3/m4/m5). Their cross-engine check is
@@ -32,7 +32,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * division, IntegralDivide on Spark) moved g1/g5/w10/pipe3 onto the
   * surface; `max_by` with a unique ordering key moved w11; a
   * fixed-width lpad sort-key encoding of the (us, eid, ch) struct order
-  * moved e14.
+  * moved e14; `list_value` (the named array constructor) moved e4; and
+  * `list_dot_product` (registered on Spark with the engine kernel's
+  * exact left-to-right double accumulation) + `list_max` +
+  * `list_transform(..., CAST AS DOUBLE)` moved s1/s2/s7.
   */
 class SqlParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
