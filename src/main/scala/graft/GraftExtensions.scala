@@ -95,5 +95,74 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.ListDotProduct(exprs(0), exprs(1)))
     alias("list_max", exprs =>
       org.apache.spark.sql.catalyst.expressions.ArrayMax(exprs(0)))
+    // list_slice(l, i, j) = 1-based INCLUSIVE [i..j] (the warehouse
+    // dialect's named form of its `l[i:j]` parser slice) = Spark's
+    // slice(l, i, j-i+1). Both clamp past the end and return [] for a
+    // start beyond the end; catalog texts always have j >= i (constant
+    // positive widths), the case where the two engines agree exactly.
+    // list_extract(l, i) = 1-based element access (`l[i]` is 1-based
+    // there but 0-based in Spark — a silent off-by-one, never shared).
+    alias("list_slice", exprs =>
+      org.apache.spark.sql.catalyst.expressions.Slice(exprs(0), exprs(1),
+        org.apache.spark.sql.catalyst.expressions.Add(
+          org.apache.spark.sql.catalyst.expressions.Subtract(exprs(2), exprs(1)),
+          Literal(1))))
+    alias("list_extract", exprs =>
+      org.apache.spark.sql.catalyst.expressions.ElementAt(exprs(0),
+        // ElementAt indexes with INT; the warehouse dialect's integer
+        // literals/ranges are BIGINT. Catalog indices are tiny.
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+          org.apache.spark.sql.types.IntegerType)))
+    // string_split(s, sep): literal-separator split. Mapped onto Spark's
+    // regex split — identical whenever the separator has no regex
+    // metacharacters, which is the only shared-dialect usage (the
+    // catalog splits on ' '); keeps trailing empties like the source
+    // dialect (limit -1).
+    alias("string_split", exprs =>
+      org.apache.spark.sql.catalyst.expressions.StringSplit(
+        exprs(0), exprs(1), Literal(-1)))
+    // xor(a, b) = bitwise xor, the shared NAMED spelling: the operator
+    // forms disagree (`^` is xor on Spark but POWER on the warehouse
+    // dialect — a silent semantic swap, never shared).
+    alias("xor", exprs =>
+      org.apache.spark.sql.catalyst.expressions.BitwiseXor(exprs(0), exprs(1)))
+    // NOTE: date_diff/datediff/date_trunc are NOT bridgeable — Spark's
+    // PARSER owns those names with unit-keyword grammar before the
+    // function registry can see a registration (verified: a registered
+    // 3-arg alias never fires; the parser rejects the quoted unit
+    // first). e9/f_date/olap_rolling_range stay on the DuckDB-gate-only
+    // tier for this reason.
+    alias("list_min", exprs =>
+      org.apache.spark.sql.catalyst.expressions.ArrayMin(exprs(0)))
+    alias("list_contains", exprs =>
+      org.apache.spark.sql.catalyst.expressions.ArrayContains(exprs(0), exprs(1)))
+    alias("list_reverse", exprs =>
+      org.apache.spark.sql.catalyst.expressions.Reverse(exprs(0)))
+    // list_sum = fold with + over the element type, spelled as the same
+    // ArrayAggregate the SQL parser would build for
+    // `aggregate(l, 0, (acc, x) -> acc + x)` — names are fresh to avoid
+    // capture; null elements propagate in both engines (catalog arrays
+    // are null-free by construction).
+    alias("list_sum", { exprs =>
+      import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, LambdaFunction, UnresolvedNamedLambdaVariable}
+      val acc = UnresolvedNamedLambdaVariable(Seq("graft_ls_acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("graft_ls_x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("graft_ls_fin"))
+      ArrayAggregate(exprs(0), Literal(0L),
+        LambdaFunction(Add(acc, x), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    })
+    // encode: the warehouse dialect's 1-arg form means UTF-8 (its
+    // string→BLOB conversion, which Spark spells CAST(.. AS BINARY) —
+    // no shared spelling); the 2-arg form stays Spark's builtin. This
+    // is the bridge that puts the multimodal family's
+    // octet_length(encode(text)) byte accounting on the parity surface.
+    alias("encode", {
+      case Seq(s) => new org.apache.spark.sql.catalyst.expressions.Encode(
+        s, Literal("UTF-8"))
+      case Seq(s, cs) => new org.apache.spark.sql.catalyst.expressions.Encode(s, cs)
+      case exprs => throw new IllegalArgumentException(
+        s"encode expects 1 or 2 arguments, got ${exprs.length}")
+    })
   }
 }

@@ -72,6 +72,13 @@ object SparkEntry {
     "tpch_q21", "tpch_q22",
     "dim_supplier_geo", "skew_salted_agg",
     "s1_ann_bruteforce_topk", "s2_embedding_near_dup", "s7_ann_quantized",
+    "m1_media_catalog", "m2_media_features", "m3_frame_sample",
+    "m4_frame_stats", "m5_storage_budget",
+    "t4_fingerprint", "t12_bigram_top",
+    "t13_repetition_ratio", "t23_bigram_logprob", "t14_decontamination",
+    "d3_dedup_ngram_jaccard", "d4_dedup_minhash_lsh", "d9_block_dedup",
+    "d10_incremental_neardup", "pipe2_incremental_ingest",
+    "s9_embedding_covariance", "d5b_simhash_oracle",
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
     "e4_sliding_window", "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",

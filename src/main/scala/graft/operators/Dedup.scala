@@ -988,7 +988,7 @@ object Dedup extends QueryModule {
     s"""WITH sh AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, len(w)-1),
-       |                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+       |                       i -> array_to_string(list_slice(w, i, i+2), ' '))) AS shingles
        |  FROM (SELECT doc_id,
        |               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
        |        FROM documents)),
@@ -1077,7 +1077,7 @@ object Dedup extends QueryModule {
         |bits AS (
         |  SELECT doc_id, CAST(j AS INTEGER) AS j,
         |         sum(CASE WHEN ((instr('0123456789abcdef',
-        |                               substr(h, 1 + CAST(j AS INTEGER) // 4, 1)) - 1)
+        |                               substr(h, 1 + divide(CAST(j AS INTEGER), 4), 1)) - 1)
         |                        >> (CAST(j AS INTEGER) % 4)) & 1 = 1
         |                  THEN 1 ELSE -1 END) AS s
         |  FROM wf, range(60) r(j) GROUP BY doc_id, j),
@@ -1099,7 +1099,7 @@ object Dedup extends QueryModule {
       """WITH sh AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, len(w)-1),
-        |                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |                       i -> array_to_string(list_slice(w, i, i+2), ' '))) AS shingles
         |  FROM (SELECT doc_id,
         |               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
         |        FROM documents)),
@@ -1142,7 +1142,7 @@ object Dedup extends QueryModule {
       """WITH sh AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, len(w)-1),
-        |                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |                       i -> array_to_string(list_slice(w, i, i+2), ' '))) AS shingles
         |  FROM (SELECT doc_id,
         |               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
         |        FROM documents)),
@@ -1190,7 +1190,7 @@ object Dedup extends QueryModule {
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
         |         list_distinct(list_transform(range(1, len(w)-1),
-        |                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+        |                       i -> array_to_string(list_slice(w, i, i+2), ' '))) AS shingles
         |  FROM (SELECT doc_id,
         |               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
         |        FROM documents)),

@@ -207,8 +207,8 @@ object Multimodal extends QueryModule {
     "m2_media_features" ->
       """WITH p AS (
         |  SELECT doc_id,
-        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS L,
-        |         doc_id % 3 AS m, (doc_id // 3) % 2 AS v
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS L,
+        |         doc_id % 3 AS m, divide(doc_id, 3) % 2 AS v
         |  FROM documents),
         |d AS (
         |  SELECT doc_id, L, m, v,
@@ -228,17 +228,17 @@ object Multimodal extends QueryModule {
         |       width, height,
         |       CASE WHEN width IS NULL THEN NULL
         |            WHEN greatest(width, height) <= 224 THEN width
-        |            ELSE CAST(width * 224 // greatest(width, height) AS INTEGER)
+        |            ELSE CAST(divide(width * 224, greatest(width, height)) AS INTEGER)
         |            END AS out_width,
         |       CASE WHEN height IS NULL THEN NULL
         |            WHEN greatest(width, height) <= 224 THEN height
-        |            ELSE CAST(height * 224 // greatest(width, height) AS INTEGER)
+        |            ELSE CAST(divide(height * 224, greatest(width, height)) AS INTEGER)
         |            END AS out_height,
         |       channels, sample_rate,
         |       CASE WHEN m = 0 THEN CAST(1 AS BIGINT)
-        |            WHEN m = 1 THEN (L - L % (2*channels)) // (2*channels)
+        |            WHEN m = 1 THEN divide(L - L % (2*channels), 2*channels)
         |            ELSE 1 + L % 30 END AS n_frames,
-        |       CASE WHEN m = 1 THEN ((L - L % (2*channels)) // (2*channels)) * 1000 // sample_rate
+        |       CASE WHEN m = 1 THEN divide(divide(L - L % (2*channels), 2*channels) * 1000, sample_rate)
         |            WHEN m = 2 THEN (1 + L % 30) * 40 END AS duration_ms
         |FROM d ORDER BY doc_id""".stripMargin,
     "m5_storage_budget" ->
@@ -246,9 +246,9 @@ object Multimodal extends QueryModule {
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_type,
         |       count(*) AS n_items,
-        |       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
-        |       round(avg(octet_length(CAST(text AS BLOB))), 6) AS mean_bytes,
-        |       round(quantile_cont(octet_length(CAST(text AS BLOB)), 0.95), 6)
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       round(avg(octet_length(encode(text))), 6) AS mean_bytes,
+        |       round(quantile_cont(octet_length(encode(text)), 0.95), 6)
         |         AS p95_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
     "m1_media_catalog" ->
@@ -256,14 +256,14 @@ object Multimodal extends QueryModule {
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS media_type,
-        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       source
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m4_frame_stats" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |         unnest(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)))
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)))
         |           AS frame_idx
         |  FROM documents)
         |SELECT doc_id, count(*) AS n_sampled,
@@ -274,8 +274,8 @@ object Multimodal extends QueryModule {
     "m3_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |         unnest(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT)))
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)))
         |           AS frame_idx
         |  FROM documents)
         |SELECT doc_id, frame_idx,

@@ -247,7 +247,7 @@ object PipelineOps extends QueryModule {
       s"""WITH g AS (
          |  SELECT doc_id,
          |         unnest(list_distinct(list_transform(range(1, len(w) - 3),
-         |                i -> array_to_string(w[i:i+4], ' ')))) AS gram
+         |                i -> array_to_string(list_slice(w, i, i+4), ' ')))) AS gram
          |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)
          |  WHERE len(w) >= 5),
          |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
@@ -303,7 +303,7 @@ object PipelineOps extends QueryModule {
          |  SELECT doc_id,
          |         unnest(list_transform(
          |           range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
-         |           b -> md5(array_to_string(w[b*10+1 : b*10+10], ' ')))) AS block_hash
+         |           b -> md5(array_to_string(list_slice(w, b*10+1, b*10+10), ' ')))) AS block_hash
          |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)
          |  WHERE len(w) > 0)
          |SELECT block_hash, count(DISTINCT doc_id) AS n_docs,

@@ -291,7 +291,7 @@ object Scalars extends QueryModule {
         |       list_max(arr) AS q_max,
         |       CAST(list_sum(arr) AS BIGINT) AS q_sum,
         |       list_contains(arr, 7) AS has7,
-        |       array_to_string(arr[1:2], ',') AS first2,
+        |       array_to_string(list_slice(arr, 1, 2), ',') AS first2,
         |       array_to_string(list_transform(arr, x -> x * 2), ',') AS doubled,
         |       coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
         |       array_to_string(list_reverse(arr), ',') AS rev,

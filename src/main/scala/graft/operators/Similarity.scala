@@ -946,7 +946,7 @@ object Similarity extends QueryModule {
     "s9_embedding_covariance" ->
       s"""WITH q AS (
          |  SELECT vec_id, CAST(j AS INTEGER) AS j,
-         |         CAST(floor(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+         |         CAST(floor(CAST(list_extract(embedding, CAST(j AS INTEGER) + 1) AS DOUBLE)
          |                    * 1e6 + 0.5) AS BIGINT) AS x
          |  FROM embeddings, range(64) r(j)),
          |p AS (

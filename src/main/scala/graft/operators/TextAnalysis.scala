@@ -888,7 +888,7 @@ object TextAnalysis extends QueryModule {
       s"""cnt$i AS MATERIALIZED (
          |  SELECT pr AS pair, CAST(sum(c) AS BIGINT) AS n FROM (
          |    SELECT unnest(list_transform(range(1, len(string_split(sym, ' '))),
-         |                  j -> string_split(sym, ' ')[j] || ' ' || string_split(sym, ' ')[j + 1])) AS pr,
+         |                  j -> list_extract(string_split(sym, ' '), j) || ' ' || list_extract(string_split(sym, ' '), j + 1))) AS pr,
          |           c
          |    FROM vocab$p) GROUP BY 1),
          |m$i AS MATERIALIZED (SELECT pair, n FROM cnt$i ORDER BY n DESC, pair LIMIT 1),
@@ -938,7 +938,7 @@ object TextAnalysis extends QueryModule {
          |top1 AS (SELECT t, c1 FROM cnt1 ORDER BY c1 DESC, t LIMIT 1000),
          |bi AS (
          |  SELECT doc_id, unnest(list_transform(range(1, len(wv)),
-         |                        i -> array_to_string(wv[i:i+1], ' '))) AS b
+         |                        i -> array_to_string(list_slice(wv, i, i+1), ' '))) AS b
          |  FROM w WHERE len(wv) >= 2),
          |cnt2 AS (SELECT b, count(*) AS c2 FROM bi GROUP BY b),
          |top2 AS (SELECT b, c2 FROM cnt2 ORDER BY c2 DESC, b LIMIT 1000),
@@ -948,7 +948,7 @@ object TextAnalysis extends QueryModule {
          |                  / CAST(coalesce(t1.c1, 0) + 1001 AS DOUBLE)), 9) AS lp,
          |         CASE WHEN t2.b IS NULL THEN 1 ELSE 0 END AS is_oov
          |  FROM bi LEFT JOIN top2 t2 ON bi.b = t2.b
-         |          LEFT JOIN top1 t1 ON string_split(bi.b, ' ')[1] = t1.t)
+         |          LEFT JOIN top1 t1 ON list_extract(string_split(bi.b, ' '), 1) = t1.t)
          |SELECT doc_id, count(*) AS n_bigrams,
          |       CAST(sum(is_oov) AS BIGINT) AS n_oov,
          |       round(CAST(sum(CAST(lp AS DECIMAL(28,9))) AS DOUBLE)
@@ -1077,7 +1077,7 @@ object TextAnalysis extends QueryModule {
          |                  ELSE 0.0 END, 6) AS rep_ratio
          |FROM (
          |  SELECT doc_id, list_transform(range(1, len(w) - 1),
-         |                                i -> array_to_string(w[i:i+2], ' ')) AS g
+         |                                i -> array_to_string(list_slice(w, i, i+2), ' ')) AS g
          |  FROM (SELECT doc_id, $wordsSql AS w FROM documents))
          |ORDER BY doc_id""".stripMargin,
     "t12_bigram_top" ->
@@ -1085,7 +1085,7 @@ object TextAnalysis extends QueryModule {
          |  SELECT $wordsSql AS w FROM documents),
          |bi AS (
          |  SELECT unnest(list_transform(range(1, len(w)),
-         |                               i -> w[i] || ' ' || w[i+1])) AS bigram
+         |                               i -> list_extract(w, i) || ' ' || list_extract(w, i + 1))) AS bigram
          |  FROM toks WHERE len(w) >= 2)
          |SELECT bigram, count(*) AS n FROM bi
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
@@ -1185,10 +1185,9 @@ object TextAnalysis extends QueryModule {
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |       coalesce(
-         |         list_aggregate(
+         |         list_min(
          |           list_transform(range(1, len(w) - 3),
-         |                          i -> md5(array_to_string(w[i:i+4], ' '))),
-         |           'min'),
+         |                          i -> md5(array_to_string(list_slice(w, i, i+4), ' ')))),
          |         md5(text)) AS fingerprint
          |FROM (SELECT doc_id, text, $wordsSql AS w FROM documents)
          |ORDER BY doc_id""".stripMargin,

@@ -17,25 +17,38 @@ import org.scalatest.funsuite.AnyFunSuite
   * consume them as escapes — a silent regex rewrite, not an error.
   *
   * The remaining texts use constructs with no shared spelling or
-  * shared SEMANTICS to bridge: 1-based array subscripts and `a[i:j]`
-  * slices (t4/t12/t13/t14, d3/d4/d9/d10/pipe2), parallel-unnest zipping (s5),
-  * parallel-unnest zipping (s8, like s5), recursive
-  * CTEs with UNION dedup (d7), anonymous-struct aggregation orders with
-  * possible value ties that arg-min/max cannot tie-break portably
-  * (s11/s12's min(struct(d, cell))), IGNORE NULLS inside the call parens
-  * (e7, olap_gap_fill), string-unit date_diff parsed before
-  * the function registry can see it (e9, f_date, olap_rolling_range), length-free VARCHAR casts and fmt-style format
-  * (f_scalar), and BLOB casts (m1/m3/m4/m5). Their cross-engine check is
-  * the driver's DuckDB gate.
+  * shared SEMANTICS to bridge — each pinned here so a future round
+  * doesn't re-litigate them: parallel-unnest zipping (s5, s8),
+  * recursive CTEs with UNION dedup (d7), `AS MATERIALIZED` CTE hints
+  * that are load-bearing in the warehouse engine (its unrolled
+  * multi-step CTE chains recompute exponentially without them) plus
+  * anonymous-struct argmin spellings (s11, s12, t24, t25), correlated
+  * lateral `unnest(generate_series(...)) u(i)` FROM-clause generators
+  * (d11, d12), IGNORE NULLS inside the call parens (e7,
+  * olap_gap_fill), string-unit date_diff/datediff that Spark's PARSER
+  * owns with unit-keyword grammar before the function registry can see
+  * a registration (e9, f_date, olap_rolling_range — verified: a
+  * registered 3-arg alias never fires), ordered aggregation
+  * `list(x ORDER BY y)` inside the call parens (f_array), and
+  * length-free VARCHAR casts and fmt-style format (f_scalar). Their
+  * cross-engine check is the driver's DuckDB gate.
   *
-  * Round-7 bridges: `divide(a, b)` (the named spelling of integer
-  * division, IntegralDivide on Spark) moved g1/g5/w10/pipe3 onto the
-  * surface; `max_by` with a unique ordering key moved w11; a
-  * fixed-width lpad sort-key encoding of the (us, eid, ch) struct order
-  * moved e14; `list_value` (the named array constructor) moved e4; and
-  * `list_dot_product` (registered on Spark with the engine kernel's
-  * exact left-to-right double accumulation) + `list_max` +
-  * `list_transform(..., CAST AS DOUBLE)` moved s1/s2/s7.
+  * Round-7 bridges (each alias is a pure rewrite to builtin codegen'd
+  * expressions; see GraftExtensions): `divide(a, b)` — the named
+  * spelling of integer division — moved g1/g5/w10/pipe3; `max_by` with
+  * a unique ordering key moved w11; a fixed-width lpad sort-key
+  * encoding of the (us, eid, ch) struct order moved e14; `list_value`
+  * (the named array constructor) moved e4; `list_dot_product`
+  * (registered with the engine kernel's exact left-to-right double
+  * accumulation) + `list_max` + `list_transform(..., CAST AS DOUBLE)`
+  * moved s1/s2/s7; 1-arg `encode` (string→BLOB, UTF-8 implied) moved
+  * the whole multimodal family m1–m5; `list_slice`/`list_extract` (the
+  * named 1-based forms of the `l[i:j]`/`l[i]` parser syntax — the
+  * subscript operator itself is 0-based on Spark, a silent off-by-one)
+  * + `string_split` + `list_min`/`list_sum` moved
+  * t4/t12/t13/t14/t23/d3/d4/d9/d10/pipe2; and `xor` (the named
+  * bitwise xor — the `^` operator means POWER in the warehouse
+  * dialect) moved d5b, with `list_extract` also moving s9.
   */
 class SqlParitySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
