@@ -98,4 +98,56 @@ class DialectCompatSpec extends AnyFunSuite {
   test("json_extract_string follows $.path extraction") {
     assert(one("""json_extract_string('{"k": "42"}', '$.k')""").getString(0) == "42")
   }
+
+  test("divide is integer division on BIGINT (the warehouse `//` named form)") {
+    assert(one("divide(7, 2)").getLong(0) == 3L)
+    assert(one("divide(CAST(1000000000 AS BIGINT), 3)").getLong(0) == 333333333L)
+    // Truncation toward zero on negatives — matches the oracle engine
+    // (both verified on negatives; catalog operands are all-positive).
+    assert(one("divide(-7, 2)").getLong(0) == -3L)
+  }
+
+  test("list_slice is 1-based INCLUSIVE [i..j]: clamps, empty past the end") {
+    assert(one("list_slice(array(1, 2, 3, 4, 5), 2, 4)").getSeq[Int](0) == Seq(2, 3, 4))
+    assert(one("list_slice(array(1, 2), 1, 5)").getSeq[Int](0) == Seq(1, 2))
+    assert(one("list_slice(array(1, 2, 3), 4, 5)").getSeq[Int](0) == Seq())
+  }
+
+  test("list_extract is 1-BASED (the raw [] subscript is 0-based on Spark — never shared)") {
+    assert(one("list_extract(array(10, 20, 30), 1)").getInt(0) == 10)
+    assert(one("list_extract(array(10, 20, 30), CAST(3 AS BIGINT))").getInt(0) == 30)
+  }
+
+  test("list_value / list_min / list_sum / list_contains / list_reverse match the named list kernel") {
+    assert(one("list_value(3, 1, 2)").getSeq[Int](0) == Seq(3, 1, 2))
+    assert(one("list_min(array(3, 1, 2))").getInt(0) == 1)
+    assert(one("list_sum(array(CAST(1 AS BIGINT), 2, 3))").getLong(0) == 6L)
+    assert(one("list_contains(array(1, 2), 2)").getBoolean(0))
+    assert(one("list_reverse(array(1, 2, 3))").getSeq[Int](0) == Seq(3, 2, 1))
+  }
+
+  test("1-arg encode is UTF-8 string->binary; 2-arg keeps Spark's builtin") {
+    assert(one("octet_length(encode('héllo'))").getInt(0) == 6)
+    assert(one("octet_length(encode('héllo', 'UTF-8'))").getInt(0) == 6)
+    assert(one("octet_length(encode('abc', 'UTF-16BE'))").getInt(0) == 6)
+  }
+
+  test("xor is bitwise (the ^ operator means POWER in the warehouse dialect)") {
+    assert(one("xor(12, 10)").getInt(0) == 6)
+    assert(one("xor(CAST(1 AS BIGINT) << 40, 1)").getLong(0) == (1L << 40) + 1)
+  }
+
+  test("list_dot_product: double and float arrays, bit-identical to float_dot's accumulation") {
+    val viaDouble = one(
+      "list_dot_product(list_transform(array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT)), x -> CAST(x AS DOUBLE)), " +
+      "list_transform(array(CAST(0.3 AS FLOAT), CAST(0.4 AS FLOAT)), x -> CAST(x AS DOUBLE)))").getDouble(0)
+    val viaFloat = one(
+      "float_dot(array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT)), array(CAST(0.3 AS FLOAT), CAST(0.4 AS FLOAT)))").getDouble(0)
+    assert(viaDouble == viaFloat) // exact: float->double widening + same fold order
+  }
+
+  test("string_split on a regex-neutral separator keeps trailing empties") {
+    assert(one("string_split('a b  c', ' ')").getSeq[String](0) == Seq("a", "b", "", "c"))
+    assert(one("string_split('x ', ' ')").getSeq[String](0) == Seq("x", ""))
+  }
 }
