@@ -79,6 +79,7 @@ object SparkEntry {
     "d3_dedup_ngram_jaccard", "d4_dedup_minhash_lsh", "d9_block_dedup",
     "d10_incremental_neardup", "pipe2_incremental_ingest",
     "s9_embedding_covariance", "d5b_simhash_oracle",
+    "t26_stratified_sample",
     "e1_json_extract", "e2_json_grouped", "e3_tumbling_window",
     "e4_sliding_window", "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",

@@ -211,7 +211,37 @@ object PipelineOps extends QueryModule {
       .orderBy($"split")
   }
 
+  /** t26 — stratified deterministic sampling: exactly `SampleK` docs
+    * per (lang, source) stratum, selected by CONTENT-KEYED rank
+    * (md5(text), doc_id) — t10's content-keyed-split principle applied
+    * to per-stratum subsampling. This is the data-mixture construction
+    * primitive (build a balanced eval slice, cap a dominant stratum,
+    * draw a fixed-size audit sample): reproducible on any engine, no
+    * RNG state, insensitive to row order, and stable under corpus
+    * append (a doc's rank only changes if earlier-keyed docs ARRIVE in
+    * its stratum — never because partitioning changed).
+    *
+    * Scale shape: the rank-≤-K predicate over the row_number window
+    * plans as a WindowGroupLimit — a per-task top-K heap BEFORE the
+    * stratum shuffle, so the exchange carries ≤ tasks·K rows per
+    * stratum, never the corpus; no global sort anywhere. At 100 TB the
+    * shuffle volume is bounded by strata·K·tasks regardless of corpus
+    * size. */
+  private val SampleK = 20
+  private def t26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy(md5($"text"), $"doc_id")
+    Tables(spark, dir).documents
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= SampleK)
+      .select($"lang", $"source", $"rk", $"doc_id", md5($"text").as("key"))
+      .orderBy($"lang", $"source", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_stratified_sample" -> (t26 _),
     "pipe3_train_manifest" -> (pipe3 _),
     "t14_decontamination"   -> (t14 _),
     "t15_doc_chunks"        -> (t15 _),
@@ -223,6 +253,16 @@ object PipelineOps extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // t26: the same content-keyed per-stratum rank, verbatim shared
+    // dialect (row_number/md5/CAST all shared) — parity-surface member.
+    "t26_stratified_sample" ->
+      s"""SELECT lang, source, rk, doc_id, key FROM (
+         |  SELECT lang, source, doc_id, md5(text) AS key,
+         |         CAST(row_number() OVER (PARTITION BY lang, source
+         |                                 ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+         |  FROM documents) s
+         |WHERE rk <= $SampleK
+         |ORDER BY lang, source, rk""".stripMargin,
     // pipe3: d2's dedup rule + t10's split rule + t1's tokens,
     // restated; stream-packed sequence count is ceiling division.
     "pipe3_train_manifest" ->

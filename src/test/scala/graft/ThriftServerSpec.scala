@@ -162,4 +162,75 @@ class ThriftServerSpec extends AnyFunSuite {
         proc.destroyForcibly()
     }
   }
+
+  test("sick-view isolation: a broken events table is reported, the rest of the surface still serves over JDBC") {
+    // Round-6 failure mode: the events encoding break killed ThriftServe
+    // startup wholesale. Contract now: the server reports the sick view
+    // (THRIFT_SICK_VIEW), queries touching it fail individually
+    // (THRIFT_QUERY_FAILED), and the healthy surface still answers over
+    // a real socket.
+    import java.nio.file.{Files => JFiles, Paths}
+    val spark = TestSpark.spark // to author the broken fixture
+    import spark.implicits._
+    val sick = JFiles.createTempDirectory("graft_sickdir").toString
+    Tables.names.filterNot(_ == "events").foreach { n =>
+      JFiles.createSymbolicLink(
+        Paths.get(s"$sick/$n.parquet"), Paths.get(s"$sfDir/$n.parquet"))
+    }
+    Seq(("boom", 1L)).toDF("ts", "event_id")
+      .write.mode("overwrite").parquet(s"$sick/events.parquet")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_thrift_sick").toString
+    val port = freePort()
+    val proc = new ProcessBuilder(
+      ChildJvm.command("graft.ThriftServe",
+        Seq(port.toString, base, sick)): _*)
+      .redirectErrorStream(true).start()
+    val out = new java.lang.StringBuilder
+    @volatile var ready = false
+    val reader = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      Iterator.continually(br.readLine()).takeWhile(_ != null).foreach { l =>
+        out.synchronized { out.append(l).append('\n') }
+        if (l.startsWith("THRIFT_READY")) ready = true
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    try {
+      val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+      while (!ready && proc.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val log = out.synchronized(out.toString)
+      assert(ready, s"server never became ready with a sick table:\n${log.takeRight(4000)}")
+      assert(log.contains("THRIFT_SICK_VIEW events"),
+        "sick view not reported:\n" + log.takeRight(2000))
+      // Events-family texts failed individually, not fatally.
+      assert(log.contains("THRIFT_QUERY_FAILED"), log.takeRight(2000))
+      // And a healthy non-events text still hashed pre-socket.
+      assert(log.contains("THRIFT_SQLHASH tpch_q1"), log.takeRight(2000))
+      // End to end over the wire: a lineitem query answers.
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      var conn: java.sql.Connection = null
+      var attempts = 0
+      while (conn == null && attempts < 150) {
+        try conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+        catch { case _: Exception => attempts += 1; Thread.sleep(200) }
+      }
+      assert(conn != null, "could not connect to the sick-table server")
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT count(*) AS c FROM lineitem")
+        assert(rs.next() && rs.getLong(1) > 0)
+      } finally conn.close()
+    } finally {
+      try {
+        proc.getOutputStream.write('\n'); proc.getOutputStream.flush()
+      } catch { case _: java.io.IOException => () }
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+    }
+  }
 }
