@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * and compares wire results against the in-process results the server
   * printed before opening its port: full-row equality for the two
   * showcase texts, canonical-MD5 equality for the ENTIRE Spark-portable
-  * parity surface (120+ texts), executed CONCURRENTLY from four JDBC
+  * parity surface (150+ texts), executed CONCURRENTLY from four JDBC
   * connections — everything a BI tool or beeline does, end to end,
   * under concurrent load.
   */
