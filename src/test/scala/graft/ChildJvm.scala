@@ -32,9 +32,12 @@ object ChildJvm {
   }
 
   /** Run to completion; returns (exitCode, combined output). */
-  def run(mainClass: String, args: Seq[String]): (Int, String) = {
-    val proc = new ProcessBuilder(command(mainClass, args): _*)
-      .redirectErrorStream(true).start()
+  def run(mainClass: String, args: Seq[String],
+          env: Map[String, String] = Map.empty): (Int, String) = {
+    val pb = new ProcessBuilder(command(mainClass, args): _*)
+      .redirectErrorStream(true)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
     val out = new StringBuilder
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))

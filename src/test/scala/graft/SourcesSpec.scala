@@ -191,6 +191,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(Tables(spark, dir).registerAll().isEmpty)
   }
 
+  test("harness failure visibility: Verify records a broken query in _failures.json and keeps going") {
+    // Round-6 lesson: a catastrophic break surfaced as silent ABSENCE —
+    // the broken queries simply had no correctness rows. The contract
+    // now: a throwing query lands in _failures.json (name → exception)
+    // while healthy queries still dump. Run the real Verify main in a
+    // child JVM (it calls spark.stop()) against a fixture dir whose
+    // events table is broken.
+    import java.nio.file.{Files => JFiles, Paths}
+    val d = tmp()
+    Tables.names.filterNot(_ == "events").foreach { n =>
+      JFiles.createSymbolicLink(
+        Paths.get(s"$d/$n.parquet"), Paths.get(s"$dir/$n.parquet"))
+    }
+    import spark.implicits._
+    Seq(("boom", 1L)).toDF("ts", "event_id")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val outDir = tmp() + "/verify_out"
+    val (code, log) = ChildJvm.run("graft.Verify", Seq(d, outDir),
+      // One events-reading query (throws on the broken table) + one
+      // healthy scan: the isolation contract in miniature.
+      Map("SPARK_GRAFT_ONLY" -> "e1_json_extract,p4_filter_scan"))
+    assert(code == 0, s"Verify exited $code:\n${log.takeRight(2000)}")
+    val failures = new String(JFiles.readAllBytes(Paths.get(s"$outDir/_failures.json")))
+    assert(failures.contains("e1_json_extract"),
+      s"broken events query not recorded: $failures")
+    // Healthy queries still produced output alongside the failures.
+    assert(JFiles.exists(Paths.get(s"$outDir/p4_filter_scan")), "healthy dump missing")
+    assert(JFiles.exists(Paths.get(s"$outDir/oracle_sql.json")))
+  }
+
   test("ORC sink + source roundtrip is self-describing: schema and rows survive exactly") {
     import spark.implicits._
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc_${spark.sparkContext.applicationId}"
