@@ -154,6 +154,90 @@ object PipelineOps extends QueryModule {
       .orderBy($"source")
   }
 
+  /** t28 — mixture RESAMPLING: the apply-step between t17 (which
+    * computes per-source oversample factors) and t16 (which packs the
+    * resulting stream) — materialize the temperature-balanced corpus as
+    * an explicit (doc, copy) manifest. Each doc gets floor(f) whole
+    * copies plus one more iff its CONTENT-KEYED hash fraction falls
+    * below frac(f) — t10's md5-bucket principle applied to fractional
+    * epochs, so the realized token share of every source converges to
+    * t17's weight with zero RNG state: reproducible across engines,
+    * reruns, and repartitioning, and exact duplicates resample
+    * identically by construction. Factors < 1 downsample (0-or-1
+    * copies), factors > 1 oversample — both arise from one rule.
+    *
+    * The hash fraction is the first 6 md5 hex digits as a 24-bit
+    * integer over 2²⁴ — exactly representable in double on both
+    * engines, and frac(f) = f − floor(f) is one exact IEEE subtraction
+    * of a rounded-6 factor, so the `<` decision is deterministic
+    * everywhere.
+    *
+    * Scale notes (100 TB): the factor frame is |sources| rows —
+    * broadcast; the corpus is touched in ONE map pass (hash, compare,
+    * explode) with no shuffle anywhere; output volume is the designed
+    * Σ f_s·n_s manifest, each row a (doc_id, copy) pointer rather than
+    * a duplicated body. */
+  private def t28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fac = t17(spark, dir).select($"source", $"oversample_factor".as("f"))
+    val frac = conv(substring(md5($"text"), 1, 6), 16, 10).cast("double") /
+      lit((1 << 24).toDouble)
+    val nCopies = (floor($"f").cast("long") +
+      when(frac < $"f" - floor($"f"), 1L).otherwise(0L)).as("n_copies")
+    Tables(spark, dir).documents
+      .join(broadcast(fac), Seq("source"))
+      .select($"doc_id", $"source", nCopies)
+      .select($"doc_id", $"source",
+        explode(when($"n_copies" > 0, sequence(lit(1L), $"n_copies"))
+          .otherwise(array().cast("array<bigint>"))).as("copy"))
+      .orderBy($"doc_id", $"copy")
+  }
+
+  /** t29 — CONTENT-DEFINED chunking (the LBFS rule — Muthitacharoen
+    * et al., SOSP 2001; the chunking under rsync-style dedup stores
+    * and modern data-prep near-dup pipelines): a chunk boundary falls
+    * AFTER token i exactly when the hash of the trailing 4-token
+    * window lands in 1/16 of hash space (last md5 hex digit '0'), so
+    * boundaries are a function of LOCAL CONTENT only. Contrast t15's
+    * fixed 512-char windows: inserting one word early in a doc shifts
+    * every downstream fixed window (every chunk hash changes — dedup
+    * against the previous snapshot finds nothing), while here all
+    * boundaries more than a window past the edit re-synchronize and
+    * the unchanged tail chunks hash identically — THE property that
+    * makes chunk-level dedup incremental. Expected chunk length is
+    * geometric with mean 16 tokens.
+    *
+    * Shape is d11's proven kernel: window hashes are built IN-TASK
+    * (slice on the carried token array at explode time, md5 in
+    * codegen), the boundary prefix-sum is a PER-DOC window — one
+    * doc_id-keyed shuffle of (pos, token, flag) rows, never a global
+    * sort — and the chunk roll-up is a map-combined (doc, chunk)
+    * aggregate whose chunk hash comes from an array_sort'd
+    * collect_list (position-sorted: deterministic on any engine).
+    * Scale: O(total tokens) shuffle volume, boundaries embarrassingly
+    * parallel, no doc ever compares to another. */
+  private def t29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id", words($"text").as("w"))
+      .select($"doc_id", $"w", posexplode($"w").as(Seq("p0", "tok")))
+      .select($"doc_id", $"tok", ($"p0" + 1).cast("long").as("i"),
+        (($"p0" >= 3) &&
+          substring(md5(concat_ws(" ", slice($"w", $"p0" - 2, lit(4)))), 32, 1)
+            === "0").cast("int").as("cut"))
+    val wd = Window.partitionBy($"doc_id").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id", coalesce(sum($"cut").over(wd), lit(0)).cast("long"))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(min($"i").as("start_tok"), count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"i", $"tok"))),
+            s => s.getField("tok")))).as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** d9 — block-granular exact-substring dedup: cut each doc's token
     * stream into consecutive 10-token blocks, hash each block, and
     * surface blocks occurring in ≥2 distinct documents — the scalable
@@ -241,6 +325,8 @@ object PipelineOps extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_cdc_chunks"        -> (t29 _),
+    "t28_mixture_resample"  -> (t28 _),
     "t26_stratified_sample" -> (t26 _),
     "pipe3_train_manifest" -> (pipe3 _),
     "t14_decontamination"   -> (t14 _),
@@ -253,6 +339,72 @@ object PipelineOps extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // t29: same window-hash boundary rule, prefix-sum islands, and
+    // position-ordered chunk hash — DuckDB spells the ordered concat
+    // as string_agg(... ORDER BY i), Spark as a position-sorted
+    // collect_list; identical strings, identical md5.
+    "t29_cdc_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+         |  FROM (SELECT doc_id, $wordsSql AS w FROM documents)
+         |  WHERE len(w) > 0),
+         |flagged AS (
+         |  SELECT doc_id, i, w[CAST(i AS INTEGER)] AS tok,
+         |         CASE WHEN i >= 4 AND substr(md5(array_to_string(
+         |                list_slice(w, i - 3, i), ' ')), 32, 1) = '0'
+         |              THEN 1 ELSE 0 END AS cut
+         |  FROM toks),
+         |chunked AS (
+         |  SELECT doc_id, i, tok,
+         |         CAST(coalesce(sum(cut) OVER (
+         |                PARTITION BY doc_id ORDER BY i
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |              0) AS BIGINT) AS chunk_id
+         |  FROM flagged)
+         |SELECT doc_id, chunk_id, min(i) AS start_tok,
+         |       count(*) AS n_toks,
+         |       md5(string_agg(tok, ' ' ORDER BY i)) AS chunk_hash
+         |FROM chunked GROUP BY doc_id, chunk_id
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // t28: t17's factor CTE + the content-keyed fractional-epoch rule.
+    // The 24-bit hash fraction is spelled digit-by-digit via instr
+    // (d5b's hex idiom); every term and the sum are exact in double,
+    // and /2^24 is a power-of-two division — both engines compare the
+    // identical doubles. Copies come from DuckDB's end-exclusive
+    // range(1, n+1); n = 0 ranges are empty, dropping the doc.
+    "t28_mixture_resample" -> {
+      val hex6 = (1 to 6).map { i =>
+        val w = math.pow(16, 6 - i).toLong
+        s"(instr('0123456789abcdef', substr(md5(d.text), $i, 1)) - 1) * $w.0"
+      }.mkString("(", "\n           + ", ")")
+      s"""WITH src AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |weighted AS (
+         |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |              AS w_raw
+         |  FROM src),
+         |fac AS (
+         |  SELECT source,
+         |         CASE WHEN n_tokens > 0 THEN
+         |           round(round(CAST(w_raw AS DOUBLE)
+         |                       / CAST(sum(w_raw) OVER () AS DOUBLE), 6)
+         |                 * CAST(sum(n_tokens) OVER () AS DOUBLE)
+         |                 / CAST(n_tokens AS DOUBLE), 6)
+         |         ELSE 0.0 END AS f
+         |  FROM weighted),
+         |docs AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(floor(f) AS BIGINT)
+         |         + CASE WHEN $hex6 / 16777216.0 < f - floor(f)
+         |                THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents d JOIN fac USING (source))
+         |SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+         |FROM (SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
+         |      FROM docs) e
+         |ORDER BY doc_id, copy""".stripMargin
+    },
     // t26: the same content-keyed per-stratum rank, verbatim shared
     // dialect (row_number/md5/CAST all shared) — parity-surface member.
     "t26_stratified_sample" ->

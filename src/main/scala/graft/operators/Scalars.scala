@@ -203,6 +203,91 @@ object Scalars extends QueryModule {
         countDistinct($"value").as("n_distinct"))
   }
 
+  /** x5 — SCHEMA-EVOLUTION read (mergeSchema): two parquet generations
+    * of one logical table — an old writer emitting (o_orderkey,
+    * o_totalprice) and a new writer that added o_orderpriority — read
+    * back as ONE relation whose schema is the union, with the missing
+    * column null for old-generation rows. This is the round-7 theme
+    * (the events.ts TIMESTAMP_NTZ regeneration broke a hard-bound
+    * loader) made a first-class operator: a 100 TB lake ALWAYS holds
+    * files written by many writers over years, and additive column
+    * drift must be a read-option, not an outage. The reference is
+    * schemaless by construction (two payment shapes coexist,
+    * index.js:281-289 / SURVEY §1.2) — this is the columnar-lake
+    * equivalent of that posture.
+    *
+    * The aggregate proves the merge semantics: total rows span both
+    * generations, the added column is non-null exactly on new-writer
+    * rows, and the value sum is lossless across the generation split.
+    * Scale: mergeSchema unions FOOTERS (one small read per file —
+    * at production file counts, schema merging is a driver/metadata
+    * cost, not a data scan), then each file is scanned with its own
+    * physical schema projected into the merged one — pushdown and
+    * pruning still apply per file. */
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir).orders
+    val out = materializedSink(spark, dir, "x5_evo") { p =>
+      src.filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_totalprice")
+        .write.mode("overwrite").parquet(s"$p/gen=a")
+      src.filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+        .write.mode("overwrite").parquet(s"$p/gen=b")
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$out/gen=a", s"$out/gen=b")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"o_orderpriority").as("n_with_priority"),
+        countDistinct($"o_orderpriority").as("n_priorities"),
+        dsum0($"o_totalprice").as("sum_price"))
+  }
+
+  /** x6 — CORRUPT-RECORD tolerance: the PERMISSIVE-read catalog query.
+    * A JSON feed derived from events is deterministically damaged
+    * (every key%7=0 line truncated mid-object) and read back under
+    * PERMISSIVE mode with a `_corrupt` quarantine column — the damaged
+    * lines surface as quarantined raw text instead of failing the job,
+    * and every healthy value survives to the aggregate. Round-7's
+    * robustness theme at the record level (x5 covers schema-level
+    * drift): at 100 TB some file ALWAYS holds a torn line, and one bad
+    * byte must cost one row, not the pipeline. The reference gets this
+    * per-request (one bad HTTP body 400s one call, index.js:199);
+    * PERMISSIVE is the batch-engine restatement. FAILFAST/DROPMALFORMED
+    * remain policy choices on the same reader (spec'd in SourcesSpec).
+    *
+    * Scale: corruption handling is per-row inside the JSON scan — no
+    * extra pass, no shuffle; the quarantine column prunes away when
+    * unreferenced. */
+  private def corruptTolerant(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = materializedSink(spark, dir, "x6_badjson") { p =>
+      Tables(spark, dir).events
+        .select($"event_id",
+          to_json(struct($"event_id", $"user_id", $"value")).as("j"))
+        .select(when($"event_id" % 7 === 0, substring($"j", 1, 10))
+          .otherwise($"j").as("value"))
+        .write.mode("overwrite").text(p)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(out)
+      .agg(count(lit(1)).as("n_rows"),
+        count($"_corrupt").as("n_quarantined"),
+        count($"event_id").as("n_parsed"),
+        dsum0(when($"_corrupt".isNull, $"value")).as("sum_good"))
+  }
+
   /** MAP-type surface (SURVEY §1.3 — the reference's documents ARE
     * string-keyed maps): construct, size, lookup, key-set, value
     * transform, and entry filter, all through Spark's map kernel. The
@@ -273,6 +358,9 @@ object Scalars extends QueryModule {
     "f_string_suite"     -> (strings _),
     "f_date_suite"       -> (dates _),
     "f_null_semantics"   -> (nulls _),
+    "x4_text_roundtrip"  -> (textRoundtrip _),
+    "x5_schema_evolution" -> (schemaEvolution _),
+    "x6_corrupt_tolerant" -> (corruptTolerant _),
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +411,38 @@ object Scalars extends QueryModule {
     "x3_orc_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |       count(DISTINCT o_orderkey) AS n_keys,
+         |       ${sqlDsum0("o_totalprice")} AS sum_price
+         |FROM orders""".stripMargin,
+    // x4: the text sink splits docs into LINES; the oracle restates the
+    // same newline split from the source table, so the round-trip must
+    // carry every line byte-exactly (correct even if a doc ever gains
+    // embedded newlines).
+    "x4_text_roundtrip" ->
+      """WITH l AS (SELECT unnest(string_split(text, chr(10))) AS value
+        |           FROM documents)
+        |SELECT count(*) AS n_lines,
+        |       CAST(sum(length(value)) AS BIGINT) AS n_chars,
+        |       count(DISTINCT value) AS n_distinct
+        |FROM l""".stripMargin,
+    // x6: the quarantine accounting restated from the source — exactly
+    // the key%7=0 lines are damaged, so they (and only they) must land
+    // in _corrupt, and the good-row decimal sum must be lossless
+    // through the JSON hop.
+    "x6_corrupt_tolerant" ->
+      s"""SELECT count(*) AS n_rows,
+         |       count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_quarantined,
+         |       count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS n_parsed,
+         |       ${sqlDsum0("CASE WHEN event_id % 7 <> 0 THEN value END")} AS sum_good
+         |FROM events""".stripMargin,
+    // x5: the merged-read aggregate restated over the source rows — the
+    // added column exists (non-null) exactly on odd-key (new-writer)
+    // rows. Shared-dialect text: parity-surface member.
+    "x5_schema_evolution" ->
+      s"""SELECT count(*) AS n_rows,
+         |       count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+         |         AS n_with_priority,
+         |       count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+         |         AS n_priorities,
          |       ${sqlDsum0("o_totalprice")} AS sum_price
          |FROM orders""".stripMargin,
     // The CSV hop is storage strategy, not semantics: the oracle

@@ -793,7 +793,60 @@ object Similarity extends QueryModule {
       .orderBy($"dim")
   }
 
+  /** d13 — SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv
+    * 2303.09540): the policy tier above s2's raw near-dup pairing.
+    * Exact/MinHash/SimHash dedup (d1–d12) catch lexical copies; s2
+    * lists embedding-near pairs; d13 turns embedding proximity into a
+    * KEEP/DROP decision the way the paper does — cluster the corpus
+    * with k-means, compare only WITHIN a cluster, and from every
+    * near-dup neighborhood keep the example LEAST similar to its
+    * cluster centroid (the paper's rule: centroid-typical members are
+    * the redundant ones; edge members carry the information). Here: the
+    * s8 assignment step (rounded-cosine argmax to the k=8 deterministic
+    * seed centroids, cell-asc ties), then v is DROPPED iff some
+    * same-cell u has cos(u,v) ≥ τ=0.45 and a strictly lower
+    * (centroid-sim, vec_id) key — a deterministic pairwise restatement
+    * of keep-lowest-centroid-sim whose ties no engine can reorder.
+    *
+    * Scale notes (100 TB): clustering is what makes SemDeDup tractable
+    * — the corpus shuffles ONCE on cell, and the quadratic pair space
+    * exists only inside a cell, whose size n/k is a CHOSEN constant (k
+    * grows with the corpus; the paper runs k=11k on LAION). The
+    * centroid assignment is a broadcast argmax (no corpus shuffle, s8's
+    * shape), and at production cell sizes the within-cell pairing drops
+    * into s2's blocked kernel per cell — same plan, tighter inner loop.
+    * Fully oracle-gated: every similarity is a rounded-key double (the
+    * s1/s2 discipline), so both engines make identical drop decisions. */
+  private def d13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val cents = c.filter($"vec_id" < KmeansK)
+      .select($"vec_id".as("cell"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val sims = c.join(broadcast(cents), lit(true))
+      .select($"vec_id", $"embedding", $"nrm", $"cell",
+        round(dot($"embedding", $"ce") / ($"nrm" * $"cn"), 6).as("csim"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
+    val assigned = sims.withColumn("crk", row_number().over(byVec))
+      .filter($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell", $"csim".as("csim_r"))
+    val peers = assigned.select($"cell", $"vec_id".as("vid_b"),
+      $"embedding".as("eb"), $"nrm".as("nb"), $"csim_r".as("cb"))
+    val dropped = assigned.select($"cell", $"vec_id", $"embedding", $"nrm", $"csim_r")
+      .join(peers, Seq("cell"))
+      .filter($"vec_id" =!= $"vid_b")
+      .filter(round(dot($"embedding", $"eb") / ($"nrm" * $"nb"), 6) >= 0.45)
+      .filter($"cb" < $"csim_r" || ($"cb" === $"csim_r" && $"vid_b" < $"vec_id"))
+      .select($"vec_id").distinct()
+      .withColumn("dropflag", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"csim_r",
+        coalesce(!$"dropflag", lit(true)).as("kept"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_semantic_dedup"     -> (d13 _),
     "s9_embedding_covariance" -> (s9 _),
     "s10_pca_power"          -> (s10 _),
     "s11_pq_adc"             -> (s11 _),
@@ -808,6 +861,33 @@ object Similarity extends QueryModule {
     "s6_ann_persistent_index" -> (s6 _))
 
   val oracles: Map[String, String] = Map(
+    // d13: s8's assignment CTE + the pairwise keep-lowest-centroid-sim
+    // rule. Every similarity is a rounded key (s1/s2 discipline), and
+    // the dominance tiebreak is spelled as explicit OR so no struct
+    // comparison semantics are involved. Parity-surface member: the
+    // text runs verbatim on Spark under the dialect profile.
+    "d13_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
+        |sims AS (SELECT n.vec_id, n.e, n.nrm, c.cell,
+        |                round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn), 6) AS csim
+        |         FROM n CROSS JOIN c),
+        |assigned AS (SELECT vec_id, e, nrm, cell, csim AS csim_r FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY csim DESC, cell) AS rk
+        |    FROM sims) s WHERE rk = 1),
+        |dom AS (SELECT DISTINCT a.vec_id
+        |        FROM assigned a JOIN assigned b
+        |          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |        WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) >= 0.45
+        |          AND (b.csim_r < a.csim_r
+        |               OR (b.csim_r = a.csim_r AND b.vec_id < a.vec_id)))
+        |SELECT a.vec_id, a.cell, a.csim_r, d.vec_id IS NULL AS kept
+        |FROM assigned a LEFT JOIN dom d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     // s12: the full IVF-ADC pipeline — coarse train/assign, residual
     // PQ train/encode, cell probing, per-cell distance tables, probed
     // ADC — restated in integer SQL (s11's oracle pattern with the

@@ -299,7 +299,69 @@ object WritePath extends QueryModule {
         dsum($"l_extendedprice").as("revenue"))
   }
 
+  /** w12 — INCREMENTAL rollup maintenance (incremental view
+    * maintenance for self-maintainable aggregates — Gupta & Mumick's
+    * classic result: COUNT and SUM views update from the delta alone,
+    * no base access). w11 applies CDC to the ROW level; w12 is the
+    * tier above: a pre-aggregated rollup kept current by folding in
+    * each day's change feed instead of re-scanning the base. Base
+    * snapshot = orders with key%10≠3 (yesterday's table, aggregated
+    * ONCE into the per-priority rollup artifact — checkpoint-memoized
+    * like s11/s12's index frames, so bench reps measure MAINTENANCE);
+    * today's feed inserts the %10=3 rows, deletes the %10=5 rows, and
+    * doubles the price of the %10=4 rows. Each change becomes a
+    * (key, Δcount, Δsum) contribution — insert (+1, +p), delete
+    * (−1, −p), update (0, new−old = +p) — and the maintained rollup is
+    * one union + re-aggregate over |rollup| + |delta| rows.
+    *
+    * EXACTNESS is what makes the oracle gate meaningful: contributions
+    * sum in DECIMAL (associative, commutative), so the incrementally
+    * maintained numbers are bit-identical to the oracle's direct
+    * aggregate over the final state — the defining correctness
+    * property of IVM, hash-checked per round. Groups whose maintained
+    * count reaches 0 leave the view (an empty group has no rows).
+    *
+    * Scale notes (100 TB): the base is NEVER rescanned — the rollup
+    * artifact is |groups| rows and the maintenance shuffle carries
+    * only map-combined delta partials (one row per group per task).
+    * A day's maintenance costs O(|delta|), not O(|base|): the
+    * difference between a 100 TB nightly recompute and a seconds-long
+    * fold. MIN/MAX are deliberately absent — they are not
+    * self-maintainable under deletes (a retracted max needs the base;
+    * production engines either rescan the group or keep a heap). */
+  private val rollupMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def w12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val app = spark.sparkContext.applicationId
+    evictOtherDirs(rollupMemo, app, dir)(Seq(_))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val baseAgg = rollupMemo.computeIfAbsent((app, dir), _ =>
+      checkpointed(Tables(spark, dir).orders
+        .filter($"o_orderkey" % 10 =!= 3)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast(dec)).as("s"))))
+    val o = Tables(spark, dir).orders
+    val p = $"o_totalprice".cast(dec)
+    val delta = o.filter($"o_orderkey" % 10 === 3)
+        .select($"o_orderpriority", lit(1L).as("dn"), p.as("ds"))
+      .unionAll(o.filter($"o_orderkey" % 10 === 5)
+        .select($"o_orderpriority", lit(-1L).as("dn"), (-p).as("ds")))
+      .unionAll(o.filter($"o_orderkey" % 10 === 4)
+        .select($"o_orderpriority", lit(0L).as("dn"), p.as("ds")))
+    val deltaAgg = delta.groupBy($"o_orderpriority")
+      .agg(sum($"dn").as("n"), sum($"ds").as("s"))
+    baseAgg.select($"o_orderpriority", $"n", $"s".cast(dec).as("s"))
+      .unionAll(deltaAgg.select($"o_orderpriority", $"n", $"s".cast(dec).as("s")))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_orders"), sum($"s").cast("double").as("total_price"))
+      .filter($"n_orders" > 0)
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_incremental_rollup" -> (w12 _),
     "w11_cdc_apply"        -> (w11 _),
     "w10_zorder_cluster"   -> (w10 _),
     "w9_compaction"        -> (w9 _),
@@ -312,6 +374,20 @@ object WritePath extends QueryModule {
     "w5_capacity_rule"   -> (w5 _))
 
   val oracles: Map[String, String] = Map(
+    // w12: the oracle aggregates the FINAL state directly — rows
+    // surviving the deletes, update rows at their new (doubled) price.
+    // If the engine's base+delta fold is exact IVM, the decimal sums
+    // hash-match bit-for-bit. Shared dialect: parity-surface member.
+    "w12_incremental_rollup" ->
+      """WITH st AS (
+        |  SELECT o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 4
+        |              THEN CAST(o_totalprice AS DECIMAL(18,6)) * 2
+        |              ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS p
+        |  FROM orders WHERE o_orderkey % 10 <> 5)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM st GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // w11: latest-op-wins via max_by(value, seq) — seq is UNIQUE within
     // a key (1/2/3 from the three feed legs), so arg-max is
     // deterministic in both engines and spells identically (the former

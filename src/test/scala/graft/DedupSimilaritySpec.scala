@@ -9,6 +9,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("d13 semantic dedup: kept flags equal a driver-side SemDeDup recompute") {
+    val out = Similarity.queries("d13_semantic_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(out.size == corpus.length)
+    // Same arithmetic as the engine: left-to-right float→double dot,
+    // HALF_UP 6-decimal round — bit-exact, so == comparisons hold.
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def r6(x: Double): Double = new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nrm = corpus.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val cents = corpus.filter(_._1 < 8)
+    val assigned = corpus.map { case (id, e) =>
+      val (csim, cell) = cents
+        .map { case (c, ce) => (r6(dot(e, ce) / (nrm(id) * nrm(c))), c) }
+        .maxBy { case (s, c) => (s, -c) }
+      (id, e, cell, csim)
+    }
+    // Assignment and centroid-sim agree.
+    assigned.foreach { case (id, _, cell, csim) =>
+      assert(out(id)._1 == cell && out(id)._2 == csim, s"vec $id assignment")
+    }
+    // Drop rule: v is dropped iff a same-cell neighbor at cos >= 0.45
+    // has a strictly lower (centroid-sim, id) key.
+    val byCell = assigned.groupBy(_._3)
+    var nDropped = 0
+    assigned.foreach { case (id, e, cell, csim) =>
+      val dominated = byCell(cell).exists { case (id2, e2, _, csim2) =>
+        id2 != id &&
+          r6(dot(e, e2) / (nrm(id) * nrm(id2))) >= 0.45 &&
+          (csim2 < csim || (csim2 == csim && id2 < id))
+      }
+      assert(out(id)._3 == !dominated, s"vec $id kept flag")
+      if (dominated) nDropped += 1
+    }
+    // The per-cell minimum-(csim, id) member can never be dominated.
+    byCell.values.foreach { cell =>
+      val champ = cell.minBy { case (id, _, _, csim) => (csim, id) }
+      assert(out(champ._1)._3, "cluster champion must be kept")
+    }
+    assert(nDropped > 0, "fixture should exercise the drop branch")
+  }
+
   test("d4 MinHash+LSH finds exactly the brute-force pairs at j >= 0.8") {
     val brute = Dedup.queries("d3_dedup_ngram_jaccard")(spark, dir)
       .filter("jaccard >= 0.8")

@@ -115,6 +115,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows("train")._1 / total > 0.70 && rows("train")._1 / total < 0.90)
   }
 
+  test("t28 resample: copies match the content-keyed fractional-epoch rule exactly") {
+    val out = graft.operators.PipelineOps.queries("t28_mixture_resample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // Copy indexes are 1..n contiguous per doc.
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toVector).toMap
+    byDoc.foreach { case (id, cs) =>
+      assert(cs == (1L to cs.length).toVector, s"doc $id copies $cs")
+    }
+    // Driver-side recompute of the rule from t17's own factors: every
+    // doc's copy count is floor(f) + [hashfrac < frac(f)] — exactly.
+    val fac = graft.operators.PipelineOps.queries("t17_mixture_weights")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+    var extras = 0
+    docs.foreach { r =>
+      val f = fac(r.getString(1))
+      val hex = md.digest(r.getString(2).getBytes("UTF-8"))
+        .take(3).map(b => f"${b & 0xff}%02x").mkString
+      val frac = java.lang.Long.parseLong(hex, 16).toDouble / (1 << 24)
+      val extra = if (frac < f - math.floor(f)) 1L else 0L
+      extras += extra.toInt
+      val n = math.floor(f).toLong + extra
+      assert(byDoc.get(r.getLong(0)).map(_.length.toLong).getOrElse(0L) == n,
+        s"doc ${r.getLong(0)}")
+    }
+    assert(extras > 0, "fixture factors should exercise the fractional branch")
+    // Content-keyed: byte-identical docs in one source resample identically.
+    val byText = docs.groupBy(r => (r.getString(1), r.getString(2)))
+    byText.values.filter(_.length > 1).foreach { g =>
+      val ns = g.map(r => byDoc.get(r.getLong(0)).map(_.length).getOrElse(0)).distinct
+      assert(ns.length == 1)
+    }
+  }
+
+  test("w12 incremental rollup is bit-identical to the direct aggregate of the final state") {
+    import spark.implicits._
+    val out = WritePath.queries("w12_incremental_rollup")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val p = when($"o_orderkey" % 10 === 4, $"o_totalprice".cast(dec) * 2)
+      .otherwise($"o_totalprice".cast(dec))
+    val direct = Tables(spark, dir).orders
+      .filter($"o_orderkey" % 10 =!= 5)
+      .select($"o_orderpriority", p.cast(dec).as("p"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"p").cast("double").as("s"))
+      .orderBy($"o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == direct.toSeq)
+    assert(out.nonEmpty)
+    // The IVM identity is exact — doubles compare with ==, not tolerance.
+  }
+
   test("w11 CDC apply: tombstones drop, updates win, inserts survive") {
     import spark.implicits._
     val got = WritePath.queries("w11_cdc_apply")(spark, dir).collect()

@@ -104,6 +104,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(merged.filter($"s_acctbal".isNotNull).count() == v1.count())
   }
 
+  test("x5 catalog query reports the merged-read aggregate over both generations") {
+    // The mechanism above, promoted to a catalog query (x5) — the
+    // aggregate must span both writer generations and count the added
+    // column only where the new writer supplied it.
+    import spark.implicits._
+    val row = graft.operators.Scalars.queries("x5_schema_evolution")(spark, dir).head()
+    val orders = Tables(spark, dir).orders
+    assert(row.getLong(0) == orders.count())
+    assert(row.getLong(1) == orders.filter($"o_orderkey" % 2 === 1).count())
+    assert(row.getLong(2) > 0 && row.getLong(2) <= 5)
+  }
+
+  test("x4 text round-trip counts lines, not documents, when bodies contain newlines") {
+    // The fixture corpus is single-line, so the catalog x4 aggregate
+    // equals doc counts there; this pins the LINE semantics the oracle
+    // restates, on a crafted multi-line body.
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_textlines_${spark.sparkContext.applicationId}"
+    Seq("one line", "two\nlines").toDF("text").write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+    assert(back.count() == 3)
+    assert(back.agg(sum(length($"value"))).head().getLong(0) == ("one line" + "two" + "lines").length)
+  }
+
   test("malformed JSON: PERMISSIVE quarantines rows in _corrupt_record, FAILFAST throws") {
     // Ingest reality: a 100 TB feed always carries some broken records.
     // The engine must degrade row-wise (quarantine column), not
