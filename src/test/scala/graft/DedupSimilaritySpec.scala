@@ -26,7 +26,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     def r6(x: Double): Double = new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val nrm = corpus.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
-    val cents = corpus.filter(_._1 < 8)
+    val k = math.max(8L, math.ceil(corpus.length / 250.0).toLong)
+    val cents = corpus.filter(_._1 < k)
     val assigned = corpus.map { case (id, e) =>
       val (csim, cell) = cents
         .map { case (c, ce) => (r6(dot(e, ce) / (nrm(id) * nrm(c))), c) }
