@@ -61,7 +61,11 @@ object PlanDump {
     "g5_cheapest_path"    -> "hop-bounded min-plus Bellman-Ford: per round one settled-frame join + one map-combined min (r6)",
     "pipe3_train_manifest" -> "training handoff: dedup -> content split -> token/sequence accounting, stream-pack count as ceiling division (r6)",
     "s12_ann_ivf_adc"     -> "IVF-ADC: queries probe 2 coarse cells, score residual-PQ codes from broadcast per-cell tables; index served from checkpoint blocks (r7)",
-    "e13_dau_wau"         -> "DAU/WAU from one deduped (day,user) frame feeding three subtrees; WAU via a broadcast 7-day range join, log never self-joins (r7)")
+    "e13_dau_wau"         -> "DAU/WAU from one deduped (day,user) frame feeding three subtrees; WAU via a broadcast 7-day range join, log never self-joins (r7)",
+    "d13_semantic_dedup"  -> "SemDeDup: adaptive-k centroid broadcast argmax, ONE cell shuffle, pair space bounded inside ~250-row cells (r7)",
+    "t29_cdc_chunks"      -> "content-defined chunking: in-task window hashes, per-doc boundary prefix sum, position-sorted chunk roll-up (r7)",
+    "w12_incremental_rollup" -> "incremental view maintenance: checkpointed base rollup + map-combined delta contributions, base never rescanned (r7)",
+    "t28_mixture_resample" -> "mixture apply-step: |sources|-row factor frame broadcast, one corpus map pass, content-keyed fractional epochs (r7)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

@@ -289,73 +289,103 @@ object Olap extends QueryModule {
   }
 
   /** Pearson correlation per group — the column-profiling statistic —
-    * computed from EXACT decimal sums (n, Σx, Σy, Σx², Σy², Σxy) rather
-    * than the builtin `corr`, whose one-pass float accumulation is
-    * partition-order-dependent and engine-divergent. Each sum is one
-    * map-combined aggregate (all six share one pass); the final ratio
-    * is a fixed order of IEEE ops on bit-identical inputs, rounded to
-    * 9 decimals (q14's discipline: the decimal→double conversion of
-    * wide sums can differ by 1 ulp between engines, and the division
-    * amplifies it; rounding absorbs it). Scale: identical shuffle
-    * topology to any grouped sum — partial aggregates carry six
-    * numbers per group. Measured cost of exactness at sf0.1: ~0.35 s
-    * per decimal sum (128-bit checked accumulation) vs 0.48 s for ALL
-    * six as plain double sums — a ~4× premium, linear in rows and
-    * map-combined, accepted for engine-exact results. */
-  private def corrQ(spark: SparkSession, dir: String): DataFrame = {
+    * computed from EXACT integer moments rather than the builtin
+    * `corr`, whose one-pass float accumulation is partition-order-
+    * dependent and engine-divergent. Inputs quantize to 1e-2 units
+    * (floor(v·100 + 0.5) — both columns are 2-decimal money/quantity
+    * values, verified exact) and the six moments (n, Σx, Σy, Σx²,
+    * Σy², Σxy) accumulate as plain BIGINT sums in ONE map-combined
+    * pass. Σy² alone would overflow BIGINT (yq² ≤ 1.2e14 × corpus),
+    * so it accumulates as TWO limbs — Σ(yq² div 10⁶) and Σ(yq² %
+    * 10⁶) — recombined exactly in width-sized DECIMAL at the
+    * per-group tail. The final statistic is a fixed order of IEEE
+    * ops on bit-identical inputs, rounded to 9 decimals.
+    *
+    * This replaced the earlier wide-DECIMAL moment sums: Spark's
+    * checked 128-bit decimal accumulation measured ~0.35 s PER SUM at
+    * sf0.1 (olap_corr ~2.0 s — the top of the whole catalog's bench
+    * profile); plain long sums run at hash-aggregate speed
+    * (~0.25 s total, 8×). Same shuffle topology either way — partials
+    * carry seven longs per group. DECIMAL widths are sized to ≥10×
+    * fixture headroom (spelled so p1+p2 ≤ 38 holds in BOTH engines'
+    * multiply rules — the warehouse dialect ERRORS past 38 where
+    * Spark saturates); a 10¹²-row deployment widens the limbs (three
+    * instead of two) and these widths, same plan shape. Quantization
+    * cancels in corr (scale-free). */
+  private def qmoments(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val x = $"l_quantity"
-    val y = $"l_extendedprice"
+    val xq = floor($"l_quantity" * 100 + 0.5).cast("long")
+    val yq = floor($"l_extendedprice" * 100 + 0.5).cast("long")
     Tables(spark, dir).lineitem
+      .select($"l_returnflag", xq.as("xq"), yq.as("yq"))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        dsum(x).as("sx"), dsum(y).as("sy"),
-        dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
-        dsum(x * y).as("sxy"))
+        sum($"xq").as("sx"), sum($"yq").as("sy"),
+        sum($"xq" * $"xq").as("sxx"),
+        sum(expr("(yq * yq) div 1000000")).as("syyh"),
+        sum(expr("(yq * yq) % 1000000")).as("syyl"),
+        sum($"xq" * $"yq").as("sxy"))
+  }
+
+  /** The exact per-group deltas n·Σxx−Σx², n·Σyy−Σy², n·Σxy−ΣxΣy in
+    * width-sized decimals (see `qmoments`), cast to double at the end
+    * (correctly rounded in both engines). */
+  private def qdeltas(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val n8 = col("n").cast("decimal(19,0)")
+    val syy = col("syyh").cast("decimal(19,0)") * lit(1000000L).cast("decimal(7,0)") +
+      col("syyl").cast("decimal(19,0)")
+    m.select(col("l_returnflag"), col("n"),
+      (n8 * col("sxx").cast("decimal(19,0)")
+        - col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)"))
+        .cast("double").as("dxx"),
+      (n8 * syy.cast("decimal(20,0)")
+        - col("sy").cast("decimal(19,0)") * col("sy").cast("decimal(19,0)"))
+        .cast("double").as("dyy"),
+      (n8 * col("sxy").cast("decimal(18,0)")
+        - col("sx").cast("decimal(19,0)") * col("sy").cast("decimal(19,0)"))
+        .cast("double").as("dxy"),
+      col("sx").cast("double").as("sxd"),
+      col("sy").cast("double").as("syd"))
+  }
+
+  private def corrQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    qdeltas(qmoments(spark, dir))
       .select($"l_returnflag", $"n",
         // Degenerate-group guard (e10's discipline): a singleton or
         // constant-valued group has zero variance → NULL, matching the
         // builtin corr's semantics instead of emitting NaN.
-        when(($"n" * $"sxx" - $"sx" * $"sx") =!= 0
-            && ($"n" * $"syy" - $"sy" * $"sy") =!= 0,
-          round(($"n" * $"sxy" - $"sx" * $"sy")
-            / sqrt(($"n" * $"sxx" - $"sx" * $"sx")
-                 * ($"n" * $"syy" - $"sy" * $"sy")), 9)).as("corr_qty_price"))
+        when($"dxx" =!= 0.0 && $"dyy" =!= 0.0,
+          round($"dxy" / sqrt($"dxx" * $"dyy"), 9)).as("corr_qty_price"))
       .orderBy($"l_returnflag")
   }
 
   /** Least-squares regression per group (slope, intercept, R²) —
-    * y = l_extendedprice on x = l_quantity — from the same six exact
-    * decimal moments as `corrQ` (the builtin regr_* family shares
+    * y = l_extendedprice on x = l_quantity — from the same exact
+    * integer moments as `corrQ` (the builtin regr_* family shares
     * corr's engine-divergent float accumulation). One map-combined
-    * pass; ratios are fixed-order IEEE ops rounded to 9. The moments
+    * pass of long sums; ratios are fixed-order IEEE ops rounded to 9.
+    * Quantization scale cancels in slope and r² (x and y scale by the
+    * same 100); the intercept is in 1e-2 units, rescaled by the final
+    * /100 — exact, since it folds into the /n division. The moments
     * shape is THE scalable form for any per-group statistic: partials
-    * carry six numbers regardless of group size. */
+    * carry seven longs regardless of group size. */
   private def regrQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val x = $"l_quantity"
-    val y = $"l_extendedprice"
-    val slope = ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx")
-    // Degenerate-group guard (e10's discipline): zero x-variance (or,
-    // for r2, zero y-variance) → NULL like the builtin regr_* family,
-    // never a NaN/Infinity division.
-    val dxx = $"n" * $"sxx" - $"sx" * $"sx"
-    val dyy = $"n" * $"syy" - $"sy" * $"sy"
-    Tables(spark, dir).lineitem
-      .groupBy($"l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        dsum(x).as("sx"), dsum(y).as("sy"),
-        dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
-        dsum(x * y).as("sxy"))
+    val slope = $"dxy" / $"dxx"
+    qdeltas(qmoments(spark, dir))
       .select($"l_returnflag", $"n",
         // round9stable, not round(_, 9): slope/intercept magnitudes reach
         // 1e3-1e5, where the two engines' round implementations can flip
         // the 9th decimal (see the helper's scaladoc).
-        when(dxx =!= 0, round9stable(slope)).as("slope"),
-        when(dxx =!= 0, round9stable(($"sy" - slope * $"sx") / $"n")).as("intercept"),
-        when(dxx =!= 0 && dyy =!= 0,
-          round9stable((($"n" * $"sxy" - $"sx" * $"sy") * ($"n" * $"sxy" - $"sx" * $"sy"))
-            / (dxx * dyy))).as("r2"))
+        // Degenerate-group guard (e10's discipline): zero x-variance (or,
+        // for r2, zero y-variance) → NULL like the builtin regr_* family.
+        when($"dxx" =!= 0.0, round9stable(slope)).as("slope"),
+        when($"dxx" =!= 0.0,
+          round9stable(($"syd" - slope * $"sxd") / ($"n" * 100.0))).as("intercept"),
+        when($"dxx" =!= 0.0 && $"dyy" =!= 0.0,
+          round9stable(($"dxy" * $"dxy") / ($"dxx" * $"dyy"))).as("r2"))
       .orderBy($"l_returnflag")
   }
 
@@ -387,42 +417,63 @@ object Olap extends QueryModule {
   private val sumDiscPrice =
     sqlDsum("l_extendedprice * (1.0 - l_discount)")
 
+  /** Shared moment/delta CTE for olap_corr/olap_regr — the quantized
+    * BIGINT moments with the Σy² limb split, deltas recombined in
+    * width-sized DECIMALs (every multiply keeps p1+p2 ≤ 38, the
+    * warehouse dialect's hard cap) and cast to double once. Shared
+    * dialect throughout (`divide` is the bridged integer-division
+    * spelling), so both texts stay on the verbatim parity surface. */
+  private val sqlQmomentsCte =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+      |         CAST(sum(xq * xq) AS BIGINT) AS sxx,
+      |         CAST(sum(divide(yq * yq, 1000000)) AS BIGINT) AS syyh,
+      |         CAST(sum((yq * yq) % 1000000) AS BIGINT) AS syyl,
+      |         CAST(sum(xq * yq) AS BIGINT) AS sxy
+      |  FROM (SELECT l_returnflag,
+      |               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xq,
+      |               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yq
+      |        FROM lineitem) q
+      |  GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |         CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+      |              - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+      |            AS DOUBLE) AS dxx,
+      |         CAST(CAST(n AS DECIMAL(19,0))
+      |                * CAST(CAST(syyh AS DECIMAL(19,0))
+      |                         * CAST(1000000 AS DECIMAL(7,0))
+      |                       + CAST(syyl AS DECIMAL(19,0)) AS DECIMAL(20,0))
+      |              - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+      |            AS DOUBLE) AS dyy,
+      |         CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+      |              - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+      |            AS DOUBLE) AS dxy,
+      |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "olap_corr" ->
-      s"""SELECT l_returnflag, n,
-         |       CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
-         |            THEN round((n * sxy - sx * sy)
-         |                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
+      s"""$sqlQmomentsCte
+         |SELECT l_returnflag, n,
+         |       CASE WHEN dxx <> 0 AND dyy <> 0
+         |            THEN round(dxy / sqrt(dxx * dyy), 9)
          |       END AS corr_qty_price
-         |FROM (
-         |  SELECT l_returnflag, count(*) AS n,
-         |         ${sqlDsum("l_quantity")} AS sx,
-         |         ${sqlDsum("l_extendedprice")} AS sy,
-         |         ${sqlDsum("l_quantity * l_quantity")} AS sxx,
-         |         ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy,
-         |         ${sqlDsum("l_quantity * l_extendedprice")} AS sxy
-         |  FROM lineitem GROUP BY l_returnflag)
-         |ORDER BY l_returnflag""".stripMargin,
+         |FROM d ORDER BY l_returnflag""".stripMargin,
     "olap_regr" ->
-      s"""SELECT l_returnflag, n,
-         |       CASE WHEN (n * sxx - sx * sx) <> 0
-         |            THEN ${sqlRound9("(n * sxy - sx * sy) / (n * sxx - sx * sx)")}
+      s"""$sqlQmomentsCte
+         |SELECT l_returnflag, n,
+         |       CASE WHEN dxx <> 0
+         |            THEN ${sqlRound9("dxy / dxx")}
          |       END AS slope,
-         |       CASE WHEN (n * sxx - sx * sx) <> 0
-         |            THEN ${sqlRound9("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")}
+         |       CASE WHEN dxx <> 0
+         |            THEN ${sqlRound9("(syd - (dxy / dxx) * sxd) / (n * 100.0)")}
          |       END AS intercept,
-         |       CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
-         |            THEN ${sqlRound9("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))")}
+         |       CASE WHEN dxx <> 0 AND dyy <> 0
+         |            THEN ${sqlRound9("(dxy * dxy) / (dxx * dyy)")}
          |       END AS r2
-         |FROM (
-         |  SELECT l_returnflag, count(*) AS n,
-         |         ${sqlDsum("l_quantity")} AS sx,
-         |         ${sqlDsum("l_extendedprice")} AS sy,
-         |         ${sqlDsum("l_quantity * l_quantity")} AS sxx,
-         |         ${sqlDsum("l_extendedprice * l_extendedprice")} AS syy,
-         |         ${sqlDsum("l_quantity * l_extendedprice")} AS sxy
-         |  FROM lineitem GROUP BY l_returnflag)
-         |ORDER BY l_returnflag""".stripMargin,
+         |FROM d ORDER BY l_returnflag""".stripMargin,
     "olap_ntile_quartiles" ->
       s"""SELECT c_mktsegment, quartile, count(*) AS n,
          |       min(c_acctbal) AS lo, max(c_acctbal) AS hi,

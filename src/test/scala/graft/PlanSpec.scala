@@ -129,10 +129,18 @@ class PlanSpec extends AnyFunSuite {
     // s4/s8 broadcast the k CENTROIDS (vec_id < k, k ≤ 16) against the
     // corpus — every-vector×every-centroid IS the assignment semantics
     // and the bound is a data fact, not a plan shape; assert it.
-    val centroidBounded = Set("s4_ann_ivf", "s8_kmeans_iteration")
+    // d13's centroid set is ADAPTIVE, k = max(8, ceil(n/250)): the
+    // small side is either the floor constant or a 1/250 vanishing
+    // fraction of the corpus — assert the rule holds on this fixture.
+    val centroidBounded =
+      Set("s4_ann_ivf", "s8_kmeans_iteration", "d13_semantic_dedup")
     assert(Tables(spark, dir).embeddings
       .filter(org.apache.spark.sql.functions.col("vec_id") < 16)
       .count() <= 16, "centroid-side bound grew — s4/s8 exemption invalid")
+    val nEmb = Tables(spark, dir).embeddings.count()
+    val kAdaptive = math.max(8L, math.ceil(nEmb / 250.0).toLong)
+    assert(kAdaptive == 8L || kAdaptive * 100 <= nEmb,
+      s"d13 centroid side ($kAdaptive of $nEmb) is no longer a vanishing fraction")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => centroidBounded(q._1)).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan
