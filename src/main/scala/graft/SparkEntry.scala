@@ -89,7 +89,7 @@ object SparkEntry {
     "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
     "g5_cheapest_path", "w10_zorder_cluster", "w11_cdc_apply",
     "w12_incremental_rollup", "x5_schema_evolution", "d13_semantic_dedup",
-    "x6_corrupt_tolerant",
+    "x6_corrupt_tolerant", "pipe4_curation_report",
     "pipe3_train_manifest",
     "c4_dynamic_pruning", "x3_orc_roundtrip",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",

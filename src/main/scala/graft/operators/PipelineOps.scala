@@ -238,6 +238,43 @@ object PipelineOps extends QueryModule {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** pipe4 — the CURATION REPORT: the composite keep/drop decision a
+    * curation run hands to its operator, integrating three independent
+    * signal families over the embedded corpus — d2's exact-dup rank
+    * (lowest doc_id per md5(text) survives, ranked over the FULL
+    * corpus so a dup of an unembedded doc still counts), d13's
+    * SEMANTIC near-dup verdict (the SemDeDup policy), and a minimum-
+    * length quality gate (<20 tokens). Flags are counted independently
+    * (they overlap) and `n_curated` is the conjunction — the corpus
+    * that survives curation. This is the integration point the
+    * pipe-family exists for: pipe1 filters, pipe2 ingests, pipe3
+    * accounts splits, pipe4 decides what trains.
+    *
+    * Scale shape: one full-corpus window on the hash-partitioned dedup
+    * key, one broadcast-size join to d13's |embedded| verdict frame,
+    * one summary aggregate. d13's own cost analysis (adaptive-k cells)
+    * carries over unchanged. */
+  private def pipe4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", $"text")
+      .withColumn("rn", row_number().over(w))
+    val sem = Similarity.queries("d13_semantic_dedup")(spark, dir)
+      .select($"vec_id".as("doc_id"), $"kept".as("sem_kept"))
+    docs.join(sem, Seq("doc_id"))
+      .select(
+        ($"rn" > 1).as("exact_dup"),
+        (!$"sem_kept").as("sem_dup"),
+        (size(words($"text")) < 20).as("short_doc"))
+      .agg(count(lit(1)).as("n_total"),
+        countIf($"exact_dup").as("n_exact_dup"),
+        countIf($"sem_dup").as("n_sem_dup"),
+        countIf($"short_doc").as("n_short"),
+        countIf(!$"exact_dup" && !$"sem_dup" && !$"short_doc").as("n_curated"))
+  }
+
   /** d9 — block-granular exact-substring dedup: cut each doc's token
     * stream into consecutive 10-token blocks, hash each block, and
     * surface blocks occurring in ≥2 distinct documents — the scalable
@@ -325,6 +362,7 @@ object PipelineOps extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe4_curation_report" -> (pipe4 _),
     "t29_cdc_chunks"        -> (t29 _),
     "t28_mixture_resample"  -> (t28 _),
     "t26_stratified_sample" -> (t26 _),
@@ -339,6 +377,30 @@ object PipelineOps extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // pipe4: d13's shared CTE chain (Similarity.d13SqlCte) + the
+    // full-corpus dedup rank + the token gate, folded into one
+    // summary row. Shared dialect: parity-surface member.
+    "pipe4_curation_report" ->
+      s"""${Similarity.d13SqlCte},
+         |sem AS (
+         |  SELECT a.vec_id, d.vec_id IS NULL AS kept
+         |  FROM assigned a LEFT JOIN dom d ON a.vec_id = d.vec_id),
+         |ranked AS (
+         |  SELECT doc_id, text,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |flags AS (
+         |  SELECT r.rn > 1 AS exact_dup, NOT s.kept AS sem_dup,
+         |         len($wordsSql) < 20 AS short_doc
+         |  FROM (SELECT doc_id, text, rn FROM ranked) r
+         |  JOIN sem s ON r.doc_id = s.vec_id)
+         |SELECT count(*) AS n_total,
+         |       count(CASE WHEN exact_dup THEN 1 END) AS n_exact_dup,
+         |       count(CASE WHEN sem_dup THEN 1 END) AS n_sem_dup,
+         |       count(CASE WHEN short_doc THEN 1 END) AS n_short,
+         |       count(CASE WHEN NOT exact_dup AND NOT sem_dup AND NOT short_doc
+         |             THEN 1 END) AS n_curated
+         |FROM flags""".stripMargin,
     // t29: same window-hash boundary rule, prefix-sum islands, and
     // position-ordered chunk hash — DuckDB spells the ordered concat
     // as string_agg(... ORDER BY i), Spark as a position-sorted

@@ -115,6 +115,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows("train")._1 / total > 0.70 && rows("train")._1 / total < 0.90)
   }
 
+  test("pipe4 curation report is consistent with its component queries (d13, d2-rank)") {
+    val row = graft.operators.PipelineOps.queries("pipe4_curation_report")(spark, dir).head()
+    val (tot, ed, sd, sh, cur) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    // Scope is the embedded corpus.
+    assert(tot == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    // The semantic-dup flag count IS d13's dropped count.
+    val semDropped = graft.operators.Similarity
+      .queries("d13_semantic_dedup")(spark, dir)
+      .filter(!col("kept")).count()
+    assert(sd == semDropped && sd > 0)
+    // Inclusion-exclusion bounds on the conjunction.
+    assert(cur >= tot - ed - sd - sh)
+    assert(cur <= tot - Seq(ed, sd, sh).max)
+    assert(cur > 0, "curation must keep something")
+  }
+
   test("t28 resample: copies match the content-keyed fractional-epoch rule exactly") {
     val out = graft.operators.PipelineOps.queries("t28_mixture_resample")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
