@@ -219,6 +219,74 @@ object MediaCodec {
     walk(12, b.length)
   }
 
+  // ---------- full PIXEL decode (PNG gray / BMP 24-bit) ----------
+
+  /** A decoded raster with a single sampled channel: gray for PNG,
+    * blue for BMP. `get(x, y)` returns 0..255 at image coordinates
+    * (top-left origin — the BMP accessor un-does bottom-up storage). */
+  final case class PixelImage(format: String, width: Int, height: Int,
+      get: (Int, Int) => Int)
+
+  /** The REAL decode step, not just header parsing: PNG inflates the
+    * concatenated IDAT stream and strips the per-row filter byte
+    * (filter 0 / None only — the filters this codec's writer emits;
+    * any other filter returns None rather than wrong pixels); BMP
+    * walks the bottom-up 4-byte-padded 24-bit rows. None for anything
+    * unrecognized, truncated, or unsupported. */
+  def decodeImagePixels(b: Array[Byte]): Option[PixelImage] = {
+    if (b == null || b.length < 26) None
+    else if ((0 until 8).forall(i => u8(b, i) == PngSig(i))) {
+      var pos = 8
+      var w = 0; var h = 0; var supported = true
+      val idat = new ByteArrayOutputStream()
+      while (pos + 12 <= b.length && supported) {
+        val len = be32(b, pos)
+        val typ = tag(b, pos + 4)
+        if (len < 0 || pos + 12 + len > b.length) supported = false
+        else {
+          typ match {
+            case "IHDR" =>
+              w = be32(b, pos + 8); h = be32(b, pos + 12)
+              // bit depth 8, color type 0 (grayscale), no interlace
+              supported = u8(b, pos + 16) == 8 && u8(b, pos + 17) == 0 &&
+                u8(b, pos + 20) == 0
+            case "IDAT" => idat.write(b, pos + 8, len)
+            case _ => ()
+          }
+          pos += 12 + len
+        }
+      }
+      if (!supported || w <= 0 || h <= 0) None
+      else {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        val raw = new Array[Byte](h * (1 + w))
+        var off = 0
+        try {
+          while (!inf.finished() && off < raw.length) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && inf.needsInput()) return None // truncated stream
+            off += n
+          }
+        } catch { case _: java.util.zip.DataFormatException => return None }
+        finally inf.end()
+        if (off != raw.length) None
+        else if ((0 until h).exists(y => raw(y * (1 + w)) != 0)) None
+        else Some(PixelImage("png", w, h,
+          (x, y) => raw(y * (1 + w) + 1 + x) & 0xFF))
+      }
+    } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      val dataOff = le32(b, 10).toInt
+      val w = le32(b, 18).toInt; val h = le32(b, 22).toInt
+      val bpp = le16(b, 28)
+      val rowSize = (w * 3 + 3) & ~3
+      if (bpp != 24 || w <= 0 || h <= 0 ||
+        dataOff.toLong + rowSize.toLong * h > b.length) None
+      else Some(PixelImage("bmp", w, h,
+        (x, y) => u8(b, dataOff + (h - 1 - y) * rowSize + x * 3)))
+    } else None
+  }
+
   // ====================== encoders ======================
 
   private def srcByte(src: Array[Byte], i: Long): Byte =
@@ -358,7 +426,12 @@ object MediaCodec {
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
 
   private def deflate(raw: Array[Byte]): Array[Byte] = {
-    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    // BEST_SPEED: the emitted stream is equally valid zlib (every
+    // reader — ImageIO referee included — accepts any level) and the
+    // decoded pixels are identical; m6 deflates every document's
+    // raster, where DEFAULT_COMPRESSION measured 2.9 s vs ~1.3 s at
+    // sf0.1 for zero semantic difference.
+    val d = new Deflater(Deflater.BEST_SPEED)
     d.setInput(raw); d.finish()
     val out = new ByteArrayOutputStream(raw.length / 2 + 64)
     val buf = new Array[Byte](8192)

@@ -192,7 +192,77 @@ object Multimodal extends QueryModule {
       .orderBy($"media_type")
   }
 
+  /** m6 — PERCEPTUAL near-dup over DECODED PIXELS: the visual-dedup
+    * tier of the multimodal family (training pipelines dedup images by
+    * perceptual hash exactly as they dedup text by SimHash — pHash/
+    * aHash over a downsampled raster, then Hamming pairing). Each
+    * image doc is wrapped in its m2 container (gray PNG or 24-bit BMP
+    * by the same (doc_id, |payload|) formulas) and the hash is
+    * computed from the REAL decoded raster — `MediaCodec
+    * .decodeImagePixels` inflates the PNG IDAT stream / walks BMP's
+    * bottom-up padded rows; nothing reads the source bytes directly —
+    * via a 10×6 sampled-grid aHash: 60 cell-center samples of the
+    * gray (PNG) / blue (BMP) channel, bit k set iff sample_k·60 ≥
+    * Σsamples (integer compare — no division anywhere). Near-dup
+    * pairs come from d5b's banded pigeonhole (4×15-bit chunks,
+    * Hamming ≤ 3, recall exactly 1) — `Dedup.bandedHammingPairs`
+    * verbatim.
+    *
+    * ORACLE-GATED like m2: the writer fills pixel (x,y) from
+    * src[(y·w+x) mod L] (gray) / src[((y·w+x)·3) mod L] (blue), so
+    * DuckDB recomputes all 60 samples per doc with ascii/substr under
+    * the same integer-division grid, builds the same 60-bit hash, and
+    * brute-forces the pair set the engine must reach through banding
+    * over real container bytes. (The corpus is ASCII, so character
+    * indexing IS byte indexing — verified at all three SFs.)
+    *
+    * Scale: hashing is one decode pass, embarrassingly parallel, no
+    * shuffle; pairing shuffles only (chunk, value) keys — the d5/d5b
+    * posture. */
+  private[graft] def m6Hashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The fixture corpus is one parquet file → one input split; the
+    // codec pass is CPU-bound per row, so spread it across the
+    // executor cores (at 100 TB the shard count supplies parallelism
+    // and this repartition disappears behind maxPartitionBytes).
+    val imgs = Tables(spark, dir).documents
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+    imgs.mapPartitions { rows =>
+      rows.map { case (id, payload) =>
+        val L = payload.length.toLong
+        val v = (id / 3) % 2
+        val w = (8 + (L * 3) % 300).toInt
+        val h = (8 + (L * 7) % 220).toInt
+        val container =
+          if (v == 0) graft.functions.MediaCodec.pngGray(w, h, payload)
+          else graft.functions.MediaCodec.bmp24(w, h, payload)
+        val img = graft.functions.MediaCodec.decodeImagePixels(container)
+          .getOrElse(sys.error(s"undecodable container for doc $id"))
+        val s = new Array[Int](60)
+        var k = 0
+        while (k < 60) {
+          val x = ((2 * (k % 10) + 1) * img.width) / 20
+          val y = ((2 * (k / 10) + 1) * img.height) / 12
+          s(k) = img.get(x, y)
+          k += 1
+        }
+        val total = s.sum.toLong
+        var hash = 0L
+        k = 0
+        while (k < 60) { if (s(k).toLong * 60 >= total) hash |= 1L << k; k += 1 }
+        (id, hash)
+      }
+    }.toDF("doc_id", "simhash")
+  }
+
+  private def m6(spark: SparkSession, dir: String): DataFrame =
+    Dedup.bandedHammingPairs(spark, m6Hashes(spark, dir),
+      chunkBits = 15, nChunks = 4, maxHamming = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_perceptual_neardup" -> (m6 _),
     "m5_storage_budget"   -> (m5 _),
     "m1_media_catalog"    -> (m1 _),
     "m2_media_features"   -> (m2 _),
@@ -200,6 +270,50 @@ object Multimodal extends QueryModule {
     "m4_frame_stats"      -> (m4 _))
 
   val oracles: Map[String, String] = Map(
+    // m6: the writer's pixel-fill formulas (gray src[(y·w+x) mod L],
+    // blue src[((y·w+x)·3) mod L]) let the oracle recompute all 60
+    // grid samples with ascii/substr (ASCII corpus: char index ==
+    // byte index), rebuild the 60-bit aHash, and brute-force the
+    // Hamming ≤ 3 pair set — which the ENGINE must reach by actually
+    // decoding the container bytes (PNG inflate + filter strip / BMP
+    // row walk) and banding. Shared dialect: parity-surface member.
+    "m6_perceptual_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id, text,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS L,
+        |         divide(doc_id, 3) % 2 AS v
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, text, L, v,
+        |         8 + (L * 3) % 300 AS w,
+        |         8 + (L * 7) % 220 AS h
+        |  FROM img),
+        |grid AS (
+        |  SELECT doc_id, text, L, v, w, CAST(k AS BIGINT) AS k,
+        |         divide((2 * (CAST(k AS BIGINT) % 10) + 1) * w, 20) AS xk,
+        |         divide((2 * divide(CAST(k AS BIGINT), 10) + 1) * h, 12) AS yk
+        |  FROM dims, range(60) r(k)),
+        |samples AS (
+        |  SELECT doc_id, k,
+        |         ascii(substr(text,
+        |           CAST((CASE WHEN v = 0 THEN yk * w + xk
+        |                      ELSE (yk * w + xk) * 3 END) % L AS INTEGER) + 1,
+        |           1)) AS s
+        |  FROM grid),
+        |tot AS (
+        |  SELECT doc_id, k, s, sum(s) OVER (PARTITION BY doc_id) AS total
+        |  FROM samples),
+        |fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN s * 60 >= total
+        |                  THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER))
+        |                  ELSE 0 END) AS BIGINT) AS fp
+        |  FROM tot GROUP BY doc_id)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY i, j""".stripMargin,
     // m2's oracle recomputes every decoded column INDEPENDENTLY from
     // octet_length(text) via the fixed container-parameter formulas; the
     // engine must round-trip the same values through real PNG/BMP/WAV/AVI

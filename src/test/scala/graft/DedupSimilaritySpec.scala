@@ -59,6 +59,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(nDropped > 0, "fixture should exercise the drop branch")
   }
 
+  test("m6 perceptual hashes equal a driver recompute from the pixel formulas; banding equals brute force") {
+    val hashes = graft.operators.Multimodal.m6Hashes(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    assert(hashes.size == docs.length)
+    docs.foreach { case (id, payload) =>
+      val L = payload.length
+      val v = (id / 3) % 2
+      val w = (8 + (L.toLong * 3) % 300).toInt
+      val h = (8 + (L.toLong * 7) % 220).toInt
+      var hash = 0L
+      val s = Array.tabulate(60) { k =>
+        val x = ((2 * (k % 10) + 1) * w) / 20
+        val y = ((2 * (k / 10) + 1) * h) / 12
+        val base = y.toLong * w + x
+        val idx = if (v == 0) base else base * 3
+        payload((idx % L).toInt) & 0xFF
+      }
+      val total = s.map(_.toLong).sum
+      (0 until 60).foreach(k => if (s(k).toLong * 60 >= total) hash |= 1L << k)
+      assert(hashes(id) == hash, s"doc $id perceptual hash")
+    }
+    // Banded pigeonhole pairing == brute force over the same hashes
+    // (recall exactly 1 at hamming <= 3).
+    val pairs = graft.operators.Multimodal.queries("m6_perceptual_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes
+      if i < j && java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    assert(pairs == brute)
+  }
+
   test("d4 MinHash+LSH finds exactly the brute-force pairs at j >= 0.8") {
     val brute = Dedup.queries("d3_dedup_ngram_jaccard")(spark, dir)
       .filter("jaccard >= 0.8")

@@ -16,6 +16,28 @@ class MediaCodecSpec extends AnyFunSuite {
   private val src: Array[Byte] =
     (0 until 1013).map(i => ((i * 131 + 7) % 251).toByte).toArray
 
+  test("decodeImagePixels round-trips pngGray and bmp24 pixel-for-pixel") {
+    val (w, h) = (37, 21)
+    // PNG gray: pixel (x,y) = src[(y*w+x) mod L], via REAL inflate +
+    // filter-byte strip.
+    val png = MediaCodec.decodeImagePixels(MediaCodec.pngGray(w, h, src)).get
+    assert(png.format == "png" && png.width == w && png.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(png.get(x, y) == (src((y * w + x) % src.length) & 0xFF), s"png ($x,$y)")
+    // BMP 24-bit: the blue channel at (x,y) = src[(y*w*3 + x*3) mod L],
+    // through the bottom-up padded row layout.
+    val bmp = MediaCodec.decodeImagePixels(MediaCodec.bmp24(w, h, src)).get
+    assert(bmp.format == "bmp" && bmp.width == w && bmp.height == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(bmp.get(x, y) == (src((y * w * 3 + x * 3) % src.length) & 0xFF), s"bmp ($x,$y)")
+    // Unsupported/garbage inputs return None, never throw or lie.
+    assert(MediaCodec.decodeImagePixels("not an image at all....".getBytes).isEmpty)
+    assert(MediaCodec.decodeImagePixels(
+      MediaCodec.pngGray(w, h, src).take(40)).isEmpty)
+    assert(MediaCodec.decodeImagePixels(
+      MediaCodec.wavPcm16(1, 8000, src)).isEmpty)
+  }
+
   test("pngGray writes a PNG that ImageIO accepts, pixel-identical; decode reads IHDR") {
     val (w, h) = (123, 77)
     val png = MediaCodec.pngGray(w, h, src)
