@@ -46,12 +46,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sha256(x) = lowercase-hex SHA-256, exactly DuckDB's output shape
     // (Spark's sha2 already emits lowercase hex).
     alias("sha256", exprs => Sha2(exprs(0), Literal(256)))
-    // epoch_us(ts) = microseconds since epoch (DuckDB spelling of unix_micros).
-    alias("epoch_us", exprs => UnixMicros(exprs(0)))
+    // epoch_us(ts) = microseconds since epoch (DuckDB spelling of
+    // unix_micros). The input passes through a Cast to TimestampType —
+    // a no-op for instant timestamps, and for TIMESTAMP_NTZ columns
+    // (the regenerated fixtures' physical encoding for date-like
+    // columns) the wall-clock→instant conversion under the pinned UTC
+    // session, which is exactly DuckDB's epoch_us(naive-timestamp)
+    // semantics. Schema-drift tolerance at the dialect layer: the raw
+    // UnixMicros REJECTS NTZ at analysis.
+    alias("epoch_us", exprs =>
+      UnixMicros(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0), org.apache.spark.sql.types.TimestampType)))
     // epoch(ts) = whole seconds since epoch. DuckDB returns fractional
     // seconds; identical wherever the result feeds integer bucketing
     // (floor(epoch/k) with integer k), which is the catalog's only use.
-    alias("epoch", exprs => UnixSeconds(exprs(0)))
+    alias("epoch", exprs =>
+      UnixSeconds(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs(0), org.apache.spark.sql.types.TimestampType)))
 
     // The broader warehouse-dialect spellings (see DialectCompat's
     // scaladoc for the exact-semantics notes). All pure rewrites to

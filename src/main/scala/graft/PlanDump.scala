@@ -65,7 +65,10 @@ object PlanDump {
     "d13_semantic_dedup"  -> "SemDeDup: adaptive-k centroid broadcast argmax, ONE cell shuffle, pair space bounded inside ~250-row cells (r7)",
     "t29_cdc_chunks"      -> "content-defined chunking: in-task window hashes, per-doc boundary prefix sum, position-sorted chunk roll-up (r7)",
     "w12_incremental_rollup" -> "incremental view maintenance: checkpointed base rollup + map-combined delta contributions, base never rescanned (r7)",
-    "t28_mixture_resample" -> "mixture apply-step: |sources|-row factor frame broadcast, one corpus map pass, content-keyed fractional epochs (r7)")
+    "t28_mixture_resample" -> "mixture apply-step: |sources|-row factor frame broadcast, one corpus map pass, content-keyed fractional epochs (r7)",
+    "m6_perceptual_neardup" -> "visual dedup: real PNG/BMP pixel decode in mapPartitions, 60-bit grid aHash, banded Hamming pairing — no corpus self-join (r7)",
+    "j11_interval_overlap" -> "fact x fact interval join as an EQUI-join on 7-day grid cells; each pair claimed once by its overlap-start cell (r7)",
+    "pipe4_curation_report" -> "composite curation decision: full-corpus dedup rank + d13's served verdict artifact + token gate, one summary aggregate (r7)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

@@ -54,6 +54,7 @@ object SparkEntry {
     "j1_semi_join", "j2_enrichment_join", "j3_two_hop_chase",
     "j4_existence_check", "j5_anti_join_guard", "j6_range_band_join",
     "j7_bloom_semi_join", "j8_skew_salted_join", "j10_fuzzy_join",
+    "j11_interval_overlap",
     "w1_insert_defaults", "w2_masked_update", "w3_balance_ledger",
     "w4_delete_rewrite", "w5_capacity_rule", "w6_scd2_intervals",
     "w7_partitioned_write", "w8_merge_upsert", "x1_json_roundtrip",

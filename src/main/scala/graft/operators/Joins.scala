@@ -109,6 +109,61 @@ object Joins extends QueryModule {
       .orderBy($"tier")
   }
 
+  /** j11 — fact×fact INTERVAL-OVERLAP join: the large×large range join
+    * j6's scaladoc promises ("band both sides to a common grid first
+    * and equi-join on the grid key"), delivered. Two order-interval
+    * sets (7-day activity windows for two disjoint customer cohorts)
+    * are paired wherever their intervals overlap. The naive plan is a
+    * theta join — O(n·m) pair evaluation, a BroadcastNestedLoop or
+    * cartesian at any real size. The grid form replicates each
+    * interval to the ≤2 seven-day grid cells it touches (replication
+    * factor ⌈len/grid⌉+1-bounded BY CONSTRUCTION) and EQUI-joins on
+    * the cell, so Catalyst plans a hash/sort-merge join that scales
+    * like any keyed join. Each overlapping pair is emitted EXACTLY
+    * once with no distinct: it is claimed only by the cell containing
+    * max(astart, bstart) — the overlap's first day, which both
+    * intervals provably cover.
+    *
+    * The ORACLE is the direct range-predicate join — the engine must
+    * reach the identical pair set through the grid (j10's
+    * blocked-vs-direct contract for the temporal domain). Shared
+    * dialect (epoch_us/divide/greatest/least): parity-surface member.
+    * Scale: shuffle keys are grid cells; a hot cell means many
+    * intervals genuinely coexist in one week — salt the cell key like
+    * j8 if a cohort concentrates. */
+  private val J11GridDays = 7L
+
+  /** Frame-parametric grid kernel: a(ak, astart, aend) × b(bk, bstart,
+    * bend), half-open [start, end) day intervals → (ak, bk,
+    * overlap_days), each overlapping pair exactly once. */
+  private[graft] def intervalOverlapGrid(a: DataFrame, b: DataFrame,
+      grid: Long = J11GridDays): DataFrame = {
+    def cells(df: DataFrame, s: String, e: String) =
+      df.withColumn("cell",
+        explode(sequence(expr(s"$s div $grid"), expr(s"($e - 1) div $grid"))))
+    cells(a, "astart", "aend").join(cells(b, "bstart", "bend"), Seq("cell"))
+      .filter(col("astart") < col("bend") && col("bstart") < col("aend"))
+      .filter(col("cell") === expr(s"greatest(astart, bstart) div $grid"))
+      .select(col("ak"), col("bk"),
+        (least(col("aend"), col("bend"))
+          - greatest(col("astart"), col("bstart"))).as("overlap_days"))
+  }
+
+  private def j11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // CAST first: o_orderdate decodes as TIMESTAMP_NTZ in current
+    // fixture generations; the cast is a no-op for instant timestamps
+    // and the UTC-pinned conversion for NTZ (Tables.events' posture).
+    val day = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    def side(m: Int, k: String, s: String, e: String) =
+      Tables(spark, dir).orders
+        .filter($"o_custkey" % 100 === m)
+        .select($"o_orderkey".as(k), day.as(s), (day + J11GridDays).as(e))
+    intervalOverlapGrid(
+      side(0, "ak", "astart", "aend"), side(1, "bk", "bstart", "bend"))
+      .orderBy($"ak", $"bk")
+  }
+
   /** J7 — bloom-filter pre-pruned semi-join: lineitem against the
     * suppliers of one nation. The dimension's key set is sketched into
     * a bloom filter (built by Spark's own `BloomFilterAggregate`, the
@@ -265,6 +320,7 @@ object Joins extends QueryModule {
     "j9_runtime_bloom_join" -> (j9 _),
     "j8_skew_salted_join" -> (j8 _),
     "j7_bloom_semi_join"  -> (j7 _),
+    "j11_interval_overlap" -> (j11 _),
     "j6_range_band_join"  -> (j6 _),
     "j1_semi_join"        -> (j1 _),
     "j2_enrichment_join"  -> (j2 _),
@@ -273,6 +329,24 @@ object Joins extends QueryModule {
     "j5_anti_join_guard"  -> (jAnti _))
 
   val oracles: Map[String, String] = Map(
+    // j11: the DIRECT range-predicate join — the engine must reproduce
+    // it through the grid equi-join. epoch_us is the bridged micros
+    // spelling (= unix_micros under the pinned UTC session).
+    "j11_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS ak,
+        |         divide(epoch_us(o_orderdate), 86400000000) AS astart,
+        |         divide(epoch_us(o_orderdate), 86400000000) + 7 AS aend
+        |  FROM orders WHERE o_custkey % 100 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS bk,
+        |         divide(epoch_us(o_orderdate), 86400000000) AS bstart,
+        |         divide(epoch_us(o_orderdate), 86400000000) + 7 AS bend
+        |  FROM orders WHERE o_custkey % 100 = 1)
+        |SELECT ak, bk,
+        |       least(aend, bend) - greatest(astart, bstart) AS overlap_days
+        |FROM a JOIN b ON astart < bend AND bstart < aend
+        |ORDER BY ak, bk""".stripMargin,
     // j10: the oracle is the quadratic form the blocking replaces —
     // brute-force levenshtein over all pairs. The engine must reach the
     // identical pair set through the deletion-neighborhood join.

@@ -115,6 +115,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows("train")._1 / total > 0.70 && rows("train")._1 / total < 0.90)
   }
 
+  test("j11 grid kernel: crafted adjacency/containment/multi-cell cases equal brute force, no duplicates") {
+    import spark.implicits._
+    // [0,7) vs [7,14): adjacent, NO overlap; [10,30): spans 4 grid
+    // cells (the exactly-once claim matters); [0,100): contains
+    // everything; [29,36): overlap of exactly 1 day with [10,30).
+    val a = Seq((1L, 0L, 7L), (2L, 10L, 30L), (3L, 5L, 12L))
+      .toDF("ak", "astart", "aend")
+    val b = Seq((10L, 7L, 14L), (11L, 0L, 100L), (12L, 29L, 36L))
+      .toDF("bk", "bstart", "bend")
+    val got = Joins.intervalOverlapGrid(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == got.distinct.length, "each pair exactly once")
+    val brute = for {
+      (ak, as_, ae) <- Seq((1L, 0L, 7L), (2L, 10L, 30L), (3L, 5L, 12L))
+      (bk, bs, be) <- Seq((10L, 7L, 14L), (11L, 0L, 100L), (12L, 29L, 36L))
+      if as_ < be && bs < ae
+    } yield (ak, bk, math.min(ae, be) - math.max(as_, bs))
+    assert(got.toSet == brute.toSet, s"got ${got.toSet} vs $brute")
+    assert(!brute.exists { case (ak, bk, _) => ak == 1L && bk == 10L },
+      "adjacent intervals must not pair")
+    assert(brute.exists { case (ak, bk, d) => ak == 2L && bk == 12L && d == 1L })
+  }
+
   test("pipe4 curation report is consistent with its component queries (d13, d2-rank)") {
     val row = graft.operators.PipelineOps.queries("pipe4_curation_report")(spark, dir).head()
     val (tot, ed, sd, sh, cur) =
