@@ -307,6 +307,49 @@ object Graph extends QueryModule {
     presentSorted(out, col("cost"), col("node"))
   }
 
+  /** g6 — community detection by synchronous label propagation (LPA,
+    * Raghavan et al. 2007) over the mutual-k-NN supplier graph: the
+    * grouping kernel the catalog's other graph queries frame (d7 asks
+    * "connected?", g6 asks "which DENSE cluster?") — source/domain
+    * community discovery for mixture balancing runs exactly this.
+    *
+    * Determinism discipline: synchronous rounds (every node updates
+    * from the PREVIOUS round's labels — no update-order dependence,
+    * the nondeterminism that plagues async LPA), fixed LpaRounds so
+    * the oracle unrolls finitely, and a total tie order (neighbor
+    * label counts desc, then smaller label) so argmax is unique.
+    * Labels are supplier ids (BIGINT) — no float anywhere.
+    *
+    * Per round: ONE shuffle join of the |V|-sized label frame to the
+    * checkpointed mutual edges (≤K·|V| rows by construction) + a
+    * map-combined count on (node, label) + a map-combined max(struct)
+    * argmax on node — the Pregel superstep shape again, all frames
+    * |V|-bounded. The label chain is linear (each round read once by
+    * the next), so the unrolled plan is 3 joins deep with no
+    * recompute fan-out — no memo needed; every edge reference reads
+    * the mutualKnn checkpoint blocks. max(struct(cnt, -lbl)) encodes
+    * the (count desc, label asc) argmax in ONE aggregate; the oracle
+    * spells the identical total order as a windowed row_number. */
+  private val LpaRounds = 3
+  private def g6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = mutualKnn(spark, dir)
+    val directed = m.select(explode(array(
+        struct($"a".as("s"), $"b".as("t")),
+        struct($"b".as("s"), $"a".as("t")))).as("e"))
+      .select($"e.s", $"e.t")
+    var labels = directed.select($"s".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      labels = directed.join(labels.withColumnRenamed("node", "ln"), $"t" === $"ln")
+        .groupBy($"s", $"lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy($"s").agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
+        .select($"s".as("node"), (-$"m.nl").as("lbl"))
+    }
+    val out = labels.select($"node".as("supplier"), $"lbl".as("community"))
+    presentSorted(out, col("supplier"))
+  }
+
   private def g3(spark: SparkSession, dir: String): DataFrame = {
     val m = mutualKnn(spark, dir)
     presentSorted(m.select(col("a").as("s1"), col("b").as("s2")),
@@ -335,7 +378,8 @@ object Graph extends QueryModule {
     "g2_bfs_hops" -> (g2 _),
     "g3_knn_graph" -> (g3 _),
     "g4_knn_triangles" -> (g4 _),
-    "g5_cheapest_path" -> (g5 _))
+    "g5_cheapest_path" -> (g5 _),
+    "g6_label_prop"    -> (g6 _))
 
   /** Shared oracle prelude: the co-purchase pair aggregate and the
     * mutual-k-NN graph build, restated verbatim in SQL. */
@@ -435,6 +479,32 @@ object Graph extends QueryModule {
     "g3_knn_graph" ->
       s"""$mutualCtes
          |SELECT a AS s1, b AS s2 FROM mutual ORDER BY s1, s2""".stripMargin,
+    // g6: the three synchronous LPA rounds unrolled; the argmax's total
+    // order (count desc, label asc) is a windowed row_number over the
+    // per-(node, label) counts — the same unique winner the engine's
+    // max(struct(cnt, -lbl)) aggregate picks.
+    "g6_label_prop" -> {
+      def lstep(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT node, lbl FROM (
+           |    SELECT d.s AS node, p.lbl AS lbl,
+           |           row_number() OVER (PARTITION BY d.s
+           |                              ORDER BY count(*) DESC, p.lbl) AS rn
+           |    FROM dm d JOIN $prev p ON d.t = p.node
+           |    GROUP BY d.s, p.lbl) x
+           |  WHERE rn = 1)""".stripMargin
+      s"""$mutualCtes,
+         |dm AS (
+         |  SELECT a AS s, b AS t FROM mutual
+         |  UNION ALL
+         |  SELECT b AS s, a AS t FROM mutual),
+         |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM dm),
+         |${lstep("l0", "l1")},
+         |${lstep("l1", "l2")},
+         |${lstep("l2", "l3")}
+         |SELECT node AS supplier, lbl AS community
+         |FROM l3 ORDER BY supplier""".stripMargin
+    },
     "g4_knn_triangles" ->
       s"""$mutualCtes
          |SELECT m1.a AS s1, m1.b AS s2, m2.b AS s3

@@ -343,6 +343,53 @@ object TextAnalysis extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** t27 — the quality-RULE battery (Gopher, Rae et al. 2021 Table A1):
+    * where t2 blends features into one score and t5 cuts a percentile,
+    * production corpus filters are CONJUNCTIONS of named per-rule
+    * verdicts, kept inspectable so curators can see WHICH rule dropped
+    * a document and tune each bound independently. Five rules over the
+    * word-frequency profile: word-count floor, mean-word-length band
+    * [3,10] (the published Gopher bound), ≥2 distinct required
+    * stopwords, top-word fraction ≤ 0.10 (a degenerate doc is dominated
+    * by one token), duplicate-word fraction ≤ 0.60 (the word-level
+    * analogue of t13's n-gram repetition).
+    *
+    * Kernel: one explode → hash-aggregate on (doc_id, word) — partial
+    * aggregation collapses each task's tokens to per-(doc, word)
+    * partials in-task, so the exchange carries the frequency profile,
+    * not the token stream — then a second map-combined rollup to
+    * per-doc features. All features are integers; the three ratios are
+    * single IEEE divisions (exactly rounded, engine-independent), so
+    * the rule comparisons agree bit-for-bit with the oracle. */
+  private def t27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wc = Tables(spark, dir).documents
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+    val feat = wc.groupBy($"doc_id").agg(
+      sum($"cnt").as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max($"cnt").as("max_cnt"),
+      sum(length($"word") * $"cnt").as("sum_len"),
+      countIf($"word".isin(Stopwords: _*)).as("n_stop"))
+    val mwl = $"sum_len".cast("double") / $"n_words"
+    val twf = $"max_cnt".cast("double") / $"n_words"
+    val dwf = lit(1.0) - $"n_distinct".cast("double") / $"n_words"
+    val out = feat.select($"doc_id", $"n_words", $"n_stop",
+      mwl.as("mean_word_len"), twf.as("top_word_frac"), dwf.as("dup_word_frac"))
+    val rWc   = $"n_words" >= 40 && $"n_words" <= 100000
+    val rMwl  = $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0
+    val rStop = $"n_stop" >= 2
+    val rTop  = $"top_word_frac" <= 0.10
+    val rDup  = $"dup_word_frac" <= 0.60
+    out.select($"doc_id", $"n_words", $"n_stop",
+        $"mean_word_len", $"top_word_frac", $"dup_word_frac",
+        rWc.as("r_word_count"), rMwl.as("r_mean_len"), rStop.as("r_stopwords"),
+        rTop.as("r_top_word"), rDup.as("r_dup_words"),
+        (rWc && rMwl && rStop && rTop && rDup).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** pipe1 — the end-to-end corpus-prep pass as ONE declarative plan:
     * quality-filter (drop the bottom quartile by stopword-ratio score,
     * t5's rule) → exact dedup on normalized text among the survivors
@@ -883,6 +930,7 @@ object TextAnalysis extends QueryModule {
     "t11_source_cap"      -> (t11 _),
     "pipe1_corpus_prep"   -> (pipe1 _),
     "t13_repetition_ratio" -> (t13 _),
+    "t27_quality_rules"   -> (t27 _),
     "t12_bigram_top"      -> (t12 _),
     "t9_tfidf_top_terms"  -> (t9 _),
     "t8_text_scrub"       -> (t8 _),
@@ -956,6 +1004,41 @@ object TextAnalysis extends QueryModule {
   val oracles: Map[String, String] = Map(
     "t24_bpe_merges" -> bpeOracle,
     "t25_bpe_encode" -> bpeEncodeOracle,
+    // t27: the same (doc, word) frequency profile, rolled up to per-doc
+    // features; DuckDB widens sum(BIGINT) to HUGEINT, hence the casts.
+    // The ratio divisions are single IEEE ops on integer operands —
+    // bit-identical in both engines, so the >=/<= rule verdicts agree.
+    "t27_quality_rules" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($wordsSql) AS word FROM documents),
+         |wc AS (
+         |  SELECT doc_id, word, count(*) AS cnt FROM toks GROUP BY doc_id, word),
+         |feat AS (
+         |  SELECT doc_id,
+         |         CAST(sum(cnt) AS BIGINT) AS n_words,
+         |         CAST(count(*) AS BIGINT) AS n_distinct,
+         |         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |         CAST(sum(len(word) * cnt) AS BIGINT) AS sum_len,
+         |         CAST(count(*) FILTER (WHERE word IN
+         |           ('the', 'a', 'of', 'and', 'is', 'to', 'in')) AS BIGINT) AS n_stop
+         |  FROM wc GROUP BY doc_id),
+         |d AS (
+         |  SELECT doc_id, n_words, n_stop,
+         |         CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+         |         CAST(max_cnt AS DOUBLE) / n_words AS top_word_frac,
+         |         1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac
+         |  FROM feat)
+         |SELECT doc_id, n_words, n_stop, mean_word_len, top_word_frac, dup_word_frac,
+         |       (n_words >= 40 AND n_words <= 100000) AS r_word_count,
+         |       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+         |       (n_stop >= 2) AS r_stopwords,
+         |       (top_word_frac <= 0.10) AS r_top_word,
+         |       (dup_word_frac <= 0.60) AS r_dup_words,
+         |       (n_words >= 40 AND n_words <= 100000
+         |         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |         AND n_stop >= 2 AND top_word_frac <= 0.10
+         |         AND dup_word_frac <= 0.60) AS keep
+         |FROM d ORDER BY doc_id""".stripMargin,
     // t23: both top-V models rebuilt in SQL (ties by text, same cut);
     // per-bigram ln terms rounded to 9 and decimal-summed (t19's rules).
     "t23_bigram_logprob" ->

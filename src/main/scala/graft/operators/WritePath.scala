@@ -110,6 +110,18 @@ object WritePath extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** The deterministic CDC op log w11/w13 share (see w11's scaladoc for
+    * the I/U/D synthesis rule). */
+  private def cdcFeed(o: DataFrame): DataFrame = {
+    import o.sparkSession.implicits._
+    o.select($"o_orderkey".as("k"), lit(1).as("seq"), lit("I").as("op"),
+        $"o_totalprice".as("price"))
+      .union(o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", lit(2), lit("U"), $"o_totalprice" + 10.0))
+      .union(o.filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey", lit(3), lit("D"), lit(null).cast("double")))
+  }
+
   /** w11 — CDC APPLY with delete semantics: the change-data-capture
     * feed shape w8's MERGE cannot express (w8 reconciles two
     * snapshots; real CDC is an ordered op log where the LAST operation
@@ -129,19 +141,46 @@ object WritePath extends QueryModule {
     * any key width. */
   private def w11(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val o = Tables(spark, dir).orders
-    val feed = o.select($"o_orderkey".as("k"), lit(1).as("seq"), lit("I").as("op"),
-        $"o_totalprice".as("price"))
-      .union(o.filter($"o_orderkey" % 3 === 0)
-        .select($"o_orderkey", lit(2), lit("U"), $"o_totalprice" + 10.0))
-      .union(o.filter($"o_orderkey" % 7 === 0)
-        .select($"o_orderkey", lit(3), lit("D"), lit(null).cast("double")))
+    val feed = cdcFeed(Tables(spark, dir).orders)
     val latest = feed.groupBy($"k")
       .agg(max(struct($"seq", $"op", $"price")).as("m"))
       .select($"k", $"m.op".as("op"), $"m.price".as("price"))
       .filter($"op" =!= "D")
       .orderBy($"k") // |keys|-sized result: distributed range sort, not presentSorted
     latest
+  }
+
+  /** w13 — TIME TRAVEL over the CDC log: the table AS OF every version,
+    * reconstructed in ONE pass. w11 answers "what is the table NOW";
+    * lakehouse readers also need "what was it at version v" (Delta/
+    * Iceberg `VERSION AS OF` — snapshot reads for reproducible training
+    * runs, audits, incremental diffing). A version here is an op-log
+    * prefix: state@v = latest-op-wins over ops with seq ≤ v.
+    *
+    * The kernel avoids both the naive forms — running the w11 aggregate
+    * once per version (V scans of the log) and a seq-window over a
+    * per-key sort (full-log window sort): each op row is visible to
+    * versions seq..V, so ONE in-task `explode(sequence(seq, V))` fans
+    * the log out ≤V× and the same map-combined max(struct) aggregate
+    * as w11, now keyed (version, k), reconstructs ALL versions together.
+    * At 100 TB the log shuffles once; partial aggregation collapses
+    * each partition to one candidate per (version, key) before the
+    * exchange, and V is a small constant (snapshots requested), never
+    * data-sized. Deletes tombstone exactly the versions at/after their
+    * seq — key%21=0 rows exist at v1/v2 and vanish at v3. */
+  private val CdcVersions = 3
+  private def w13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = cdcFeed(Tables(spark, dir).orders)
+    feed
+      .select($"k", $"seq", $"op", $"price",
+        explode(sequence($"seq".cast("long"), lit(CdcVersions.toLong))).as("version"))
+      .groupBy($"version", $"k")
+      .agg(max(struct($"seq", $"op", $"price")).as("m"))
+      .select($"version", $"k", $"m.op".as("op"), $"m.price".as("price"))
+      .filter($"op" =!= "D")
+      .select($"version", $"k", $"price")
+      .orderBy($"version", $"k") // V·|keys| rows: distributed range sort
   }
 
   /** w8 — batch MERGE (CDC upsert): a change batch applied onto a base
@@ -396,6 +435,7 @@ object WritePath extends QueryModule {
       rollupContrib(rollupDeltaFeed(spark, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_time_travel"      -> (w13 _),
     "w12_incremental_rollup" -> (w12 _),
     "w11_cdc_apply"        -> (w11 _),
     "w10_zorder_cluster"   -> (w10 _),
@@ -430,6 +470,27 @@ object WritePath extends QueryModule {
     // the verbatim parity surface). The engine's DataFrame program
     // keeps the one-pass max(struct) kernel — same result by the
     // seq-first comparison order.
+    // w13: same feed + visibility fanout — an op at seq s is visible to
+    // versions s..V, spelled `unnest(range(seq, V+1))` (column `version`; `asof` is a reserved word in the warehouse dialect's ASOF JOIN grammar) (both engines'
+    // half-open integer range; Spark via the DialectCompat aliases).
+    // max_by over the (asof, k) groups is w11's latest-op-wins per
+    // version; seq is unique within a key, so arg-max is total.
+    "w13_time_travel" ->
+      """WITH feed AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice + 10.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |vis AS (
+        |  SELECT k, seq, op, price, unnest(range(seq, 4)) AS version FROM feed),
+        |latest AS (
+        |  SELECT version, k, max_by(op, seq) AS op, max_by(price, seq) AS price
+        |  FROM vis GROUP BY version, k)
+        |SELECT version, k, price FROM latest WHERE op <> 'D' ORDER BY version, k""".stripMargin,
     "w11_cdc_apply" ->
       """WITH feed AS (
         |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price

@@ -146,6 +146,38 @@ class GraphSpec extends AnyFunSuite {
     gotTris.foreach { case (a, b, c) => assert(a < b && b < c) }
   }
 
+  test("g6 equals a driver-side synchronous LPA replay; labels are graph nodes") {
+    // Rebuild the mutual graph from the ENGINE's own g3 output (g3 is
+    // pinned exactly against a driver recompute above), then replay the
+    // three synchronous LPA rounds with the (count desc, label asc)
+    // argmax rule and require bit-exact equality.
+    val mutual = graft.operators.Graph.queries("g3_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutual.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { n =>
+        val counts = adj(n).map(lbl).groupBy(identity).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val expected = nodes.map(n => (n, lbl(n)))
+    val got = graft.operators.Graph.queries("g6_label_prop")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+    // Every community label is itself a graph node (labels only ever
+    // copy node ids), and communities coarsen the graph: count ≤ |V|.
+    val labels = got.map(_._2).toSet
+    assert(labels.subsetOf(nodes.toSet))
+    assert(labels.size <= nodes.size)
+    // Synchronous rounds: a node's final label must be a label some
+    // neighbor held in the PREVIOUS round — verified by the replay
+    // equality above; here pin the output covers exactly the node set.
+    assert(got.map(_._1).toSeq == nodes)
+  }
+
   test("session caches stay bounded cycling fixture dirs: one dir's frames per memo, blocks released") {
     // Round-6 review measured episodic multi-second inflation on trivial
     // queries in long multi-dir sessions (ScaleUp cycles three dirs)

@@ -225,6 +225,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.size == orders.count(_._1 % 7 != 0))
   }
 
+  test("w13 time travel: each version is the op-log prefix state; v3 equals w11") {
+    import spark.implicits._
+    val got = WritePath.queries("w13_time_travel")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val orders = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    orders.foreach { case (k, price) =>
+      // v1: the freshly-inserted table — every key at its base price.
+      assert(got((1L, k)) == price, s"v1 key $k")
+      // v2: updates applied, nothing deleted yet.
+      assert(got((2L, k)) == (if (k % 3 == 0) price + 10.0 else price), s"v2 key $k")
+      // v3: deletes tombstone; survivors keep their v2 value.
+      if (k % 7 == 0) assert(!got.contains((3L, k)), s"v3 key $k should be gone")
+      else assert(got((3L, k)) == got((2L, k)), s"v3 key $k")
+    }
+    assert(got.size == 2 * orders.length + orders.count(_._1 % 7 != 0))
+    // The latest version IS w11's current state, column-for-column.
+    val w11Rows = WritePath.queries("w11_cdc_apply")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val v3 = got.collect { case ((3L, k), p) => k -> p }
+    assert(v3 == w11Rows)
+  }
+
+  test("t27 quality rules equal a driver-side recount; battery splits the corpus") {
+    import spark.implicits._
+    val stop = Set("the", "a", "of", "and", "is", "to", "in")
+    val docs = Tables(spark, dir).documents.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val freq = ws.groupBy(identity).view.mapValues(_.length).toMap
+      val nW = ws.length.toLong
+      val mwl = ws.map(_.length).sum.toDouble / nW
+      val twf = freq.values.max.toDouble / nW
+      val dwf = 1.0 - freq.size.toDouble / nW
+      val nStop = freq.keySet.count(stop).toLong
+      val rules = Seq(nW >= 40 && nW <= 100000, mwl >= 3.0 && mwl <= 10.0,
+        nStop >= 2, twf <= 0.10, dwf <= 0.60)
+      (id, nW, nStop, mwl, twf, dwf, rules(0), rules(1), rules(2), rules(3),
+        rules(4), rules.forall(identity))
+    }.sortBy(_._1)
+    val got = TextAnalysis.queries("t27_quality_rules")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))
+    assert(got.toSeq == expected.toSeq) // bit-exact, doubles included
+    // The battery must actually discriminate at fixture scale: some
+    // docs kept, some dropped, and at least two DIFFERENT rules firing.
+    val kept = got.count(_._12)
+    assert(kept > 0 && kept < got.length)
+    val firing = Seq(7, 8, 9, 10, 11).map(i => got.count(r => !r.productElement(i - 1)
+      .asInstanceOf[Boolean])).count(_ > 0)
+    assert(firing >= 2, "expected at least two distinct rules to fire")
+  }
+
   test("w8 merged snapshot equals latest-event-per-user over the full log") {
     import spark.implicits._
     val merged = WritePath.queries("w8_merge_upsert")(spark, dir)
