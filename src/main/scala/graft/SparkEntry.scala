@@ -92,7 +92,7 @@ object SparkEntry {
     "w10_zorder_cluster", "w11_cdc_apply", "w13_time_travel",
     "w12_incremental_rollup", "x5_schema_evolution", "d13_semantic_dedup",
     "x6_corrupt_tolerant", "pipe4_curation_report",
-    "pipe3_train_manifest",
+    "pipe3_train_manifest", "pipe5_data_audit", "w14_dynamic_overwrite",
     "c4_dynamic_pruning", "x3_orc_roundtrip",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",
     "d8_incremental_dedup",

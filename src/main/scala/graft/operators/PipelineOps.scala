@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** M6 (continued) — the training-data curation steps downstream of
@@ -332,6 +332,66 @@ object PipelineOps extends QueryModule {
       .orderBy($"split")
   }
 
+  /** pipe5 — the DATA-QUALITY AUDIT report (the Deequ/dbt-test class of
+    * operator): named constraint checks over the warehouse — primary-key
+    * uniqueness, two referential-integrity walks, domain/range bounds,
+    * and a derived-column consistency check — each emitted as a
+    * (check_name, metric, pass) row, where metric counts the VIOLATING
+    * rows and pass is metric = 0. A 100 TB training pipeline runs
+    * exactly this gate before any corpus snapshot ships; the report
+    * shape (named rows, red stays visible) is the point — the fixture's
+    * 122 negative account balances keep one check legitimately red so
+    * the report provably reports rather than rubber-stamps.
+    *
+    * Scale shape: one pass per audited table — each table's checks fold
+    * into ONE conditional aggregate (map-combined to a single row per
+    * task), and the two RI walks ride existing joins: lineitem→orders
+    * joins on the key it would shuffle on anyway; customer→nation
+    * broadcasts the 25-row dimension. Nothing scans twice; the report
+    * is 8 rows regardless of data size. */
+  private def pipe5(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    def report(name: String, metric: Column, src: DataFrame): DataFrame =
+      src.agg(metric.cast("long").as("metric"))
+        .select(lit(name).as("check_name"), $"metric", ($"metric" === 0L).as("pass"))
+    val liJoined = t.lineitem.select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .join(t.orders.select($"o_orderkey").distinct(),
+        $"l_orderkey" === $"o_orderkey", "left")
+    // One aggregate per table, UNPIVOTED to check rows via stack():
+    // the aggregate subtree (scan + join + conditional counts) appears
+    // in the plan exactly once per table — a per-check union of
+    // projections over the same frame would re-execute it per check.
+    val li = liJoined.agg(
+        countIf($"o_orderkey".isNull).cast("long").as("orphans"),
+        countIf($"l_quantity" < 1 || $"l_quantity" > 50).cast("long").as("qty_bad"),
+        countIf($"l_extendedprice" <= 0).cast("long").as("price_bad"))
+      .select(expr("""stack(3,
+          'lineitem_orders_ri', orphans,
+          'lineitem_qty_bounds', qty_bad,
+          'lineitem_price_positive', price_bad) AS (check_name, metric)"""))
+      .select($"check_name", $"metric", ($"metric" === 0L).as("pass"))
+    val cu = t.customer.join(broadcast(t.nation.select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey", "left")
+      .agg(
+        countIf($"n_nationkey".isNull).cast("long").as("bad_nation"),
+        countIf($"c_acctbal" < 0).cast("long").as("neg_bal"))
+      .select(expr("""stack(2,
+          'customer_nation_ri', bad_nation,
+          'customer_acctbal_nonneg', neg_bal) AS (check_name, metric)"""))
+      .select($"check_name", $"metric", ($"metric" === 0L).as("pass"))
+    report("orders_pk_unique",
+        count(lit(1)) - countDistinct($"o_orderkey"), t.orders)
+      .union(li)
+      .union(cu)
+      .union(report("events_type_domain",
+        countIf(!$"event_type".isin("click", "view", "signup", "purchase", "error")),
+        t.events))
+      .union(report("documents_nchars_consistent",
+        countIf($"n_chars" =!= length($"text")), t.documents))
+      .orderBy($"check_name")
+  }
+
   /** t26 — stratified deterministic sampling: exactly `SampleK` docs
     * per (lang, source) stratum, selected by CONTENT-KEYED rank
     * (md5(text), doc_id) — t10's content-keyed-split principle applied
@@ -362,6 +422,7 @@ object PipelineOps extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe5_data_audit"      -> (pipe5 _),
     "pipe4_curation_report" -> (pipe4 _),
     "t29_cdc_chunks"        -> (t29 _),
     "t28_mixture_resample"  -> (t28 _),
@@ -377,6 +438,39 @@ object PipelineOps extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // pipe5: the same per-table conditional aggregates, unpivoted via
+    // UNION ALL selects off the one-row CTEs (the oracle states the
+    // report, not the plan); count FILTER spells identically in both
+    // engines, casts because DuckDB widens aggregates.
+    "pipe5_data_audit" ->
+      """WITH li AS (
+        |  SELECT CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS orphans,
+        |         CAST(count(*) FILTER (WHERE l.l_quantity < 1 OR l.l_quantity > 50) AS BIGINT) AS qty_bad,
+        |         CAST(count(*) FILTER (WHERE l.l_extendedprice <= 0) AS BIGINT) AS price_bad
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |cu AS (
+        |  SELECT CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT) AS bad_nation,
+        |         CAST(count(*) FILTER (WHERE c.c_acctbal < 0) AS BIGINT) AS neg_bal
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |checks AS (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS metric
+        |  FROM orders
+        |  UNION ALL SELECT 'lineitem_orders_ri', orphans FROM li
+        |  UNION ALL SELECT 'lineitem_qty_bounds', qty_bad FROM li
+        |  UNION ALL SELECT 'lineitem_price_positive', price_bad FROM li
+        |  UNION ALL SELECT 'customer_nation_ri', bad_nation FROM cu
+        |  UNION ALL SELECT 'customer_acctbal_nonneg', neg_bal FROM cu
+        |  UNION ALL SELECT 'events_type_domain',
+        |    CAST(count(*) FILTER (WHERE event_type NOT IN
+        |      ('click', 'view', 'signup', 'purchase', 'error')) AS BIGINT)
+        |  FROM events
+        |  UNION ALL SELECT 'documents_nchars_consistent',
+        |    CAST(count(*) FILTER (WHERE n_chars <> len(text)) AS BIGINT)
+        |  FROM documents)
+        |SELECT check_name, metric, (metric = 0) AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
     // pipe4: d13's shared CTE chain (Similarity.d13SqlCte) + the
     // full-corpus dedup rank + the token gate, folded into one
     // summary row. Shared dialect: parity-surface member.

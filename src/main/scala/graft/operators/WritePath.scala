@@ -183,6 +183,45 @@ object WritePath extends QueryModule {
       .orderBy($"version", $"k") // V·|keys| rows: distributed range sort
   }
 
+  /** w14 — DYNAMIC partition overwrite: the idempotent daily-reprocess
+    * pattern (rewrite exactly the partitions present in the incoming
+    * frame, leave every other partition untouched — Hive's
+    * `INSERT OVERWRITE` dynamic mode, the pre-ACID lakehouse
+    * workhorse). The base corpus is laid out partitioned by lang (w7's
+    * layout); a revised English slice (every en doc re-suffixed
+    * ' en-v2') is then written with mode=overwrite under
+    * partitionOverwriteMode=dynamic: only lang=en's directory is
+    * replaced. STATIC mode would have dropped the four other
+    * languages — the read-back aggregate proves they survived with
+    * byte-identical content, which is the semantics under test; the
+    * oracle states the expected post-overwrite state directly
+    * (en text 6 chars longer, everything else unchanged).
+    *
+    * Scale: a day's reprocess costs O(|that partition|), not
+    * O(|table|) — the write plans only the incoming frame, touched
+    * directories swap atomically per partition, readers of other
+    * partitions never block. The conf flips inside a try/finally so
+    * the session default is restored whatever happens. */
+  private def w14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w14_dynover"
+    val docs = Tables(spark, dir).documents.select($"doc_id", $"text", $"lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf, "STATIC")
+    try {
+      spark.conf.set(conf, "dynamic")
+      docs.filter($"lang" === "en")
+        .withColumn("text", concat($"text", lit(" en-v2")))
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+    } finally spark.conf.set(conf, prev)
+    spark.read.parquet(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"text")).as("total_chars"))
+      .orderBy($"lang")
+  }
+
   /** w8 — batch MERGE (CDC upsert): a change batch applied onto a base
     * snapshot, updates-win-by-recency. Base = latest state per user
     * before the cutoff; changes = events at/after it, reduced to latest
@@ -435,6 +474,7 @@ object WritePath extends QueryModule {
       rollupContrib(rollupDeltaFeed(spark, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w14_dynamic_overwrite" -> (w14 _),
     "w13_time_travel"      -> (w13 _),
     "w12_incremental_rollup" -> (w12 _),
     "w11_cdc_apply"        -> (w11 _),
@@ -470,6 +510,16 @@ object WritePath extends QueryModule {
     // the verbatim parity surface). The engine's DataFrame program
     // keeps the one-pass max(struct) kernel — same result by the
     // seq-first comparison order.
+    // w14: the oracle states the post-overwrite table directly — en
+    // docs 6 chars longer (' en-v2'), every other partition untouched.
+    // If dynamic overwrite had clobbered sibling partitions (static
+    // semantics) the row set itself would differ, so the hash gate IS
+    // the isolation proof. sum(len) stays in BIGINT — exact.
+    "w14_dynamic_overwrite" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN lang = 'en' THEN len(text) + 6
+        |                     ELSE len(text) END) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // w13: same feed + visibility fanout — an op at seq s is visible to
     // versions s..V, spelled `unnest(range(seq, V+1))` (column `version`; `asof` is a reserved word in the warehouse dialect's ASOF JOIN grammar) (both engines'
     // half-open integer range; Spark via the DialectCompat aliases).

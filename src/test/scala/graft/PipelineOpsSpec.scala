@@ -281,6 +281,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(firing >= 2, "expected at least two distinct rules to fire")
   }
 
+  test("pipe5 audit: metrics equal driver-side recounts; the red check is real") {
+    import spark.implicits._
+    val got = PipelineOps.queries("pipe5_data_audit")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.keySet == Set("orders_pk_unique", "lineitem_orders_ri",
+      "lineitem_qty_bounds", "lineitem_price_positive", "customer_nation_ri",
+      "customer_acctbal_nonneg", "events_type_domain", "documents_nchars_consistent"))
+    // pass is DERIVED from the metric, never asserted independently.
+    got.values.foreach { case (m, p) => assert(p == (m == 0L)) }
+    val t = Tables(spark, dir)
+    // The fixture's negative balances keep one check legitimately red —
+    // the report must show a failure, not rubber-stamp.
+    val negBal = t.customer.filter($"c_acctbal" < 0).count()
+    assert(negBal > 0)
+    assert(got("customer_acctbal_nonneg") == ((negBal, false)))
+    val orders = t.orders.select($"o_orderkey").collect().map(_.getLong(0))
+    assert(got("orders_pk_unique")._1 == orders.length - orders.distinct.length)
+    val okeys = orders.toSet
+    val orphans = t.lineitem.select($"l_orderkey").collect()
+      .map(_.getLong(0)).count(!okeys(_))
+    assert(got("lineitem_orders_ri")._1 == orphans)
+    val qtyBad = t.lineitem.filter($"l_quantity" < 1 || $"l_quantity" > 50).count()
+    assert(got("lineitem_qty_bounds")._1 == qtyBad)
+  }
+
+  test("w14 dynamic overwrite rewrites ONLY the en partition; siblings byte-identical") {
+    import spark.implicits._
+    val got = WritePath.queries("w14_dynamic_overwrite")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables(spark, dir).documents.select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val exp = docs.groupBy(_._1).map { case (l, rs) =>
+      l -> ((rs.length.toLong,
+        rs.map(_._2.length.toLong + (if (l == "en") 6L else 0L)).sum))
+    }
+    assert(got == exp)
+    // Physical isolation: the store's non-en partitions carry the
+    // ORIGINAL rows (dynamic overwrite never touched their dirs); en
+    // carries exactly the suffixed rewrite.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w14_dynover"
+    val store = spark.read.parquet(out)
+      .select($"doc_id", $"text", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val orig = Tables(spark, dir).documents
+      .select($"doc_id", $"text", $"lang").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(store.length == orig.size)
+    store.foreach { case (id, text, lang) =>
+      val (t0, l0) = orig(id)
+      assert(lang == l0)
+      assert(text == (if (lang == "en") t0 + " en-v2" else t0), s"doc $id")
+    }
+  }
+
   test("w8 merged snapshot equals latest-event-per-user over the full log") {
     import spark.implicits._
     val merged = WritePath.queries("w8_merge_upsert")(spark, dir)
