@@ -88,7 +88,7 @@ object SparkEntry {
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
     "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
-    "g5_cheapest_path", "g6_label_prop", "t27_quality_rules",
+    "g5_cheapest_path", "g6_label_prop", "g7_kcore", "t27_quality_rules",
     "w10_zorder_cluster", "w11_cdc_apply", "w13_time_travel",
     "w12_incremental_rollup", "x5_schema_evolution", "d13_semantic_dedup",
     "x6_corrupt_tolerant", "pipe4_curation_report",

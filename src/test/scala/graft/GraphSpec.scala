@@ -178,6 +178,36 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == nodes)
   }
 
+  test("g7 equals a driver-side peel replay; PeelRounds reaches the true fixpoint") {
+    val mutual = graft.operators.Graph.queries("g3_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = mutual.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    // Replay the peel to its TRUE fixpoint (unbounded rounds)…
+    var alive = nodes
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = alive.filter(v => (adj(v) & alive).size >= 2)
+      changed = next != alive
+      if (changed) rounds += 1
+      alive = next
+    }
+    // …and require the engine's fixed 4 rounds to have reached it:
+    // the spare round is the convergence margin, so rounds < 4.
+    assert(rounds < 4, s"fixture needs $rounds peel rounds; raise PeelRounds")
+    val expected = nodes.toSeq.sorted.map(n => (n, alive(n)))
+    val got = graft.operators.Graph.queries("g7_kcore")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(got.toSeq == expected)
+    // Core members induce min-degree >= 2 (the k-core definition) and
+    // non-members were genuinely peelable at their drop time — the
+    // replay equality covers the latter; pin the former on the output.
+    val core = got.filter(_._2).map(_._1).toSet
+    core.foreach(v => assert((adj(v) & core).size >= 2, s"node $v"))
+  }
+
   test("session caches stay bounded cycling fixture dirs: one dir's frames per memo, blocks released") {
     // Round-6 review measured episodic multi-second inflation on trivial
     // queries in long multi-dir sessions (ScaleUp cycles three dirs)
