@@ -75,6 +75,7 @@ object SparkEntry {
     "s1_ann_bruteforce_topk", "s2_embedding_near_dup", "s7_ann_quantized",
     "m1_media_catalog", "m2_media_features", "m3_frame_sample",
     "m4_frame_stats", "m5_storage_budget", "m6_perceptual_neardup",
+    "m7_audio_features",
     "t4_fingerprint", "t12_bigram_top",
     "t13_repetition_ratio", "t23_bigram_logprob", "t14_decontamination",
     "d3_dedup_ngram_jaccard", "d4_dedup_minhash_lsh", "d9_block_dedup",

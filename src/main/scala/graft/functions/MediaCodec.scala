@@ -345,6 +345,44 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Full PCM decode of a WAV container: (channels, interleaved SIGNED
+    * 16-bit samples from the data chunk, whole frames only) — the audio
+    * twin of [[decodeImagePixels]]: not header metadata but the actual
+    * sample stream, read by walking the RIFF chunks and refusing
+    * non-WAV containers, non-PCM16 encodings (format code ≠ 1 or bit
+    * depth ≠ 16), and corrupt/truncated size fields. */
+  def decodePcm16(b: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var i = 12
+    var channels, bits, fmtCode = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(b, i); val sz = le32(b, i + 4)
+      if (sz < 0 || sz > b.length) return None // corrupt size field
+      id match {
+        case "fmt " if i + 8 + 16 <= b.length =>
+          fmtCode = le16(b, i + 8)
+          channels = le16(b, i + 10)
+          bits = le16(b, i + 22)
+        case "data" => dataOff = i + 8; dataLen = sz.toInt
+        case _ => ()
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || bits != 16 || channels <= 0 || dataOff < 0) return None
+    if (dataOff + dataLen > b.length) return None
+    val block = 2 * channels
+    val n = (dataLen - dataLen % block) / 2
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      val off = dataOff + 2 * j
+      out(j) = ((b(off) & 0xff) | (b(off + 1) << 8)).toShort
+      j += 1
+    }
+    Some((channels, out))
+  }
+
   /** Canonical 44-byte-header PCM16 WAV; data truncated to a whole
     * number of sample frames (blockAlign = 2*channels). */
   def wavPcm16(channels: Int, sampleRate: Int, data: Array[Byte]): Array[Byte] = {

@@ -261,7 +261,66 @@ object Multimodal extends QueryModule {
     Dedup.bandedHammingPairs(spark, m6Hashes(spark, dir),
       chunkBits = 15, nChunks = 4, maxHamming = 3)
 
+  /** Per-channel audio statistics row (m7). */
+  final case class AudioFeatures(
+    doc_id: Long, channel: Long, n_samples: Long, peak: Long, energy: Long)
+
+  /** m7 — audio feature extraction over REAL decoded PCM: the audio
+    * twin of m6's pixel path. Each audio doc's payload is wrapped in
+    * the same canonical PCM16 WAV m2 writes (channel count and sample
+    * rate from the fixed doc_id formulas), then
+    * [[graft.functions.MediaCodec.decodePcm16]] parses the container
+    * BYTES back into the interleaved signed sample stream, and the
+    * per-CHANNEL statistics — frame count, peak amplitude, total
+    * energy Σs² — are folded in-task. De-interleaving uses the channel
+    * count THE PARSER read from the fmt chunk, so a mis-written or
+    * mis-parsed header scrambles every stereo doc's channels and the
+    * hash gate fails: the oracle recomputes each sample independently
+    * from the text bytes (sample i = byte(2i) + 256·byte(2i+1),
+    * channel = i mod ch — ASCII corpus keeps every sample < 2¹⁵, so
+    * signed and unsigned readings agree) and aggregates per (doc,
+    * channel). Energy stays exact in BIGINT (samples < 2¹⁵, docs are
+    * KB-scale: Σs² ≪ 2⁶³).
+    *
+    * Scale shape: mapPartitions batches like m2 — one task per input
+    * partition, payloads never shuffle, output is |docs|·ch rows of
+    * five integers. At 100 TB this is the audio-shard profiling pass
+    * (loudness/clipping screens) that runs at scan speed. */
+  private def m7(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MediaCodec
+    val audio = Tables(spark, dir).documents
+      .filter($"doc_id" % 3 === 1)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    audio.mapPartitions { rows =>
+      rows.grouped(32).flatMap { batch =>
+        batch.flatMap { case (id, data) =>
+          val v = (id / 3) % 2
+          val ch = (1 + id % 2).toInt
+          val rate = if (v == 0) 8000 else 16000
+          val container = MediaCodec.wavPcm16(ch, rate, data)
+          val (pch, samples) = MediaCodec.decodePcm16(container)
+            .getOrElse(sys.error(s"undecodable WAV for doc $id"))
+          (0 until pch).map { c =>
+            var n = 0L; var peak = 0L; var energy = 0L
+            var i = c
+            while (i < samples.length) {
+              val s = samples(i).toLong
+              n += 1
+              if (s > peak) peak = s
+              energy += s * s
+              i += pch
+            }
+            AudioFeatures(id, c.toLong, n, peak, energy)
+          }
+        }
+      }
+    }.toDF().orderBy($"doc_id", $"channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_audio_features"   -> (m7 _),
     "m6_perceptual_neardup" -> (m6 _),
     "m5_storage_budget"   -> (m5 _),
     "m1_media_catalog"    -> (m1 _),
@@ -270,6 +329,32 @@ object Multimodal extends QueryModule {
     "m4_frame_stats"      -> (m4 _))
 
   val oracles: Map[String, String] = Map(
+    // m7: every PCM sample recomputed from the raw text bytes —
+    // sample i = byte(2i) + 256·byte(2i+1) over the whole-frame prefix
+    // (the writer truncates to blockAlign), channel = i mod ch — then
+    // aggregated per (doc, channel). The ENGINE must reach the same
+    // numbers by writing and then PARSING real WAV container bytes.
+    "m7_audio_features" ->
+      """WITH audio AS (
+        |  SELECT doc_id, text,
+        |         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |idx AS (
+        |  SELECT doc_id, text, ch,
+        |         unnest(range(0, divide(nb - nb % (2 * ch), 2))) AS i
+        |  FROM audio),
+        |samp AS (
+        |  SELECT doc_id, i % ch AS channel,
+        |         ascii(substr(text, CAST(2 * i + 1 AS INTEGER), 1))
+        |           + 256 * ascii(substr(text, CAST(2 * i + 2 AS INTEGER), 1)) AS v
+        |  FROM idx)
+        |SELECT doc_id, channel,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(max(v) AS BIGINT) AS peak,
+        |       CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM samp GROUP BY doc_id, channel
+        |ORDER BY doc_id, channel""".stripMargin,
     // m6: the writer's pixel-fill formulas (gray src[(y·w+x) mod L],
     // blue src[((y·w+x)·3) mod L]) let the oracle recompute all 60
     // grid samples with ascii/substr (ASCII corpus: char index ==

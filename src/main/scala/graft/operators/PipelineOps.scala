@@ -343,12 +343,14 @@ object PipelineOps extends QueryModule {
     * 122 negative account balances keep one check legitimately red so
     * the report provably reports rather than rubber-stamps.
     *
-    * Scale shape: one pass per audited table — each table's checks fold
-    * into ONE conditional aggregate (map-combined to a single row per
-    * task), and the two RI walks ride existing joins: lineitem→orders
+    * Scale shape: each audited table's own checks fold into ONE
+    * conditional aggregate (map-combined to a single row per task),
+    * unpivoted via stack() so the aggregate subtree appears in the plan
+    * once per table. The two RI walks additionally read the REFERENCED
+    * table's key column (a pruned one-column scan): lineitem→orders
     * joins on the key it would shuffle on anyway; customer→nation
-    * broadcasts the 25-row dimension. Nothing scans twice; the report
-    * is 8 rows regardless of data size. */
+    * broadcasts the 25-row dimension. The report is 8 rows regardless
+    * of data size. */
   private def pipe5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)

@@ -88,6 +88,44 @@ class MediaCodecSpec extends AnyFunSuite {
       nFrames = Some(253L), durationMs = Some(253L * 1000 / rate)))
   }
 
+  test("decodePcm16 round-trips wavPcm16 sample-exact; AudioSystem referees the stream") {
+    // Mono and stereo, with a payload whose tail is truncated to whole
+    // frames by the writer (1013 bytes: mono keeps 506 samples, stereo
+    // 253 frames x 2).
+    for (ch <- Seq(1, 2)) {
+      val wav = MediaCodec.wavPcm16(ch, 8000, src)
+      val (pch, samples) = MediaCodec.decodePcm16(wav).get
+      assert(pch == ch)
+      val kept = src.length - src.length % (2 * ch)
+      assert(samples.length == kept / 2)
+      // Expected samples straight from the payload bytes (LE signed).
+      val expected = (0 until kept / 2).map(i =>
+        ((src(2 * i) & 0xff) | (src(2 * i + 1) << 8)).toShort)
+      assert(samples.toSeq == expected)
+      // Referee: the JDK's own RIFF reader yields the identical PCM
+      // byte stream.
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val ref = ais.readAllBytes()
+      assert(ref.length == kept)
+      val refSamples = (0 until kept / 2).map(i =>
+        ((ref(2 * i) & 0xff) | (ref(2 * i + 1) << 8)).toShort)
+      assert(samples.toSeq == refSamples)
+    }
+  }
+
+  test("decodePcm16 refuses garbage, truncation, and foreign containers") {
+    assert(MediaCodec.decodePcm16("definitely not audio bytes".getBytes).isEmpty)
+    val wav = MediaCodec.wavPcm16(2, 8000, src)
+    assert(MediaCodec.decodePcm16(wav.take(30)).isEmpty) // truncated mid-header
+    // A size field pointing past the buffer must refuse, not crash.
+    val corrupt = wav.clone()
+    corrupt(42) = 0x7f.toByte // blow up the data chunk length
+    assert(MediaCodec.decodePcm16(corrupt).isEmpty)
+    // Foreign container: a PNG is not audio.
+    assert(MediaCodec.decodePcm16(MediaCodec.pngGray(8, 8, src)).isEmpty)
+  }
+
   test("decode parses a JPEG the JDK encoded (SOF segment walk)") {
     val img = new java.awt.image.BufferedImage(200, 150,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
