@@ -362,7 +362,45 @@ object Events extends QueryModule {
     presentSorted(out, $"first_touch", $"last_touch")
   }
 
+  /** e15 — trailing-window anomaly detection over the daily event
+    * series: flag a day whose count deviates from its trailing 7-day
+    * baseline by more than 2 sample standard deviations — the ops
+    * monitor every event pipeline runs (drop = ingestion outage, spike
+    * = bot flood or replay).
+    *
+    * Determinism discipline (the g1/t18 signature move): the z-test is
+    * ALGEBRAICALLY CLEARED OF DIVISION — with k=7 baseline days,
+    * S=Σn, Q=Σn², flag ⟺ (k−1)·(k·x−S)² > 4·k·(k·Q−S²) — so the whole
+    * detector is BIGINT comparisons; no float exists for engines to
+    * disagree on, and the oracle states the identical inequality. Days
+    * without a full 7-day history never flag (k=7 guard; three-valued
+    * logic keeps the first days' NULL window sums harmlessly false).
+    *
+    * Scale: the daily rollup is one map-combined aggregate; the window
+    * runs over |days| rows (~30 here) — a single-task sort, correct at
+    * any corpus size because the SERIES length, not the event volume,
+    * bounds it. Multi-tenant deployments add the tenant key to both
+    * the groupBy and the window partition; counts near 2³¹/k per day
+    * would widen the cleared inequality to DECIMAL. */
+  private def e15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables(spark, dir).events
+      .groupBy(date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy($"day").rowsBetween(-7, -1)
+    val kx = lit(7) * $"n_events" - $"s"
+    daily
+      .withColumn("s", sum($"n_events").over(w))
+      .withColumn("q", sum($"n_events" * $"n_events").over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select($"day", $"n_events", $"k".as("base_days"),
+        ($"k" === 7 && lit(6) * kx * kx > lit(28) * (lit(7) * $"q" - $"s" * $"s"))
+          .as("is_anomaly"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_count_anomaly" -> (e15 _),
     "e14_attribution"      -> (e14 _),
     "e13_dau_wau"          -> (e13 _),
     "e12_transition_matrix" -> (e12 _),
@@ -392,6 +430,26 @@ object Events extends QueryModule {
     // parity surface. epoch_us(ts) = Spark's unix_micros under the UTC
     // session. The engine's DataFrame program keeps the typed
     // min/max(struct) kernel — same total order, same result.
+    // e15: identical division-free inequality over identical window
+    // frames; the casts keep DuckDB's widened sums at BIGINT.
+    "e15_count_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, n_events,
+        |    CAST(sum(n_events) OVER
+        |      (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) OVER
+        |      (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS q,
+        |    CAST(count(*) OVER
+        |      (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS k
+        |  FROM daily)
+        |SELECT day, n_events, k AS base_days,
+        |       (k = 7 AND 6 * (7 * n_events - s) * (7 * n_events - s)
+        |          > 28 * (7 * q - s * s)) AS is_anomaly
+        |FROM w ORDER BY day""".stripMargin,
     "e14_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events),

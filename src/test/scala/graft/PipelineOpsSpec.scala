@@ -428,6 +428,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e15 anomaly flags equal a float z-score recompute; short-history days never flag") {
+    import graft.operators.Events
+    val got = Events.queries("e15_count_anomaly")(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // Driver replay in plain floating point: the cleared-of-division
+    // BIGINT inequality must agree with the textbook z > 2 test
+    // (strict inequality on both sides, exact integer moments).
+    val series = got.map { case (d, n, _, _) => (d, n) }.sortBy(_._1)
+    series.zipWithIndex.foreach { case ((d, n), i) =>
+      val base = series.slice(math.max(0, i - 7), i).map(_._2)
+      val expected =
+        if (base.length < 7) false
+        else {
+          val mu = base.sum.toDouble / 7
+          val s2 = base.map(x => (x - mu) * (x - mu)).sum / 6.0
+          (n - mu) * (n - mu) > 4.0 * s2
+        }
+      val row = got.find(_._1 == d).get
+      assert(row._4 == expected, s"day $d")
+      assert(row._3 == base.length.toLong)
+    }
+    // The fixture keeps the detector discriminative at this SF.
+    assert(got.count(_._4) > 0, "expected at least one flagged day")
+    assert(got.exists(!_._4))
+  }
+
   test("e10 outliers all exceed 3 sigma and match a stddev_samp recompute") {
     import spark.implicits._
     val out = graft.operators.Events.queries("e10_zscore_outliers")(spark, dir)
