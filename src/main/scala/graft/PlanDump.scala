@@ -68,7 +68,15 @@ object PlanDump {
     "t28_mixture_resample" -> "mixture apply-step: |sources|-row factor frame broadcast, one corpus map pass, content-keyed fractional epochs (r7)",
     "m6_perceptual_neardup" -> "visual dedup: real PNG/BMP pixel decode in mapPartitions, 60-bit grid aHash, banded Hamming pairing — no corpus self-join (r7)",
     "j11_interval_overlap" -> "fact x fact interval join as an EQUI-join on 7-day grid cells; each pair claimed once by its overlap-start cell (r7)",
-    "pipe4_curation_report" -> "composite curation decision: full-corpus dedup rank + d13's served verdict artifact + token gate, one summary aggregate (r7)")
+    "pipe4_curation_report" -> "composite curation decision: full-corpus dedup rank + d13's served verdict artifact + token gate, one summary aggregate (r7)",
+    "g6_label_prop"       -> "synchronous LPA communities: per round one label-edge join + count + max(struct) argmax, all frames |V|-bounded (r7)",
+    "g7_kcore"            -> "k-core peel in EDGE form: two window degree counts per round, single-reference linear chain (node form would unroll 2^R) (r7)",
+    "t27_quality_rules"   -> "Gopher rule battery: one (doc,word) frequency-profile aggregate, exchanges carry profiles, never the token stream (r7)",
+    "w13_time_travel"     -> "AS-OF reads over the CDC log: in-task visibility fanout + ONE map-combined latest-op-wins keyed (version, key) (r7)",
+    "w14_dynamic_overwrite" -> "dynamic partition overwrite: the en slice rewrite plans only the incoming frame; sibling partitions untouched (r7)",
+    "pipe5_data_audit"    -> "constraint report: per-table conditional aggregates unpivoted via stack(); RI walks ride existing joins (r7)",
+    "m7_audio_features"   -> "real WAV PCM decode in mapPartitions: per-channel peak/energy folded in-task, payloads never shuffle (r7)",
+    "e15_count_anomaly"   -> "trailing-window z-test cleared of division: BIGINT moments over ROWS BETWEEN frames, no float anywhere (r7)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

@@ -254,6 +254,45 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe5 audit: each audited table's aggregate subtree appears ONCE in the plan") {
+    // The stack() unpivot exists so the report never re-executes a
+    // table's conditional aggregate per check: lineitem (3 checks) and
+    // customer (2 checks) must each scan once. Orders legitimately
+    // appears twice — once as the audited PK-check table, once as the
+    // RI reference key column (stated in the scaladoc).
+    val p = plan(PipelineOps.queries("pipe5_data_audit")(spark, dir))
+    def scans(table: String): Int =
+      ("(?m)Location.*" + table + "\\.parquet").r.findAllIn(p).length
+    assert(scans("lineitem") == 1, s"lineitem scanned ${scans("lineitem")}x\n" + p)
+    assert(scans("customer") == 1, s"customer scanned ${scans("customer")}x\n" + p)
+    assert(scans("orders") <= 2, s"orders scanned ${scans("orders")}x\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w13 time travel: one aggregate reconstructs ALL versions; the log scans once") {
+    // The in-task visibility fanout means V versions never cost V log
+    // scans: exactly one orders scan per feed leg (3) and ONE
+    // HashAggregate pair keyed (version, k) — no window, no self-join.
+    val p = plan(WritePath.queries("w13_time_travel")(spark, dir))
+    val scans = "(?m)Location.*orders\\.parquet".r.findAllIn(p).length
+    assert(scans == 3, s"expected the 3 feed legs only, got $scans scans\n" + p)
+    assert(p.contains("Generate") && p.contains("explode"),
+      "visibility fanout must be in-task\n" + p)
+    assert(!p.contains("Window"), "no per-key window sort\n" + p)
+  }
+
+  test("g7 k-core: the edge-form unroll stays LINEAR (one mutual-graph build)") {
+    // The node form would inline the peel chain 2^R times; the edge
+    // form references each round once, so the whole optimized plan
+    // contains exactly one lineitem scan (via the checkpointed mutual
+    // frames' build — or zero once memoized) and window counts per
+    // round, never a multiplied join cascade.
+    val p = plan(Graph.queries("g7_kcore")(spark, dir))
+    val liScans = "(?m)Location.*lineitem\\.parquet".r.findAllIn(p).length
+    assert(liScans <= 1, s"edge chain re-expanded: $liScans lineitem scans\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s6 reads the persisted ANN index with bucket pruning engaged") {
     // The serving path's whole point: the IN-filter on the single
     // flattened bucket column prunes the file scan to the storage
