@@ -78,6 +78,42 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s13 — FILTERED vector search: exact cosine top-10 among corpus
+    * vectors satisfying a per-query metadata predicate (here: sharing
+    * the query's label — "search within my category"). The canonical
+    * hard problem of production vector stores: post-filtering (rank
+    * globally, then filter) silently loses recall when the predicate
+    * is selective, and a naive pre-filter rescans the corpus per
+    * query. The scale-correct form makes THE PREDICATE THE JOIN KEY:
+    * queries broadcast and equi-join the corpus on `label`, so each
+    * query's search space is its label partition (|corpus|/|labels|
+    * rows) by plan construction — a BroadcastHashJoin on the metadata
+    * key, not a filtered cartesian — and recall within the predicate
+    * is exactly 1 because ranking happens after the cut. At 100 TB
+    * the same plan rides a label-partitioned corpus layout (partition
+    * pruning replaces the join's build side); composing with the LSH/
+    * IVF tiers means bucketing WITHIN label partitions (s6's layout,
+    * one level down). Determinism: s1's rounding + (sim desc, id)
+    * total order. */
+  private def s13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+      .join(Tables(spark, dir).embeddings.select($"vec_id", $"label"), "vec_id")
+    val q = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"embedding".as("qe"), $"nrm".as("qn"))
+    val sims = c.join(broadcast(q),
+        $"label" === $"qlabel" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"label",
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id", $"label", $"sim_r")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** s2 spec form — all near-dup pairs by cosine ≥ τ as a declarative
     * self-join. Kept as the readable specification and the unit-test
     * reference; the shipped `s2` below computes the identical result
@@ -880,6 +916,7 @@ object Similarity extends QueryModule {
     "s8_kmeans_iteration"    -> (s8 _),
     "s7_ann_quantized"       -> (s7 _),
     "s1_ann_bruteforce_topk" -> (s1 _),
+    "s13_filtered_ann"       -> (s13 _),
     "s2_embedding_near_dup"  -> (s2 _),
     "s3_ann_lsh_bucketed"    -> (s3 _),
     "s4_ann_ivf"             -> (s4 _),
@@ -1133,6 +1170,24 @@ object Similarity extends QueryModule {
         |         round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS sim_r
         |  FROM q JOIN n c ON c.vec_id <> q.query_id)
         |SELECT query_id, rank, neighbor_id, sim_r FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY sim_r DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s13: s1's oracle with the metadata predicate as the join key —
+    // recall within the predicate is 1 by construction on both sides.
+    "s13_filtered_ann" ->
+      """WITH v AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, nrm AS qn
+        |      FROM n WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+        |         round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS sim_r
+        |  FROM q JOIN n c ON c.label = q.qlabel AND c.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, label, sim_r FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |                               ORDER BY sim_r DESC, neighbor_id) AS rank
         |  FROM sims)

@@ -322,6 +322,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s13 filtered ANN: predicate exact, recall 1 within it, post-filtering would lose most of it") {
+    val got = Similarity.queries("s13_filtered_ann")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val labels = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // (a) The predicate is exact: every neighbor shares its query's label.
+    got.foreach { case (q, _, nb, lbl, _) =>
+      assert(lbl == labels(q) && labels(nb) == labels(q), s"query $q neighbor $nb")
+    }
+    // (b) Recall 1 within the predicate: per query, the result is the
+    // label-restricted slice of a FULL exact ranking (driver recompute
+    // via the unfiltered s1-style scores is overkill — instead check
+    // ranks are 1..k dense and sims non-increasing, and that the
+    // neighbor set equals the top-k of the label slice computed from
+    // s2-style exact sims is covered by the DuckDB oracle gate).
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"query $q ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5, s"query $q sim order")
+        case _ => ()
+      }
+    }
+    // (c) The operator's reason to exist: post-filtering a GLOBAL
+    // top-10 would MISS most of these results (the filtered winners
+    // rank far below global rank 10 when the predicate is selective).
+    val globalTop = Similarity.queries("s1_ann_bruteforce_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val missed = got.count { case (q, _, nb, _, _) => !globalTop((q, nb)) }
+    assert(missed > got.length / 2,
+      s"expected a real recall gap, post-filter would find all but $missed")
+  }
+
   test("s6 persistent-index ANN serves the EXACT s3 result from the bucketed table") {
     // Same SRP family, same candidate semantics (union of bucket
     // matches over 8 tables, dedup, exact re-rank): the served path
