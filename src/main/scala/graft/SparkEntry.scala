@@ -92,6 +92,7 @@ object SparkEntry {
     "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
     "g5_cheapest_path", "g6_label_prop", "g7_kcore", "t27_quality_rules",
     "w10_zorder_cluster", "w11_cdc_apply", "w13_time_travel",
+    "w15_expectations",
     "w12_incremental_rollup", "x5_schema_evolution", "d13_semantic_dedup",
     "x6_corrupt_tolerant", "pipe4_curation_report",
     "pipe3_train_manifest", "pipe5_data_audit", "w14_dynamic_overwrite",

@@ -222,6 +222,56 @@ object WritePath extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** w15 — EXPECTATIONS: constraint-enforced write with quarantine
+    * routing (the Delta-Live-Tables/dbt-contract write-side pattern).
+    * pipe5 REPORTS violations after the fact; x6 quarantines torn
+    * bytes at READ time; w15 is the third leg — a write sink that
+    * routes each incoming row by named data contracts: rows passing
+    * every expectation land in the store, violators land in a
+    * quarantine table carrying the FIRST violated rule (fixed
+    * precedence, so routing is deterministic), and one bad row never
+    * fails the batch. The dirty feed is synthesized deterministically
+    * (event_id ≡0 mod 11 → negated-shifted value; ≡0 mod 13 → unknown
+    * event type; ≡0 mod 143 → both, proving precedence), both
+    * destinations are REALLY written as parquet, and the output
+    * aggregates the READ-BACK rows — the oracle restates the routing
+    * directly, so the hash gate proves the round-trip loses and
+    * duplicates nothing.
+    *
+    * Scale: routing is a per-row CASE (map-side, zero shuffle before
+    * the sinks); each destination write is an append-only partitioned
+    * job; the summary is one map-combined aggregate per side. At
+    * 100 TB the quarantine stays small (violations are rare) and the
+    * store write is the same job it would be without expectations —
+    * the contract costs one codegen'd projection. */
+  private def w15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_w15_expect"
+    val domain = Seq("click", "view", "signup", "purchase", "error")
+    val raw = Tables(spark, dir).events
+      .select($"event_id", $"user_id",
+        when($"event_id" % 13 === 0, concat(lit("unknown_"), $"event_type"))
+          .otherwise($"event_type").as("event_type"),
+        when($"event_id" % 11 === 0, -$"value" - 1.0)
+          .otherwise($"value").as("value"))
+    val routed = raw.withColumn("rule",
+      when($"value".isNull || $"value" < 0, "value_range")
+        .when(!$"event_type".isin(domain.map(x => x: Any): _*), "type_domain")
+        .otherwise("ok"))
+    routed.filter($"rule" === "ok")
+      .write.mode("overwrite").parquet(s"$base/store")
+    routed.filter($"rule" =!= "ok")
+      .write.mode("overwrite").parquet(s"$base/quarantine")
+    val store = spark.read.parquet(s"$base/store")
+      .select(lit("store").as("destination"), $"rule", $"value")
+    val quarantine = spark.read.parquet(s"$base/quarantine")
+      .select(lit("quarantine").as("destination"), $"rule", $"value")
+    store.union(quarantine)
+      .groupBy($"destination", $"rule")
+      .agg(count(lit(1)).as("n_rows"), dsum($"value").as("value_sum"))
+      .orderBy($"destination", $"rule")
+  }
+
   /** w8 — batch MERGE (CDC upsert): a change batch applied onto a base
     * snapshot, updates-win-by-recency. Base = latest state per user
     * before the cutoff; changes = events at/after it, reduced to latest
@@ -474,6 +524,7 @@ object WritePath extends QueryModule {
       rollupContrib(rollupDeltaFeed(spark, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_expectations"     -> (w15 _),
     "w14_dynamic_overwrite" -> (w14 _),
     "w13_time_travel"      -> (w13 _),
     "w12_incremental_rollup" -> (w12 _),
@@ -510,6 +561,30 @@ object WritePath extends QueryModule {
     // the verbatim parity surface). The engine's DataFrame program
     // keeps the one-pass max(struct) kernel — same result by the
     // seq-first comparison order.
+    // w15: the oracle restates the routing rules directly over events —
+    // same corruption synthesis, same precedence CASE — so the engine's
+    // write→read-back round trip must conserve every row and value.
+    "w15_expectations" ->
+      s"""WITH raw AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_id % 13 = 0 THEN 'unknown_' || event_type
+         |              ELSE event_type END AS event_type,
+         |         CASE WHEN event_id % 11 = 0 THEN -value - 1.0
+         |              ELSE value END AS value
+         |  FROM events),
+         |routed AS (
+         |  SELECT value,
+         |         CASE WHEN value IS NULL OR value < 0 THEN 'value_range'
+         |              WHEN event_type NOT IN
+         |                ('click', 'view', 'signup', 'purchase', 'error')
+         |                THEN 'type_domain'
+         |              ELSE 'ok' END AS rule
+         |  FROM raw)
+         |SELECT CASE WHEN rule = 'ok' THEN 'store' ELSE 'quarantine' END
+         |         AS destination,
+         |       rule, CAST(count(*) AS BIGINT) AS n_rows,
+         |       ${sqlDsum("value")} AS value_sum
+         |FROM routed GROUP BY 1, 2 ORDER BY destination, rule""".stripMargin,
     // w14: the oracle states the post-overwrite table directly — en
     // docs 6 chars longer (' en-v2'), every other partition untouched.
     // If dynamic overwrite had clobbered sibling partitions (static
@@ -521,10 +596,12 @@ object WritePath extends QueryModule {
         |                     ELSE len(text) END) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // w13: same feed + visibility fanout — an op at seq s is visible to
-    // versions s..V, spelled `unnest(range(seq, V+1))` (column `version`; `asof` is a reserved word in the warehouse dialect's ASOF JOIN grammar) (both engines'
+    // versions s..V, spelled `unnest(range(seq, V+1))` (both engines'
     // half-open integer range; Spark via the DialectCompat aliases).
-    // max_by over the (asof, k) groups is w11's latest-op-wins per
-    // version; seq is unique within a key, so arg-max is total.
+    // The column is `version` because `asof` is a reserved word in the
+    // warehouse dialect's ASOF JOIN grammar. max_by over the
+    // (version, k) groups is w11's latest-op-wins per version; seq is
+    // unique within a key, so arg-max is total.
     "w13_time_travel" ->
       """WITH feed AS (
         |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_totalprice AS price

@@ -335,6 +335,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("w15 expectations: routing partitions the feed, precedence holds, nothing lost") {
+    import spark.implicits._
+    val got = WritePath.queries("w15_expectations")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val events = Tables(spark, dir).events
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val domain = Set("click", "view", "signup", "purchase", "error")
+    var (nOk, nVal, nType) = (0L, 0L, 0L)
+    events.foreach { case (id, t, v) =>
+      val v2 = if (id % 11 == 0) -v - 1.0 else v
+      val t2 = if (id % 13 == 0) "unknown_" + t else t
+      if (v2 < 0) nVal += 1            // precedence: value rule first
+      else if (!domain(t2)) nType += 1
+      else nOk += 1
+    }
+    assert(got(("store", "ok")) == nOk)
+    assert(got(("quarantine", "value_range")) == nVal)
+    assert(got(("quarantine", "type_domain")) == nType)
+    assert(got.values.sum == events.length, "routing must lose nothing")
+    assert(nVal > 0 && nType > 0 && nOk > 0, "all three routes exercised")
+    // Rows failing BOTH rules (id % 143 == 0) land in value_range only.
+    val both = events.count { case (id, _, _) => id % 143 == 0 && id != 0 }
+    if (both > 0) {
+      // Quarantine store really contains those rows under value_range.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_w15_expect"
+      val q = spark.read.parquet(s"$base/quarantine")
+        .filter($"event_id" % 143 === 0 && $"event_id" =!= 0)
+        .select($"rule").collect().map(_.getString(0))
+      assert(q.nonEmpty && q.forall(_ == "value_range"))
+    }
+  }
+
   test("w8 merged snapshot equals latest-event-per-user over the full log") {
     import spark.implicits._
     val merged = WritePath.queries("w8_merge_upsert")(spark, dir)
