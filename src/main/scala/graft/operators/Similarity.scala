@@ -1115,7 +1115,9 @@ object Similarity extends QueryModule {
     // across engines); the recomputed means are rounded on both sides
     // (same 1-ulp absorption as s5's centroid oracle).
     "s8_kmeans_iteration" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      """WITH v AS (SELECT vec_id,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
         |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n WHERE vec_id < 8),
         |sims AS (SELECT n.vec_id, n.e, c.cell,
@@ -1125,10 +1127,11 @@ object Similarity extends QueryModule {
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |                                 ORDER BY sim DESC, cell) AS rk
         |    FROM sims) WHERE rk = 1)
-        |SELECT cell, dim, round(avg(x), 6) AS centroid_r,
+        |SELECT cell, dim,
+        |       round(avg(list_extract(e, CAST(dim + 1 AS INTEGER))), 6)
+        |         AS centroid_r,
         |       count(*) AS n_vectors
-        |FROM (SELECT cell, unnest(e) AS x, unnest(range(len(e))) AS dim
-        |      FROM assigned)
+        |FROM (SELECT cell, e, unnest(range(len(e))) AS dim FROM assigned)
         |GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
     // Quantized components are small integers: every arithmetic step
     // below is exact in double on both engines, so the quantized tier
@@ -1192,14 +1195,19 @@ object Similarity extends QueryModule {
         |                               ORDER BY sim_r DESC, neighbor_id) AS rank
         |  FROM sims)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // s5/s8: restated from the parallel-unnest zip (DuckDB-only — Spark
+    // allows one generator per SELECT) to a single range unnest +
+    // 1-based list_extract, which both engines spell identically: the
+    // rewrite moved both onto the verbatim parity surface.
     "s5_embedding_centroids" ->
-      """SELECT label, dim, round(avg(x), 6) AS centroid_r,
+      """WITH g AS (SELECT label, embedding,
+        |                  unnest(range(len(embedding))) AS dim
+        |           FROM embeddings)
+        |SELECT label, dim,
+        |       round(avg(CAST(list_extract(embedding, CAST(dim + 1 AS INTEGER))
+        |                      AS DOUBLE)), 6) AS centroid_r,
         |       count(*) AS n_vectors
-        |FROM (SELECT label,
-        |             CAST(unnest(embedding) AS DOUBLE) AS x,
-        |             unnest(range(len(embedding))) AS dim
-        |      FROM embeddings)
-        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+        |FROM g GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "s2_embedding_near_dup" ->
       """WITH v AS (SELECT vec_id,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

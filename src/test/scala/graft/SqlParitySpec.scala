@@ -5,8 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The catalog's oracle SQL is written ONCE in the shared Spark∩DuckDB
   * dialect — with `GraftExtensions`' dialect-compat spellings installed
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
-  * epoch_us, quantile_cont, ... — see `DialectCompat`), 156 of the
-  * oracle texts run VERBATIM on Spark SQL. This spec executes each via
+  * epoch_us, quantile_cont, ... — see `DialectCompat`), the
+  * `SparkEntry.sqlPortable` oracle texts run VERBATIM on Spark SQL
+  * (177 as of the round-7 third session). This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
   * (Spark DataFrame, Spark SQL, DuckDB), one result.
@@ -18,7 +19,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * The remaining texts use constructs with no shared spelling or
   * shared SEMANTICS to bridge — each pinned here so a future round
-  * doesn't re-litigate them: parallel-unnest zipping (s5, s8),
+  * doesn't re-litigate them (s5/s8's parallel-unnest zipping was
+  * RESTATED in the third session as a single range unnest +
+  * 1-based list_extract and moved onto the surface, along with
+  * t28/x4, which had simply never been tried):
   * recursive CTEs with UNION dedup (d7), `AS MATERIALIZED` CTE hints
   * that are load-bearing in the warehouse engine (its unrolled
   * multi-step CTE chains recompute exponentially without them) plus
