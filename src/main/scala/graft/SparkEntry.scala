@@ -54,7 +54,7 @@ object SparkEntry {
     "j1_semi_join", "j2_enrichment_join", "j3_two_hop_chase",
     "j4_existence_check", "j5_anti_join_guard", "j6_range_band_join",
     "j7_bloom_semi_join", "j8_skew_salted_join", "j10_fuzzy_join",
-    "j11_interval_overlap",
+    "j11_interval_overlap", "j12_asof_join",
     "w1_insert_defaults", "w2_masked_update", "w3_balance_ledger",
     "w4_delete_rewrite", "w5_capacity_rule", "w6_scd2_intervals",
     "w7_partitioned_write", "w8_merge_upsert", "x1_json_roundtrip",
@@ -73,12 +73,13 @@ object SparkEntry {
     "tpch_q21", "tpch_q22",
     "dim_supplier_geo", "skew_salted_agg",
     "s1_ann_bruteforce_topk", "s2_embedding_near_dup", "s7_ann_quantized",
-    "s13_filtered_ann",
+    "s13_filtered_ann", "s14_hard_negatives",
     "m1_media_catalog", "m2_media_features", "m3_frame_sample",
     "m4_frame_stats", "m5_storage_budget", "m6_perceptual_neardup",
     "m7_audio_features",
     "t4_fingerprint", "t12_bigram_top",
     "t13_repetition_ratio", "t23_bigram_logprob", "t14_decontamination",
+    "t30_bm25",
     "d3_dedup_ngram_jaccard", "d4_dedup_minhash_lsh", "d9_block_dedup",
     "d10_incremental_neardup", "pipe2_incremental_ingest",
     "s9_embedding_covariance", "d5b_simhash_oracle",
@@ -87,6 +88,7 @@ object SparkEntry {
     "e4_sliding_window", "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
     "e13_dau_wau", "e14_attribution", "e15_count_anomaly",
+    "e16_session_paths",
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
     "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",

@@ -399,7 +399,59 @@ object Events extends QueryModule {
       .orderBy($"day")
   }
 
+  /** e16 — sessionized PATH analysis: the top-10 most common in-session
+    * event-type sequences ("view>click>purchase") — the product-analytics
+    * operator behind funnels-you-didn't-predefine (Amplitude "Pathfinder"
+    * class), and the navigation-pattern mining a training pipeline runs
+    * over interaction logs.
+    *
+    * Sessions are gaps-and-islands (10-minute inactivity gap, e5's
+    * threshold): brk = lag-gap test, session_idx = running sum of brk —
+    * two window passes over ONE per-user shuffle. The per-session
+    * sequence is then assembled ORDER-DETERMINISTICALLY with the e14
+    * sort-key idiom: each event packs into a fixed-width
+    * (us, event_id)-prefixed string, the session's set is
+    * array_sort'ed (total order — no reliance on collect_list's
+    * arrival order, which is plan-dependent), and the type suffixes
+    * join into the path. The whole operator is expressible in BOTH
+    * engines' shared dialect — the sort-key pack moves ordered list
+    * aggregation (classically an ORDER-BY-inside-aggregate spelling,
+    * off the parity surface) ONTO it.
+    *
+    * Scale: one shuffle keyed by user (the e6/e14 shape), one keyed by
+    * (user, session) — both partition-count-bounded; the top-10 rollup
+    * is a map-combined count over path strings. A mega-session (bot
+    * firing for hours inside one gap window) bounds the packed array —
+    * cap events-per-session before the collect in that regime (t11's
+    * cap discipline). */
+  private def e16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+    val wo = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = $"us" - lag($"us", 1).over(wo)
+    val packed = concat(
+      lpad($"us".cast("string"), 20, "0"),
+      lpad($"event_id".cast("string"), 20, "0"), $"event_type")
+    val paths = ev
+      .withColumn("brk",
+        when(lag($"us", 1).over(wo).isNull || gap > 600000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"brk").over(wrun))
+      .groupBy($"user_id", $"session_idx")
+      .agg(array_join(
+        transform(array_sort(collect_list(packed)),
+          x => x.substr(lit(41), length(x) - 40)), ">").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+    val wr = Window.orderBy($"n_sessions".desc, $"path")
+    paths.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"rank", $"path", $"n_sessions")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_session_paths"    -> (e16 _),
     "e15_count_anomaly" -> (e15 _),
     "e14_attribution"      -> (e14 _),
     "e13_dau_wau"          -> (e13 _),
@@ -450,6 +502,38 @@ object Events extends QueryModule {
         |       (k = 7 AND 6 * (7 * n_events - s) * (7 * n_events - s)
         |          > 28 * (7 * q - s * s)) AS is_anomaly
         |FROM w ORDER BY day""".stripMargin,
+    // e16: identical gaps-and-islands + sort-key-packed path assembly —
+    // the pack is what makes ordered list aggregation spellable in the
+    // shared dialect (no ORDER BY inside an aggregate on either side).
+    "e16_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |b AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |         CASE WHEN lag(us) OVER (PARTITION BY user_id
+        |                                 ORDER BY us, event_id) IS NULL
+        |                   OR us - lag(us) OVER (PARTITION BY user_id
+        |                                         ORDER BY us, event_id) > 600000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING
+        |                           AND CURRENT ROW) AS session_idx
+        |  FROM b),
+        |p AS (
+        |  SELECT user_id, session_idx,
+        |         array_to_string(list_transform(list_sort(list(
+        |           lpad(CAST(us AS VARCHAR(20)), 20, '0')
+        |           || lpad(CAST(event_id AS VARCHAR(20)), 20, '0')
+        |           || event_type)), x -> substr(x, 41)), '>') AS path
+        |  FROM s GROUP BY user_id, session_idx),
+        |t AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path)
+        |SELECT rank, path, n_sessions FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |                 AS BIGINT) AS rank
+        |  FROM t)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "e14_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events),

@@ -164,6 +164,67 @@ object Joins extends QueryModule {
       .orderBy($"ak", $"bk")
   }
 
+  /** j12 — AS-OF join (the trades×quotes temporal join; kdb+ `aj`,
+    * DuckDB/Pandas ASOF JOIN, Flink temporal table join — public
+    * semantics): each left row picks the single latest right row with
+    * the same key whose timestamp is AT OR BEFORE the left row's, or
+    * NULL when no prior right row exists. Here: every `purchase` event
+    * is annotated with the user's most recent prior `view` — the
+    * "state the user last saw" enrichment every event pipeline runs
+    * (price-at-trade, config-at-request, page-before-checkout).
+    *
+    * THE SCALE RE-EXPRESSION IS THE POINT. The textbook form is a
+    * non-equi join (v.ts <= p.ts) + per-left-row argmax: at any real
+    * size that join explodes to O(|views/user| · |purchases/user|)
+    * intermediate rows per user before the argmax collapses them — and
+    * that IS the oracle below, which the kernel must match exactly.
+    * The shipped kernel never joins at all: both streams are tagged
+    * and UNION'd, one window per key ordered by (ts, side, rid) runs
+    * `last(payload, ignoreNulls)` over ROWS UNBOUNDED PRECEDING →
+    * CURRENT ROW, and left rows read the answer in place. One shuffle
+    * (the per-key window partition, events' e6/e10/e14 shape), zero
+    * Join nodes in the plan (PlanSpec pins that), intermediate volume
+    * exactly |L| + |R| rows. Ties: a view at the purchase's own
+    * microsecond DOES match ("at or before"; side 0 sorts before side
+    * 1 at equal ts), and same-microsecond views resolve to the larger
+    * event_id (rid is the last sort key) — the oracle's argmax over
+    * the identical packed (us, id) sort key, so tie semantics are
+    * pinned, not accidental. */
+  private def j12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id".as("key"), unix_micros($"ts").as("ts"),
+        struct(unix_micros($"ts").as("vus"), $"event_id".as("rid"),
+          $"value".as("view_value")).as("m"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("key"),
+        unix_micros($"ts").as("ts"))
+    asofJoin(purchases, views)
+      .select($"purchase_id", $"key".as("user_id"), $"m.rid".as("view_id"),
+        $"m.view_value".as("view_value"), ($"ts" - $"m.vus").as("staleness_us"))
+      .orderBy($"purchase_id")
+  }
+
+  /** The as-of kernel, frame-parametric: `left` carries (`key`, `ts`,
+    * payload…); `right` carries (`key`, `ts`, `m`) where `m` is a
+    * struct whose `rid` field breaks same-instant ties (larger wins).
+    * Returns the left rows with `m` = the latest right struct at-or-
+    * before each left `ts` (NULL when none). Union + one per-key
+    * window — no join, O(|L|+|R|) rows moved. */
+  private[graft] def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    import left.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tagged = right.select($"key", $"ts", lit(0).as("side"), $"m")
+      .unionByName(left.withColumn("side", lit(1)), allowMissingColumns = true)
+    val w = Window.partitionBy($"key").orderBy($"ts", $"side", $"m.rid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("m", last($"m", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .drop("side")
+  }
+
   /** J7 — bloom-filter pre-pruned semi-join: lineitem against the
     * suppliers of one nation. The dimension's key set is sketched into
     * a bloom filter (built by Spark's own `BloomFilterAggregate`, the
@@ -321,6 +382,7 @@ object Joins extends QueryModule {
     "j8_skew_salted_join" -> (j8 _),
     "j7_bloom_semi_join"  -> (j7 _),
     "j11_interval_overlap" -> (j11 _),
+    "j12_asof_join" -> (j12 _),
     "j6_range_band_join"  -> (j6 _),
     "j1_semi_join"        -> (j1 _),
     "j2_enrichment_join"  -> (j2 _),
@@ -329,6 +391,27 @@ object Joins extends QueryModule {
     "j5_anti_join_guard"  -> (jAnti _))
 
   val oracles: Map[String, String] = Map(
+    // j12: the oracle is the TEXTBOOK form the kernel replaces — the
+    // non-equi (ts <= ts) join + per-row argmax over the packed
+    // (us, id) sort key (e14's fixed-width idiom), then a join back to
+    // recover the winning view's payload. The engine must reach the
+    // identical rows through the union+window kernel with no join.
+    "j12_asof_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vus,
+        |                  event_id AS view_id, value AS view_value
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase'),
+        |k AS (SELECT p.purchase_id, p.user_id, p.pus,
+        |             max(lpad(CAST(v.vus AS VARCHAR(20)), 20, '0')
+        |                 || lpad(CAST(v.view_id AS VARCHAR(20)), 20, '0')) AS mk
+        |      FROM p LEFT JOIN v
+        |        ON v.user_id = p.user_id AND v.vus <= p.pus
+        |      GROUP BY p.purchase_id, p.user_id, p.pus)
+        |SELECT k.purchase_id, k.user_id, v.view_id, v.view_value,
+        |       k.pus - v.vus AS staleness_us
+        |FROM k LEFT JOIN v ON v.view_id = CAST(substr(k.mk, 21, 20) AS BIGINT)
+        |ORDER BY k.purchase_id""".stripMargin,
     // j11: the DIRECT range-predicate join — the engine must reproduce
     // it through the grid equi-join. epoch_us is the bridged micros
     // spelling (= unix_micros under the pinned UTC session).

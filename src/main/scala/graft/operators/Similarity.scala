@@ -114,6 +114,46 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s14 — hard-negative mining, the contrastive-training-data operator
+    * (triplet / InfoNCE batches need negatives that are CLOSE to the
+    * anchor; random negatives are trivially separable and teach
+    * nothing — Schroff et al. FaceNet 2015 semi-hard mining, public):
+    * for each query vector, the top-5 most-similar corpus vectors with
+    * a DIFFERENT label, each carrying its margin against the query's
+    * best same-label positive (margin ≤ 0 ⟺ a wrong-label vector
+    * outranks every correct one — the rows a training pipeline
+    * upweights and an eval pipeline flags as label noise).
+    *
+    * Shape: ONE broadcast pass computes all query×corpus cosines
+    * (s1's exact tier — the scalable path swaps in s3/s4's pruned
+    * candidates); the best-positive reference is a window max over the
+    * SAME pass (`max(when(label = qlabel, sim))` partitioned by query),
+    * so positives and negatives ride one shuffle and the corpus is
+    * scanned once — no self-join of the sims frame. */
+  private def s14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+      .join(Tables(spark, dir).embeddings.select($"vec_id", $"label"), "vec_id")
+    val q = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"embedding".as("qe"), $"nrm".as("qn"))
+    val sims = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"qlabel", $"vec_id".as("neighbor_id"), $"label",
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
+    val wq = Window.partitionBy($"query_id")
+    val wr = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    sims
+      .withColumn("pos_sim_r",
+        max(when($"label" === $"qlabel", $"sim_r")).over(wq))
+      .filter($"label" =!= $"qlabel")
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"label", $"sim_r",
+        round($"pos_sim_r" - $"sim_r", 6).as("margin_r"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** s2 spec form — all near-dup pairs by cosine ≥ τ as a declarative
     * self-join. Kept as the readable specification and the unit-test
     * reference; the shipped `s2` below computes the identical result
@@ -917,6 +957,7 @@ object Similarity extends QueryModule {
     "s7_ann_quantized"       -> (s7 _),
     "s1_ann_bruteforce_topk" -> (s1 _),
     "s13_filtered_ann"       -> (s13 _),
+    "s14_hard_negatives"     -> (s14 _),
     "s2_embedding_near_dup"  -> (s2 _),
     "s3_ann_lsh_bucketed"    -> (s3 _),
     "s4_ann_ivf"             -> (s4 _),
@@ -1179,6 +1220,30 @@ object Similarity extends QueryModule {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // s13: s1's oracle with the metadata predicate as the join key —
     // recall within the predicate is 1 by construction on both sides.
+    // s14: identical cosine + rounding discipline as s13; the
+    // best-positive reference is the same window max over the one
+    // sims pass, margins are single IEEE subtractions of already-
+    // rounded values re-rounded to 6.
+    "s14_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, nrm AS qn
+        |      FROM n WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label,
+        |         round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS sim_r
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+        |e AS (SELECT *, max(CASE WHEN label = qlabel THEN sim_r END)
+        |                  OVER (PARTITION BY query_id) AS pos_sim_r
+        |      FROM sims)
+        |SELECT query_id, rank, neighbor_id, label, sim_r,
+        |       round(pos_sim_r - sim_r, 6) AS margin_r
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |                                   ORDER BY sim_r DESC, neighbor_id) AS rank
+        |      FROM e WHERE label <> qlabel)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s13_filtered_ann" ->
       """WITH v AS (SELECT vec_id, label,
         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

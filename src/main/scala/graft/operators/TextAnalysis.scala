@@ -917,7 +917,60 @@ object TextAnalysis extends QueryModule {
         .as("r2_r"))
   }
 
+  /** t30 — BM25 ranked retrieval (Okapi BM25, Robertson et al. TREC-3;
+    * the Lucene-variant idf ln(1 + (N−df+0.5)/(df+0.5)) that stays
+    * positive for df > N/2): the corpus scored against a fixed 4-term
+    * query, top-10 documents — full-text search, the lexical twin every
+    * RAG stack runs beside its vector index (s1/s13). tf saturates via
+    * k1=1.2, length-normalizes via b=0.75 against the corpus mean.
+    *
+    * Shape: ONE explode→hash-aggregate pass builds (doc, term, tf) for
+    * the query terms only (the isin filter runs BEFORE the aggregate, so
+    * the exchange carries ≤|terms| rows per doc); df and the corpus
+    * length stats are term-count-sized broadcasts. Nothing corpus-sized
+    * shuffles except the per-doc tf rows. At 100 TB the (term → doc, tf)
+    * frame IS the inverted index you'd persist bucketed by term; query
+    * time is then a bucket-pruned scan + this same scoring arithmetic.
+    *
+    * Exactness (t9/t19 discipline): per-(doc,term) scores are computed
+    * with an identical parenthesization in both engines — every input
+    * (tf, df, dl, N, Σdl) is an exact BIGINT, so the doubles start
+    * bit-identical and each IEEE op (one ln, fixed ×/÷/+ tree) lands
+    * identically — then rounded to 6 decimals and summed as exact
+    * decimals; ranking uses the rounded sum with doc_id ties. */
+  private def t30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("spark", "query", "window", "stream")
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", words($"text").as("w"))
+    val dl = docs.select($"doc_id", size($"w").cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("n_tokens"))
+    val tf = docs
+      .select($"doc_id", size($"w").cast("long").as("dl"), explode($"w").as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val avgdl = $"n_tokens".cast("double") / $"n_docs".cast("double")
+    val idf = log(lit(1.0) +
+      (($"n_docs" - $"df").cast("double") + 0.5) / ($"df".cast("double") + 0.5))
+    val tfn = ($"tf".cast("double") * 2.2) /
+      ($"tf".cast("double") +
+        lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl".cast("double")) / avgdl))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .select($"doc_id", round(idf * tfn, 6).as("s_r"))
+    val agg = scored.groupBy($"doc_id")
+      .agg(sum($"s_r".cast("decimal(18,6)")).cast("double").as("score_r"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.orderBy($"score_r".desc, $"doc_id")
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"doc_id", $"rank", $"score_r", $"n_terms")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_bm25" -> (t30 _),
     "t22_zipf_fit"        -> (t22 _),
     "t23_bigram_logprob"  -> (t23 _),
     "t24_bpe_merges"      -> (t24 _),
@@ -1002,6 +1055,38 @@ object TextAnalysis extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // t30: the identical BM25 arithmetic restated — same
+    // parenthesization, same rounded-then-decimal-summed per-term
+    // scores, so both engines produce bit-equal doubles.
+    "t30_bm25" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
+         |           FROM documents),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM d),
+         |occ AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ
+         |       WHERE term IN ('spark', 'query', 'window', 'stream')
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |              round(ln(1.0 + (CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+         |                             / (CAST(df.df AS DOUBLE) + 0.5))
+         |                    * ((CAST(tf.tf AS DOUBLE) * 2.2)
+         |                       / (CAST(tf.tf AS DOUBLE)
+         |                          + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+         |                                          / (CAST(st.n_tokens AS DOUBLE)
+         |                                             / CAST(st.n_docs AS DOUBLE))))),
+         |                    6) AS s_r
+         |       FROM tf JOIN d ON tf.doc_id = d.doc_id
+         |            JOIN df ON tf.term = df.term CROSS JOIN st),
+         |agg AS (SELECT doc_id,
+         |               CAST(sum(CAST(s_r AS DECIMAL(18,6))) AS DOUBLE) AS score_r,
+         |               count(*) AS n_terms
+         |        FROM sc GROUP BY doc_id)
+         |SELECT doc_id, rank, score_r, n_terms FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
+         |                 AS BIGINT) AS rank
+         |  FROM agg)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "t24_bpe_merges" -> bpeOracle,
     "t25_bpe_encode" -> bpeEncodeOracle,
     // t27: the same (doc, word) frequency profile, rolled up to per-doc

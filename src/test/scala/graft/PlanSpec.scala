@@ -254,6 +254,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j12 as-of join: ZERO join nodes — the kernel is union + one per-key window") {
+    // The operator's scale claim: the textbook non-equi join + argmax
+    // (the oracle's form, O(|L/key|·|R/key|) intermediate rows) is
+    // replaced by a union + window that moves exactly |L|+|R| rows.
+    // A Join node appearing here means the kernel regressed to the
+    // quadratic form.
+    val p = graft.operators.Joins.queries("j12_asof_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!"Join".r.findFirstIn(p).isDefined, "as-of kernel must not join\n" + p)
+    // One hash exchange for the per-key window (the presentation sort's
+    // range exchange is separate and allowed).
+    assert("Exchange hashpartitioning\\(key".r.findAllIn(p).length == 1, p)
+  }
+
+  test("e16 session paths: sessionize + collect share ONE user-keyed shuffle chain, no joins") {
+    val p = graft.operators.Events.queries("e16_session_paths")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!"Join".r.findFirstIn(p).isDefined, "pure window/agg pipeline\n" + p)
+    // lag + running-sum windows share one user_id hash exchange (e8's
+    // pin); the (user, session) group rides a second, then path counts.
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).length == 1, p)
+  }
+
   test("pipe5 audit: each audited table's aggregate subtree appears ONCE in the plan") {
     // The stack() unpivot exists so the report never re-executes a
     // table's conditional aggregate per check: lineitem (3 checks) and

@@ -1,0 +1,175 @@
+package graft
+
+import graft.operators.{Events, Joins, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crafted recompute specs for the fourth-session catalog additions:
+  * j12 as-of join (kernel tie/NULL semantics + fixture equivalence to
+  * the brute-force form), t30 BM25 (driver-side score replay), s14
+  * hard negatives (predicate exactness + independent margin recount),
+  * e16 session paths (driver-side sessionization replay). */
+class SessionOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  // ---------------------------------------------------------------- j12
+
+  test("asofJoin kernel: at-or-before, same-instant inclusion, rid tie-break, NULL when no prior") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 20L, 3L, "C"),
+      (1L, 50L, 4L, "D"), (3L, 7L, 9L, "Z"))
+      .toDF("key", "ts", "rid", "v")
+      .select($"key", $"ts", struct($"rid", $"v").as("m"))
+    val left = Seq(
+      (1L, 5L, 10L),  // before every quote -> NULL
+      (1L, 10L, 11L), // same instant as rid 1 -> matches it ("at or before")
+      (1L, 25L, 12L), // two quotes at ts 20 -> larger rid (3) wins
+      (1L, 60L, 13L), // -> latest (rid 4)
+      (2L, 30L, 14L)) // key with no right rows at all -> NULL
+      .toDF("key", "ts", "lid")
+    val got = Joins.asofJoin(left, right)
+      .select($"lid", $"m.rid", $"m.v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(10L -> -1L, 11L -> 1L, 12L -> 3L, 13L -> 4L, 14L -> -1L))
+    // Right-only keys contribute no output rows.
+    assert(Joins.asofJoin(left, right).count() == 5)
+  }
+
+  test("j12 equals the brute-force non-equi + argmax form on the fixture") {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", unix_micros($"ts").as("vus"),
+        $"event_id".as("view_id"), $"value".as("view_value"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", unix_micros($"ts").as("pus"))
+    val arg = p.join(v, p("user_id") === v("user_id") && $"vus" <= $"pus", "left")
+      .groupBy($"purchase_id", p("user_id").as("user_id"), $"pus")
+      .agg(max(struct($"vus", $"view_id", $"view_value")).as("w"))
+      .select($"purchase_id", $"user_id", $"w.view_id".as("view_id"),
+        $"w.view_value".as("view_value"), ($"pus" - $"w.vus").as("staleness_us"))
+    val want = arg.collect().map(_.toSeq.toVector).toSet
+    val got = run("j12_asof_join").collect().map(_.toSeq.toVector).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // Both populated and NULL (no-prior-view) outcomes must occur for
+    // the fixture to actually exercise the outer semantics.
+    assert(got.exists(r => r(2) != null) )
+  }
+
+  // ---------------------------------------------------------------- t30
+
+  test("t30 BM25: driver-side replay of the full scoring pipeline is bit-exact") {
+    import spark.implicits._
+    val terms = Seq("spark", "query", "window", "stream")
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty)))
+    val nDocs = docs.length.toLong
+    val nTokens = docs.map(_._2.length.toLong).sum
+    val avgdl = nTokens.toDouble / nDocs.toDouble
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = docs.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val scores = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None else {
+          val idf = math.log(1.0 + ((nDocs - df(t)).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          val tfn = (tf.toDouble * 2.2) /
+            (tf.toDouble + 1.2 * (0.25 + (0.75 * dl.toDouble) / avgdl))
+          Some(round6(idf * tfn))
+        }
+      }
+      if (scores.isEmpty) None
+      else Some((id,
+        scores.map(s => BigDecimal(s).setScale(6)).sum.toDouble,
+        scores.length.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s, n), i) => (id, i + 1L, s, n) }.toVector
+    val got = run("t30_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toVector
+    assert(got == want)
+    assert(got.size == 10 && got.map(_._4).max > 1,
+      "fixture must exercise multi-term matches")
+  }
+
+  // ---------------------------------------------------------------- s14
+
+  test("s14 hard negatives: wrong-label only, dense ranks, margins recount independently") {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val labels = emb.map(e => e._1 -> e._3).toMap
+    val got = run("s14_hard_negatives").collect()
+    assert(got.nonEmpty)
+    // Replay: full cosine scan per query, wrong-label top-5 + best positive.
+    val queries = emb.filter(_._1 < 5)
+    val want = queries.flatMap { case (qid, qe, ql) =>
+      val sims = emb.filter(_._1 != qid).map { case (id, e, l) =>
+        (id, l, round6(dot(qe, e) / (math.sqrt(dot(qe, qe)) * math.sqrt(dot(e, e)))))
+      }
+      val pos = sims.filter(_._2 == ql).map(_._3).maxOption
+      sims.filter(_._2 != ql).sortBy { case (id, _, s) => (-s, id) }.take(5)
+        .zipWithIndex.map { case ((id, l, s), i) =>
+          (qid, i + 1L, id, l, s, pos.map(p => round6(p - s)))
+        }
+    }.toSet
+    val gotSet = got.map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    }.toSet
+    assert(gotSet == want)
+    // Predicate exactness: no returned neighbor carries the query's label.
+    assert(got.forall(r => labels(r.getLong(2)) == r.getInt(3)))
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length))
+    }
+  }
+
+  // ---------------------------------------------------------------- e16
+
+  test("e16 session paths: driver-side sessionization replay is exact") {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[(Long, Long, String)]())
+      var prev = Long.MinValue
+      sorted.foreach { case (_, us, eid, typ) =>
+        if (prev != Long.MinValue && us - prev > 600000000L)
+          sessions += scala.collection.mutable.ArrayBuffer()
+        sessions.last += ((us, eid, typ))
+        prev = us
+      }
+      sessions.map(s => s.sortBy(e => (e._1, e._2)).map(_._3).mkString(">"))
+    }
+    val want = paths.groupBy(identity).map { case (p, xs) => (p, xs.length.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+      .zipWithIndex.map { case ((p, n), i) => (i + 1L, p, n) }.toVector
+    val got = run("e16_session_paths").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toVector
+    assert(got == want)
+    assert(got.exists(_._2.contains(">")), "multi-event sessions must exist")
+  }
+}
