@@ -73,7 +73,8 @@ object SparkEntry {
     "tpch_q21", "tpch_q22",
     "dim_supplier_geo", "skew_salted_agg",
     "s1_ann_bruteforce_topk", "s2_embedding_near_dup", "s7_ann_quantized",
-    "s13_filtered_ann", "s14_hard_negatives",
+    "s13_filtered_ann", "s14_hard_negatives", "s15_retrieval_metrics",
+    "s16_mmr_rerank",
     "m1_media_catalog", "m2_media_features", "m3_frame_sample",
     "m4_frame_stats", "m5_storage_budget", "m6_perceptual_neardup",
     "m7_audio_features",

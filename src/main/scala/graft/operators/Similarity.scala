@@ -154,6 +154,126 @@ object Similarity extends QueryModule {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s15 — retrieval-quality metrics: nDCG@10, MRR, recall@10 per
+    * query over the exact cosine ranking, with relevance = label match
+    * (Järvelin & Kekäläinen 2002 nDCG; standard IR eval — the metrics
+    * every embedding-training loop logs per checkpoint). Evaluation is
+    * itself a DATA-SCALE operator: a 10k-query eval set against a
+    * billion-vector corpus is a big distributed job, and this is its
+    * shape — one ranking pass, one per-query aggregate; swapping the
+    * exact tier for s3/s4/s11 candidates measures THEIR recall curves
+    * with the same harness.
+    *
+    * Exactness (t19 discipline): each DCG term is rel·ln(2)/ln(rank+1)
+    * — integer inputs, two lns, one ×, one ÷, identically
+    * parenthesized in both engines — rounded to 9 decimals and summed
+    * as exact decimals; the ideal DCG unrolls min(n_rel, 10) terms via
+    * a bounded in-task sequence fanout; final ratios are single IEEE
+    * divisions rounded to 6. */
+  private def s15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+      .join(Tables(spark, dir).embeddings.select($"vec_id", $"label"), "vec_id")
+    val q = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"embedding".as("qe"), $"nrm".as("qn"))
+    val sims = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        when($"label" === $"qlabel", 1L).otherwise(0L).as("rel"),
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("sim_r"))
+    val wr = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    val ranked = sims.withColumn("rank", row_number().over(wr).cast("long"))
+    val dcgTerm = round(($"rel".cast("double") * log(lit(2.0)))
+      / log(($"rank" + 1L).cast("double")), 9).cast("decimal(12,9)")
+    val agg = ranked.groupBy($"query_id").agg(
+      sum($"rel").as("n_rel"),
+      // no relevant doc in the top-10 ⇒ DCG@10 is 0, not NULL (the
+      // empty-sum convention A3/dsum0 carries from the reference).
+      coalesce(sum(when($"rank" <= 10 && $"rel" === 1L, dcgTerm)).cast("double"),
+        lit(0.0)).as("dcg10_r"),
+      min(when($"rel" === 1L, $"rank")).as("first_rel"),
+      sum(when($"rank" <= 10, $"rel")).as("hits10"))
+    // n_rel = 0 ⇒ EMPTY sequence (Spark's bare sequence(1, 0) would
+    // count DOWNWARD — the t12/m3 short-input trap); the query then
+    // drops from the inner join, matching the oracle's range() semantics.
+    val idcg = agg
+      .select($"query_id",
+        explode(when($"n_rel" >= 1L, sequence(lit(1L), least($"n_rel", lit(10L))))
+          .otherwise(array().cast("array<bigint>"))).as("i"))
+      .groupBy($"query_id")
+      .agg(sum(round(log(lit(2.0)) / log(($"i" + 1L).cast("double")), 9)
+        .cast("decimal(12,9)")).cast("double").as("idcg10"))
+    agg.join(idcg, "query_id")
+      .select($"query_id", $"n_rel", $"dcg10_r",
+        round($"dcg10_r" / $"idcg10", 6).as("ndcg10_r"),
+        round(lit(1.0) / $"first_rel".cast("double"), 6).as("mrr_r"),
+        round($"hits10".cast("double") / $"n_rel".cast("double"), 6).as("recall10_r"))
+      .orderBy($"query_id")
+  }
+
+  /** s16 — MMR diversity re-ranking (Maximal Marginal Relevance,
+    * Carbonell & Goldstein SIGIR 1998): from each query's top-20
+    * relevance candidates, greedily pick 5 where each pick maximizes
+    * λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s), λ=0.7 — the re-rank
+    * step between retrieval and generation in every RAG stack (pure
+    * top-k returns five near-copies of the same passage; MMR trades a
+    * little relevance for coverage).
+    *
+    * Greedy selection is inherently sequential in K, so the operator
+    * unrolls K=5 rounds — each round one windowed argmax + one state
+    * update join, ALL of it per-query-bounded: candidate sets are
+    * top-20 cuts, so pair volume is |Q|·20·19 BY CONSTRUCTION and the
+    * rounds never touch the corpus again (the d10/pipe2 serving
+    * shape: retrieval prunes, re-rank works on the pruned set). The
+    * candidate and pair frames are `checkpointed` — each of the 2^K
+    * unrolled references reads a ~20-row-per-query leaf, never
+    * recomputes the broadcast pass (the g5/g7 unroll lesson).
+    *
+    * Determinism: rel and pair sims rounded to 6 (the s1 discipline);
+    * scores are two IEEE mults + one subtract on rounded inputs,
+    * re-rounded; greatest() of rounded values; ties by cand_id. Round
+    * 1's maxsim is literal 0.0, so one formula covers every round. */
+  private def s16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(spark, dir)
+    val q = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val rels = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("cand_id"), $"embedding".as("ce"),
+        $"nrm".as("cn"),
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("rel_r"))
+    val wc = Window.partitionBy($"query_id").orderBy($"rel_r".desc, $"cand_id")
+    val cand = checkpointed(rels
+      .withColumn("rk", row_number().over(wc)).filter($"rk" <= 20).drop("rk"))
+    val a = cand.select($"query_id", $"cand_id".as("i"), $"ce".as("ea"), $"cn".as("na"))
+    val b = cand.select($"query_id", $"cand_id".as("j"), $"ce".as("eb"), $"cn".as("nb"))
+    val pairs = checkpointed(
+      a.join(b, Seq("query_id")).filter($"i" =!= $"j")
+        .select($"query_id", $"i", $"j",
+          round(dot($"ea", $"eb") / ($"na" * $"nb"), 6).as("psim_r")))
+    val wp = Window.partitionBy($"query_id").orderBy($"score_r".desc, $"cand_id")
+    var state = cand.select($"query_id", $"cand_id", $"rel_r", lit(0.0).as("maxsim"))
+    val picks = (1 to 5).map { r =>
+      val scored = state.withColumn("score_r",
+        round(lit(0.7) * $"rel_r" - lit(0.3) * $"maxsim", 7))
+      val pick = scored.withColumn("rk", row_number().over(wp)).filter($"rk" === 1)
+        .select($"query_id", $"cand_id", $"rel_r", $"score_r")
+      state = scored.as("s")
+        .join(pick.select($"query_id", $"cand_id".as("pid")), Seq("query_id"))
+        .filter($"cand_id" =!= $"pid")
+        .join(pairs.select($"query_id", $"i".as("pid"), $"j".as("cand_id"), $"psim_r"),
+          Seq("query_id", "pid", "cand_id"))
+        .select($"query_id", $"cand_id", $"rel_r",
+          greatest($"maxsim", $"psim_r").as("maxsim"))
+      pick.withColumn("pick_rank", lit(r.toLong))
+    }
+    picks.reduce(_ unionByName _)
+      .select($"query_id", $"pick_rank", $"cand_id", $"rel_r", $"score_r")
+      .orderBy($"query_id", $"pick_rank")
+  }
+
   /** s2 spec form — all near-dup pairs by cosine ≥ τ as a declarative
     * self-join. Kept as the readable specification and the unit-test
     * reference; the shipped `s2` below computes the identical result
@@ -958,6 +1078,8 @@ object Similarity extends QueryModule {
     "s1_ann_bruteforce_topk" -> (s1 _),
     "s13_filtered_ann"       -> (s13 _),
     "s14_hard_negatives"     -> (s14 _),
+    "s15_retrieval_metrics"  -> (s15 _),
+    "s16_mmr_rerank"         -> (s16 _),
     "s2_embedding_near_dup"  -> (s2 _),
     "s3_ann_lsh_bucketed"    -> (s3 _),
     "s4_ann_ivf"             -> (s4 _),
@@ -1220,6 +1342,93 @@ object Similarity extends QueryModule {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // s13: s1's oracle with the metadata predicate as the join key —
     // recall within the predicate is 1 by construction on both sides.
+    // s16: the identical greedy unroll — round r's CTE trio (scored
+    // state, windowed argmax pick, maxsim update join) restated five
+    // times; same rounded arithmetic, same cand_id ties, round 1's
+    // maxsim a literal 0.0 so every round shares one formula.
+    "s16_mmr_rerank" -> {
+      def round_(r: Int, prev: String): String =
+        s"""sc$r AS (SELECT *, round(0.7 * rel_r - 0.3 * maxsim, 7) AS score_r
+           |        FROM $prev),
+           |p$r AS (SELECT query_id, cand_id, rel_r, score_r FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id
+           |                    ORDER BY score_r DESC, cand_id) AS rk
+           |         FROM sc$r) WHERE rk = 1),
+           |st${r + 1} AS (SELECT s.query_id, s.cand_id, s.rel_r,
+           |               greatest(s.maxsim, pr.psim_r) AS maxsim
+           |        FROM sc$r s JOIN p$r ON s.query_id = p$r.query_id
+           |                         AND s.cand_id <> p$r.cand_id
+           |        JOIN pairs pr ON pr.query_id = s.query_id
+           |                     AND pr.i = p$r.cand_id AND pr.j = s.cand_id)""".stripMargin
+      s"""WITH v AS (SELECT vec_id,
+         |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn
+         |      FROM n WHERE vec_id < 5),
+         |rels AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id, c.e AS ce, c.nrm AS cn,
+         |         round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS rel_r
+         |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+         |cand AS (SELECT query_id, cand_id, ce, cn, rel_r FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY rel_r DESC, cand_id) AS rk
+         |          FROM rels) WHERE rk <= 20),
+         |pairs AS (
+         |  SELECT a.query_id, a.cand_id AS i, b.cand_id AS j,
+         |         round(list_dot_product(a.ce, b.ce) / (a.cn * b.cn), 6) AS psim_r
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+         |                          AND a.cand_id <> b.cand_id),
+         |st1 AS (SELECT query_id, cand_id, rel_r, 0.0 AS maxsim FROM cand),
+         |${(1 to 5).map(r => round_(r, s"st$r")).mkString(",\n")}
+         |${(1 to 5).map(r =>
+             s"SELECT query_id, CAST($r AS BIGINT) AS pick_rank, cand_id, rel_r, score_r FROM p$r")
+             .mkString("\n", "\nUNION ALL\n", "\n")}ORDER BY query_id, pick_rank""".stripMargin
+    },
+    // s15: the identical ranking pass + metric arithmetic — DCG terms
+    // rounded to 9 then decimal-summed (t19's rules), the ideal-DCG
+    // fanout spelled with the bridged half-open range().
+    "s15_retrieval_metrics" ->
+      """WITH v AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, nrm AS qn
+        |      FROM n WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+        |         round(list_dot_product(q.qe, c.e) / (q.qn * c.nrm), 6) AS sim_r
+        |  FROM q JOIN n c ON c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |                                    ORDER BY sim_r DESC, neighbor_id)
+        |                 AS BIGINT) AS rank
+        |  FROM sims),
+        |agg AS (
+        |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+        |         coalesce(CAST(sum(CASE WHEN rank <= 10 AND rel = 1
+        |                       THEN CAST(round((CAST(rel AS DOUBLE) * ln(2.0))
+        |                                       / ln(CAST(rank + 1 AS DOUBLE)), 9)
+        |                            AS DECIMAL(12,9)) END)
+        |              AS DOUBLE), 0.0) AS dcg10_r,
+        |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+        |         CAST(sum(CASE WHEN rank <= 10 THEN rel END) AS BIGINT) AS hits10
+        |  FROM ranked GROUP BY query_id),
+        |iu AS (SELECT query_id, unnest(range(1, least(n_rel, 10) + 1)) AS i
+        |       FROM agg),
+        |idcg AS (
+        |  SELECT query_id,
+        |         CAST(sum(CAST(round(ln(2.0) / ln(CAST(i + 1 AS DOUBLE)), 9)
+        |                       AS DECIMAL(12,9))) AS DOUBLE) AS idcg10
+        |  FROM iu GROUP BY query_id)
+        |SELECT a.query_id, a.n_rel, a.dcg10_r,
+        |       round(a.dcg10_r / idcg.idcg10, 6) AS ndcg10_r,
+        |       round(1.0 / CAST(a.first_rel AS DOUBLE), 6) AS mrr_r,
+        |       round(CAST(a.hits10 AS DOUBLE) / CAST(a.n_rel AS DOUBLE), 6)
+        |         AS recall10_r
+        |FROM agg a JOIN idcg ON a.query_id = idcg.query_id
+        |ORDER BY a.query_id""".stripMargin,
     // s14: identical cosine + rounding discipline as s13; the
     // best-positive reference is the same window max over the one
     // sims pass, margins are single IEEE subtractions of already-

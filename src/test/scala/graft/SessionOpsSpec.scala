@@ -143,6 +143,115 @@ class SessionOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- s15
+
+  test("s15 retrieval metrics: textbook nDCG/MRR/recall replay is bit-exact") {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def rnd(x: Double, s: Int): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    val want = emb.filter(_._1 < 5).map { case (qid, qe, ql) =>
+      val ranked = emb.filter(_._1 != qid).map { case (id, e, l) =>
+        (id, l == ql,
+          rnd(dot(qe, e) / (math.sqrt(dot(qe, qe)) * math.sqrt(dot(e, e))), 6))
+      }.sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, rel, s), i) => (i + 1L, rel) }
+      val nRel = ranked.count(_._2).toLong
+      val dcgTerms = ranked.filter { case (rk, rel) => rk <= 10 && rel }
+        .map { case (rk, _) => BigDecimal(rnd(math.log(2.0) / math.log((rk + 1).toDouble), 9)).setScale(9) }
+      val dcg = if (dcgTerms.isEmpty) 0.0 else dcgTerms.sum.toDouble
+      val idcg = (1L to math.min(nRel, 10L)).map(i =>
+        BigDecimal(rnd(math.log(2.0) / math.log((i + 1).toDouble), 9)).setScale(9))
+        .sum.toDouble
+      val firstRel = ranked.find(_._2).get._1
+      val hits10 = ranked.count { case (rk, rel) => rk <= 10 && rel }.toLong
+      (qid, nRel, dcg, rnd(dcg / idcg, 6), rnd(1.0 / firstRel.toDouble, 6),
+        rnd(hits10.toDouble / nRel.toDouble, 6))
+    }.sortBy(_._1).toVector
+    val got = run("s15_retrieval_metrics").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toVector
+    assert(got == want)
+    got.foreach { case (_, nRel, _, ndcg, mrr, rec) =>
+      assert(nRel > 0 && ndcg >= 0 && ndcg <= 1 && mrr > 0 && mrr <= 1
+        && rec >= 0 && rec <= 1)
+    }
+  }
+
+  // ---------------------------------------------------------------- s16
+
+  test("s16 MMR: driver-side greedy replay is bit-exact, and picks are measurably more diverse than top-5") {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def rnd(x: Double, s: Int): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      rnd(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))), 6)
+    val byId = emb.toMap
+    val queries = emb.filter(_._1 < 5)
+    val want = queries.flatMap { case (qid, qe) =>
+      val cand = emb.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos(qe, e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(20)
+      var remaining = cand
+      var picked = Vector.empty[(Long, Double, Double)] // (id, rel, score)
+      var maxsim = Map.empty[Long, Double].withDefaultValue(0.0)
+      for (r <- 1 to 5) {
+        val scored = remaining.map { case (id, rel) =>
+          (id, rel, rnd(0.7 * rel - 0.3 * maxsim(id), 7))
+        }
+        val (pid, prel, pscore) =
+          scored.sortBy { case (id, _, s) => (-s, id) }.head
+        picked :+= ((pid, prel, pscore))
+        remaining = remaining.filter(_._1 != pid)
+        maxsim = remaining.map { case (id, _) =>
+          id -> math.max(maxsim(id), cos(byId(pid), byId(id)))
+        }.toMap.withDefaultValue(0.0)
+        ()
+      }
+      picked.zipWithIndex.map { case ((id, rel, sc), i) =>
+        (qid, i + 1L, id, rel, sc)
+      }
+    }.toVector.sortBy(t => (t._1, t._2))
+    val got = run("s16_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toVector
+    assert(got == want)
+    // The operator's reason to exist: vs pure top-5, at least one query
+    // re-ranks, and MMR's picks are mutually LESS similar on average.
+    val top5 = queries.map { case (qid, qe) =>
+      qid -> emb.filter(_._1 != qid).map { case (id, e) => (id, cos(qe, e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    }.toMap
+    val mmr5 = got.groupBy(_._1).map { case (q, rows) => q -> rows.map(_._3) }
+    assert(queries.exists { case (qid, _) => mmr5(qid).toSet != top5(qid).toSet },
+      "MMR must actually re-rank somewhere")
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(byId(ids(i)), byId(ids(j)))
+      ps.sum / ps.size
+    }
+    val mmrDiv = queries.map { case (q, _) => meanPairSim(mmr5(q)) }.sum
+    val topDiv = queries.map { case (q, _) => meanPairSim(top5(q).toSeq) }.sum
+    assert(mmrDiv < topDiv, s"MMR picks must be more diverse: $mmrDiv vs $topDiv")
+  }
+
   // ---------------------------------------------------------------- e16
 
   test("e16 session paths: driver-side sessionization replay is exact") {
