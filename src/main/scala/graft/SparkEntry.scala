@@ -98,7 +98,8 @@ object SparkEntry {
     "w15_expectations",
     "w12_incremental_rollup", "x5_schema_evolution", "d13_semantic_dedup",
     "x6_corrupt_tolerant", "pipe4_curation_report",
-    "pipe3_train_manifest", "pipe5_data_audit", "w14_dynamic_overwrite",
+    "pipe3_train_manifest", "pipe5_data_audit", "pipe6_hybrid_rrf",
+    "w14_dynamic_overwrite",
     "t28_mixture_resample", "x4_text_roundtrip",
     "s5_embedding_centroids", "s8_kmeans_iteration",
     "c4_dynamic_pruning", "x3_orc_roundtrip",

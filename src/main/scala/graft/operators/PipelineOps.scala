@@ -423,7 +423,61 @@ object PipelineOps extends QueryModule {
       .orderBy($"lang", $"source", $"rk")
   }
 
+  /** pipe6 — HYBRID retrieval with Reciprocal Rank Fusion (Cormack et
+    * al. SIGIR 2009, the fusion every production search stack runs):
+    * the lexical ranking (t30's BM25) and the vector ranking (cosine
+    * to a query embedding) fused by rrf = Σ 1/(60 + rank) over each
+    * leg's top-50, top-10 returned. RRF needs no score calibration —
+    * only RANKS cross the fusion boundary, which is why it wins when
+    * the legs' score scales are incomparable (BM25 logs vs cosines).
+    *
+    * The corpus is PARTIALLY embedded by fixture construction (sf0.1:
+    * 5000 docs, 2000 embeddings) — exactly the migration state real
+    * hybrid deployments live in — so the fusion is a FULL OUTER join
+    * on doc_id: lexical-only docs keep their BM25 leg, vector-only
+    * rows their cosine leg, the coalesce(…, 0.0) pinning absent legs
+    * to zero contribution.
+    *
+    * Scale: each leg is rank-cut to 50 BEFORE fusion (TakeOrdered,
+    * never a global sort); the fusion join is 50×50-row-bounded BY
+    * CONSTRUCTION regardless of corpus size. Determinism: ranks are
+    * integers; 1/(60+rank) and the two-term sum are fixed-order IEEE
+    * ops written identically in both engines; ties (mirror-image rank
+    * pairs give equal rrf) break by doc_id. */
+  private def pipe6(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(spark)
+    val dot = (a: Column, b: Column) => call_function("float_dot", a, b)
+    val wa = Window.orderBy($"score_r".desc, $"doc_id")
+    val ra = TextAnalysis.bm25Scores(spark, dir)
+      .withColumn("rka", row_number().over(wa).cast("long"))
+      .filter($"rka" <= 50).select($"doc_id", $"rka")
+    val n = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding",
+        sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    val qv = n.filter($"vec_id" === 0).select($"embedding".as("qe"), $"nrm".as("qn"))
+    val cosr = n.filter($"vec_id" =!= 0).crossJoin(broadcast(qv))
+      .select($"vec_id".as("doc_id"),
+        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("cos_r"))
+    val wb = Window.orderBy($"cos_r".desc, $"doc_id")
+    val rb = cosr.withColumn("rkb", row_number().over(wb).cast("long"))
+      .filter($"rkb" <= 50).select($"doc_id", $"rkb")
+    val fused = ra.join(rb, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"rka", $"rkb",
+        round(coalesce(lit(1.0) / (lit(60L) + $"rka").cast("double"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60L) + $"rkb").cast("double"), lit(0.0)), 9)
+          .as("rrf_r"))
+    val wr = Window.orderBy($"rrf_r".desc, $"doc_id")
+    fused.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"doc_id", $"rank", $"rka".as("bm25_rank"), $"rkb".as("cos_rank"),
+        $"rrf_r")
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe6_hybrid_rrf" -> (pipe6 _),
     "pipe5_data_audit"      -> (pipe5 _),
     "pipe4_curation_report" -> (pipe4 _),
     "t29_cdc_chunks"        -> (t29 _),
@@ -440,6 +494,39 @@ object PipelineOps extends QueryModule {
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // pipe6: both legs restated (BM25 via the shared CTE, cosine via
+    // the s1 discipline), rank-cut, full-outer fused with the identical
+    // reciprocal-rank arithmetic.
+    "pipe6_hybrid_rrf" ->
+      s"""WITH ${TextAnalysis.bm25SqlCte},
+         |ra AS (SELECT doc_id, rka FROM (
+         |        SELECT doc_id, CAST(row_number() OVER (
+         |                 ORDER BY score_r DESC, doc_id) AS BIGINT) AS rka
+         |        FROM bm25) WHERE rka <= 50),
+         |v AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |      FROM embeddings),
+         |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+         |qv AS (SELECT e AS qe, nrm AS qn FROM nv WHERE vec_id = 0),
+         |cosr AS (SELECT c.vec_id AS doc_id,
+         |                round(list_dot_product(qv.qe, c.e) / (qv.qn * c.nrm), 6)
+         |                  AS cos_r
+         |         FROM nv c CROSS JOIN qv WHERE c.vec_id <> 0),
+         |rb AS (SELECT doc_id, rkb FROM (
+         |        SELECT doc_id, CAST(row_number() OVER (
+         |                 ORDER BY cos_r DESC, doc_id) AS BIGINT) AS rkb
+         |        FROM cosr) WHERE rkb <= 50),
+         |fused AS (
+         |  SELECT doc_id, rka, rkb,
+         |         round(coalesce(1.0 / CAST(60 + rka AS DOUBLE), 0.0)
+         |               + coalesce(1.0 / CAST(60 + rkb AS DOUBLE), 0.0), 9)
+         |           AS rrf_r
+         |  FROM ra FULL OUTER JOIN rb USING (doc_id))
+         |SELECT doc_id, rank, rka AS bm25_rank, rkb AS cos_rank, rrf_r FROM (
+         |  SELECT *, CAST(row_number() OVER (ORDER BY rrf_r DESC, doc_id)
+         |                 AS BIGINT) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // pipe5: the same per-table conditional aggregates, unpivoted via
     // UNION ALL selects off the one-row CTEs (the oracle states the
     // report, not the plan); count FILTER spells identically in both

@@ -941,6 +941,19 @@ object TextAnalysis extends QueryModule {
   private def t30(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val agg = bm25Scores(spark, dir)
+    val w = Window.orderBy($"score_r".desc, $"doc_id")
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"doc_id", $"rank", $"score_r", $"n_terms")
+      .orderBy($"rank")
+  }
+
+  /** t30's scoring pass without the rank cut — (doc_id, score_r,
+    * n_terms) for every document matching ≥1 query term; reused by
+    * pipe6's hybrid fusion as the lexical leg. */
+  private[operators] def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val terms = Seq("spark", "query", "window", "stream")
     val docs = Tables(spark, dir).documents
       .select($"doc_id", words($"text").as("w"))
@@ -959,14 +972,9 @@ object TextAnalysis extends QueryModule {
         lit(1.2) * (lit(0.25) + (lit(0.75) * $"dl".cast("double")) / avgdl))
     val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
       .select($"doc_id", round(idf * tfn, 6).as("s_r"))
-    val agg = scored.groupBy($"doc_id")
+    scored.groupBy($"doc_id")
       .agg(sum($"s_r".cast("decimal(18,6)")).cast("double").as("score_r"),
         count(lit(1)).as("n_terms"))
-    val w = Window.orderBy($"score_r".desc, $"doc_id")
-    agg.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 10)
-      .select($"doc_id", $"rank", $"score_r", $"n_terms")
-      .orderBy($"rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1054,38 +1062,44 @@ object TextAnalysis extends QueryModule {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** t30's BM25 scoring restated as a reusable CTE chain ending in
+    * `bm25(doc_id, score_r, n_terms)` — shared with pipe6's hybrid
+    * fusion oracle (the d13SqlCte pattern). */
+  private[operators] lazy val bm25SqlCte: String =
+    s"""d AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
+       |           FROM documents),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM d),
+       |occ AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ
+       |       WHERE term IN ('spark', 'query', 'window', 'stream')
+       |       GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |bsc AS (SELECT tf.doc_id,
+       |              round(ln(1.0 + (CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
+       |                             / (CAST(df.df AS DOUBLE) + 0.5))
+       |                    * ((CAST(tf.tf AS DOUBLE) * 2.2)
+       |                       / (CAST(tf.tf AS DOUBLE)
+       |                          + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
+       |                                          / (CAST(st.n_tokens AS DOUBLE)
+       |                                             / CAST(st.n_docs AS DOUBLE))))),
+       |                    6) AS s_r
+       |       FROM tf JOIN d ON tf.doc_id = d.doc_id
+       |            JOIN df ON tf.term = df.term CROSS JOIN st),
+       |bm25 AS (SELECT doc_id,
+       |               CAST(sum(CAST(s_r AS DECIMAL(18,6))) AS DOUBLE) AS score_r,
+       |               count(*) AS n_terms
+       |        FROM bsc GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // t30: the identical BM25 arithmetic restated — same
     // parenthesization, same rounded-then-decimal-summed per-term
     // scores, so both engines produce bit-equal doubles.
     "t30_bm25" ->
-      s"""WITH d AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS dl
-         |           FROM documents),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS n_tokens FROM d),
-         |occ AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ
-         |       WHERE term IN ('spark', 'query', 'window', 'stream')
-         |       GROUP BY doc_id, term),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT tf.doc_id,
-         |              round(ln(1.0 + (CAST(st.n_docs - df.df AS DOUBLE) + 0.5)
-         |                             / (CAST(df.df AS DOUBLE) + 0.5))
-         |                    * ((CAST(tf.tf AS DOUBLE) * 2.2)
-         |                       / (CAST(tf.tf AS DOUBLE)
-         |                          + 1.2 * (0.25 + (0.75 * CAST(d.dl AS DOUBLE))
-         |                                          / (CAST(st.n_tokens AS DOUBLE)
-         |                                             / CAST(st.n_docs AS DOUBLE))))),
-         |                    6) AS s_r
-         |       FROM tf JOIN d ON tf.doc_id = d.doc_id
-         |            JOIN df ON tf.term = df.term CROSS JOIN st),
-         |agg AS (SELECT doc_id,
-         |               CAST(sum(CAST(s_r AS DECIMAL(18,6))) AS DOUBLE) AS score_r,
-         |               count(*) AS n_terms
-         |        FROM sc GROUP BY doc_id)
+      s"""WITH $bm25SqlCte
          |SELECT doc_id, rank, score_r, n_terms FROM (
          |  SELECT *, CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
          |                 AS BIGINT) AS rank
-         |  FROM agg)
+         |  FROM bm25)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "t24_bpe_merges" -> bpeOracle,
     "t25_bpe_encode" -> bpeEncodeOracle,

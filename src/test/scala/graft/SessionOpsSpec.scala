@@ -252,6 +252,33 @@ class SessionOpsSpec extends AnyFunSuite {
     assert(mmrDiv < topDiv, s"MMR picks must be more diverse: $mmrDiv vs $topDiv")
   }
 
+  // --------------------------------------------------------------- pipe6
+
+  test("pipe6 RRF: fusion arithmetic recounts from the leg ranks; both single-leg and dual-leg docs surface") {
+    val got = run("pipe6_hybrid_rrf").collect()
+    assert(got.length == 10)
+    def rnd9(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    got.foreach { r =>
+      val rka = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val rkb = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(rka.isDefined || rkb.isDefined)
+      assert(rka.forall(k => k >= 1 && k <= 50) && rkb.forall(k => k >= 1 && k <= 50))
+      val want = rnd9(rka.map(k => 1.0 / (60L + k).toDouble).getOrElse(0.0)
+        + rkb.map(k => 1.0 / (60L + k).toDouble).getOrElse(0.0))
+      assert(r.getDouble(4) == want, s"rrf recount mismatch at doc ${r.getLong(0)}")
+    }
+    // The fusion is real: the top-10 must mix dual-leg docs with docs
+    // that only one ranker surfaced (rank-cut or missing embedding).
+    assert(got.exists(r => !r.isNullAt(2) && !r.isNullAt(3)), "a dual-leg doc")
+    assert(got.exists(r => r.isNullAt(2) || r.isNullAt(3)), "a single-leg doc")
+    // Scores are non-increasing in rank with doc_id tie-break.
+    val rs = got.sortBy(_.getLong(1)).map(r => (r.getDouble(4), r.getLong(0)))
+    assert(rs.sliding(2).forall { case Array((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+  }
+
   // ---------------------------------------------------------------- e16
 
   test("e16 session paths: driver-side sessionization replay is exact") {
