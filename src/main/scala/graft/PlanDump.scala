@@ -76,7 +76,14 @@ object PlanDump {
     "w14_dynamic_overwrite" -> "dynamic partition overwrite: the en slice rewrite plans only the incoming frame; sibling partitions untouched (r7)",
     "pipe5_data_audit"    -> "constraint report: per-table conditional aggregates unpivoted via stack(); RI walks ride existing joins (r7)",
     "m7_audio_features"   -> "real WAV PCM decode in mapPartitions: per-channel peak/energy folded in-task, payloads never shuffle (r7)",
-    "e15_count_anomaly"   -> "trailing-window z-test cleared of division: BIGINT moments over ROWS BETWEEN frames, no float anywhere (r7)")
+    "e15_count_anomaly"   -> "trailing-window z-test cleared of division: BIGINT moments over ROWS BETWEEN frames, no float anywhere (r7)",
+    "j12_asof_join"       -> "general as-of kernel: union-tagged streams + one per-key window, ZERO Join nodes, |L|+|R| rows moved (r7)",
+    "t30_bm25"            -> "BM25 retrieval: explode->aggregate carries only query-term rows; df and corpus stats broadcast; rank cut top-10 (r7)",
+    "s14_hard_negatives"  -> "hard-negative mining: one broadcast cosine pass, best-positive via window max, wrong-label top-5 + margin (r7)",
+    "e16_session_paths"   -> "gaps-and-islands sessionization + sort-key-packed path assembly: lag/runsum windows share ONE user shuffle (r7)",
+    "s15_retrieval_metrics" -> "nDCG/MRR/recall eval: one ranking pass, per-query conditional aggregates, ideal-DCG via bounded in-task fanout (r7)",
+    "s16_mmr_rerank"      -> "MMR re-rank: 5 unrolled argmax+update rounds over checkpointed top-20 candidate/pair leaves, corpus touched once (r7)",
+    "pipe6_hybrid_rrf"    -> "hybrid RRF fusion: both legs rank-cut to 50 BEFORE a full-outer fusion join bounded 50x50 at any corpus size (r7)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

@@ -189,7 +189,16 @@ object Joins extends QueryModule {
     * 1 at equal ts), and same-microsecond views resolve to the larger
     * event_id (rid is the last sort key) — the oracle's argmax over
     * the identical packed (us, id) sort key, so tie semantics are
-    * pinned, not accidental. */
+    * pinned, not accidental.
+    *
+    * Relation to e7 (`Events.scala`): e7 is this semantics pre-composed
+    * over ONE table (both event types already share the log, so no
+    * union is needed) with strictly-before matching, and its oracle
+    * restates the same window algorithm. j12 is the GENERAL kernel —
+    * two arbitrary frames, a carried payload struct, at-or-before with
+    * pinned same-instant ties — and its oracle is the INDEPENDENT
+    * textbook formulation, so the gate would catch a kernel bug e7's
+    * same-algorithm oracle cannot. */
   private def j12(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir).events

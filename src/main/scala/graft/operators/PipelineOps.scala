@@ -449,20 +449,31 @@ object PipelineOps extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(spark)
     val dot = (a: Column, b: Column) => call_function("float_dot", a, b)
+    // Each leg's cut is orderBy+limit — TakeOrderedAndProject, the
+    // DISTRIBUTED top-k (per-task heaps + one 50-row merge) — and only
+    // the 50 survivors see the rank window. A bare global rank window
+    // here would single-partition-sort the whole corpus (the
+    // catalog-wide PlanSpec walk rejects exactly that shape).
     val wa = Window.orderBy($"score_r".desc, $"doc_id")
     val ra = TextAnalysis.bm25Scores(spark, dir)
+      .orderBy($"score_r".desc, $"doc_id").limit(50)
       .withColumn("rka", row_number().over(wa).cast("long"))
-      .filter($"rka" <= 50).select($"doc_id", $"rka")
+      .select($"doc_id", $"rka")
     val n = Tables(spark, dir).embeddings
       .select($"vec_id", $"embedding",
         sqrt(dot($"embedding", $"embedding")).as("nrm"))
-    val qv = n.filter($"vec_id" === 0).select($"embedding".as("qe"), $"nrm".as("qn"))
+    // limit(1): vec_id is unique, so this is a no-op semantically, but
+    // it makes the broadcast side STATICALLY bounded (the condition-
+    // less-join walk's contract, like the grouping-free aggregates).
+    val qv = n.filter($"vec_id" === 0)
+      .select($"embedding".as("qe"), $"nrm".as("qn")).limit(1)
     val cosr = n.filter($"vec_id" =!= 0).crossJoin(broadcast(qv))
       .select($"vec_id".as("doc_id"),
         round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("cos_r"))
     val wb = Window.orderBy($"cos_r".desc, $"doc_id")
-    val rb = cosr.withColumn("rkb", row_number().over(wb).cast("long"))
-      .filter($"rkb" <= 50).select($"doc_id", $"rkb")
+    val rb = cosr.orderBy($"cos_r".desc, $"doc_id").limit(50)
+      .withColumn("rkb", row_number().over(wb).cast("long"))
+      .select($"doc_id", $"rkb")
     val fused = ra.join(rb, Seq("doc_id"), "full_outer")
       .select($"doc_id", $"rka", $"rkb",
         round(coalesce(lit(1.0) / (lit(60L) + $"rka").cast("double"), lit(0.0))
@@ -499,23 +510,25 @@ object PipelineOps extends QueryModule {
     // reciprocal-rank arithmetic.
     "pipe6_hybrid_rrf" ->
       s"""WITH ${TextAnalysis.bm25SqlCte},
-         |ra AS (SELECT doc_id, rka FROM (
-         |        SELECT doc_id, CAST(row_number() OVER (
+         |topa AS (SELECT doc_id, score_r FROM bm25
+         |         ORDER BY score_r DESC, doc_id LIMIT 50),
+         |ra AS (SELECT doc_id, CAST(row_number() OVER (
          |                 ORDER BY score_r DESC, doc_id) AS BIGINT) AS rka
-         |        FROM bm25) WHERE rka <= 50),
+         |       FROM topa),
          |v AS (SELECT vec_id,
          |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |      FROM embeddings),
          |nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-         |qv AS (SELECT e AS qe, nrm AS qn FROM nv WHERE vec_id = 0),
+         |qv AS (SELECT e AS qe, nrm AS qn FROM nv WHERE vec_id = 0 LIMIT 1),
          |cosr AS (SELECT c.vec_id AS doc_id,
          |                round(list_dot_product(qv.qe, c.e) / (qv.qn * c.nrm), 6)
          |                  AS cos_r
          |         FROM nv c CROSS JOIN qv WHERE c.vec_id <> 0),
-         |rb AS (SELECT doc_id, rkb FROM (
-         |        SELECT doc_id, CAST(row_number() OVER (
+         |topb AS (SELECT doc_id, cos_r FROM cosr
+         |         ORDER BY cos_r DESC, doc_id LIMIT 50),
+         |rb AS (SELECT doc_id, CAST(row_number() OVER (
          |                 ORDER BY cos_r DESC, doc_id) AS BIGINT) AS rkb
-         |        FROM cosr) WHERE rkb <= 50),
+         |       FROM topb),
          |fused AS (
          |  SELECT doc_id, rka, rkb,
          |         round(coalesce(1.0 / CAST(60 + rka AS DOUBLE), 0.0)

@@ -260,10 +260,14 @@ object Similarity extends QueryModule {
         round(lit(0.7) * $"rel_r" - lit(0.3) * $"maxsim", 7))
       val pick = scored.withColumn("rk", row_number().over(wp)).filter($"rk" === 1)
         .select($"query_id", $"cand_id", $"rel_r", $"score_r")
+      // Both join sides are tiny by construction (pick: |Q| rows;
+      // pairs: |Q|·20·19) — broadcast hints keep each round a pair of
+      // map-side hash joins instead of the SMJ + exchange chains the
+      // stats-free checkpoint leaves otherwise plan (.explain review).
       state = scored.as("s")
-        .join(pick.select($"query_id", $"cand_id".as("pid")), Seq("query_id"))
+        .join(broadcast(pick.select($"query_id", $"cand_id".as("pid"))), Seq("query_id"))
         .filter($"cand_id" =!= $"pid")
-        .join(pairs.select($"query_id", $"i".as("pid"), $"j".as("cand_id"), $"psim_r"),
+        .join(broadcast(pairs.select($"query_id", $"i".as("pid"), $"j".as("cand_id"), $"psim_r")),
           Seq("query_id", "pid", "cand_id"))
         .select($"query_id", $"cand_id", $"rel_r",
           greatest($"maxsim", $"psim_r").as("maxsim"))

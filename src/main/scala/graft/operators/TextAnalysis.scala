@@ -941,10 +941,13 @@ object TextAnalysis extends QueryModule {
   private def t30(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val agg = bm25Scores(spark, dir)
+    // orderBy+limit = TakeOrderedAndProject (distributed per-task
+    // heaps); only the 10 survivors see the rank window — never a
+    // global sort of the per-doc score frame.
     val w = Window.orderBy($"score_r".desc, $"doc_id")
-    agg.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 10)
+    bm25Scores(spark, dir)
+      .orderBy($"score_r".desc, $"doc_id").limit(10)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select($"doc_id", $"rank", $"score_r", $"n_terms")
       .orderBy($"rank")
   }
@@ -959,10 +962,14 @@ object TextAnalysis extends QueryModule {
       .select($"doc_id", words($"text").as("w"))
     val dl = docs.select($"doc_id", size($"w").cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("n_tokens"))
-    val tf = docs
+    // tf feeds BOTH the scoring join and the df rollup — checkpointed,
+    // or the tokenize+aggregate subtree executes twice (caught in the
+    // .explain review: two full FileScan+explode legs for one logical
+    // pass).
+    val tf = checkpointed(docs
       .select($"doc_id", size($"w").cast("long").as("dl"), explode($"w").as("term"))
       .filter($"term".isin(terms: _*))
-      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf"))
+      .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val avgdl = $"n_tokens".cast("double") / $"n_docs".cast("double")
     val idf = log(lit(1.0) +
@@ -1095,12 +1102,13 @@ object TextAnalysis extends QueryModule {
     // parenthesization, same rounded-then-decimal-summed per-term
     // scores, so both engines produce bit-equal doubles.
     "t30_bm25" ->
-      s"""WITH $bm25SqlCte
-         |SELECT doc_id, rank, score_r, n_terms FROM (
-         |  SELECT *, CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
-         |                 AS BIGINT) AS rank
-         |  FROM bm25)
-         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      s"""WITH $bm25SqlCte,
+         |top AS (SELECT doc_id, score_r, n_terms FROM bm25
+         |        ORDER BY score_r DESC, doc_id LIMIT 10)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY score_r DESC, doc_id)
+         |               AS BIGINT) AS rank,
+         |       score_r, n_terms
+         |FROM top ORDER BY rank""".stripMargin,
     "t24_bpe_merges" -> bpeOracle,
     "t25_bpe_encode" -> bpeEncodeOracle,
     // t27: the same (doc, word) frequency profile, rolled up to per-doc

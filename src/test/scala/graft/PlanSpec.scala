@@ -121,14 +121,16 @@ class PlanSpec extends AnyFunSuite {
     // An empty-partition window over corpus-sized input plans a
     // single-partition sort of everything — the defining one-reducer
     // bottleneck at scale. A global window is tolerable only above an
-    // Aggregate (input cardinality = group count, not corpus size).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    // Aggregate (input cardinality = group count, not corpus size) or
+    // a LIMIT (a top-k cut — TakeOrderedAndProject feeds the window at
+    // most k rows; pipe6/t30's rank-over-top-k shape).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan
-      def aggregatedBelow(p: LogicalPlan): Boolean =
-        p.collectFirst { case _: Aggregate => () }.isDefined
+      def boundedBelow(p: LogicalPlan): Boolean =
+        p.collectFirst { case _: Aggregate => (); case _: GlobalLimit => () }.isDefined
       plan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty && !aggregatedBelow(w.child) => name
+        case w: LWindow if w.partitionSpec.isEmpty && !boundedBelow(w.child) => name
       }
     }
     assert(offenders.isEmpty,
