@@ -36,6 +36,7 @@ object Bench {
     // showed 2.5-6x phantom blowups that never reproduced). The median
     // of three back-to-back runs is robust to one outlier at ~3x wall.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       var failed: Option[String] = None
       val times = (1 to reps).map { _ =>
@@ -53,6 +54,22 @@ object Bench {
         spark.catalog.clearCache() // release per-query persists; queries are self-contained
         dt
       }.sorted
+      // Release leaked checkpoint blocks periodically: clearCache drops
+      // SQL-cached plans only — per-invocation `checkpointed` frames
+      // (t30's tf, s16's candidate/pair leaves, per-rep graph rebuilds)
+      // leave RDD blocks that ContextCleaner frees only on a driver GC,
+      // which a large mostly-idle heap may not run for the whole pass.
+      // The round-7 full-catalog 10× probe measured exactly that: x1/x3
+      // at 8.3 s/4.8 s late in the pass vs 1.07 s/1.87 s isolated;
+      // with the GC they measured 0.82 s/0.65 s in the full pass.
+      // Every 16th query, not every query: ContextCleaner's unpersist
+      // work is ASYNC and steals cycles from the next timed query — a
+      // per-query GC inflated the catalog total ~20% — while the
+      // inflation needed ~100 queries of accumulated blocks, so a
+      // 16-query window keeps the leak far below harm. Memoized frames
+      // stay referenced by their memos and survive any GC.
+      sinceGc += 1
+      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
       name -> (if (failed.isDefined) Left(failed.get) else Right(times(times.length / 2)))
     }
     // 0.1 ms precision: full nanosecond doubles made the 180-query JSON

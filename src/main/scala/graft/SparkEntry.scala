@@ -82,6 +82,7 @@ object SparkEntry {
     "t13_repetition_ratio", "t23_bigram_logprob", "t14_decontamination",
     "t30_bm25",
     "d3_dedup_ngram_jaccard", "d4_dedup_minhash_lsh", "d9_block_dedup",
+    "d14_containment",
     "d10_incremental_neardup", "pipe2_incremental_ingest",
     "s9_embedding_covariance", "d5b_simhash_oracle",
     "t26_stratified_sample",
@@ -93,7 +94,8 @@ object SparkEntry {
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
     "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
-    "g5_cheapest_path", "g6_label_prop", "g7_kcore", "t27_quality_rules",
+    "g5_cheapest_path", "g6_label_prop", "g7_kcore", "g8_link_predict",
+    "t27_quality_rules",
     "w10_zorder_cluster", "w11_cdc_apply", "w13_time_travel",
     "w15_expectations",
     "w12_incremental_rollup", "x5_schema_evolution", "d13_semantic_dedup",

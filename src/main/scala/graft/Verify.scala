@@ -41,8 +41,12 @@ object Verify {
         failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       } finally {
         // Some queries persist() intermediates (d3/d4 shingles); drop them
-        // so cached blocks don't accumulate across the ~90-query run.
+        // so cached blocks don't accumulate across the ~200-query run.
+        // The GC additionally lets ContextCleaner release per-invocation
+        // localCheckpoint blocks (clearCache never touches RDD-level
+        // storage); memoized frames stay referenced and alive.
         spark.catalog.clearCache()
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -234,6 +234,55 @@ object Dedup extends QueryModule {
     jaccardPairs(spark, dir, 0.5).orderBy($"i", $"j")
   }
 
+  /** d14 — CONTAINMENT near-dup pairs: directed (i, j) where
+    * |Sᵢ ∩ Sⱼ| / |Sᵢ| ≥ 0.8 — Broder's second resemblance measure
+    * (SEQUENCES '97 defines both r(A,B) and the asymmetric c(A,B)),
+    * and the one symmetric Jaccard is BLIND to: a short document
+    * quoted wholesale inside a much longer one has c(short→long) ≈ 1
+    * while J = |A∩B|/|A∪B| vanishes with the length ratio — the
+    * quote/boilerplate/aggregation-page case every corpus curator
+    * hits (d3/d4 at τ=0.5/0.8 cannot see it; the spec crafts exactly
+    * such a pair and pins the asymmetry).
+    *
+    * Plan shape rides d3's kernel economy — the SAME persisted
+    * hashed-shingle arrays — but the blocking is necessarily looser:
+    * containment gives no length filter (the container may be any
+    * size) and only the CONTAINED side admits a prefix filter
+    * (c ≥ τ ⇒ |Sᵢ∩Sⱼ| ≥ ⌈τ·|Sᵢ|⌉, so the first |Sᵢ|−⌈τ·|Sᵢ|⌉+1
+    * ascending hashes of i must hit SOME element of j — the j side
+    * joins unprefixed). The i-side positional filter still applies:
+    * at i's first co-occurring hash (position pᵢ, 0-based, minimal
+    * common under the ascending order), |Sᵢ∩Sⱼ| ≤ 1 + (|Sᵢ|−pᵢ−1).
+    * Survivors merge-count exactly (codegen'd sorted intersect) and
+    * verify c/|Sᵢ| ≥ τ. Shuffle volume is O(shingles_j + (1−τ)·
+    * shingles_i) 8-byte rows; a stop-shingle hot bucket costs its own
+    * candidates (the d4 banding discipline — salt or drop-top-k
+    * shingles if a corpus concentrates). */
+  private def d14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tau = 0.8
+    val arr = cachedShingleHashes(spark, dir)
+    val withN = arr.select($"doc_id", $"hs", size($"hs").cast("long").as("n"))
+    val plen = (size($"hs") - ceil(size($"hs") * tau) + 1).cast("int")
+    val aPref = withN.select($"doc_id", $"n",
+      posexplode(slice($"hs", lit(1), plen))).toDF("i", "na", "px", "h")
+    val bAll = withN.select($"doc_id".as("j"), explode($"hs").as("h"))
+    val cand = aPref.join(bAll,
+        aPref("h") === bAll("h") && $"i" =!= $"j" &&
+          (lit(1) + ($"na" - $"px" - 1)) >= ceil($"na" * tau))
+      .select($"i", $"j")
+    import graft.functions.ArrayFunctions.sortedIntersectCount
+    cand
+      .join(withN.select($"doc_id".as("i"), $"hs".as("hi"), $"n".as("na")), Seq("i"))
+      .join(withN.select($"doc_id".as("j"), $"hs".as("hj")), Seq("j"))
+      .select($"i", $"j",
+        (sortedIntersectCount(spark, $"hi", $"hj").cast("double")
+          / $"na".cast("double")).as("containment"))
+      .filter($"containment" >= tau)
+      .distinct()
+      .orderBy($"i", $"j")
+  }
+
   /** d7 — duplicate-CLUSTER resolution: connected components over the
     * j≥0.5 near-dup pair graph, every document labeled with its
     * cluster's canonical (minimum) doc_id. This is the step a training
@@ -974,6 +1023,7 @@ object Dedup extends QueryModule {
     "d1_dedup_exact_groups"  -> (d1 _),
     "d2_dedup_exact_select"  -> (d2 _),
     "d3_dedup_ngram_jaccard" -> (d3 _),
+    "d14_containment"        -> (d14 _),
     "d4_dedup_minhash_lsh"   -> (d4 _),
     "d5_dedup_simhash"       -> (d5 _),
     "d5b_simhash_oracle"     -> (d5b _),
@@ -1185,6 +1235,26 @@ object Dedup extends QueryModule {
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
     "d3_dedup_ngram_jaccard" -> bruteForceSql(0.5),
+    // d14: brute-force DIRECTED containment — same shingle ground
+    // truth, normalized by the CONTAINED side's set size only.
+    "d14_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w)-1),
+        |                       i -> array_to_string(list_slice(w, i, i+2), ' '))) AS shingles
+        |  FROM (SELECT doc_id,
+        |               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |        FROM documents)),
+        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT i, j, CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = i
+        |WHERE CAST(c AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.8
+        |ORDER BY i, j""".stripMargin,
     "d4_dedup_minhash_lsh"   -> bruteForceSql(0.8),
     "d7_dup_clusters" ->
       """WITH RECURSIVE sh AS (

@@ -419,6 +419,47 @@ object Graph extends QueryModule {
     presentSorted(tri, col("s1"), col("s2"), col("s3"))
   }
 
+  /** g8 — LINK PREDICTION by neighborhood Jaccard (Liben-Nowell &
+    * Kleinberg CIKM 2003, the classic unsupervised baseline): for every
+    * NON-adjacent supplier pair at distance 2 in the mutual-k-NN graph,
+    * score = |N(u)∩N(v)| / |N(u)∪N(v)|; top-20 predicted edges — the
+    * "suppliers that should be co-recommended next" primitive, and the
+    * negative-sampling complement of the edges g3 already asserts.
+    *
+    * Shape: common-neighbor counts come from ONE wedge join of the
+    * directed mutual edges (x.t = y.s) — candidate volume is
+    * Σ_w deg(w)², which the mutual graph bounds at K²·|V| BY
+    * CONSTRUCTION (deg ≤ K after g3's mutual cut, no data assumption);
+    * degrees are one map-combined count; existing edges drop via
+    * left-anti; the final cut is orderBy+limit (TakeOrderedAndProject)
+    * with only 20 survivors seeing the rank window. Score is one
+    * integer-ratio division — bit-identical across engines. */
+  private def g8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = mutualKnn(spark, dir)
+    val directed = m.select(explode(array(
+        struct($"a".as("s"), $"b".as("t")),
+        struct($"b".as("s"), $"a".as("t")))).as("e"))
+      .select($"e.s", $"e.t")
+    val deg = directed.groupBy($"s").agg(count(lit(1)).as("d"))
+    val cn = directed.as("x").join(directed.as("y"),
+        $"x.t" === $"y.s" && $"x.s" < $"y.t")
+      .select($"x.s".as("u"), $"y.t".as("v"))
+      .groupBy($"u", $"v").agg(count(lit(1)).as("cn"))
+    val nonEdge = cn.join(m, cn("u") === m("a") && cn("v") === m("b"), "left_anti")
+    val scored = nonEdge
+      .join(deg.select($"s".as("u"), $"d".as("du")), Seq("u"))
+      .join(deg.select($"s".as("v"), $"d".as("dv")), Seq("v"))
+      .select($"u", $"v", $"cn",
+        ($"cn".cast("double") / ($"du" + $"dv" - $"cn").cast("double")).as("score"))
+    val w = Window.orderBy($"score".desc, $"u", $"v")
+    scored.orderBy($"score".desc, $"u", $"v").limit(20)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"u", $"v", $"cn", $"score")
+      .orderBy($"rank")
+  }
+
   /** Test hook: the fixture dirs currently memoized for an application —
     * the cache-bound spec asserts this stays at ≤1 dir while cycling. */
   private[graft] def memoDirs(app: String): Set[String] = {
@@ -435,7 +476,8 @@ object Graph extends QueryModule {
     "g4_knn_triangles" -> (g4 _),
     "g5_cheapest_path" -> (g5 _),
     "g6_label_prop"    -> (g6 _),
-    "g7_kcore"         -> (g7 _))
+    "g7_kcore"         -> (g7 _),
+    "g8_link_predict"  -> (g8 _))
 
   /** Shared oracle prelude: the co-purchase pair aggregate and the
     * mutual-k-NN graph build, restated verbatim in SQL. */
@@ -535,6 +577,31 @@ object Graph extends QueryModule {
     "g3_knn_graph" ->
       s"""$mutualCtes
          |SELECT a AS s1, b AS s2 FROM mutual ORDER BY s1, s2""".stripMargin,
+    // g8: the same wedge-count construction restated over the shared
+    // mutual-graph CTEs; score is one integer-ratio division.
+    "g8_link_predict" ->
+      s"""$mutualCtes,
+         |md AS (SELECT a AS s, b AS t FROM mutual
+         |       UNION ALL SELECT b AS s, a AS t FROM mutual),
+         |deg AS (SELECT s, count(*) AS d FROM md GROUP BY s),
+         |wedge AS (
+         |  SELECT x.s AS u, y.t AS v, count(*) AS cn
+         |  FROM md x JOIN md y ON x.t = y.s AND x.s < y.t
+         |  GROUP BY x.s, y.t),
+         |ne AS (SELECT w.u, w.v, w.cn FROM wedge w
+         |       WHERE NOT EXISTS (SELECT 1 FROM mutual m
+         |                         WHERE m.a = w.u AND m.b = w.v)),
+         |sc AS (SELECT u, v, cn,
+         |              CAST(cn AS DOUBLE) / CAST(du.d + dv.d - cn AS DOUBLE)
+         |                AS score
+         |       FROM ne JOIN deg du ON du.s = ne.u
+         |                JOIN deg dv ON dv.s = ne.v),
+         |top AS (SELECT u, v, cn, score FROM sc
+         |        ORDER BY score DESC, u, v LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, u, v) AS BIGINT)
+         |         AS rank,
+         |       u, v, cn, score
+         |FROM top ORDER BY rank""".stripMargin,
     // g6: the three synchronous LPA rounds unrolled; the argmax's total
     // order (count desc, label asc) is a windowed row_number over the
     // per-(node, label) counts — the same unique winner the engine's

@@ -94,6 +94,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == brute)
   }
 
+  test("d14 containment sees the quote-inside-a-long-doc pair that Jaccard is blind to") {
+    import spark.implicits._
+    // doc 1: a 12-word "quote"; doc 2: the quote verbatim + 60 words of
+    // filler — c(1→2) = 1 but J(1,2) ≈ 0.14, invisible at d3's τ=0.5;
+    // doc 3: an exact copy of doc 1 (both directions must appear).
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d14").toString
+    Seq((1L, quote), (2L, s"$quote $filler"), (3L, quote))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val d14 = SparkEntry.queries("d14_containment")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Directed: 1→2 contained (c = 1.0); 2→1 absent (10/70 < 0.8);
+    // exact twins 1↔3 appear both ways; 3→2 contained like 1→2.
+    assert(d14.toSet == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0), (3L, 2L, 1.0)))
+    val d3 = SparkEntry.queries("d3_dedup_ngram_jaccard")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Symmetric Jaccard at τ=0.5 sees only the exact twins — the
+    // contained-quote pair is below its radar; that asymmetry is d14's
+    // reason to exist.
+    assert(d3.toSet == Set((1L, 3L)))
+  }
+
   test("d4 MinHash+LSH finds exactly the brute-force pairs at j >= 0.8") {
     val brute = Dedup.queries("d3_dedup_ngram_jaccard")(spark, dir)
       .filter("jaccard >= 0.8")

@@ -146,6 +146,33 @@ class GraphSpec extends AnyFunSuite {
     gotTris.foreach { case (a, b, c) => assert(a < b && b < c) }
   }
 
+  test("g8 link prediction equals a driver-side neighbor-set recount; predictions are non-edges") {
+    // sf0.01: the sf0.001 mutual graph is too sparse for non-adjacent
+    // wedges (g8 is legitimately empty there — the oracle agrees).
+    val d01 = "/root/testdata/sf0.01"
+    val edges = graft.operators.Graph.queries("g3_knn_graph")(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      (u, nu) <- nbrs.toSeq; (v, nv) <- nbrs.toSeq
+      if u < v && !edges((u, v)) && (nu & nv).nonEmpty
+    } yield {
+      val cn = (nu & nv).size.toLong
+      (u, v, cn, cn.toDouble / (nu.size + nv.size - cn).toDouble)
+    }).sortBy { case (u, v, _, s) => (-s, u, v) }.take(20)
+      .zipWithIndex.map { case ((u, v, cn, s), i) => (i + 1L, u, v, cn, s) }
+      .toVector
+    val got = graft.operators.Graph.queries("g8_link_predict")(spark, d01)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toVector
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must exercise the prediction path")
+    assert(got.forall { case (_, u, v, _, _) => !edges((u, v)) },
+      "a predicted link must not already exist")
+  }
+
   test("g6 equals a driver-side synchronous LPA replay; labels are graph nodes") {
     // Rebuild the mutual graph from the ENGINE's own g3 output (g3 is
     // pinned exactly against a driver recompute above), then replay the
