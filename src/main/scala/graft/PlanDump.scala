@@ -83,7 +83,11 @@ object PlanDump {
     "e16_session_paths"   -> "gaps-and-islands sessionization + sort-key-packed path assembly: lag/runsum windows share ONE user shuffle (r7)",
     "s15_retrieval_metrics" -> "nDCG/MRR/recall eval: one ranking pass, per-query conditional aggregates, ideal-DCG via bounded in-task fanout (r7)",
     "s16_mmr_rerank"      -> "MMR re-rank: 5 unrolled argmax+update rounds over checkpointed top-20 candidate/pair leaves, corpus touched once (r7)",
-    "pipe6_hybrid_rrf"    -> "hybrid RRF fusion: both legs rank-cut to 50 BEFORE a full-outer fusion join bounded 50x50 at any corpus size (r7)")
+    "pipe6_hybrid_rrf"    -> "hybrid RRF fusion: both legs rank-cut to 50 BEFORE a full-outer fusion join bounded 50x50 at any corpus size (r7)",
+    "d14_containment"     -> "directed containment dedup: contained-side prefix filter + unprefixed container side, sorted-merge verify (r7)",
+    "g8_link_predict"     -> "link prediction: one wedge join K^2|V|-bounded by the mutual graph's degree cap, anti-join vs existing edges (r7)",
+    "x7_xml_roundtrip"    -> "native XML sink+source round-trip: rowTag-split parallel scan, schema-hinted typed read-back (r7)",
+    "e17_rfm_segments"    -> "RFM segmentation: per-user rollup, three tie-broken ntile windows over the aggregate frame, CASE rule table (r7)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args

@@ -90,7 +90,7 @@ object SparkEntry {
     "e4_sliding_window", "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
     "e13_dau_wau", "e14_attribution", "e15_count_anomaly",
-    "e16_session_paths",
+    "e16_session_paths", "e17_rfm_segments",
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
     "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",
@@ -102,7 +102,7 @@ object SparkEntry {
     "x6_corrupt_tolerant", "pipe4_curation_report",
     "pipe3_train_manifest", "pipe5_data_audit", "pipe6_hybrid_rrf",
     "w14_dynamic_overwrite",
-    "t28_mixture_resample", "x4_text_roundtrip",
+    "t28_mixture_resample", "x4_text_roundtrip", "x7_xml_roundtrip",
     "s5_embedding_centroids", "s8_kmeans_iteration",
     "c4_dynamic_pruning", "x3_orc_roundtrip",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",

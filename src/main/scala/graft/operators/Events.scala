@@ -450,8 +450,50 @@ object Events extends QueryModule {
       .orderBy($"rank")
   }
 
+  /** e17 — RFM segmentation (Recency / Frequency / Monetary, the
+    * marketing-analytics staple since Hughes 1994): per purchasing
+    * user, quartile scores for how recently they bought (R), how
+    * often (F), and how much (M), mapped through a fixed rule table
+    * to named segments (champion / at_risk / promising / loyal /
+    * big_spender / regular) and rolled up to segment sizes + value.
+    *
+    * Scoring is RANK-based (ntile(4) with user_id tie-break — a
+    * total order, so both engines tile identically); the three global
+    * windows run over the per-user AGGREGATE frame (cardinality =
+    * purchasing users, the walk's aggregate-below allowance). At
+    * billion-user scale, swap rank tiles for broadcast quartile
+    * CUTPOINTS (t5/t21's pattern) — comparison scoring, no global
+    * sort; the segment rule table is unchanged. Exactness: epoch
+    * micros and counts are integers, monetary rides the dsum decimal
+    * path, and the CASE precedence chain is spelled identically in
+    * both engines. */
+  private def e17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("n_purch"), dsum0($"value").as("monetary"))
+    val s = p
+      .withColumn("r_s", ntile(4).over(Window.orderBy($"last_us", $"user_id")))
+      .withColumn("f_s", ntile(4).over(Window.orderBy($"n_purch", $"user_id")))
+      .withColumn("m_s", ntile(4).over(Window.orderBy($"monetary", $"user_id")))
+    val seg = s.select(
+      when($"r_s" === 4 && $"f_s" === 4 && $"m_s" === 4, "champion")
+        .when($"r_s" <= 1 && $"f_s" >= 3, "at_risk")
+        .when($"r_s" === 4 && $"f_s" <= 2, "promising")
+        .when($"f_s" >= 3, "loyal")
+        .when($"m_s" === 4, "big_spender")
+        .otherwise("regular").as("segment"),
+      $"monetary")
+    seg.groupBy($"segment")
+      .agg(count(lit(1)).as("n_users"), dsum0($"monetary").as("sum_monetary"))
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e16_session_paths"    -> (e16 _),
+    "e17_rfm_segments"     -> (e17 _),
     "e15_count_anomaly" -> (e15 _),
     "e14_attribution"      -> (e14 _),
     "e13_dau_wau"          -> (e13 _),
@@ -502,6 +544,31 @@ object Events extends QueryModule {
         |       (k = 7 AND 6 * (7 * n_events - s) * (7 * n_events - s)
         |          > 28 * (7 * q - s * s)) AS is_anomaly
         |FROM w ORDER BY day""".stripMargin,
+    // e17: identical per-user rollup, identically-tie-broken ntiles,
+    // the same CASE precedence chain.
+    "e17_rfm_segments" ->
+      s"""WITH p AS (
+         |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_purch,
+         |         ${sqlDsum0("value")} AS monetary
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |s AS (
+         |  SELECT user_id, n_purch, monetary,
+         |         ntile(4) OVER (ORDER BY last_us, user_id) AS r_s,
+         |         ntile(4) OVER (ORDER BY n_purch, user_id) AS f_s,
+         |         ntile(4) OVER (ORDER BY monetary, user_id) AS m_s
+         |  FROM p),
+         |seg AS (
+         |  SELECT CASE WHEN r_s = 4 AND f_s = 4 AND m_s = 4 THEN 'champion'
+         |              WHEN r_s <= 1 AND f_s >= 3 THEN 'at_risk'
+         |              WHEN r_s = 4 AND f_s <= 2 THEN 'promising'
+         |              WHEN f_s >= 3 THEN 'loyal'
+         |              WHEN m_s = 4 THEN 'big_spender'
+         |              ELSE 'regular' END AS segment,
+         |         monetary
+         |  FROM s)
+         |SELECT segment, count(*) AS n_users,
+         |       ${sqlDsum0("monetary")} AS sum_monetary
+         |FROM seg GROUP BY segment ORDER BY segment""".stripMargin,
     // e16: identical gaps-and-islands + sort-key-packed path assembly —
     // the pack is what makes ordered list aggregation spellable in the
     // shared dialect (no ORDER BY inside an aggregate on either side).

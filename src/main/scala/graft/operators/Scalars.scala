@@ -181,6 +181,31 @@ object Scalars extends QueryModule {
         dsum0($"o_totalprice").as("sum_price"))
   }
 
+  /** x7 — XML round-trip: Spark 4 ships the StAX-based XML source
+    * natively (the formerly-external spark-xml, merged in 4.0 —
+    * SPARK-44265), and enterprise data exchange still bottoms out in
+    * XML often enough that an engine without it strands real feeds.
+    * Same contract as x2 (CSV): XML is text-typed on disk, so the
+    * read-back takes the source schema as a hint to restore exact
+    * types; entity escaping (&amp;, &lt;, quotes in customer names)
+    * and per-row element nesting must survive the hop byte-losslessly
+    * or the decimal-sum hash against the SOURCE-table oracle fails.
+    * Scale: the XML reader splits by rowTag like any line format —
+    * parallel scan, no single-reader bottleneck. */
+  private def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir).customer
+    val out = materializedSink(spark, dir, "x7_xml") { p =>
+      src.write.mode("overwrite").format("xml")
+        .option("rootTag", "customers").option("rowTag", "customer").save(p)
+    }
+    spark.read.schema(src.schema).format("xml")
+      .option("rowTag", "customer").load(out)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"c_custkey").as("n_keys"),
+        dsum0($"c_acctbal").as("sum_acctbal"))
+  }
+
   /** x4 — line-oriented TEXT sink + source round-trip: the corpus
     * text column written as raw lines (`.text()` — the format every
     * log/corpus interchange ultimately bottoms out in), re-read, and
@@ -359,6 +384,7 @@ object Scalars extends QueryModule {
     "f_date_suite"       -> (dates _),
     "f_null_semantics"   -> (nulls _),
     "x4_text_roundtrip"  -> (textRoundtrip _),
+    "x7_xml_roundtrip"   -> (xmlRoundtrip _),
     "x5_schema_evolution" -> (schemaEvolution _),
     "x6_corrupt_tolerant" -> (corruptTolerant _),
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
@@ -408,6 +434,13 @@ object Scalars extends QueryModule {
          |FROM events""".stripMargin,
     // Like x2: the ORC hop is storage strategy, not semantics — the
     // oracle aggregates the source table directly (lossless round-trip).
+    // x7: same lossless-hop contract — the oracle aggregates the
+    // source table; any XML escaping/typing loss breaks the hash.
+    "x7_xml_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |       count(DISTINCT c_custkey) AS n_keys,
+         |       ${sqlDsum0("c_acctbal")} AS sum_acctbal
+         |FROM customer""".stripMargin,
     "x3_orc_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |       count(DISTINCT o_orderkey) AS n_keys,

@@ -279,6 +279,49 @@ class SessionOpsSpec extends AnyFunSuite {
       s1 > s2 || (s1 == s2 && d1 < d2) })
   }
 
+  // ---------------------------------------------------------------- e17
+
+  test("e17 RFM: driver-side tile + rule replay is exact; segments cover every purchasing user once") {
+    import spark.implicits._
+    val users = Tables(spark, dir).events
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"), count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // ntile(4) replay: first (n mod 4) tiles carry one extra row.
+    def tiles(sorted: Seq[Long]): Map[Long, Int] = {
+      val n = sorted.size; val q = n / 4; val r = n % 4
+      sorted.zipWithIndex.map { case (u, i) =>
+        val boundaryIdx = (0 until 4).scanLeft(0)((a, t) => a + q + (if (t < r) 1 else 0))
+        u -> (boundaryIdx.indexWhere(_ > i))
+      }.toMap
+    }
+    val rT = tiles(users.sortBy(u => (u._2, u._1)).map(_._1))
+    val fT = tiles(users.sortBy(u => (u._3, u._1)).map(_._1))
+    val mT = tiles(users.sortBy(u => (u._4, u._1)).map(_._1))
+    val segs = users.map { case (uid, _, _, m) =>
+      val (r, f, ms) = (rT(uid), fT(uid), mT(uid))
+      val seg =
+        if (r == 4 && f == 4 && ms == 4) "champion"
+        else if (r <= 1 && f >= 3) "at_risk"
+        else if (r == 4 && f <= 2) "promising"
+        else if (f >= 3) "loyal"
+        else if (ms == 4) "big_spender"
+        else "regular"
+      (seg, m)
+    }
+    val want = segs.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.length.toLong,
+        xs.map(x => BigDecimal(x._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }.toSeq.sortBy(_._1).toVector
+    val got = run("e17_rfm_segments").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(got == want)
+    assert(got.map(_._2).sum == users.length, "segments partition the users")
+    assert(got.size >= 2, "the rule table must actually discriminate")
+  }
+
   // ---------------------------------------------------------------- e16
 
   test("e16 session paths: driver-side sessionization replay is exact") {

@@ -32,6 +32,27 @@ class SourcesSpec extends AnyFunSuite {
       == orig.agg(sum($"value")).head().getDouble(0))
   }
 
+  test("XML roundtrip escapes markup-significant and unicode content byte-losslessly") {
+    import spark.implicits._
+    val out = tmp() + "/xml_escape"
+    // Every value an XML serializer must escape or encode: entities,
+    // angle brackets, quotes, a CDATA-terminator lookalike, newlines
+    // inside an element, and non-ASCII — plus NULL (absent element).
+    val rows = Seq(
+      (1L, "a & b < c > d", Some(1.5)),
+      (2L, "\"quoted\" 'apos' ]]> end", Some(-2.25)),
+      (3L, "line1\nline2\ttabbed", None),
+      (4L, "naïve café — 結果 ✓", Some(0.0)))
+    val orig = rows.toDF("id", "s", "v")
+    orig.write.mode("overwrite").format("xml")
+      .option("rootTag", "rows").option("rowTag", "row").save(out)
+    val back = spark.read.schema(orig.schema).format("xml")
+      .option("rowTag", "row").load(out)
+      .collect().map(r => (r.getLong(0),
+        r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(back == rows.toSet)
+  }
+
   test("partitioned parquet write enables partition pruning on read") {
     import spark.implicits._
     val out = tmp() + "/lineitem_part"
