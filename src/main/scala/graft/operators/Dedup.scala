@@ -250,9 +250,10 @@ object Dedup extends QueryModule {
     * size) and only the CONTAINED side admits a prefix filter
     * (c ≥ τ ⇒ |Sᵢ∩Sⱼ| ≥ ⌈τ·|Sᵢ|⌉, so the first |Sᵢ|−⌈τ·|Sᵢ|⌉+1
     * ascending hashes of i must hit SOME element of j — the j side
-    * joins unprefixed). The i-side positional filter still applies:
-    * at i's first co-occurring hash (position pᵢ, 0-based, minimal
-    * common under the ascending order), |Sᵢ∩Sⱼ| ≤ 1 + (|Sᵢ|−pᵢ−1).
+    * joins unprefixed — and with it goes d3's positional filter: the
+    * bound it gives, |Sᵢ∩Sⱼ| ≤ 1 + (|Sᵢ|−pᵢ−1), is implied by prefix
+    * membership itself when only one side is prefixed, so blocking
+    * here is prefix-only by MATH, not by omission).
     * Survivors merge-count exactly (codegen'd sorted intersect) and
     * verify c/|Sᵢ| ≥ τ. Shuffle volume is O(shingles_j + (1−τ)·
     * shingles_i) 8-byte rows; a stop-shingle hot bucket costs its own
@@ -264,12 +265,10 @@ object Dedup extends QueryModule {
     val arr = cachedShingleHashes(spark, dir)
     val withN = arr.select($"doc_id", $"hs", size($"hs").cast("long").as("n"))
     val plen = (size($"hs") - ceil(size($"hs") * tau) + 1).cast("int")
-    val aPref = withN.select($"doc_id", $"n",
-      posexplode(slice($"hs", lit(1), plen))).toDF("i", "na", "px", "h")
+    val aPref = withN.select($"doc_id",
+      explode(slice($"hs", lit(1), plen)).as("h")).toDF("i", "h")
     val bAll = withN.select($"doc_id".as("j"), explode($"hs").as("h"))
-    val cand = aPref.join(bAll,
-        aPref("h") === bAll("h") && $"i" =!= $"j" &&
-          (lit(1) + ($"na" - $"px" - 1)) >= ceil($"na" * tau))
+    val cand = aPref.join(bAll, aPref("h") === bAll("h") && $"i" =!= $"j")
       .select($"i", $"j")
     import graft.functions.ArrayFunctions.sortedIntersectCount
     cand

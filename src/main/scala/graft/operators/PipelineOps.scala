@@ -447,8 +447,6 @@ object PipelineOps extends QueryModule {
   private def pipe6(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    graft.functions.VectorFunctions.register(spark)
-    val dot = (a: Column, b: Column) => call_function("float_dot", a, b)
     // Each leg's cut is orderBy+limit — TakeOrderedAndProject, the
     // DISTRIBUTED top-k (per-task heaps + one 50-row merge) — and only
     // the 50 survivors see the rank window. A bare global rank window
@@ -459,9 +457,9 @@ object PipelineOps extends QueryModule {
       .orderBy($"score_r".desc, $"doc_id").limit(50)
       .withColumn("rka", row_number().over(wa).cast("long"))
       .select($"doc_id", $"rka")
-    val n = Tables(spark, dir).embeddings
-      .select($"vec_id", $"embedding",
-        sqrt(dot($"embedding", $"embedding")).as("nrm"))
+    // The s-family's shared normalized corpus — ONE home for the
+    // cosine discipline (registers float_dot, computes nrm once).
+    val n = Similarity.corpus(spark, dir)
     // limit(1): vec_id is unique, so this is a no-op semantically, but
     // it makes the broadcast side STATICALLY bounded (the condition-
     // less-join walk's contract, like the grouping-free aggregates).
@@ -469,7 +467,7 @@ object PipelineOps extends QueryModule {
       .select($"embedding".as("qe"), $"nrm".as("qn")).limit(1)
     val cosr = n.filter($"vec_id" =!= 0).crossJoin(broadcast(qv))
       .select($"vec_id".as("doc_id"),
-        round(dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("cos_r"))
+        round(Similarity.dot($"qe", $"embedding") / ($"qn" * $"nrm"), 6).as("cos_r"))
     val wb = Window.orderBy($"cos_r".desc, $"doc_id")
     val rb = cosr.orderBy($"cos_r".desc, $"doc_id").limit(50)
       .withColumn("rkb", row_number().over(wb).cast("long"))

@@ -49,12 +49,15 @@ object Similarity extends QueryModule {
     * (graft.functions.FloatDotProduct); bit-identical to the HOF
     * `aggregate(zip_with(...))` formulation but ~25× faster and fused
     * into WholeStageCodegen. */
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     call_function("float_dot", a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  /** The normalized-embedding corpus frame (vec_id, embedding, nrm) —
+    * shared with pipe6's vector leg so the cosine discipline lives in
+    * exactly one place. */
+  private[operators] def corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
     Tables(spark, dir).embeddings

@@ -124,11 +124,21 @@ class PlanSpec extends AnyFunSuite {
     // Aggregate (input cardinality = group count, not corpus size) or
     // a LIMIT (a top-k cut — TakeOrderedAndProject feeds the window at
     // most k rows; pipe6/t30's rank-over-top-k shape).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan, Union, Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan
-      def boundedBelow(p: LogicalPlan): Boolean =
-        p.collectFirst { case _: Aggregate => (); case _: GlobalLimit => () }.isDefined
+      // PATH-based, not collectFirst-anywhere: a bounding node must
+      // gate the cardinality actually FEEDING the window — a limit or
+      // aggregate buried in one join branch does not bound the other
+      // branch's corpus (the hole a subtree-wide collectFirst leaves).
+      def boundedBelow(p: LogicalPlan): Boolean = p match {
+        case _: Aggregate   => true
+        case _: GlobalLimit => true
+        case j: Join        => boundedBelow(j.left) && boundedBelow(j.right)
+        case u: Union       => u.children.forall(boundedBelow)
+        case _ if p.children.size == 1 => boundedBelow(p.children.head)
+        case _              => false
+      }
       plan.collect {
         case w: LWindow if w.partitionSpec.isEmpty && !boundedBelow(w.child) => name
       }

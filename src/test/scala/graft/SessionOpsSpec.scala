@@ -32,12 +32,14 @@ class SessionOpsSpec extends AnyFunSuite {
       (1L, 60L, 13L), // -> latest (rid 4)
       (2L, 30L, 14L)) // key with no right rows at all -> NULL
       .toDF("key", "ts", "lid")
-    val got = Joins.asofJoin(left, right)
+    val rows = Joins.asofJoin(left, right)
       .select($"lid", $"m.rid", $"m.v").collect()
+    val got = rows
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(got == Map(10L -> -1L, 11L -> 1L, 12L -> 3L, 13L -> 4L, 14L -> -1L))
-    // Right-only keys contribute no output rows.
-    assert(Joins.asofJoin(left, right).count() == 5)
+    // Exactly one row per LEFT row — right-only keys contribute none,
+    // and no left row duplicates (length, not the map, proves it).
+    assert(rows.length == 5)
   }
 
   test("j12 equals the brute-force non-equi + argmax form on the fixture") {
@@ -59,7 +61,9 @@ class SessionOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     // Both populated and NULL (no-prior-view) outcomes must occur for
     // the fixture to actually exercise the outer semantics.
-    assert(got.exists(r => r(2) != null) )
+    assert(got.exists(r => r(2) != null))
+    assert(got.exists(r => r(2) == null),
+      "fixture must contain a purchase with no prior view")
   }
 
   // ---------------------------------------------------------------- t30
