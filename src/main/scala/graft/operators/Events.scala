@@ -457,27 +457,64 @@ object Events extends QueryModule {
     * to named segments (champion / at_risk / promising / loyal /
     * big_spender / regular) and rolled up to segment sizes + value.
     *
-    * Scoring is RANK-based (ntile(4) with user_id tie-break — a
-    * total order, so both engines tile identically); the three global
-    * windows run over the per-user AGGREGATE frame (cardinality =
-    * purchasing users, the walk's aggregate-below allowance). At
-    * billion-user scale, swap rank tiles for broadcast quartile
-    * CUTPOINTS (t5/t21's pattern) — comparison scoring, no global
-    * sort; the segment rule table is unchanged. Exactness: epoch
-    * micros and counts are integers, monetary rides the dsum decimal
-    * path, and the CASE precedence chain is spelled identically in
-    * both engines. */
+    * Scoring is CUTPOINT-based (t5/t21's broadcast-percentile
+    * discipline): the three quartile boundaries per dimension are one
+    * grouping-free `percentile` aggregate — a map-combined scalar, no
+    * global sort anywhere in the plan — broadcast into a pure
+    * comparison score `1 + (v>q1) + (v>q2) + (v>q3)`. This replaces
+    * the earlier `ntile(4)` rank tiling, the catalog's last global
+    * one-reducer window at scale (three single-task sorts of the
+    * |users|-sized rollup at 1e9 users); value scoring is also the
+    * better RFM semantics — users with identical behavior now land in
+    * the same tier instead of being split by an id tie-break, at the
+    * cost of tier sizes tracking the value distribution rather than
+    * being forced quarters (heavy ties collapse adjacent tiers — the
+    * marketing-standard behavior for discrete F counts).
+    *
+    * Exact `percentile` keeps per-DISTINCT-VALUE counts, so each
+    * scored dimension is QUANTIZED to a corpus-independent domain
+    * (t5's state-bound discipline, enforced by the PlanSpec walk):
+    * R is the recency DAY index (round(last_us/86400e6) — days are
+    * calendar-proportional, and day granularity is the RFM-standard
+    * anyway), F is the raw purchase count (d distinct count values
+    * over N purchases satisfy d(d+1)/2 ≤ N, so state is O(√N) —
+    * provably sub-linear without any rounding), and M rounds the
+    * exact decimal sum to CENTS (distinct values ≤ the price range
+    * in cents — a value-domain bound like m5's payload lengths, not
+    * a cardinality bound). The segment-value rollup keeps the
+    * unrounded decimal sum.
+    *
+    * Exactness across engines: quantization is decimal/scale-0
+    * rounding (exact, HALF_UP both engines), every dimension is then
+    * scored in DOUBLE, so Spark's `percentile` and the oracle's
+    * `percentile_cont WITHIN GROUP` interpolate the identical sorted
+    * double sequence with the identical (n-1)·p rule — bit-equal
+    * cutpoints (t5 established the cross-engine guarantee), and the
+    * score comparisons are then double-vs-double on both sides. The
+    * CASE precedence chain is spelled identically in both engines. */
   private def e17(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val p = Tables(spark, dir).events
       .filter($"event_type" === "purchase")
       .groupBy($"user_id")
-      .agg(max(unix_micros($"ts")).as("last_us"),
-        count(lit(1)).as("n_purch"), dsum0($"value").as("monetary"))
-    val s = p
-      .withColumn("r_s", ntile(4).over(Window.orderBy($"last_us", $"user_id")))
-      .withColumn("f_s", ntile(4).over(Window.orderBy($"n_purch", $"user_id")))
-      .withColumn("m_s", ntile(4).over(Window.orderBy($"monetary", $"user_id")))
+      .agg(round(max(unix_micros($"ts")) / lit(86400e6), 0).as("r_v"),
+        count(lit(1)).cast("double").as("f_v"),
+        coalesce(round(sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 6))), 2)
+          .cast("double"), lit(0.0)).as("m_v"),
+        dsum0($"value").as("monetary"))
+    val cuts = p.agg(
+      percentile($"r_v", lit(0.25)).as("rq1"), percentile($"r_v", lit(0.5)).as("rq2"),
+      percentile($"r_v", lit(0.75)).as("rq3"),
+      percentile($"f_v", lit(0.25)).as("fq1"), percentile($"f_v", lit(0.5)).as("fq2"),
+      percentile($"f_v", lit(0.75)).as("fq3"),
+      percentile($"m_v", lit(0.25)).as("mq1"), percentile($"m_v", lit(0.5)).as("mq2"),
+      percentile($"m_v", lit(0.75)).as("mq3"))
+    def score(v: Column, q1: Column, q2: Column, q3: Column): Column =
+      lit(1) + (v > q1).cast("int") + (v > q2).cast("int") + (v > q3).cast("int")
+    val s = p.crossJoin(broadcast(cuts))
+      .withColumn("r_s", score($"r_v", $"rq1", $"rq2", $"rq3"))
+      .withColumn("f_s", score($"f_v", $"fq1", $"fq2", $"fq3"))
+      .withColumn("m_s", score($"m_v", $"mq1", $"mq2", $"mq3"))
     val seg = s.select(
       when($"r_s" === 4 && $"f_s" === 4 && $"m_s" === 4, "champion")
         .when($"r_s" <= 1 && $"f_s" >= 3, "at_risk")
@@ -544,19 +581,40 @@ object Events extends QueryModule {
         |       (k = 7 AND 6 * (7 * n_events - s) * (7 * n_events - s)
         |          > 28 * (7 * q - s * s)) AS is_anomaly
         |FROM w ORDER BY day""".stripMargin,
-    // e17: identical per-user rollup, identically-tie-broken ntiles,
-    // the same CASE precedence chain.
+    // e17: identical per-user rollup and CASE precedence chain.
+    // Quartile CUTPOINTS (percentile_cont WITHIN GROUP — the ordered-set
+    // syntax both engines parse) broadcast into comparison scoring; every
+    // dimension is quantized (recency→day index, monetary→exact-decimal
+    // cents) then scored in DOUBLE so both engines interpolate and
+    // compare the identical IEEE sequence. See e17's scaladoc.
     "e17_rfm_segments" ->
       s"""WITH p AS (
-         |  SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_purch,
+         |  SELECT user_id, round(max(epoch_us(ts)) / 86400000000.0, 0) AS r_v,
+         |         CAST(count(*) AS DOUBLE) AS f_v,
+         |         coalesce(CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+         |                       AS DOUBLE), 0.0) AS m_v,
          |         ${sqlDsum0("value")} AS monetary
          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-         |s AS (
-         |  SELECT user_id, n_purch, monetary,
-         |         ntile(4) OVER (ORDER BY last_us, user_id) AS r_s,
-         |         ntile(4) OVER (ORDER BY n_purch, user_id) AS f_s,
-         |         ntile(4) OVER (ORDER BY monetary, user_id) AS m_s
+         |cuts AS (
+         |  SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY r_v) AS rq1,
+         |         percentile_cont(0.5)  WITHIN GROUP (ORDER BY r_v) AS rq2,
+         |         percentile_cont(0.75) WITHIN GROUP (ORDER BY r_v) AS rq3,
+         |         percentile_cont(0.25) WITHIN GROUP (ORDER BY f_v) AS fq1,
+         |         percentile_cont(0.5)  WITHIN GROUP (ORDER BY f_v) AS fq2,
+         |         percentile_cont(0.75) WITHIN GROUP (ORDER BY f_v) AS fq3,
+         |         percentile_cont(0.25) WITHIN GROUP (ORDER BY m_v) AS mq1,
+         |         percentile_cont(0.5)  WITHIN GROUP (ORDER BY m_v) AS mq2,
+         |         percentile_cont(0.75) WITHIN GROUP (ORDER BY m_v) AS mq3
          |  FROM p),
+         |s AS (
+         |  SELECT user_id, monetary,
+         |         1 + CAST(r_v > rq1 AS INT) + CAST(r_v > rq2 AS INT)
+         |           + CAST(r_v > rq3 AS INT) AS r_s,
+         |         1 + CAST(f_v > fq1 AS INT) + CAST(f_v > fq2 AS INT)
+         |           + CAST(f_v > fq3 AS INT) AS f_s,
+         |         1 + CAST(m_v > mq1 AS INT) + CAST(m_v > mq2 AS INT)
+         |           + CAST(m_v > mq3 AS INT) AS m_s
+         |  FROM p CROSS JOIN cuts),
          |seg AS (
          |  SELECT CASE WHEN r_s = 4 AND f_s = 4 AND m_s = 4 THEN 'champion'
          |              WHEN r_s <= 1 AND f_s >= 3 THEN 'at_risk'

@@ -87,19 +87,31 @@ object PipelineOps extends QueryModule {
     * subtotal row per bucket and prefix-sums THOSE into bucket start
     * offsets — the only global-ordered operation runs over the
     * bucket-count-sized aggregate, not the corpus. Offsets broadcast
-    * back; cum = offset + local_cum exactly. At 100 TB size the bucket
-    * so bucket count ≈ task count (or recurse the offset pass once
-    * more); both branches share the scan+shuffle via exchange reuse.
+    * back; cum = offset + local_cum exactly. The bucket COUNT is a
+    * constant (`PackSplitBuckets` = 4096 ≈ task count via
+    * `width_bucket` over the min/max doc_id span — a broadcast-scalar
+    * second scan, t5's discipline), so the offset frame is STATICALLY
+    * bounded — the earlier fixed-WIDTH split (doc_id/64) made it
+    * entity-proportional, the exact class the catalog-wide window walk
+    * now rejects. Per-bucket mass grows with the corpus instead; the
+    * pass-1 running sum stays a partitioned (distributed, spillable)
+    * sort, and a 100 TB deployment raises the constant or recurses the
+    * offset pass once more. The global cumsum is split-invariant for
+    * any doc_id-monotone bucketing, so results are bit-identical to
+    * the old split (spec-pinned against the global-window replay).
     * Division is done in doubles (exact: token counts ≪ 2^53) so both
     * engines floor identically. */
-  private val PackBucketWidth = 64L
+  private val PackSplitBuckets = 4096
 
   private def t16(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val local = Tables(spark, dir).documents
-      .select($"doc_id", size(words($"text")).cast("long").as("n_tok"),
-        floor($"doc_id" / PackBucketWidth.toDouble).cast("long").as("bkt"))
+    val docs = Tables(spark, dir).documents
+      .select($"doc_id", size(words($"text")).cast("long").as("n_tok"))
+    val span = docs.agg(min($"doc_id").as("dlo"), (max($"doc_id") + 1).as("dhi"))
+    val local = docs.crossJoin(broadcast(span))
+      .select($"doc_id", $"n_tok",
+        width_bucket($"doc_id", $"dlo", $"dhi", lit(PackSplitBuckets)).as("bkt"))
       .withColumn("local_cum", sum($"n_tok").over(
         Window.partitionBy($"bkt").orderBy($"doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

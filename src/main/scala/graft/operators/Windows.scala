@@ -97,8 +97,13 @@ object Windows extends QueryModule {
     * and only the final output casts to double. */
   private def rollingRange(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Group on the DATE, not the raw timestamp: daily-rollup semantics
+    // (identical here — fixture timestamps are midnights), and the
+    // date-typed grouping is what makes the downstream global range
+    // window CALENDAR-bounded for the plan walk (a timestamp key is
+    // statically micros-domain = corpus-proportional).
     val daily = Tables(spark, dir).orders
-      .groupBy($"o_orderdate")
+      .groupBy($"o_orderdate".cast("date").as("o_orderdate"))
       .agg(sum(dec($"o_totalprice")).as("day_rev"))
     val last7d = Window
       .orderBy(datediff($"o_orderdate", lit("1990-01-01").cast("date")))
@@ -209,9 +214,9 @@ object Windows extends QueryModule {
     // engine frame-evaluation strategy cannot matter), double at the end.
     "olap_rolling_range" ->
       """WITH daily AS (
-        |  SELECT o_orderdate,
+        |  SELECT CAST(o_orderdate AS DATE) AS o_orderdate,
         |         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS day_rev
-        |  FROM orders GROUP BY o_orderdate)
+        |  FROM orders GROUP BY 1)
         |SELECT o_orderdate,
         |       CAST(day_rev AS DOUBLE) AS day_rev,
         |       CAST(sum(day_rev) OVER (

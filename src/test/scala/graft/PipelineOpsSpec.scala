@@ -741,6 +741,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val rows = Windows.queries("olap_rolling_range")(spark, dir).collect()
       .map { r =>
         val day = r.get(0) match {
+          case d: java.time.LocalDate     => d.toEpochDay
+          case d: java.sql.Date           => d.toLocalDate.toEpochDay
           case t: java.time.LocalDateTime => t.toLocalDate.toEpochDay
           case t: java.sql.Timestamp      => t.getTime / 86400000L
         }

@@ -120,31 +120,123 @@ class PlanSpec extends AnyFunSuite {
   test("catalog-wide: no global-order window over unaggregated input") {
     // An empty-partition window over corpus-sized input plans a
     // single-partition sort of everything — the defining one-reducer
-    // bottleneck at scale. A global window is tolerable only above an
-    // Aggregate (input cardinality = group count, not corpus size) or
-    // a LIMIT (a top-k cut — TakeOrderedAndProject feeds the window at
-    // most k rows; pipe6/t30's rank-over-top-k shape).
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan, Union, Window => LWindow}
+    // bottleneck at scale. A global window is tolerable only above a
+    // LIMIT (a top-k cut — TakeOrderedAndProject feeds the window at
+    // most k rows; pipe6/t30's rank-over-top-k shape) or an Aggregate
+    // whose GROUPING DOMAIN is bounded (see boundedGrouping) — an
+    // entity-keyed aggregate (user_id, doc_id) is |entities|-sized,
+    // the exact one-reducer input the walk exists to reject (the hole
+    // round-7's blanket Aggregate allowance left open; e17's old
+    // global ntile rode through it).
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.optimizedPlan
-      // PATH-based, not collectFirst-anywhere: a bounding node must
-      // gate the cardinality actually FEEDING the window — a limit or
-      // aggregate buried in one join branch does not bound the other
-      // branch's corpus (the hole a subtree-wide collectFirst leaves).
-      def boundedBelow(p: LogicalPlan): Boolean = p match {
-        case _: Aggregate   => true
-        case _: GlobalLimit => true
-        case j: Join        => boundedBelow(j.left) && boundedBelow(j.right)
-        case u: Union       => u.children.forall(boundedBelow)
-        case _ if p.children.size == 1 => boundedBelow(p.children.head)
-        case _              => false
-      }
-      plan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty && !boundedBelow(w.child) => name
-      }
+      globalWindowOffenders(fn(spark, dir).queryExecution.optimizedPlan).map(_ => name)
     }
     assert(offenders.isEmpty,
       s"global-sort windows over unaggregated input in: ${offenders.distinct.mkString(", ")}")
+  }
+
+  /** Grouping columns whose value domain is a small LABEL SET — a data
+    * fact, not a plan shape, so it is asserted on the fixture by the
+    * walk test below (the centroid-exemption discipline). */
+  private val labelColumns = Set("lang", "source")
+
+  /** Windows with an empty partition spec whose input cardinality is
+    * NOT statically bounded. PATH-based: a bounding node must gate the
+    * cardinality actually FEEDING the window — a limit or aggregate
+    * buried in one join branch does not bound the other branch's
+    * corpus. Bounding nodes: GlobalLimit; an Aggregate with a
+    * bounded-DOMAIN grouping (calendar-derived, width_bucket/pmod by a
+    * literal count, literal-branch CASE labels, boolean, or an asserted
+    * label column — NOT an entity key); Generate only for a calendar/
+    * literal spine over a bounded child (gap-fill's sequence explode —
+    * any other explode re-inflates a bounded input, e.g. word-split
+    * above a top-k); Expand (constant fan-out = #projections). */
+  private def globalWindowOffenders(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, GlobalLimit, Join, LogicalPlan, Union, Window => LWindow}
+    import org.apache.spark.sql.types.{BooleanType, DateType}
+    def boundedGrouping(a: Aggregate): Boolean = {
+      // Grouping exprs are often extracted to `_groupingexpression`
+      // aliases in a Project below — resolve attributes through the
+      // subtree's aliases before classifying.
+      val lookup: Map[ExprId, Expression] = a.child.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
+        case ag: Aggregate => ag.aggregateExpressions
+      }.flatten.collect { case al: Alias => al.exprId -> al.child }.toMap
+      def dom(e: Expression, fuel: Int): Boolean = fuel > 0 && (e match {
+        case _: Literal => true
+        case al: Alias  => dom(al.child, fuel - 1)
+        case c: Cast    => c.dataType == DateType || dom(c.child, fuel - 1)
+        case _ if e.dataType == DateType || e.dataType == BooleanType => true
+        case _: Year | _: Quarter | _: Month | _: DayOfMonth | _: DayOfWeek |
+             _: WeekDay | _: DayOfYear | _: Hour | _: Minute | _: Second |
+             _: WeekOfYear | _: TruncDate | _: TruncTimestamp => true
+        case w: WidthBucket => w.numBucket.isInstanceOf[Literal]
+        case p: Pmod        => p.right.isInstanceOf[Literal]
+        case r: Remainder   => r.right.isInstanceOf[Literal]
+        case c: CaseWhen =>
+          (c.branches.map(_._2) ++ c.elseValue).forall(_.isInstanceOf[Literal])
+        case ar: AttributeReference if labelColumns(ar.name) => true
+        case ar: AttributeReference =>
+          lookup.get(ar.exprId).exists(dom(_, fuel - 1))
+        case _ => false
+      })
+      a.groupingExpressions.forall(dom(_, 12))
+    }
+    def calendarSpine(g: Generate): Boolean = g.generator match {
+      case e: ExplodeBase => e.child match {
+        case _: Sequence => true // date/int spine over scalar lo/hi bounds
+        case _: Literal  => true
+        case _           => false
+      }
+      case _ => false
+    }
+    def boundedBelow(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate   => boundedGrouping(a)
+      case _: GlobalLimit => true
+      case g: Generate    => calendarSpine(g) && boundedBelow(g.child)
+      case e: Expand      => boundedBelow(e.child)
+      case j: Join        => boundedBelow(j.left) && boundedBelow(j.right)
+      case u: Union       => u.children.forall(boundedBelow)
+      case _ if p.children.size == 1 => boundedBelow(p.children.head)
+      case _              => false
+    }
+    plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+    }
+  }
+
+  test("the window walk rejects entity-proportional aggregates and re-inflating explodes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // label-column exemption is a DATA fact — assert it on the fixture
+    // (the same move the condition-less-join walk makes for centroids).
+    val docs = Tables(spark, dir).documents
+    assert(docs.agg(countDistinct($"lang"), countDistinct($"source"))
+      .as[(Long, Long)].head() match { case (l, s) => l <= 64 && s <= 64 },
+      "label-column domains grew — lang/source exemption invalid")
+    // e17's OLD shape: a |users|-sized aggregate under a global ntile
+    // must FAIL the walk (round 7 admitted it; the verdict's spec ask).
+    val entityAgg = Tables(spark, dir).events
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .withColumn("t", ntile(4).over(W.orderBy($"n", $"user_id")))
+    assert(globalWindowOffenders(entityAgg.queryExecution.optimizedPlan).nonEmpty,
+      "entity-keyed aggregate under a global window slipped the walk")
+    // ADVICE: Generate above a limit re-inflates — an exploded top-k is
+    // no longer k rows, so a global window over it must fail too.
+    val explodedTopK = docs.limit(3)
+      .select(explode(split($"text", " ")).as("w"))
+      .withColumn("r", row_number().over(W.orderBy($"w")))
+    assert(globalWindowOffenders(explodedTopK.queryExecution.optimizedPlan).nonEmpty,
+      "explode above a limit slipped the walk")
+    // ...while the catalog's accepted shapes stay accepted: t16's
+    // width_bucket split and gap-fill's calendar spine.
+    Seq("t16_seq_packing", "olap_gap_fill", "e15_count_anomaly").foreach { n =>
+      assert(globalWindowOffenders(
+        SparkEntry.queries(n)(spark, dir).queryExecution.optimizedPlan).isEmpty, n)
+    }
   }
 
   test("catalog-wide: every condition-less join keeps a statically-bounded side (scalar-subquery shape)") {
@@ -202,7 +294,7 @@ class PlanSpec extends AnyFunSuite {
     // producing expression) or a column from the domain-bounded
     // allowlist, whose small value domain is value-asserted here.
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Round}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Percentile}
     import org.apache.spark.sql.functions.countDistinct
     val domainBounded = Set(
       "olap_percentiles", // l_quantity: integer 1..50 scale
@@ -226,6 +318,11 @@ class PlanSpec extends AnyFunSuite {
           .toMap
         def quantized(e: Expression): Boolean = e match {
           case _: Round     => true
+          // Per-key COUNT outputs are provably sub-linear percentile
+          // state: d distinct count values over N rows need
+          // d(d+1)/2 ≤ N, so d ≤ √(2N) — bounded without rounding
+          // (e17's frequency dimension).
+          case ae: AggregateExpression if ae.aggregateFunction.isInstanceOf[Count] => true
           case a: Attribute => defs.get(a.exprId.id).exists(quantized)
           case other        => other.children.exists(quantized)
         }

@@ -285,27 +285,36 @@ class SessionOpsSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- e17
 
-  test("e17 RFM: driver-side tile + rule replay is exact; segments cover every purchasing user once") {
+  test("e17 RFM: driver-side cutpoint + rule replay is exact; segments cover every purchasing user once") {
     import spark.implicits._
+    // Fetch only the per-user rollup primitives (last purchase micros,
+    // count, exact decimal sum); quantization, quartile cutpoints, and
+    // the rule table are all replayed driver-side.
     val users = Tables(spark, dir).events
       .filter($"event_type" === "purchase")
       .groupBy($"user_id")
       .agg(max(unix_micros($"ts")).as("last_us"), count(lit(1)).as("n"),
-        sum($"value".cast("decimal(18,6)")).cast("double").as("m"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    // ntile(4) replay: first (n mod 4) tiles carry one extra row.
-    def tiles(sorted: Seq[Long]): Map[Long, Int] = {
-      val n = sorted.size; val q = n / 4; val r = n % 4
-      sorted.zipWithIndex.map { case (u, i) =>
-        val boundaryIdx = (0 until 4).scanLeft(0)((a, t) => a + q + (if (t < r) 1 else 0))
-        u -> (boundaryIdx.indexWhere(_ > i))
-      }.toMap
+        sum($"value".cast("decimal(18,6)")).as("mdec"))
+      .collect().map { r =>
+        val mdec = BigDecimal(r.getDecimal(3))
+        (r.getLong(0),
+          // r_v: day index, HALF_UP round of the long→double quotient
+          BigDecimal(r.getLong(1).toDouble / 86400e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          r.getLong(2).toDouble,                                // f_v
+          mdec.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, // m_v cents
+          mdec.toDouble)                                        // monetary
+      }
+    // percentile_cont replay: h = p·(n−1), linear interpolation.
+    def cut(vs: Array[Double], p: Double): Double = {
+      val s = vs.sorted; val h = p * (s.length - 1); val lo = math.floor(h).toInt
+      if (lo + 1 >= s.length) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
     }
-    val rT = tiles(users.sortBy(u => (u._2, u._1)).map(_._1))
-    val fT = tiles(users.sortBy(u => (u._3, u._1)).map(_._1))
-    val mT = tiles(users.sortBy(u => (u._4, u._1)).map(_._1))
-    val segs = users.map { case (uid, _, _, m) =>
-      val (r, f, ms) = (rT(uid), fT(uid), mT(uid))
+    def score(v: Double, vs: Array[Double]): Int =
+      1 + Seq(0.25, 0.5, 0.75).count(p => v > cut(vs, p))
+    val (rVs, fVs, mVs) = (users.map(_._2), users.map(_._3), users.map(_._4))
+    val segs = users.map { case (_, rv, fv, mv, m) =>
+      val (r, f, ms) = (score(rv, rVs), score(fv, fVs), score(mv, mVs))
       val seg =
         if (r == 4 && f == 4 && ms == 4) "champion"
         else if (r <= 1 && f >= 3) "at_risk"
