@@ -268,8 +268,12 @@ object Dedup extends QueryModule {
     val aPref = withN.select($"doc_id",
       explode(slice($"hs", lit(1), plen)).as("h")).toDF("i", "h")
     val bAll = withN.select($"doc_id".as("j"), explode($"hs").as("h"))
+    // Dedup candidates BEFORE re-attaching the hash arrays: a pair
+    // sharing p prefix hashes emerges p times from the block join, and
+    // each copy would pay both array joins plus a merge-count — the
+    // early distinct makes every surviving pair verify exactly once.
     val cand = aPref.join(bAll, aPref("h") === bAll("h") && $"i" =!= $"j")
-      .select($"i", $"j")
+      .select($"i", $"j").distinct()
     import graft.functions.ArrayFunctions.sortedIntersectCount
     cand
       .join(withN.select($"doc_id".as("i"), $"hs".as("hi"), $"n".as("na")), Seq("i"))
@@ -278,7 +282,6 @@ object Dedup extends QueryModule {
         (sortedIntersectCount(spark, $"hi", $"hj").cast("double")
           / $"na".cast("double")).as("containment"))
       .filter($"containment" >= tau)
-      .distinct()
       .orderBy($"i", $"j")
   }
 

@@ -1021,11 +1021,17 @@ object Similarity extends QueryModule {
     * with a frozen k. Measured: a fixed k=8 benched 11.7× wall at 10×
     * data; adaptive k brings the same probe to ~2× (ratio table,
     * SURVEY §13). The paper scales k the same way (k=11k on LAION).
-    * The centroid assignment is a broadcast argmax (no corpus shuffle,
-    * s8's shape) — O(n·k) dot products, which at billion-vector scale
-    * routes through a two-level coarse quantizer exactly like s12's
-    * IVF layer; at production cell sizes the within-cell pairing drops
-    * into s2's blocked kernel per cell — same plan, tighter inner loop.
+    * Assignment is TWO-LEVEL (s12's IVF layering), because a flat
+    * broadcast argmax against all k centroids is O(n·k) = O(n²/250)
+    * compute with a broadcast that grows linearly with the corpus:
+    * C0 = max(8, ⌈√k⌉) coarse centroids route every vector (the only
+    * corpus-side broadcast — √k rows, O(n·√k) dots), the k fine
+    * centroids coarse-route once off the corpus path, and each vector
+    * then argmaxes over just its coarse cell's expected k/C0 = √k fine
+    * centroids via a ccell hash join — O(n·√k) total, sub-linear
+    * per-vector work and a vanishing broadcast fraction. At production
+    * cell sizes the within-cell pairing drops into s2's blocked kernel
+    * per cell — same plan, tighter inner loop.
     * Fully oracle-gated: every similarity is a rounded-key double (the
     * s1/s2 discipline), so both engines make identical drop decisions. */
   /** d13's verdict frame — (vec_id, cell, csim_r, kept) — is a
@@ -1048,18 +1054,43 @@ object Similarity extends QueryModule {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
-    val k = greatest(lit(KmeansK.toLong),
+    val withN = c.crossJoin(broadcast(c.agg(count(lit(1)).as("nn"))))
+    val kCol = greatest(lit(KmeansK.toLong),
       ceil($"nn" / lit(250.0)).cast("long"))
-    val cents = c.crossJoin(broadcast(c.agg(count(lit(1)).as("nn"))))
-      .filter($"vec_id" < k)
+    val c0Col = greatest(lit(KmeansK.toLong),
+      ceil(sqrt(kCol.cast("double"))).cast("long"))
+    // Two-level assignment (s12's IVF layering): C0 = max(8, ⌈√k⌉)
+    // COARSE centroids are the only broadcast against the corpus —
+    // O(n·√k) dots with a √k-row broadcast — and the k FINE centroids
+    // are themselves coarse-routed once (k·C0, off the corpus path),
+    // then vectors meet only their coarse cell's fine centroids via a
+    // hash join on ccell (expected k/C0 = √k candidates per vector).
+    val fine = withN.filter($"vec_id" < kCol)
       .select($"vec_id".as("cell"), $"embedding".as("ce"), $"nrm".as("cn"))
-    val sims = c.join(broadcast(cents), lit(true))
-      .select($"vec_id", $"embedding", $"nrm", $"cell",
-        round(dot($"embedding", $"ce") / ($"nrm" * $"cn"), 6).as("csim"))
+    val coarse = withN.filter($"vec_id" < c0Col)
+      .select($"vec_id".as("ccell"), $"embedding".as("gce"), $"nrm".as("gcn"))
+    val byFine = Window.partitionBy($"cell").orderBy($"gsim".desc, $"ccell")
+    val fineRouted = fine.join(broadcast(coarse), lit(true))
+      .withColumn("gsim", round(dot($"ce", $"gce") / ($"cn" * $"gcn"), 6))
+      .withColumn("grk", row_number().over(byFine)).filter($"grk" === 1)
+      .select($"ccell", $"cell", $"ce", $"cn")
+    val byVecG = Window.partitionBy($"vec_id").orderBy($"gsim".desc, $"ccell")
+    val vecRouted = c.join(broadcast(coarse), lit(true))
+      .withColumn("gsim", round(dot($"embedding", $"gce") / ($"nrm" * $"gcn"), 6))
+      .withColumn("grk", row_number().over(byVecG)).filter($"grk" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"ccell", $"gsim".as("gsim_r"))
+    // LEFT join + coalesce fallback: a coarse cell can end up with no
+    // fine centroids (its own centroid c_i routes elsewhere only when a
+    // lower-id centroid ties at rounded cos 1.0 — near-duplicate
+    // seeds); such vectors assign to the coarse centroid itself, which
+    // IS a fine centroid (C0 ≤ k), at its already-computed coarse sim.
     val byVec = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cell")
-    val assigned = sims.withColumn("crk", row_number().over(byVec))
-      .filter($"crk" === 1)
-      .select($"vec_id", $"embedding", $"nrm", $"cell", $"csim".as("csim_r"))
+    val assigned = vecRouted.join(fineRouted, Seq("ccell"), "left")
+      .withColumn("csim", round(dot($"embedding", $"ce") / ($"nrm" * $"cn"), 6))
+      .withColumn("crk", row_number().over(byVec)).filter($"crk" === 1)
+      .select($"vec_id", $"embedding", $"nrm",
+        coalesce($"cell", $"ccell").as("cell"),
+        coalesce($"csim", $"gsim_r").as("csim_r"))
     val peers = assigned.select($"cell", $"vec_id".as("vid_b"),
       $"embedding".as("eb"), $"nrm".as("nb"), $"csim_r".as("cb"))
     val dropped = assigned.select($"cell", $"vec_id", $"embedding", $"nrm", $"csim_r")
@@ -1101,17 +1132,40 @@ object Similarity extends QueryModule {
       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |           FROM embeddings),
       |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
-      |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
-      |      WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 250.0)
-      |                                            AS BIGINT))
-      |                      FROM embeddings)),
-      |sims AS (SELECT n.vec_id, n.e, n.nrm, c.cell,
-      |                round(list_dot_product(n.e, c.ce) / (n.nrm * c.cn), 6) AS csim
-      |         FROM n CROSS JOIN c),
-      |assigned AS (SELECT vec_id, e, nrm, cell, csim AS csim_r FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY vec_id
-      |                                 ORDER BY csim DESC, cell) AS rk
-      |    FROM sims) s WHERE rk = 1),
+      |params AS (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) AS k,
+      |                  greatest(8, CAST(ceil(sqrt(CAST(greatest(8,
+      |                      CAST(ceil(count(*) / 250.0) AS BIGINT)) AS DOUBLE)))
+      |                    AS BIGINT)) AS c0
+      |           FROM embeddings),
+      |f AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+      |      WHERE vec_id < (SELECT k FROM params)),
+      |g AS (SELECT vec_id AS ccell, e AS gce, nrm AS gcn FROM n
+      |      WHERE vec_id < (SELECT c0 FROM params)),
+      |frouted AS (SELECT ccell, cell, ce, cn FROM (
+      |    SELECT fg.*, row_number() OVER (PARTITION BY fg.cell
+      |                                    ORDER BY fg.gsim DESC, fg.ccell) AS rk
+      |    FROM (SELECT g.ccell, f.cell, f.ce, f.cn,
+      |                 round(list_dot_product(f.ce, g.gce) / (f.cn * g.gcn), 6)
+      |                   AS gsim
+      |          FROM f CROSS JOIN g) fg) s WHERE rk = 1),
+      |vrouted AS (SELECT vec_id, e, nrm, ccell, gsim AS gsim_r FROM (
+      |    SELECT ng.*, row_number() OVER (PARTITION BY ng.vec_id
+      |                                    ORDER BY ng.gsim DESC, ng.ccell) AS rk
+      |    FROM (SELECT n.vec_id, n.e, n.nrm, g.ccell,
+      |                 round(list_dot_product(n.e, g.gce) / (n.nrm * g.gcn), 6)
+      |                   AS gsim
+      |          FROM n CROSS JOIN g) ng) s WHERE rk = 1),
+      |assigned AS (SELECT vec_id, e, nrm,
+      |                    coalesce(cell, ccell) AS cell,
+      |                    coalesce(csim, gsim_r) AS csim_r FROM (
+      |    SELECT vf.*, row_number() OVER (PARTITION BY vf.vec_id
+      |                                    ORDER BY vf.csim DESC NULLS LAST,
+      |                                             vf.cell) AS rk
+      |    FROM (SELECT va.vec_id, va.e, va.nrm, va.ccell, va.gsim_r, fa.cell,
+      |                 round(list_dot_product(va.e, fa.ce) / (va.nrm * fa.cn), 6)
+      |                   AS csim
+      |          FROM vrouted va LEFT JOIN frouted fa ON va.ccell = fa.ccell) vf
+      |    ) s WHERE rk = 1),
       |dom AS (SELECT DISTINCT a.vec_id
       |        FROM assigned a JOIN assigned b
       |          ON a.cell = b.cell AND a.vec_id <> b.vec_id

@@ -26,13 +26,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     def r6(x: Double): Double = new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val nrm = corpus.map { case (id, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    // Two-level replay mirroring the engine: C0 coarse centroids route
+    // both the fine centroids and the vectors; each vector argmaxes
+    // over only its coarse cell's fine centroids, falling back to the
+    // coarse centroid itself when the cell attracted none.
     val k = math.max(8L, math.ceil(corpus.length / 250.0).toLong)
-    val cents = corpus.filter(_._1 < k)
+    val c0 = math.max(8L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val fine = corpus.filter(_._1 < k)
+    val coarse = corpus.filter(_._1 < c0)
+    def route(e: Array[Float], self: Long): (Double, Long) = coarse
+      .map { case (c, ce) => (r6(dot(e, ce) / (nrm(self) * nrm(c))), c) }
+      .maxBy { case (s, c) => (s, -c) }
+    val fineByCoarse: Map[Long, Array[(Long, Array[Float])]] =
+      fine.map { case (cid, ce) => (route(ce, cid)._2, (cid, ce)) }
+        .groupBy(_._1).map { case (cc, xs) => cc -> xs.map(_._2) }
     val assigned = corpus.map { case (id, e) =>
-      val (csim, cell) = cents
-        .map { case (c, ce) => (r6(dot(e, ce) / (nrm(id) * nrm(c))), c) }
-        .maxBy { case (s, c) => (s, -c) }
-      (id, e, cell, csim)
+      val (gsim, cc) = route(e, id)
+      fineByCoarse.get(cc) match {
+        case Some(cands) =>
+          val (csim, cell) = cands
+            .map { case (c, ce) => (r6(dot(e, ce) / (nrm(id) * nrm(c))), c) }
+            .maxBy { case (s, c) => (s, -c) }
+          (id, e, cell, csim)
+        case None => (id, e, cc, gsim)
+      }
     }
     // Assignment and centroid-sim agree.
     assigned.foreach { case (id, _, cell, csim) =>

@@ -250,9 +250,11 @@ class PlanSpec extends AnyFunSuite {
     // s4/s8 broadcast the k CENTROIDS (vec_id < k, k ≤ 16) against the
     // corpus — every-vector×every-centroid IS the assignment semantics
     // and the bound is a data fact, not a plan shape; assert it.
-    // d13's centroid set is ADAPTIVE, k = max(8, ceil(n/250)): the
-    // small side is either the floor constant or a 1/250 vanishing
-    // fraction of the corpus — assert the rule holds on this fixture.
+    // d13's assignment is TWO-LEVEL: only the C0 = max(8, ceil(sqrt(k)))
+    // COARSE centroids cross-join the corpus (k = max(8, ceil(n/250))
+    // fine centroids meet vectors via a ccell hash join, off this
+    // walk's radar) — assert the coarse side is the floor constant or
+    // a ~sqrt(n/250) vanishing fraction on this fixture.
     val centroidBounded =
       Set("s4_ann_ivf", "s8_kmeans_iteration", "d13_semantic_dedup")
     assert(Tables(spark, dir).embeddings
@@ -260,8 +262,9 @@ class PlanSpec extends AnyFunSuite {
       .count() <= 16, "centroid-side bound grew — s4/s8 exemption invalid")
     val nEmb = Tables(spark, dir).embeddings.count()
     val kAdaptive = math.max(8L, math.ceil(nEmb / 250.0).toLong)
-    assert(kAdaptive == 8L || kAdaptive * 100 <= nEmb,
-      s"d13 centroid side ($kAdaptive of $nEmb) is no longer a vanishing fraction")
+    val c0Adaptive = math.max(8L, math.ceil(math.sqrt(kAdaptive.toDouble)).toLong)
+    assert(c0Adaptive == 8L || c0Adaptive * c0Adaptive * 25 <= nEmb,
+      s"d13 coarse side ($c0Adaptive of $nEmb) is no longer a vanishing fraction")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => centroidBounded(q._1)).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.optimizedPlan

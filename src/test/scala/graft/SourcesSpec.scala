@@ -179,6 +179,24 @@ class SourcesSpec extends AnyFunSuite {
       || Option(thrown.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
 
+  test("fixture invariant: event timestamps are post-epoch and ids fit 20 digits (the lpad sort-key packing contract)") {
+    // j12's and e14/e16's oracles pack (us, id) sort keys as
+    // lpad(x, 20, '0') concatenations, whose lexicographic order equals
+    // tuple order ONLY for non-negative values below 20 digits — a
+    // pre-1970 timestamp in a regenerated fixture would silently
+    // mis-order without any gate failing on the kernel side alone.
+    // This makes the packing precondition a loud fixture gate.
+    import spark.implicits._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
+      val (minUs, maxId) = Tables(spark, d).events
+        .agg(min(unix_micros($"ts")), greatest(max($"event_id"), max($"user_id")))
+        .as[(Long, Long)].head()
+      assert(minUs >= 0L, s"$d: pre-epoch event ts ($minUs µs) breaks lpad packing")
+      assert(maxId <= 99999999999999999L, s"$d: id $maxId nears 20 digits")
+    }
+  }
+
   test("events.ts fixture-encoding compatibility: int64-nanos, TIMESTAMP_NTZ and TIMESTAMP files load to identical rows") {
     // The driver regenerated events.parquet mid-round-6 with ts re-encoded
     // TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs) and the then-hard-bound loader
