@@ -183,12 +183,16 @@ object TextAnalysis extends QueryModule {
   /** t5b — t5's 100 TB tier: the same broadcast-cutpoint filter with
     * `approx_percentile` (KLL-sketch, mergeable, constant memory)
     * deriving the threshold instead of the exact `percentile` (whose
-    * state is per-distinct-value counts). Rows-only catalog entry —
-    * the sketch is engine-internal — with the exact tier as its
-    * in-repo oracle: the spec bounds the survivor-set disagreement by
-    * the sketch's rank-error guarantee. At accuracy 10⁴ the rank error
-    * is ≤ N/10⁴, so the two tiers can only disagree on documents whose
-    * quality sits within that sliver of the cutpoint. */
+    * state is per-distinct-value counts). The sketch cutpoint is
+    * engine-internal, so the catalog row CERTIFIES the tier against
+    * the exact one in-engine: it emits the corpus size and exact-tier
+    * survivor count (both oracle-able) plus a boolean restating the
+    * sketch's rank-error guarantee — the approx and exact survivor
+    * sets may disagree only on documents whose quality sits in the
+    * threshold sliver, so the disagreement count is bounded by
+    * max(1, N/100) (guarantee N/10⁴, slack ×100 — the same bound the
+    * ScalaTest tier-agreement spec has always enforced). Production
+    * at 100 TB runs the approx filter alone (`q >= q25a`). */
   private def t5b(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val scored = Tables(spark, dir).documents
@@ -201,10 +205,17 @@ object TextAnalysis extends QueryModule {
         round(when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0), 9)
           .as("q")) // quantized like t5 so the tiers share one score scale
     val thr = scored.agg(
-      expr("approx_percentile(q, 0.25, 10000)").as("q25"))
-    scored.join(broadcast(thr), $"q" >= $"q25")
-      .select($"doc_id", $"q")
-      .orderBy($"doc_id")
+      expr("approx_percentile(q, 0.25, 10000)").as("q25a"),
+      percentile($"q", lit(0.25)).as("q25e"))
+    scored.join(broadcast(thr), lit(true))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"q" >= $"q25e", 1L).otherwise(0L)).as("n_kept_exact"),
+        sum(when(($"q" >= $"q25a") =!= ($"q" >= $"q25e"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select($"n_docs", $"n_kept_exact",
+        ($"n_disagree".cast("double")
+          <= greatest(lit(1.0), $"n_docs" / lit(100.0)))
+          .as("tiers_agree_within_bound"))
   }
 
   /** t6 — corpus accounting: the numbers a training run budgets against
@@ -226,18 +237,42 @@ object TextAnalysis extends QueryModule {
         $"vocab_size")
   }
 
+  /** The seeded per-language Bernoulli sample (`sampleBy`, seed 42) —
+    * t7's sampling core, shared with the proportion spec. */
+  private val T7Fractions =
+    Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.2)
+
+  private[graft] def t7Sampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .stat.sampleBy("lang", T7Fractions, seed = 42L)
+      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+  }
+
   /** t7 — stratified corpus sampling: per-language fractions via
-    * seeded Bernoulli sampling (`sampleBy`). Deterministic for a fixed
-    * seed and input partitioning; rows-only driver check (sampling is
-    * engine-internal), proportions asserted in ScalaTest. At 100 TB
+    * seeded Bernoulli sampling (`sampleBy`). The sampler's RNG is
+    * engine-internal, so the catalog row CERTIFIES it: per language it
+    * emits the (oracle-able) stratum size and a boolean binomial-bound
+    * check — |n_sampled − p·n| ≤ 5·sqrt(n·p·(1−p)) + 3 (5σ plus
+    * absolute slack for tiny strata; a seeded sampler violating this
+    * is broken, and the oracle pins the boolean to `true`). At 100 TB
     * this is the standard language-rebalancing step — a single scan,
-    * no shuffle. */
+    * no shuffle; production keeps the sampled ROWS, the catalog row is
+    * the audit. */
   private def t7(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fractions = Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.2)
+    val langs = typedLit(T7Fractions.keys.toSeq.sorted)
+    val frac = typedLit(T7Fractions)
     Tables(spark, dir).documents
-      .stat.sampleBy("lang", fractions, seed = 42L)
-      .groupBy($"lang").agg(count(lit(1)).as("n_sampled"))
+      .filter(array_contains(langs, $"lang"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .join(t7Sampled(spark, dir), Seq("lang"), "left")
+      .select($"lang", $"n_docs",
+        (abs(coalesce($"n_sampled", lit(0L)).cast("double")
+            - element_at(frac, $"lang") * $"n_docs")
+          <= lit(5.0) * sqrt(element_at(frac, $"lang")
+              * (lit(1.0) - element_at(frac, $"lang")) * $"n_docs") + lit(3.0))
+          .as("sample_within_bound"))
       .orderBy($"lang")
   }
 
@@ -1421,6 +1456,31 @@ object TextAnalysis extends QueryModule {
          |thr AS (SELECT quantile_cont(q, 0.25) AS q25 FROM scored)
          |SELECT doc_id, q FROM scored CROSS JOIN thr
          |WHERE q >= q25 ORDER BY doc_id""".stripMargin,
+    // t5b certification: corpus size and EXACT-tier survivor count are
+    // recomputed by the oracle (same scored CTE as t5); the sketch-tier
+    // agreement boolean is pinned to `true` — the Spark side computes
+    // it from the real approx_percentile cutpoint, so a sketch that
+    // drifts past max(1, N/100) disagreements fails the hash compare.
+    "t5b_quality_filter_approx" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |         round(CASE WHEN len($wordsSql) > 0
+         |              THEN CAST(len(list_filter($wordsSql,
+         |                   x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+         |                   / CAST(len($wordsSql) AS DOUBLE)
+         |              ELSE 0.0 END, 9) AS q
+         |  FROM documents),
+         |thr AS (SELECT quantile_cont(q, 0.25) AS q25 FROM scored)
+         |SELECT (SELECT count(*) FROM scored) AS n_docs,
+         |       (SELECT count(*) FROM scored CROSS JOIN thr
+         |        WHERE q >= q25) AS n_kept_exact,
+         |       true AS tiers_agree_within_bound""".stripMargin,
+    // t7 certification: stratum sizes are exact; the seeded sampler's
+    // binomial-bound boolean is pinned to `true`.
+    "t7_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs, true AS sample_within_bound
+        |FROM documents WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "t8_text_scrub" ->
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(text,

