@@ -57,12 +57,13 @@ object SparkEntry {
     "j11_interval_overlap", "j12_asof_join",
     "w1_insert_defaults", "w2_masked_update", "w3_balance_ledger",
     "w4_delete_rewrite", "w5_capacity_rule", "w6_scd2_intervals",
-    "w7_partitioned_write", "w8_merge_upsert", "x1_json_roundtrip",
-    "x2_csv_roundtrip",
+    "w7_partitioned_write", "w8_merge_upsert", "w9_compaction",
+    "x1_json_roundtrip", "x2_csv_roundtrip",
     "a7_grouped_agg", "olap_rollup", "olap_cube", "olap_grouping_sets",
     "olap_distinct", "olap_count_distinct", "olap_ntile_quartiles",
     "olap_corr", "olap_regr", "olap_histogram", "olap_pivot", "olap_unpivot",
     "olap_string_agg", "olap_bool_aggregates", "olap_percentiles",
+    "olap_approx_distinct", "olap_approx_percentiles",
     "olap_window_suite", "olap_window_suite2", "olap_grouped_topk_udaf",
     "olap_scalar_subquery",
     "set_union", "set_intersect", "set_except",
@@ -73,6 +74,7 @@ object SparkEntry {
     "tpch_q21", "tpch_q22",
     "dim_supplier_geo", "skew_salted_agg",
     "s1_ann_bruteforce_topk", "s2_embedding_near_dup", "s7_ann_quantized",
+    "s4_ann_ivf",
     "s13_filtered_ann", "s14_hard_negatives", "s15_retrieval_metrics",
     "s16_mmr_rerank",
     "m1_media_catalog", "m2_media_features", "m3_frame_sample",
@@ -108,7 +110,8 @@ object SparkEntry {
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",
     "d8_incremental_dedup",
     "t1_token_counts", "t2_quality_score", "t3_language_id",
-    "t5_quality_filter", "t6_corpus_stats", "t8_text_scrub",
+    "t5_quality_filter", "t5b_quality_filter_approx", "t7_stratified_sample",
+    "t6_corpus_stats", "t8_text_scrub",
     "t9_tfidf_top_terms", "t10_train_split", "t11_source_cap",
     "t15_doc_chunks", "t16_seq_packing", "t17_mixture_weights",
     "pipe1_corpus_prep",

@@ -106,9 +106,16 @@ object Olap extends QueryModule {
     * here is the certification harness, not the serving shape. */
   private def approxDistinctQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Pre-dedup (flag, partkey) so exact count and sketch share one
+    // pass with NO Expand (mixing countDistinct with a non-distinct
+    // agg doubles the shuffled rows via Expand): HLL insertion is
+    // idempotent — the sketch over distinct values is bit-identical to
+    // the sketch over the raw column — so certifying on the deduped
+    // frame certifies the production estimate.
     Tables(spark, dir).lineitem
+      .select($"l_returnflag", $"l_partkey").distinct()
       .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_partkey").as("n_parts_exact"),
+      .agg(count(lit(1)).as("n_parts_exact"),
         approx_count_distinct($"l_partkey", 0.01).as("approx"))
       .select($"l_returnflag", $"n_parts_exact",
         (abs($"approx" - $"n_parts_exact").cast("double")

@@ -414,7 +414,10 @@ object Similarity extends QueryModule {
   }
 
   /** s3 — SRP-LSH ANN: 8 tables × 8-bit sign buckets, exact re-rank of
-    * candidates, top-10 per query. */
+    * candidates, top-10 per query. Fully ORACLE-GATED: the plane family
+    * is deterministic and ±1-exact, so the oracle re-derives the same
+    * buckets (and thus the same candidate sets) in SQL — see
+    * `s3OracleSql`. */
   private def s3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -457,8 +460,11 @@ object Similarity extends QueryModule {
     * scale path besides LSH: the cluster assignment is the shuffle key,
     * and at billions of vectors the assignment table is the persisted
     * index (bucketed by cell id → query time is an nprobe-cell scan,
-    * ~K/nprobe of the corpus untouched). Rows-only: the quantizer is
-    * engine-internal; recall vs s1 is asserted in ScalaTest. */
+    * ~K/nprobe of the corpus untouched). Fully ORACLE-GATED: the
+    * quantizer is id-deterministic (first-16 centroids) and every
+    * assignment/probe/re-rank decision is a rounded-key argmax, so the
+    * oracle restates the whole pipeline in SQL; recall vs s1 is
+    * additionally asserted in ScalaTest. */
   private val IvfK = 16
   private val IvfProbes = 4
 
@@ -609,7 +615,8 @@ object Similarity extends QueryModule {
     * Exactness across engines: quantized components are integers
     * ≤ 127, so every dot product is a sum of exact doubles (< 2^53 —
     * association order cannot matter), making this tier fully
-    * ORACLE-GATED where s3/s4 are rows-only. The quantized arrays are
+    * ORACLE-GATED with no floating-point caveats at all (s3/s4's
+    * oracles lean on the shared left-to-right double fold). The quantized arrays are
     * float-typed solely to reuse the codegen'd `float_dot` (integers
     * ≤ 127 are exact in float32). Recall@10 vs the float32 ground
     * truth (s1) is asserted in ScalaTest. Scale: same
@@ -1173,7 +1180,101 @@ object Similarity extends QueryModule {
       |          AND (b.csim_r < a.csim_r
       |               OR (b.csim_r = a.csim_r AND b.vec_id < a.vec_id)))""".stripMargin
 
+  /** The fixture embedding dimension the ANN oracle texts are generated
+    * for — static SQL can't probe the parquet schema, so the SRP plane
+    * literals below are emitted at this width and a SourcesSpec fixture
+    * gate asserts every SF still matches (a regenerated fixture with a
+    * new dim fails loudly there AND in DuckDB's length check). */
+  private[graft] val OracleDim = 64
+
+  /** The 64 SRP hyperplanes as SQL VALUES rows `(t, p, ±1-list)` — the
+    * SAME deterministic xxhash64-derived family `srpBucket` compiles
+    * into Spark literals, re-emitted for DuckDB. ±1 is exact in every
+    * float width and the projection is a left-to-right double fold on
+    * both engines, so bucket bits agree bit-for-bit and the WHOLE s3/s6
+    * ANN result — candidate generation included — is hash-checkable. */
+  private def srpPlanesValuesSql: String =
+    (0 until SrpTables).flatMap { t =>
+      (0 until SrpBits).map { p =>
+        val xs = (0 until OracleDim)
+          .map(d => if (planeSignScala(t, p, d) > 0) "1.0" else "-1.0")
+          .mkString(", ")
+        s"($t, $p, [$xs])"
+      }
+    }.mkString(",\n")
+
+  /** Shared SQL prologue for the ANN oracles (s1's v/n CTEs). */
+  private val annNrmCte =
+    """WITH v AS (SELECT vec_id,
+      |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v)""".stripMargin
+
+  /** s3/s6's oracle: the full SRP-LSH pipeline — plane literals, bucket
+    * bits, 8-table candidate union, exact re-rank — restated in SQL.
+    * s6 serves the identical result from the persisted index (spec-
+    * pinned row-identical to s3), so both share this text. */
+  private def s3OracleSql: String =
+    s"""$annNrmCte,
+       |planes(t, p, sgn) AS (VALUES
+       |$srpPlanesValuesSql),
+       |b AS (SELECT n.vec_id, pl.t,
+       |             CAST(sum(CASE WHEN list_dot_product(n.e, pl.sgn) >= 0
+       |                           THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bk
+       |      FROM n CROSS JOIN planes pl GROUP BY n.vec_id, pl.t),
+       |q AS (SELECT vec_id AS query_id, t, bk FROM b WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT q.query_id, c.vec_id
+       |         FROM b c JOIN q ON c.t = q.t AND c.bk = q.bk
+       |                        AND c.vec_id <> q.query_id),
+       |sims AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |                round(list_dot_product(qn.e, nn.e) / (qn.nrm * nn.nrm), 6)
+       |                  AS sim_r
+       |         FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+       |                   JOIN n nn ON nn.vec_id = cand.vec_id)
+       |SELECT query_id, rank, neighbor_id, sim_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY sim_r DESC, neighbor_id) AS rank
+       |  FROM sims)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // s3/s6: FULLY hash-gated ANN — the SRP family is deterministic
+    // (xxhash64-derived ±1 planes), so the oracle recomputes the exact
+    // candidate sets, not just the re-rank. See s3OracleSql.
+    "s3_ann_lsh_bucketed" -> s3OracleSql,
+    "s6_ann_persistent_index" -> s3OracleSql,
+    // s4: the IVF quantizer is id-deterministic (first-16 centroids)
+    // and every assignment/probe/re-rank key is a rounded double with
+    // an id tiebreak (the d13 discipline), so the whole inverted-file
+    // pipeline restates in SQL and the result hash-checks.
+    "s4_ann_ivf" ->
+      s"""$annNrmCte,
+         |c AS (SELECT vec_id AS cell, e AS ce, nrm AS cn FROM n
+         |      WHERE vec_id < $IvfK),
+         |assigned AS (SELECT vec_id, e, nrm, cell FROM (
+         |  SELECT n.vec_id, n.e, n.nrm, c.cell,
+         |         row_number() OVER (
+         |           PARTITION BY n.vec_id
+         |           ORDER BY round(list_dot_product(n.e, c.ce)
+         |                          / (n.nrm * c.cn), 6) DESC, c.cell) AS crk
+         |  FROM n CROSS JOIN c) a WHERE crk = 1),
+         |probes AS (SELECT query_id, qe, qn, cell FROM (
+         |  SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qn, c.cell,
+         |         row_number() OVER (
+         |           PARTITION BY q.vec_id
+         |           ORDER BY round(list_dot_product(q.e, c.ce)
+         |                          / (q.nrm * c.cn), 6) DESC, c.cell) AS prk
+         |  FROM n q CROSS JOIN c WHERE q.vec_id < 5) p WHERE prk <= $IvfProbes),
+         |sims AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+         |                round(list_dot_product(p.qe, a.e)
+         |                      / (p.qn * a.nrm), 6) AS sim_r
+         |         FROM assigned a JOIN probes p
+         |           ON a.cell = p.cell AND a.vec_id <> p.query_id)
+         |SELECT query_id, rank, neighbor_id, sim_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY sim_r DESC, neighbor_id) AS rank
+         |  FROM sims)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // d13: s8's assignment CTE + the pairwise keep-lowest-centroid-sim
     // rule. Every similarity is a rounded key (s1/s2 discipline), and
     // the dominance tiebreak is spelled as explicit OR so no struct

@@ -197,6 +197,21 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture invariant: embedding dim is 64 at every SF (the ANN oracle plane-literal width)") {
+    // s3/s6's oracle texts embed the SRP planes as 64-wide SQL literals
+    // (static SQL can't probe the parquet schema). A regenerated
+    // fixture with a different dim must fail HERE, not as a confusing
+    // list-length error inside DuckDB.
+    import spark.implicits._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
+      val dims = Tables(spark, d).embeddings
+        .select(size($"embedding")).distinct().as[Int].collect().toSeq
+      assert(dims == Seq(graft.operators.Similarity.OracleDim),
+        s"$d: embedding dims $dims != ${graft.operators.Similarity.OracleDim} — regenerate srpPlanesValuesSql")
+    }
+  }
+
   test("events.ts fixture-encoding compatibility: int64-nanos, TIMESTAMP_NTZ and TIMESTAMP files load to identical rows") {
     // The driver regenerated events.parquet mid-round-6 with ts re-encoded
     // TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs) and the then-hard-bound loader
