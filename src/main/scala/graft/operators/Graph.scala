@@ -36,59 +36,143 @@ object Graph extends QueryModule {
 
   private val Iterations = 3
 
-  /** Weighted edge list + node set, built ONCE per (session, dir) and
-    * cached via `checkpointed` (lazy localCheckpoint): the loop
-    * references them in Iterations+1 plan subtrees of ONE query, and
-    * repeated catalog passes must reuse the same blocks rather than
-    * accumulate duplicates (the ADVICE-r5 memo pattern; plan builds
-    * stay job-free — the first execution materializes). `persist()`
-    * was the round-6 mispricing: the bench's between-rep clearCache
-    * evicted the blocks and every rep re-ran the whole build cascade
-    * (g2 38 s vs 7 s in-session) — RDD-level checkpoint blocks are
-    * invisible to the SQL CacheManager, so reps after the first
-    * genuinely iterate from cache.
+  /** Weighted edge list + node set, SERVED from the persisted artifact
+    * (see `ensureGraphArtifact`) and cached in-session via
+    * `checkpointed` (lazy localCheckpoint): the loop references them in
+    * Iterations+1 plan subtrees of ONE query, and repeated catalog
+    * passes must reuse the same blocks rather than accumulate
+    * duplicates (the ADVICE-r5 memo pattern; plan builds stay job-free
+    * — the first execution materializes). `persist()` was the round-6
+    * mispricing: the bench's between-rep clearCache evicted the blocks
+    * and every rep re-ran the whole build cascade (g2 38 s vs 7 s
+    * in-session) — RDD-level checkpoint blocks are invisible to the
+    * SQL CacheManager, so reps after the first genuinely iterate from
+    * cache.
     *
-    * Both directed edges come from ONE pairs aggregate via an in-task
-    * `explode(array(...))` — the first (union-of-two-selects) form
-    * executed the pairs subtree twice, because Spark does not
-    * common-subexpression-eliminate across union legs: the plan showed
-    * two full lineitem⋈orders scans + two 587k-row aggregate
-    * exchanges where one suffices (measured: edge build halves). The
-    * out-degree sums group 1.17M exploded rows map-side down to |V|
-    * partials, and the |V|-row result broadcasts back — the corpus
-    * aggregate shuffles once, total. */
+    * Build-shape notes (now in the artifact build): both directed
+    * edges come from ONE pairs aggregate via an in-task
+    * `explode(array(...))` — the union-of-two-selects form executed
+    * the pairs subtree twice, because Spark does not
+    * common-subexpression-eliminate across union legs (measured: edge
+    * build halves). The out-degree sums group the exploded rows
+    * map-side down to |V| partials, and the |V|-row result broadcasts
+    * back — the corpus aggregate shuffles once, total. */
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** The PERSISTED graph artifact (s6/d10's offline-index pattern): the
+    * co-purchase pairs, the weighted edge list, and the node table are
+    * warehouse tables built ONCE per source-fixture state and served
+    * from storage ever after — so the first graph query of a NEW
+    * session costs a table scan, not the lineitem⋈orders build cascade
+    * (the ~2 s the bench used to charge to whichever g-query ran
+    * first; ~6 s at 10×). Freshness contract: a one-row meta table
+    * records (source dir, max source mtime+length stamp); the build
+    * reruns iff the stamp moved — a driver fixture regeneration IN
+    * PLACE is caught by the stamp, a dir switch by the dir string.
+    * Cross-session reuse re-registers EXTERNAL tables over the
+    * existing storage (metadata-only; the default in-memory catalog
+    * forgets managed-table entries at session end, the files don't).
+    * The meta row is written LAST, so a crash mid-build leaves a stale
+    * stamp and the next ensure rebuilds. */
+  private[graft] val PairsTable = s"${CatalogOps.Database}.graph_pairs"
+  private[graft] val EdgesTable = s"${CatalogOps.Database}.graph_edges"
+  private val ArtifactTables = Seq("graph_pairs", "graph_edges", "graph_nodes")
+
+  private val artifactRegistered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Max (mtime, length) stamp over the two source tables feeding the
+    * graph — Hadoop FS API, so the same check runs on HDFS/S3A. */
+  private def sourceStamp(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("lineitem", "orders").map { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      st.getModificationTime + st.getLen
+    }.max
+  }
+
+  private[graft] def ensureGraphArtifact(spark: SparkSession, dir: String): Unit =
+    artifactRegistered.synchronized {
+      val db = CatalogOps.Database
+      if (artifactRegistered.get(spark).contains(dir)
+          && ArtifactTables.forall(t => spark.catalog.tableExists(s"$db.$t")))
+        return
+      import spark.implicits._
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val stamp = sourceStamp(spark, dir)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val metaPath = s"$wh/$db.db/graph_meta"
+      val conf = spark.sessionState.newHadoopConf()
+      val mp = new org.apache.hadoop.fs.Path(metaPath)
+      val fs = mp.getFileSystem(conf)
+      val fresh =
+        try fs.exists(mp) && (spark.read.parquet(metaPath)
+          .as[(String, Long)].head() == (dir, stamp)) &&
+          ArtifactTables.forall(t =>
+            fs.exists(new org.apache.hadoop.fs.Path(s"$wh/$db.db/$t")))
+        catch { case scala.util.control.NonFatal(_) => false }
+      // The artifact tables are ALWAYS registered external over
+      // explicitly-managed storage: managed tables would tie storage
+      // lifetime to catalog metadata (DROP deletes the files), and the
+      // whole point is that storage OUTLIVES the session's catalog.
+      def register(t: String): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+        spark.sql(s"CREATE TABLE $db.$t USING PARQUET LOCATION '$wh/$db.db/$t'")
+      }
+      if (fresh) {
+        ArtifactTables.foreach(register)
+      } else {
+        ArtifactTables.foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+          CatalogOps.clearOrphan(spark, t)
+        }
+        val t = Tables(spark, dir)
+        t.lineitem.join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey", $"l_suppkey").agg(count(lit(1)).as("n"))
+          .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"), $"n")
+          .write.mode("overwrite").parquet(s"$wh/$db.db/graph_pairs")
+        register("graph_pairs")
+        val edges = spark.table(PairsTable).select(explode(array(
+            struct(concat(lit("C"), $"ck").as("src"),
+              concat(lit("S"), $"sk").as("dst")),
+            struct(concat(lit("S"), $"sk").as("src"),
+              concat(lit("C"), $"ck").as("dst")))).as("e"), $"n")
+          .select($"e.src", $"e.dst", $"n")
+        val out = edges.groupBy($"src").agg(sum($"n").as("tot"))
+        // No broadcast hint: |V| fits locally (AQE broadcasts), but at
+        // cluster scale the node table can exceed broadcast size and the
+        // src-partitioned SMJ is the right fallback — Catalyst decides.
+        edges.join(out, Seq("src"))
+          .select($"src", $"dst", expr("(n * 1000000000L) div tot").as("w9"))
+          .write.mode("overwrite").parquet(s"$wh/$db.db/graph_edges")
+        register("graph_edges")
+        // `out` is the distinct node set (every node has out-edges by the
+        // bipartite both-directions construction); carrying |V| on each
+        // row keeps the init and the damping term join-free.
+        out.select($"src".as("node"))
+          .crossJoin(broadcast(out.agg(count(lit(1)).as("nn"))))
+          .write.mode("overwrite").parquet(s"$wh/$db.db/graph_nodes")
+        register("graph_nodes")
+        Seq((dir, stamp)).toDF("src_dir", "src_stamp")
+          .write.mode("overwrite").parquet(metaPath)
+      }
+      artifactRegistered.update(spark, dir)
+    }
+
   private def graphFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val app = spark.sparkContext.applicationId
     evictOtherDirs(edgeMemo, app, dir)(v => Seq(v._1, v._2, v._3))
     edgeMemo.computeIfAbsent((app, dir), _ => {
-      import spark.implicits._
-      val t = Tables(spark, dir)
-      // The raw co-purchase pairs cache too: g3/g4's supplier
-      // projection re-reads them from blocks instead of re-running the
-      // lineitem⋈orders scan (the expensive subtree, paid once).
-      val pairs = checkpointed(
-        t.lineitem.join(t.orders, $"l_orderkey" === $"o_orderkey")
-          .groupBy($"o_custkey", $"l_suppkey").agg(count(lit(1)).as("n"))
-          .select($"o_custkey".as("ck"), $"l_suppkey".as("sk"), $"n"))
-      val edges = pairs.select(explode(array(
-          struct(concat(lit("C"), $"ck").as("src"),
-            concat(lit("S"), $"sk").as("dst")),
-          struct(concat(lit("S"), $"sk").as("src"),
-            concat(lit("C"), $"ck").as("dst")))).as("e"), $"n")
-        .select($"e.src", $"e.dst", $"n")
-      val out = edges.groupBy($"src").agg(sum($"n").as("tot"))
-      // No broadcast hint: |V| fits locally (AQE broadcasts), but at
-      // cluster scale the node table can exceed broadcast size and the
-      // src-partitioned SMJ is the right fallback — Catalyst decides.
-      val w = checkpointed(edges.join(out, Seq("src"))
-        .select($"src", $"dst", expr("(n * 1000000000L) div tot").as("w9")))
-      // `out` is the distinct node set (every node has out-edges by the
-      // bipartite both-directions construction); carrying |V| on each
-      // row keeps the init and the damping term join-free.
-      val nodes = checkpointed(out.select($"src".as("node"))
-        .crossJoin(broadcast(out.agg(count(lit(1)).as("nn")))))
+      // Serve the build from the persisted artifact; `checkpointed`
+      // keeps the in-session behavior identical (the iteration loops
+      // reference these frames in many plan subtrees, and repeated
+      // catalog passes reuse one set of blocks).
+      ensureGraphArtifact(spark, dir)
+      val pairs = checkpointed(spark.table(PairsTable))
+      val w = checkpointed(spark.table(EdgesTable))
+      val nodes = checkpointed(spark.table(s"${CatalogOps.Database}.graph_nodes"))
       (pairs, w, nodes)
     })
   }

@@ -212,6 +212,45 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("star-schema encoding drift: DATE32 dates and INT32-backed decimals load to identical rows") {
+    // The events.ts lesson generalized (VERDICT r7 item 8): a future
+    // fixture regeneration may legally re-encode o_orderdate/l_shipdate
+    // as DATE32 and prices/quantities as small-precision DECIMAL
+    // (INT32-backed at precision <= 9 in the parquet writer). The
+    // Tables normalizer must absorb both spellings to the types every
+    // query has always seen — byte-identical rows, not just same counts.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val drift = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    spark.read.parquet(s"$src/orders.parquet")
+      .withColumn("o_orderdate", to_date($"o_orderdate"))          // DATE32
+      .withColumn("o_totalprice", $"o_totalprice".cast("decimal(9,2)")) // INT32-backed
+      .write.mode("overwrite").parquet(s"$drift/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .withColumn("l_shipdate", to_date($"l_shipdate"))
+      .withColumn("l_quantity", $"l_quantity".cast("decimal(9,2)"))
+      .withColumn("l_extendedprice", $"l_extendedprice".cast("decimal(9,2)"))
+      .write.mode("overwrite").parquet(s"$drift/lineitem.parquet")
+    // Physical-encoding sanity: the drift files really carry the drifted
+    // logical types (date32 / decimal), or this test proves nothing.
+    assert(spark.read.parquet(s"$drift/orders.parquet").schema("o_orderdate")
+      .dataType.typeName == "date")
+    assert(spark.read.parquet(s"$drift/lineitem.parquet").schema("l_quantity")
+      .dataType.typeName.startsWith("decimal"))
+    def canon(df: org.apache.spark.sql.DataFrame, key: String): Seq[Seq[Any]] =
+      df.orderBy(col(key)).collect().toSeq.map(_.toSeq)
+    val (o0, o1) = (Tables(spark, src).orders, Tables(spark, drift).orders)
+    assert(o1.schema == o0.schema, s"orders schema drifted: ${o1.schema}")
+    assert(canon(o1, "o_orderkey") == canon(o0, "o_orderkey"))
+    val li0 = Tables(spark, src).lineitem
+      .withColumn("k", concat($"l_orderkey", lit("_"), $"l_linenumber"))
+    val li1 = Tables(spark, drift).lineitem
+      .withColumn("k", concat($"l_orderkey", lit("_"), $"l_linenumber"))
+    assert(li1.schema == li0.schema, s"lineitem schema drifted: ${li1.schema}")
+    assert(canon(li1, "k") == canon(li0, "k"))
+  }
+
   test("events.ts fixture-encoding compatibility: int64-nanos, TIMESTAMP_NTZ and TIMESTAMP files load to identical rows") {
     // The driver regenerated events.parquet mid-round-6 with ts re-encoded
     // TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs) and the then-hard-bound loader

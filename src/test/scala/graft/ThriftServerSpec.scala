@@ -128,11 +128,28 @@ class ThriftServerSpec extends AnyFunSuite {
           s"(skipped: $skippedNow)")
       val names = hashed.keys.toSeq.sorted
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      val nWorkers = sys.props.getOrElse("graft.thrift.workers", "4").toInt
+      // Eight clients (the reference's serving posture is per-request,
+      // index.js:93-110): beyond splitting the surface, every client
+      // plants a SAME-NAMED temp view carrying its own id and re-reads
+      // it around each query — HiveServer2 gives each connection its
+      // own Spark session, and a cross-session bleed (another worker's
+      // id, or a 'view replaced' surprise) fails loudly here.
+      val nWorkers = sys.props.getOrElse("graft.thrift.workers", "8").toInt
       val workers = (0 until nWorkers).map { w =>
         new Thread(() => {
           val c = connect()
           try {
+            val st = c.createStatement()
+            st.execute(
+              s"CREATE OR REPLACE TEMPORARY VIEW session_probe AS SELECT $w AS worker_id")
+            st.close()
+            def checkIsolation(at: String): Unit = {
+              val got = wireRows(c, "SELECT worker_id FROM session_probe")
+              val want = Seq(ThriftServe.canonRow(Seq(Int.box(w))))
+              if (got != want)
+                failures.add(s"session bleed at $at: worker $w read $got")
+            }
+            checkIsolation("start")
             names.zipWithIndex.filter(_._2 % nWorkers == w).map(_._1).foreach { name =>
               try {
                 val rows = wireRows(c, SparkEntry.oracleSql(name))
@@ -142,6 +159,7 @@ class ThriftServerSpec extends AnyFunSuite {
                 else if (ThriftServe.hashRows(rows) != hLocal)
                   failures.add(s"$name: wire hash mismatch; first wire row: " +
                     rows.headOption.getOrElse("").take(300))
+                checkIsolation(name)
               } catch {
                 case e: Exception => failures.add(s"$name: ${e.getMessage}")
               }
@@ -216,7 +234,7 @@ class ThriftServerSpec extends AnyFunSuite {
       var attempts = 0
       while (conn == null && attempts < 150) {
         try conn = java.sql.DriverManager.getConnection(
-          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+          s"jdbc:hive2://localhost:$port/graft", "anonymous", "")
         catch { case _: Exception => attempts += 1; Thread.sleep(200) }
       }
       assert(conn != null, "could not connect to the sick-table server")
