@@ -34,8 +34,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * a registration (e9, f_date, olap_rolling_range — verified: a
   * registered 3-arg alias never fires), ordered aggregation
   * `list(x ORDER BY y)` inside the call parens (f_array), and
-  * length-free VARCHAR casts and fmt-style format (f_scalar). Their
-  * cross-engine check is the driver's DuckDB gate.
+  * length-free VARCHAR casts and fmt-style format (f_scalar). The
+  * round-8 ANN oracles (s3, s6) are off-surface for a syntactic
+  * reason: they embed the 64 SRP planes as bracketed list literals
+  * `[1.0, -1.0, ...]` inside VALUES rows (Spark has no bracket array
+  * literal — only `array(...)` — and rewriting 64×64 literals through
+  * a dialect alias buys nothing) plus the `<<` bitshift operator
+  * (Spark spells it shiftleft). Their
+  * cross-engine check is the driver's DuckDB gate — which for these
+  * two is a FULL hash gate, stronger than most of the pinned set.
   *
   * Round-7 bridges (each alias is a pure rewrite to builtin codegen'd
   * expressions; see GraftExtensions): `divide(a, b)` — the named
