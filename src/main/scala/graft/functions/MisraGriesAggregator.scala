@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Misra-Gries heavy-hitters summary as a typed `Aggregator` — the
@@ -55,8 +56,12 @@ class MisraGries(k: Int)
   override def finish(buf: (Map[String, Long], Long)): (Seq[(String, Long)], Long) =
     (buf._1.toSeq.sortBy { case (w, c) => (-c, w) }, buf._2)
 
+  // Native (Catalyst) encoders for buffer and output — the counter map
+  // ships as a MapType column in an UnsafeRow, codegen-serialized, with
+  // no kryo reflection (which on JDK 17+ needs `--add-opens
+  // java.base/java.nio` when launched without spark-submit).
   override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
-    Encoders.kryo[(Map[String, Long], Long)]
+    ExpressionEncoder()
   override def outputEncoder: Encoder[(Seq[(String, Long)], Long)] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    ExpressionEncoder()
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed custom aggregate (the §2.10 `Aggregator[IN, BUF, OUT]` slot):
@@ -29,8 +30,14 @@ class TopKByValue(k: Int)
 
   override def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
 
+  // Native (Catalyst) encoders for BOTH buffer and output: the partial
+  // buffer crosses the shuffle as an UnsafeRow-backed binary column, so
+  // serialization is codegen'd and needs no runtime reflection. (The
+  // kryo alternative additionally requires `--add-opens
+  // java.base/java.nio` on JDK 17+ when the JVM is launched without
+  // spark-submit — a deployment fragility a library shouldn't carry.)
   override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
-    Encoders.kryo[Seq[(Long, Double)]]
+    ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Long, Double)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    ExpressionEncoder()
 }
