@@ -105,6 +105,7 @@ object SparkEntry {
     "pipe3_train_manifest", "pipe5_data_audit", "pipe6_hybrid_rrf",
     "w14_dynamic_overwrite",
     "t28_mixture_resample", "x4_text_roundtrip", "x7_xml_roundtrip",
+    "x8_variant_extract",
     "s5_embedding_centroids", "s8_kmeans_iteration",
     "c4_dynamic_pruning", "x3_orc_roundtrip",
     "d1_dedup_exact_groups", "d2_dedup_exact_select", "d6_dedup_normalized",

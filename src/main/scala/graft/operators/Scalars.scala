@@ -206,6 +206,58 @@ object Scalars extends QueryModule {
         dsum0($"c_acctbal").as("sum_acctbal"))
   }
 
+  /** x8 — VARIANT ingestion (Spark 4's semi-structured type,
+    * SPARK-45891): a deterministically HETEROGENEOUS JSON feed derived
+    * from orders — three payload shapes keyed by o_orderkey % 3 (flat
+    * scalar fields / a nested object / a tag array) — is parsed to one
+    * VARIANT column, written to parquet AS VARIANT (typed binary
+    * encoding, not JSON text), read back, and queried with typed
+    * `variant_get` paths. This is the engine answer to the reference's
+    * own schemalessness: two payment shapes coexist in one collection
+    * (/root/reference/index.js:281-289, SURVEY §1.2), and a 100 TB
+    * event lake always carries payload generations whose union struct
+    * would be mostly-null noise. `from_json` needs that union schema
+    * up front; VARIANT keeps each row's true shape and defers typing
+    * to the extraction path — absent paths are NULL, like Mongo's
+    * missing-field reads.
+    *
+    * The oracle restates every extraction from the SOURCE columns (the
+    * w15/x5 contract): the JSON build, the variant parse, the parquet
+    * VARIANT round-trip, and each typed path must together lose
+    * nothing, or the count/decimal-sum hash breaks. Scale: parse_json
+    * and variant_get are codegen'd row-local expressions inside the
+    * scan stage — no shuffle, no extra pass; parquet shredding keeps
+    * variant scans columnar. */
+  private def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables(spark, dir).orders
+    val price = $"o_totalprice".cast("string")
+    val payload = when($"o_orderkey" % 3 === 0,
+        format_string("""{"amt": %s, "prio": "%s"}""", price, $"o_orderpriority"))
+      .when($"o_orderkey" % 3 === 1,
+        format_string("""{"amt": %s, "meta": {"cust": %s}}""", price,
+          $"o_custkey".cast("string")))
+      .otherwise(
+        format_string("""{"amt": %s, "tags": ["s-%s", "extra"]}""", price,
+          $"o_orderstatus"))
+    val out = materializedSink(spark, dir, "x8_variant") { p =>
+      src.select($"o_orderkey", parse_json(payload).as("v"))
+        .write.mode("overwrite").parquet(p)
+    }
+    spark.read.parquet(out)
+      .select(
+        variant_get($"v", "$.amt", "double").as("amt"),
+        variant_get($"v", "$.prio", "string").as("prio"),
+        variant_get($"v", "$.meta.cust", "bigint").as("cust"),
+        variant_get($"v", "$.tags[0]", "string").as("tag0"))
+      .agg(count(lit(1)).as("n_rows"),
+        count($"prio").as("n_flat"),
+        count($"cust").as("n_nested"),
+        count($"tag0").as("n_tagged"),
+        countDistinct($"tag0").as("n_tag_kinds"),
+        dsum0($"amt").as("sum_amt"))
+  }
+
   /** x4 — line-oriented TEXT sink + source round-trip: the corpus
     * text column written as raw lines (`.text()` — the format every
     * log/corpus interchange ultimately bottoms out in), re-read, and
@@ -387,6 +439,7 @@ object Scalars extends QueryModule {
     "x7_xml_roundtrip"   -> (xmlRoundtrip _),
     "x5_schema_evolution" -> (schemaEvolution _),
     "x6_corrupt_tolerant" -> (corruptTolerant _),
+    "x8_variant_extract" -> (variantExtract _),
     "x1_json_roundtrip"  -> (jsonRoundtrip _))
 
   val oracles: Map[String, String] = Map(
@@ -441,6 +494,20 @@ object Scalars extends QueryModule {
          |       count(DISTINCT c_custkey) AS n_keys,
          |       ${sqlDsum0("c_acctbal")} AS sum_acctbal
          |FROM customer""".stripMargin,
+    // x8: every typed variant_get path restated from the SOURCE columns
+    // — shape routing (key % 3), nested-path presence, the tag-kind
+    // cardinality, and the exact decimal sum of the amounts must all
+    // survive JSON build → variant parse → parquet VARIANT → typed
+    // extraction, or the hash breaks.
+    "x8_variant_extract" ->
+      s"""SELECT count(*) AS n_rows,
+         |       count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS n_flat,
+         |       count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS n_nested,
+         |       count(CASE WHEN o_orderkey % 3 = 2 THEN 1 END) AS n_tagged,
+         |       count(DISTINCT CASE WHEN o_orderkey % 3 = 2
+         |                           THEN concat('s-', o_orderstatus) END) AS n_tag_kinds,
+         |       ${sqlDsum0("o_totalprice")} AS sum_amt
+         |FROM orders""".stripMargin,
     "x3_orc_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |       count(DISTINCT o_orderkey) AS n_keys,

@@ -29,6 +29,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(straddling == 0)
   }
 
+  test("observe: in-flight pipeline metrics match a direct recount with zero extra scans") {
+    import spark.implicits._
+    // The ops posture for a 100 TB pipeline: row counts and value
+    // totals are collected ON the data in flight (accumulator-backed,
+    // map-side) rather than by re-scanning the input — a second scan
+    // of the corpus just to count what passed is exactly the kind of
+    // job a petabyte pipeline can't afford.
+    val obs = new org.apache.spark.sql.Observation("prep_metrics")
+    val docs = Tables(spark, dir).documents
+    val kept = docs
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(length($"text")).as("chars_in"),
+        count(when($"lang" === "en", 1)).as("n_en"))
+      .filter($"n_chars" >= 100)
+      .count()
+    val m = obs.get
+    val direct = docs.agg(count(lit(1)), sum(length($"text")),
+      count(when($"lang" === "en", 1))).head()
+    assert(m("n_in") == direct.getLong(0))
+    assert(m("chars_in") == direct.getLong(1))
+    assert(m("n_en") == direct.getLong(2))
+    // The metrics describe the PRE-filter stream even though only the
+    // filtered count was executed: one pass produced both numbers.
+    assert(kept < m("n_in").asInstanceOf[Long])
+  }
+
   test("t11 caps every source at 50 and picks a deterministic subset") {
     val out = TextAnalysis.queries("t11_source_cap")(spark, dir)
     val perSource = out.groupBy("source").count().collect()

@@ -179,6 +179,60 @@ class SourcesSpec extends AnyFunSuite {
       || Option(thrown.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
 
+  test("VARIANT parquet round-trip: typed binary column, absent-path NULL vs present JSON null, exact numerics") {
+    import spark.implicits._
+    val out = tmp() + "/variant_rt"
+    val rows = Seq(
+      (1L, """{"amt": 12.5, "prio": "1-URGENT"}"""),
+      (2L, """{"amt": 3.25, "meta": {"cust": 42}}"""),
+      (3L, """{"amt": 7.0, "tags": ["s-O", "extra"]}"""),
+      (4L, """{"amt": null}""")).toDF("k", "j")
+    rows.select($"k", parse_json($"j").as("v"))
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    // The column survives the file hop as VARIANT (typed binary
+    // encoding), not as a stringly JSON blob.
+    assert(back.schema("v").dataType == VariantType)
+    // Heterogeneous shapes: each row answers only its own paths; an
+    // absent path is SQL NULL (schema-on-read), present paths come
+    // back typed and numerically exact.
+    val got = back.select($"k",
+        variant_get($"v", "$.prio", "string").as("prio"),
+        variant_get($"v", "$.meta.cust", "bigint").as("cust"),
+        variant_get($"v", "$.tags[1]", "string").as("tag1"),
+        variant_get($"v", "$.amt", "double").as("amt"))
+      .orderBy($"k").collect().toSeq
+    assert(got.map(r => (r.get(1), r.get(2), r.get(3), r.get(4))) == Seq(
+      ("1-URGENT", null, null, 12.5),
+      (null, 42L, null, 3.25),
+      (null, null, "extra", 7.0),
+      (null, null, null, null)))
+    // The Mongo missing-vs-null distinction the reference relies on
+    // (SURVEY §1.2): a JSON null is a PRESENT variant-null value,
+    // an unknown path is plain SQL NULL — and the engine can tell.
+    val k4 = back.filter($"k" === 4L)
+      .select(is_variant_null(variant_get($"v", "$.amt", "variant")).as("present_null"),
+        variant_get($"v", "$.missing", "variant").isNull.as("absent"),
+        variant_get($"v", "$.amt", "variant").isNotNull.as("value_exists"))
+      .head()
+    assert(k4.getBoolean(0) && k4.getBoolean(1) && k4.getBoolean(2))
+  }
+
+  test("x8 catalog query reports the shape routing computed directly from orders") {
+    import spark.implicits._
+    val viaVariant = SparkEntry.queries("x8_variant_extract")(spark, dir).head()
+    val src = Tables(spark, dir).orders
+    val want = src.agg(
+      count(lit(1)),
+      count(when($"o_orderkey" % 3 === 0, 1)),
+      count(when($"o_orderkey" % 3 === 1, 1)),
+      count(when($"o_orderkey" % 3 === 2, 1)),
+      countDistinct(when($"o_orderkey" % 3 === 2,
+        concat(lit("s-"), $"o_orderstatus"))),
+      graft.operators.dsum0($"o_totalprice")).head()
+    assert(viaVariant.toSeq == want.toSeq)
+  }
+
   test("fixture invariant: event timestamps are post-epoch and ids fit 20 digits (the lpad sort-key packing contract)") {
     // j12's and e14/e16's oracles pack (us, id) sort keys as
     // lpad(x, 20, '0') concatenations, whose lexicographic order equals
