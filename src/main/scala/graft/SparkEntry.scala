@@ -63,7 +63,7 @@ object SparkEntry {
     "olap_distinct", "olap_count_distinct", "olap_ntile_quartiles",
     "olap_corr", "olap_regr", "olap_histogram", "olap_pivot", "olap_unpivot",
     "olap_string_agg", "olap_bool_aggregates", "olap_percentiles",
-    "olap_approx_distinct", "olap_approx_percentiles",
+    "olap_approx_distinct", "olap_approx_percentiles", "olap_sketch_rollup",
     "olap_window_suite", "olap_window_suite2", "olap_grouped_topk_udaf",
     "olap_scalar_subquery",
     "set_union", "set_intersect", "set_except",

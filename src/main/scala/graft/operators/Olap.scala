@@ -124,6 +124,60 @@ object Olap extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Sketch ROLLUP — the property that makes approximate-distinct the
+    * 100 TB path is not the estimate, it's MERGEABILITY: a nightly job
+    * folds each day's log into one constant-size HLL sketch
+    * (DataSketches binary, `hll_sketch_agg`), the sketch table is
+    * persisted as parquet, and every coarser rollup thereafter —
+    * weekly/monthly/arbitrary date ranges — is answered from the
+    * sketch table ALONE via `hll_union_agg`, never rescanning the raw
+    * log (distinct counts don't pre-aggregate; sketches do). This
+    * entry runs the full pattern: one log pass → 30 daily sketches →
+    * parquet → read back → weekly distinct-user estimates from
+    * register-wise-max unions. Certification follows
+    * olap_approx_distinct's shape: the exact weekly distinct rides
+    * along for the oracle, and the union estimate is emitted only as
+    * a within-bound boolean pinned to `true` (HLL union is
+    * deterministic regardless of partition/merge order; lgK=12 is
+    * exact in sparse mode at fixture cardinalities and ~1.6% rsd
+    * dense). The week index is pure integer math on microsecond day
+    * indexes — no float, no calendar dependence on either engine. */
+  private def sketchRollupQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"ts".cast("date").as("day"), $"user_id")
+    // Stage 1 — the "nightly" build: one map-combined pass over the
+    // log, constant bytes per (day, sketch) row, persisted.
+    val out = Scalars.materializedSink(spark, dir, "olap_hll_daily") { p =>
+      ev.groupBy($"day").agg(hll_sketch_agg($"user_id", 12).as("sk"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val wkOf = expr(
+      "(unix_micros(cast(day as timestamp)) - unix_micros(cast(d0 as timestamp)))" +
+        " div 604800000000")
+    // Stage 2 — serving: the weekly rollup touches ONLY the sketch
+    // table (its week base is the sketch table's own min day; the raw
+    // log appears below solely as the certification harness).
+    val skTable = spark.read.parquet(out)
+    val weekly = skTable
+      .crossJoin(broadcast(skTable.agg(min($"day").as("d0"))))
+      .withColumn("wk", wkOf)
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    // Certification harness (not the serving shape): exact weekly
+    // distincts from the raw log, oracle-recomputable.
+    val exact = ev.crossJoin(broadcast(ev.agg(min($"day").as("d0"))))
+      .withColumn("wk", wkOf)
+      .groupBy($"wk").agg(countDistinct($"user_id").as("n_users_exact"))
+    weekly.join(exact, "wk")
+      .select($"wk", $"n_days", $"n_users_exact",
+        (abs($"est" - $"n_users_exact").cast("double")
+          <= greatest(lit(1.0), lit(0.05) * $"n_users_exact"))
+          .as("union_within_5pct"))
+      .orderBy($"wk")
+  }
+
   /** Boolean aggregates (every/any per group). */
   private def boolAggQ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -469,6 +523,7 @@ object Olap extends QueryModule {
     "olap_distinct"         -> (distinctQ _),
     "olap_count_distinct"   -> (countDistinctQ _),
     "olap_approx_distinct"  -> (approxDistinctQ _),
+    "olap_sketch_rollup"    -> (sketchRollupQ _),
     "set_union"             -> (setUnion _),
     "set_intersect"         -> (setIntersect _),
     "set_except"            -> (setExcept _),
@@ -526,6 +581,23 @@ object Olap extends QueryModule {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts_exact,
         |       true AS approx_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // olap_sketch_rollup: the weekly exact distincts are recomputed by
+    // the oracle from the raw log; the sketch-union estimate appears
+    // only as its certification boolean (pinned true) — a sketch,
+    // union, or parquet-binary-round-trip regression flips it on the
+    // Spark side and fails the hash loudly. The week index is integer
+    // microsecond math shared by both engines (epoch_us + divide).
+    "olap_sketch_rollup" ->
+      """WITH m AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |     e AS (SELECT divide(epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP))
+        |                         - epoch_us(CAST((SELECT d0 FROM m) AS TIMESTAMP)),
+        |                         604800000000) AS wk,
+        |                  CAST(ts AS DATE) AS day, user_id
+        |           FROM events)
+        |SELECT wk, count(DISTINCT day) AS n_days,
+        |       count(DISTINCT user_id) AS n_users_exact,
+        |       true AS union_within_5pct
+        |FROM e GROUP BY wk ORDER BY wk""".stripMargin,
     "olap_approx_percentiles" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |       true AS p50_within_bound, true AS p90_within_bound

@@ -140,7 +140,7 @@ object Scalars extends QueryModule {
     * repeatedly trigger at most one physical write (ADVICE r5). */
   private val sinkMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
-  private def materializedSink(spark: SparkSession, dir: String, name: String)(
+  private[operators] def materializedSink(spark: SparkSession, dir: String, name: String)(
       write: String => Unit): String =
     sinkMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, name), { _ =>
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +

@@ -29,6 +29,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(straddling == 0)
   }
 
+  test("sketch rollup: daily-union estimate equals the one-pass sketch and is partition-order invariant") {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"ts".cast("date").as("day"), $"user_id")
+    // Mergeability — the property the operator exists for: folding the
+    // per-day sketches with hll_union_agg gives the SAME estimate as
+    // one hll_sketch_agg pass over the whole range (register-wise max
+    // is associative), so pre-aggregated daily sketches answer any
+    // range without rescanning the log.
+    val daily = ev.groupBy($"day").agg(hll_sketch_agg($"user_id", 12).as("sk"))
+    val viaUnion = daily.agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .head().getLong(0)
+    val onePass = ev.agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)))
+      .head().getLong(0)
+    assert(viaUnion == onePass)
+    // Determinism: the estimate survives an adversarial repartition
+    // (different partial-merge order) bit-identically.
+    val shuffled = daily.repartition(7, $"sk")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk"))).head().getLong(0)
+    assert(shuffled == viaUnion)
+    // At fixture cardinalities lgK=12 runs in sparse mode: the
+    // estimate is exact, so the catalog's 5% certification bound has
+    // real slack only at production scale.
+    val exact = ev.agg(countDistinct($"user_id")).head().getLong(0)
+    assert(math.abs(viaUnion - exact) <= math.max(1L, exact / 20))
+  }
+
   test("observe: in-flight pipeline metrics match a direct recount with zero extra scans") {
     import spark.implicits._
     // The ops posture for a 100 TB pipeline: row counts and value
