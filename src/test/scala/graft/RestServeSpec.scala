@@ -1,0 +1,147 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end proof of the REST façade (RestServe): real HTTP requests
+  * against a live server, each response hash-equal to the catalog
+  * DataFrame program it claims to serve — the reference's GET surface
+  * (SURVEY Appendix A) answered by this engine. Plus the façade's own
+  * contracts: the 404/400/405 shapes, the dynamic-predicate branch
+  * pair, the serving cap, and an 8-client parallel probe (stateless
+  * handlers — no cross-request bleed, the ThriftServerSpec posture on
+  * this second wire surface). */
+class RestServeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val server = RestServe.start(spark, dir, 0) // ephemeral port
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def catalogJson(name: String, limit: Int = 1000): String =
+    SparkEntry.queries(name)(spark, dir).limit(limit)
+      .toJSON.collect().mkString("[", ",", "]")
+
+  test("health route answers") {
+    val (code, body) = get("/")
+    assert(code == 200 && body.contains("running"))
+  }
+
+  test("dashboard routes serve the exact catalog flagship results") {
+    for ((route, q) <- Seq(
+        "/buyer/home" -> "flagship_buyer_home",
+        "/api/worker/home" -> "flagship_worker_home",
+        "/admin/home" -> "flagship_admin_home",
+        "/admin/stats" -> "a1_filtered_counts",
+        "/api/buyer/stats" -> "a5_conditional_counts",
+        "/top-workers" -> "o2_topk",
+        "/buyer/submissions" -> "j1_semi_join")) {
+      val (code, body) = get(route)
+      assert(code == 200, s"$route -> $code")
+      assert(body == catalogJson(q), s"$route != catalog $q")
+    }
+  }
+
+  test("point lookup by path id: found row, 404 on absence, 400 on garbage") {
+    import spark.implicits._
+    val (code, body) = get("/tasks/7")
+    assert(code == 200)
+    val want = Tables(spark, dir).orders.filter($"o_orderkey" === 7L)
+      .toJSON.collect().mkString("[", ",", "]")
+    assert(body == want)
+    assert(get("/tasks/99999999")._1 == 404)
+    assert(get("/tasks/notanid")._1 == 400)
+  }
+
+  test("parameterized profile lookup and the missing-parameter shape") {
+    import spark.implicits._
+    val (code, body) = get("/users/profile?name=Customer%23000000042")
+    assert(code == 200)
+    val want = Tables(spark, dir).customer
+      .filter($"c_name" === "Customer#000000042")
+      .toJSON.collect().mkString("[", ",", "]")
+    assert(body == want && body.length > 2)
+    assert(get("/users/profile")._1 == 400)
+    assert(get("/users/profile?name=Customer%23nobody")._1 == 404)
+  }
+
+  test("dynamic-predicate route: both branches (param present / absent)") {
+    import spark.implicits._
+    val withP = get("/admin/withdrawals?status=P")
+    val all = get("/admin/withdrawals")
+    assert(withP._1 == 200 && all._1 == 200)
+    val orders = Tables(spark, dir).orders
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select($"o_orderkey", $"o_orderstatus").orderBy($"o_orderkey")
+        .limit(1000).toJSON.collect().mkString("[", ",", "]")
+    assert(withP._2 == shape(orders.filter($"o_orderstatus" === "P")))
+    assert(all._2 == shape(orders))
+    assert(withP._2 != all._2)
+  }
+
+  test("per-user feed is key-bounded and honors the serving cap") {
+    import spark.implicits._
+    val (code, body) = get("/api/notifications?user=12&limit=5")
+    assert(code == 200)
+    val want = Tables(spark, dir).events.filter($"user_id" === 12L)
+      .select($"event_id", $"ts", $"event_type")
+      .orderBy($"ts".desc, $"event_id".desc).limit(5)
+      .toJSON.collect().mkString("[", ",", "]")
+    assert(body == want)
+    assert(body.count(_ == '{') == 5)
+  }
+
+  test("every GET route the reference registers answers with 200 and a parseable body") {
+    // index.js's full app.get surface (dups share their live twin).
+    val allGets = Seq(
+      "/", "/buyer/home", "/api/worker/home", "/admin/home", "/admin/stats",
+      "/api/buyer/stats", "/top-workers", "/buyer/tasks", "/buyer-tasks",
+      "/worker/tasks", "/admin/users", "/buyer/submissions",
+      "/api/buyer/pending-submissions", "/api/all-tasks", "/admin/tasks",
+      "/submissions?user=3", "/admin/withdrawals",
+      "/api/notifications?user=12", "/payments?user=42",
+      "/users/profile?name=Customer%23000000042", "/tasks/7")
+    allGets.foreach { p =>
+      val (code, body) = get(p)
+      assert(code == 200, s"$p -> $code")
+      assert(body.nonEmpty, s"$p empty body")
+      if (p != "/") assert(body.startsWith("["), s"$p not a JSON array")
+    }
+    assert(get("/no/such/route")._1 == 404)
+  }
+
+  test("writes are rejected: the facade is read-only") {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/tasks"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 405)
+  }
+
+  test("8 parallel clients on mixed routes: every response equals its serial twin") {
+    val probes = Seq(
+      "/buyer/home", "/api/worker/home", "/admin/home", "/top-workers",
+      "/tasks/7", "/admin/withdrawals?status=P",
+      "/api/notifications?user=12&limit=5", "/api/buyer/stats")
+    val serial = probes.map(p => p -> get(p)).toMap
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(
+      Future.sequence(probes.map(p => Future(p -> get(p)))), 120.seconds)
+    results.foreach { case (p, got) =>
+      assert(got == serial(p), s"parallel response diverged on $p")
+    }
+  }
+}
