@@ -92,7 +92,7 @@ object SparkEntry {
     "e4_sliding_window", "e5_session_window", "e6_latest_per_user", "e8_funnel",
     "e10_zscore_outliers", "e11_interarrival", "e12_transition_matrix",
     "e13_dau_wau", "e14_attribution", "e15_count_anomaly",
-    "e16_session_paths", "e17_rfm_segments",
+    "e16_session_paths", "e17_rfm_segments", "e19_ab_test",
     "t18_char_entropy", "t19_unigram_logprob", "t20_heavy_hitters",
     "t21_quality_tiers", "t22_zipf_fit", "j9_runtime_bloom_join",
     "g1_pagerank", "g2_bfs_hops", "g3_knn_graph", "g4_knn_triangles",

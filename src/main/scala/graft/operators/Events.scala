@@ -535,7 +535,55 @@ object Events extends QueryModule {
       .orderBy($"segment")
   }
 
+  /** e19 — A/B experiment readout: the two-proportion z-test every
+    * product-analytics stack runs on an experiment flag. Users split
+    * into deterministic variants (user_id parity — the hash-bucket
+    * assignment real experimentation systems use), conversion = the
+    * user made at least one PREMIUM purchase (value ≥ 180 — every
+    * fixture user purchases at least once, so the plain-purchase goal
+    * is vacuously 100% and discriminates nothing; the premium goal
+    * converts ~28% of users), and the readout is the per-variant
+    * exposure/conversion counts plus the |z| > 1.96 significance
+    * verdict at α=0.05.
+    *
+    * Cross-engine exactness: e15's clear-the-division-to-BIGINT move
+    * does NOT work here — the multiplied-out form 625·N·(c₁n₂−c₂n₁)²
+    * grows as n⁵ and leaves int64 near n≈3000 users (and chained
+    * DECIMAL(38) multiplies exceed the warehouse engine's width-sum
+    * rule). Instead the verdict squares the textbook statistic in
+    * DOUBLE with an IDENTICAL expression tree on both engines:
+    *   (p₁−p₂)² > 3.8416 · p̂(1−p̂) · (1/n₁ + 1/n₂),  p̂ = C/N
+    * — every operation is a single correctly-rounded IEEE op on
+    * exactly-representable integer inputs (integer/integer division
+    * is double on both engines), so the two engines produce
+    * bit-identical doubles and the SAME boolean at any data size.
+    * Scale: one map-combined per-user aggregate (the only shuffle,
+    * keyed by user), then a single-row conditional aggregate — the
+    * readout is O(1) state regardless of log size. */
+  private def e19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perUser = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg(coalesce(max(when($"event_type" === "purchase" && $"value" >= 180.0, 1L)),
+        lit(0L)).as("converted"))
+      .withColumn("variant", when(pmod($"user_id", lit(2)) === 0, "A").otherwise("B"))
+    val row = perUser.agg(
+      countIf($"variant" === "A").as("n_a"),
+      coalesce(sum(when($"variant" === "A", $"converted")), lit(0L)).as("c_a"),
+      countIf($"variant" === "B").as("n_b"),
+      coalesce(sum(when($"variant" === "B", $"converted")), lit(0L)).as("c_b"))
+    // Expression tree mirrored CHARACTER-FOR-CHARACTER in the oracle:
+    // same ops, same order → bit-identical doubles on both engines.
+    row.select($"n_a", $"c_a", $"n_b", $"c_b",
+      ((($"c_a" / $"n_a" - $"c_b" / $"n_b") * ($"c_a" / $"n_a" - $"c_b" / $"n_b"))
+        > lit(3.8416)
+          * (($"c_a" + $"c_b") / ($"n_a" + $"n_b"))
+          * (lit(1.0) - ($"c_a" + $"c_b") / ($"n_a" + $"n_b"))
+          * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")).as("significant_95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_ab_test"          -> (e19 _),
     "e16_session_paths"    -> (e16 _),
     "e17_rfm_segments"     -> (e17 _),
     "e15_count_anomaly" -> (e15 _),
@@ -556,6 +604,33 @@ object Events extends QueryModule {
     "e6_latest_per_user"   -> (e6 _))
 
   val oracles: Map[String, String] = Map(
+    // e19: the whole readout restated — per-user conversion rollup,
+    // parity variant split, and the squared two-proportion z-test with
+    // the IDENTICAL double expression tree (each op a single
+    // correctly-rounded IEEE op on exact integer inputs, so the
+    // boolean can never flip between engines).
+    "e19_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         coalesce(max(CASE WHEN event_type = 'purchase' AND value >= 180.0
+        |                           THEN 1 END), 0) AS converted,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT count(CASE WHEN variant = 'A' THEN 1 END) AS n_a,
+        |         coalesce(CAST(sum(CASE WHEN variant = 'A' THEN converted END)
+        |                       AS BIGINT), 0) AS c_a,
+        |         count(CASE WHEN variant = 'B' THEN 1 END) AS n_b,
+        |         coalesce(CAST(sum(CASE WHEN variant = 'B' THEN converted END)
+        |                       AS BIGINT), 0) AS c_b
+        |  FROM u)
+        |SELECT n_a, c_a, n_b, c_b,
+        |       ((c_a / n_a - c_b / n_b) * (c_a / n_a - c_b / n_b))
+        |        > 3.8416
+        |          * ((c_a + c_b) / (n_a + n_b))
+        |          * (1.0 - (c_a + c_b) / (n_a + n_b))
+        |          * (1.0 / n_a + 1.0 / n_b) AS significant_95
+        |FROM r""".stripMargin,
     // First/last touch via min/max over a FIXED-WIDTH SORT KEY: the
     // former struct form ordered by (us, eid, ch), but anonymous-struct
     // spellings have no Spark∩DuckDB overlap (struct_pack vs

@@ -29,6 +29,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(straddling == 0)
   }
 
+  test("e19 A/B verdict equals the textbook sqrt z-test and flips on a real effect") {
+    import graft.operators.Events
+    val row = Events.queries("e19_ab_test")(spark, dir).head()
+    val (nA, cA, nB, cB) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // Non-degenerate fixture: both variants exposed, conversion strictly
+    // between 0 and 1 (the plain-purchase goal was vacuously 100%).
+    assert(nA > 0 && nB > 0 && cA > 0 && cA < nA && cB > 0 && cB < nB)
+    // Textbook replay WITH the sqrt the operator algebraically removed.
+    def textbook(na: Long, ca: Long, nb: Long, cb: Long): Boolean = {
+      val (p1, p2) = (ca.toDouble / na, cb.toDouble / nb)
+      val p = (ca + cb).toDouble / (na + nb)
+      val z = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+      math.abs(z) > 1.96
+    }
+    assert(row.getBoolean(4) == textbook(nA, cA, nB, cB))
+    // Discriminativeness: the same squared-form expression must FIRE on
+    // a real effect and stay quiet on a null one — evaluated through the
+    // engine's own SQL expression, not just the Scala replay.
+    def engineVerdict(na: Long, ca: Long, nb: Long, cb: Long): Boolean =
+      spark.sql(
+        s"""SELECT (($ca / $na - $cb / $nb) * ($ca / $na - $cb / $nb))
+           |        > 3.8416 * (($ca + $cb) / ($na + $nb))
+           |          * (1.0 - ($ca + $cb) / ($na + $nb))
+           |          * (1.0 / $na + 1.0 / $nb) AS s""".stripMargin)
+        .head().getBoolean(0)
+    assert(engineVerdict(1000, 300, 1000, 200)) // strong effect: z ≈ 5
+    assert(!engineVerdict(1000, 300, 1000, 295)) // null effect
+    assert(engineVerdict(1000, 300, 1000, 200) == textbook(1000, 300, 1000, 200))
+    assert(engineVerdict(1000, 300, 1000, 295) == textbook(1000, 300, 1000, 295))
+  }
+
   test("sketch rollup: daily-union estimate equals the one-pass sketch and is partition-order invariant") {
     import spark.implicits._
     val ev = Tables(spark, dir).events
