@@ -48,8 +48,12 @@ object RestServe {
     import spark.implicits._
     val t = Tables(spark, dir)
 
+    // Clamped to [1, MaxCap]: a non-positive ?limit= must not reach
+    // Dataset.limit (negative throws AnalysisException → a 500 where
+    // the contract says listings always answer).
     def cap(params: Map[String, String]): Int =
-      math.min(MaxCap, params.get("limit").flatMap(_.toIntOption).getOrElse(1000))
+      math.max(1, math.min(MaxCap,
+        params.get("limit").flatMap(_.toIntOption).getOrElse(1000)))
 
     /** Catalog-backed listing/dashboard route. */
     def catalogRoute(name: String): Map[String, String] => Option[DataFrame] =
@@ -145,7 +149,11 @@ object RestServe {
       try {
         val uri = ex.getRequestURI
         val rawPath = uri.getPath
-        val params0 = Option(uri.getQuery).toSeq
+        // Split on the RAW query, decode each value exactly once:
+        // URI.getQuery pre-decodes, so decoding its output again would
+        // corrupt literal '+' to a space and let an encoded '&' inside
+        // a value truncate it at the split.
+        val params0 = Option(uri.getRawQuery).toSeq
           .flatMap(_.split("&").toSeq)
           .flatMap { kv =>
             kv.split("=", 2) match {

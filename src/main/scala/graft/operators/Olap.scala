@@ -159,15 +159,19 @@ object Olap extends QueryModule {
     // table (its week base is the sketch table's own min day; the raw
     // log appears below solely as the certification harness).
     val skTable = spark.read.parquet(out)
+    // One d0 frame serves both legs: the sketch table holds exactly the
+    // event days, so its min(day) IS the log's min(day) — re-deriving
+    // it from `ev` would cost a whole extra log scan per run.
+    val d0 = broadcast(skTable.agg(min($"day").as("d0")))
     val weekly = skTable
-      .crossJoin(broadcast(skTable.agg(min($"day").as("d0"))))
+      .crossJoin(d0)
       .withColumn("wk", wkOf)
       .groupBy($"wk")
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
     // Certification harness (not the serving shape): exact weekly
     // distincts from the raw log, oracle-recomputable.
-    val exact = ev.crossJoin(broadcast(ev.agg(min($"day").as("d0"))))
+    val exact = ev.crossJoin(d0)
       .withColumn("wk", wkOf)
       .groupBy($"wk").agg(countDistinct($"user_id").as("n_users_exact"))
     weekly.join(exact, "wk")

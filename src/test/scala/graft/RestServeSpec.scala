@@ -13,11 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * pair, the serving cap, and an 8-client parallel probe (stateless
   * handlers — no cross-request bleed, the ThriftServerSpec posture on
   * this second wire surface). */
-class RestServeSpec extends AnyFunSuite {
+class RestServeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
   private lazy val server = RestServe.start(spark, dir, 0) // ephemeral port
+
+  override def afterAll(): Unit = server.stop(0) // release the port + pool
   private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
   private val client = HttpClient.newHttpClient()
 
@@ -99,6 +101,11 @@ class RestServeSpec extends AnyFunSuite {
       .toJSON.collect().mkString("[", ",", "]")
     assert(body == want)
     assert(body.count(_ == '{') == 5)
+    // Clamp contract: non-positive and oversized limits stay servable
+    // (never an engine AnalysisException surfacing as a 500).
+    val clamped = get("/api/all-tasks?limit=-1")
+    assert(clamped._1 == 200 && clamped._2.count(_ == '{') == 1)
+    assert(get("/api/all-tasks?limit=999999999")._1 == 200)
   }
 
   test("every GET route the reference registers answers with 200 and a parseable body") {
