@@ -62,6 +62,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(UserBalance(1L, 3L, 13.0), UserBalance(2L, 1L, 11.0)))
   }
 
+  test("transformWithState typed ledger: v1 parity, MapState recount, state survives a checkpoint restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.TypedLedger
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (a) v2 equals v1 on the balance columns over the same input —
+      // the migration-parity proof for the new arbitrary-state API.
+      val inA = MemoryStream[UserEvent]
+      inA.addData(
+        UserEvent(1L, "purchase", 5.0), UserEvent(1L, "error", 2.0),
+        UserEvent(1L, "view", 9.0), UserEvent(2L, "purchase", 1.0))
+      val v2 = StreamOps.runToMemory(spark,
+        StreamOps.typedLedger(inA.toDS()).toDF(),
+        "tl_parity", OutputMode.Update())
+        .orderBy("user_id").as[TypedLedger].collect().toSeq
+      assert(v2.map(l => UserBalance(l.user_id, l.n_events, l.coins))
+        == Seq(UserBalance(1L, 3L, 13.0), UserBalance(2L, 1L, 11.0)))
+      assert(v2 == Seq(TypedLedger(1L, 3L, 13.0, 1L, 1L),
+        TypedLedger(2L, 1L, 11.0, 1L, 0L)))
+      // (b) MapState counters recount against the real fixture log.
+      val dir = "/root/testdata/sf0.001"
+      val fixture = Tables(spark, dir).events
+        .select($"user_id", $"event_type", $"value")
+        .as[UserEvent].collect().toSeq
+      val inB = MemoryStream[UserEvent]
+      inB.addData(fixture)
+      val ledger = StreamOps.runToMemory(spark,
+        StreamOps.typedLedger(inB.toDS()).toDF(),
+        "tl_fixture", OutputMode.Update())
+        .as[TypedLedger].collect().map(l => l.user_id -> l).toMap
+      val want = fixture.groupBy(_.user_id).map { case (u, es) =>
+        u -> (es.size.toLong,
+          es.count(_.event_type == "purchase").toLong,
+          es.count(_.event_type == "error").toLong)
+      }
+      assert(ledger.keySet == want.keySet)
+      want.foreach { case (u, (n, np, ne)) =>
+        val l = ledger(u)
+        assert((l.n_events, l.n_purchases, l.n_errors) == (n, np, ne), s"user $u")
+      }
+      // (c) A NEW query resuming the same checkpoint carries the
+      // ValueState AND MapState forward: the second run's update for
+      // user 1 is cumulative, not fresh.
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+      val (ckpt, sink) = (s"$baseDir/ckpt", s"$baseDir/sink")
+      val inC = MemoryStream[UserEvent]
+      def runOnce(): Unit = {
+        // The memory sink cannot recover a checkpoint; foreachBatch can
+        // (the StreamingFunnel recipe) — each micro-batch appends with
+        // its batchId so the per-run outputs stay distinguishable.
+        val q = StreamOps.typedLedger(inC.toDS()).toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      inC.addData(UserEvent(1L, "purchase", 5.0), UserEvent(2L, "purchase", 1.0))
+      runOnce()
+      inC.addData(UserEvent(1L, "error", 2.0), UserEvent(1L, "view", 9.0))
+      runOnce() // a NEW query resuming the same checkpoint
+      val byBatch = spark.read.parquet(sink)
+        .orderBy("batch_id", "user_id").collect()
+        .groupBy(_.getAs[Long]("batch_id")).view
+        .mapValues(_.map(r => TypedLedger(r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("coins"),
+          r.getAs[Long]("n_purchases"), r.getAs[Long]("n_errors"))).toSeq)
+        .toMap
+      assert(byBatch(0L) == Seq(
+        TypedLedger(1L, 1L, 15.0, 1L, 0L), TypedLedger(2L, 1L, 11.0, 1L, 0L)))
+      // The restarted run's update for user 1 is CUMULATIVE: both the
+      // ValueState balance and the MapState counters crossed the
+      // restart through the RocksDB checkpoint.
+      assert(byBatch.keySet.max > 0L)
+      assert(byBatch(byBatch.keySet.max) == Seq(TypedLedger(1L, 3L, 13.0, 1L, 1L)))
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
+
   test("flatMapGroupsWithState transitions match the batch e12 matrix") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
