@@ -194,6 +194,91 @@ object StreamOps {
   final case class TimedEvent(ts: java.sql.Timestamp, event_id: Long,
                               user_id: Long, event_type: String)
 
+  final case class SessionAgg(first_us: Long, last_us: Long, n: Long)
+  final case class SessionEmit(user_id: Long,
+                               session_start: java.sql.Timestamp, n: Long)
+
+  /** Timer-driven sessionization — the flagship use of the v2 API's
+    * EVENT-TIME TIMERS: each user's open session lives in a ValueState,
+    * and a registered timer at (last event + gap) fires when the
+    * WATERMARK passes it, emitting the closed session and clearing the
+    * state. This is `session_window` re-expressed imperatively — and
+    * the spec proves the two produce the IDENTICAL session set — but
+    * the timer form is the one that generalizes: emit-on-close with
+    * custom payloads, per-session side effects, early heartbeats —
+    * shapes the declarative aggregate can't express. Gap boundary is
+    * STRICT (< gap merges), matching session_window's half-open
+    * [ts, ts+gap) window end exactly.
+    *
+    * In-batch splitting: a micro-batch hands rows in arrival order, so
+    * each key buffers and sorts its batch (transitionPairs' bounded
+    * buffering), walks the gap rule, and emits INTERIOR closed sessions
+    * immediately — a gap observed in data is definitive; only the TAIL
+    * session waits for the watermark timer. Exactly one timer is live
+    * per key (re-registration deletes the old one). State is one
+    * SessionAgg + one timer per key — bounded regardless of stream
+    * length, evicted on close. */
+  class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, SessionEmit] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var sess: ValueState[SessionAgg] = _
+    // java.sql.Timestamp.getTime is MILLISECOND-truncated; the fixture
+    // carries microsecond timestamps, so both conversions go through
+    // the nanos field or the emitted session_start loses 3 digits.
+    private def toMicros(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    private def toEmit(userId: Long, s: SessionAgg): SessionEmit = {
+      val t = new java.sql.Timestamp(Math.floorDiv(s.first_us, 1000L))
+      t.setNanos(((s.first_us % 1000000L) * 1000L).toInt)
+      SessionEmit(userId, t, s.n)
+    }
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionAgg](
+        "session", Encoders.product[SessionAgg], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[SessionEmit] = {
+      val gapUs = gapMs * 1000L
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      val closed = Seq.newBuilder[SessionEmit]
+      var cur = if (sess.exists()) sess.get() else null
+      sorted.foreach { e =>
+        val us = toMicros(e.ts)
+        cur =
+          if (cur == null) SessionAgg(us, us, 1L)
+          else if (us - cur.last_us < gapUs)
+            SessionAgg(cur.first_us, math.max(cur.last_us, us), cur.n + 1L)
+          else { closed += toEmit(userId, cur); SessionAgg(us, us, 1L) }
+      }
+      if (cur != null) {
+        sess.update(cur)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(cur.last_us / 1000L + gapMs)
+      }
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionEmit] = {
+      if (sess.exists()) {
+        val out = toEmit(userId, sess.get())
+        sess.clear()
+        Iterator.single(out)
+      } else Iterator.empty
+    }
+  }
+
+  /** Event-time-timer sessionization stream (10-minute gap, e5's):
+    * requires the RocksDB state store provider. */
+  def timerSessions(events: Dataset[TimedEvent]): Dataset[SessionEmit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(600000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** e12's streaming twin — per-user event-type transitions as keyed
     * state: the state store holds each user's LAST event type; every
     * arrival emits one (prev, next) pair. Downstream, a plain streaming

@@ -151,6 +151,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessionization equals the session_window aggregate on the full fixture log") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.{SessionEmit, TimedEvent}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      // Deliberately shuffled, multi-partition delivery: in-batch
+      // ordering must come from the operator's sort, not the source.
+      val fixture = new scala.util.Random(7).shuffle(
+        Tables(spark, dir).events
+          .select($"ts", $"event_id", $"user_id", $"event_type")
+          .as[TimedEvent].collect().toSeq)
+      val in = new MemoryStream[TimedEvent](
+        scala.util.Random.nextInt(1 << 20) + (1 << 20), spark, Some(4))
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_tsess").toString
+      val (ckpt, sink) = (s"$baseDir/ckpt", s"$baseDir/sink")
+      def runOnce(): Unit = {
+        val q = StreamOps.timerSessions(in.toDS()).toDF()
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      in.addData(fixture)
+      runOnce() // interior sessions emit; per-user tails await the watermark
+      // Two sentinel batches: the watermark trails the PREVIOUS batch's
+      // max event time, so closing every real tail session needs one
+      // batch to raise the max and a second for the timers to see it.
+      in.addData(TimedEvent(Timestamp.valueOf("2024-03-01 00:00:00"), -1L, -1L, "s"))
+      runOnce()
+      in.addData(TimedEvent(Timestamp.valueOf("2024-04-01 00:00:00"), -2L, -2L, "s"))
+      runOnce()
+      val got = spark.read.parquet(sink).as[SessionEmit].collect()
+        .filter(_.user_id >= 0L)
+        .map(s => (s.user_id, s.session_start, s.n)).sorted
+      // The declarative twin on the SAME rows through the SAME code
+      // path run as a batch (withWatermark is a batch no-op).
+      val want = StreamOps.sessionCounts(fixture.toDF())
+        .as[(Long, Timestamp, Long)].collect().toSeq
+        .map(t => (t._1, t._2, t._3)).sorted
+      assert(got.length == want.length)
+      assert(got.toSeq == want)
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
+
   test("flatMapGroupsWithState transitions match the batch e12 matrix") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
