@@ -89,7 +89,8 @@ object PlanDump {
     "x7_xml_roundtrip"    -> "native XML sink+source round-trip: rowTag-split parallel scan, schema-hinted typed read-back (r7)",
     "e17_rfm_segments"    -> "RFM segmentation: per-user rollup, broadcast quartile CUTPOINTS (one percentile scalar, zero global-order windows), CASE rule table (r8)",
     "x8_variant_extract"  -> "VARIANT ingestion: heterogeneous JSON parsed to one variant column, parquet round-trip, typed variant_get extraction in the scan stage (r8)",
-    "olap_sketch_rollup"  -> "mergeable-sketch rollup: persisted per-day HLL sketches, weekly distincts from hll_union_agg over the sketch table alone — raw log only in the certification leg (r8)")
+    "olap_sketch_rollup"  -> "mergeable-sketch rollup: persisted per-day HLL sketches, weekly distincts from hll_union_agg over the sketch table alone — raw log only in the certification leg (r8)",
+    "e19_ab_test"         -> "A/B readout: one user-keyed map-combined rollup, O(1) conditional aggregate, division-free-boundary double z-verdict (r8)")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outPath) = args
