@@ -189,6 +189,59 @@ object StreamOps {
       .transformWithState(new LedgerProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** The batch→streaming MIGRATION path: the same ledger processor,
+    * BOOTSTRAPPED from a batch-computed snapshot
+    * (`StatefulProcessorWithInitialState` — the v2 API's answer to "we
+    * already have months of history in the warehouse; start the stream
+    * from there, don't replay it"). `handleInitialState` seeds each
+    * key's ValueState before the first micro-batch; the spec proves
+    * the algebra that makes the migration safe: batch history folded
+    * to a snapshot + the tail streamed on top ≡ the whole log streamed
+    * from scratch. The reference's own deployment story is exactly
+    * this shape — a running MongoDB ledger that a stream processor
+    * would have to adopt mid-life, not from genesis. */
+  class LedgerProcessorWithInit
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, UserEvent, TypedLedger, UserBalance] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var balance: ValueState[UserBalance] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      balance = getHandle.getValueState[UserBalance](
+        "balance", Encoders.product[UserBalance], TTLConfig.NONE)
+    override def handleInitialState(userId: Long, snapshot: UserBalance,
+        timerValues: TimerValues): Unit =
+      balance.update(snapshot)
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[TypedLedger] = {
+      var bal =
+        if (balance.exists()) balance.get() else UserBalance(userId, 0L, 10.0)
+      var (np, ne) = (0L, 0L)
+      rows.foreach { e =>
+        val delta = e.event_type match {
+          case "purchase" => np += 1; e.value
+          case "error"    => ne += 1; -e.value
+          case _          => 0.0
+        }
+        bal = UserBalance(userId, bal.n_events + 1, bal.coins + delta)
+      }
+      balance.update(bal)
+      Iterator.single(TypedLedger(userId, bal.n_events, bal.coins, np, ne))
+    }
+  }
+
+  /** Ledger stream seeded from a batch snapshot: keys present in
+    * `snapshot` continue from their history; unseen keys start fresh. */
+  def typedLedgerFrom(events: Dataset[UserEvent],
+                      snapshot: Dataset[UserBalance]): Dataset[TypedLedger] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new LedgerProcessorWithInit,
+        TimeMode.None(), OutputMode.Update(),
+        snapshot.groupByKey(_.user_id))
+  }
+
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
 
   final case class TimedEvent(ts: java.sql.Timestamp, event_id: Long,

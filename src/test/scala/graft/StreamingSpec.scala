@@ -151,6 +151,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("initial-state bootstrap: batch snapshot + streamed tail equals streaming the whole log") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.TypedLedger
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val all = Tables(spark, dir).events
+        .orderBy($"ts", $"event_id")
+        .select($"user_id", $"event_type", $"value")
+        .as[UserEvent].collect().toSeq
+      val (history, tail) = all.splitAt(all.length / 2)
+      def delta(e: UserEvent): Double = e.event_type match {
+        case "purchase" => e.value
+        case "error"    => -e.value
+        case _          => 0.0
+      }
+      // The batch-computed snapshot the stream adopts — with user 3
+      // deliberately DROPPED to exercise the unseen-key fresh-start
+      // path alongside the seeded path.
+      val snapshot = history.groupBy(_.user_id).map { case (u, es) =>
+        UserBalance(u, es.size.toLong, 10.0 + es.map(delta).sum)
+      }.toSeq.filter(_.user_id != 3L)
+      val in = MemoryStream[UserEvent]
+      in.addData(tail)
+      val got = StreamOps.runToMemory(spark,
+        StreamOps.typedLedgerFrom(in.toDS(), snapshot.toDS()).toDF(),
+        "tl_boot", OutputMode.Update())
+        .as[TypedLedger].collect()
+        .map(l => l.user_id -> (l.n_events, l.coins)).toMap
+      // Expected: seeded users continue from their history; user 3
+      // starts from the fresh default (history forgotten by design).
+      val want = tail.groupBy(_.user_id).map { case (u, es) =>
+        val base = snapshot.find(_.user_id == u)
+          .getOrElse(UserBalance(u, 0L, 10.0))
+        u -> (base.n_events + es.size, base.coins + es.map(delta).sum)
+      }
+      assert(got.keySet == want.keySet)
+      want.foreach { case (u, (n, coins)) =>
+        assert(got(u)._1 == n, s"user $u n_events")
+        assert(math.abs(got(u)._2 - coins) < 1e-9, s"user $u coins")
+      }
+      // And the seeded run over the tail must equal streaming the WHOLE
+      // log from scratch for every user except the deliberately
+      // forgotten one — the migration-safety algebra.
+      val inAll = MemoryStream[UserEvent]
+      inAll.addData(all)
+      val scratch = StreamOps.runToMemory(spark,
+        StreamOps.typedLedger(inAll.toDS()).toDF(),
+        "tl_scratch", OutputMode.Update())
+        .as[TypedLedger].collect()
+        .map(l => l.user_id -> (l.n_events, l.coins)).toMap
+      got.keys.filter(_ != 3L).foreach { u =>
+        assert(got(u)._1 == scratch(u)._1, s"user $u n_events vs scratch")
+        assert(math.abs(got(u)._2 - scratch(u)._2) < 1e-9, s"user $u coins vs scratch")
+      }
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
+
   test("timer sessionization equals the session_window aggregate on the full fixture log") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
