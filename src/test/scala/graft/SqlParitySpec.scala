@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (sha256, len-on-arrays, list_filter/list_transform, range, unnest,
   * epoch_us, quantile_cont, ... — see `DialectCompat`), the
   * `SparkEntry.sqlPortable` oracle texts run VERBATIM on Spark SQL
-  * (177 as of the round-7 third session). This spec executes each via
+  * (197 as of the round-8 fifth session). This spec executes each via
   * spark.sql over the temp-view catalog and requires row-for-row
   * equality with the DataFrame program: one query text, three engines
   * (Spark DataFrame, Spark SQL, DuckDB), one result.
