@@ -153,15 +153,24 @@ object RestServe {
         // URI.getQuery pre-decodes, so decoding its output again would
         // corrupt literal '+' to a space and let an encoded '&' inside
         // a value truncate it at the split.
-        val params0 = Option(uri.getRawQuery).toSeq
-          .flatMap(_.split("&").toSeq)
-          .flatMap { kv =>
-            kv.split("=", 2) match {
-              case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
-              case _           => None
-            }
-          }.toMap
-        if (ex.getRequestMethod != "GET") {
+        // Malformed percent-encoding is a CLIENT error: map the decode
+        // failure to the 400 shape instead of letting it surface as a
+        // 500 (the JDK HttpClient pre-rejects these, a raw socket
+        // doesn't have to).
+        val params0Opt =
+          try Some(Option(uri.getRawQuery).toSeq
+            .flatMap(_.split("&").toSeq)
+            .flatMap { kv =>
+              kv.split("=", 2) match {
+                case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+                case _           => None
+              }
+            }.toMap)
+          catch { case _: IllegalArgumentException => None }
+        val params0 = params0Opt.getOrElse(Map.empty[String, String])
+        if (params0Opt.isEmpty) {
+          respond(ex, 400, """{"message":"malformed query encoding"}""")
+        } else if (ex.getRequestMethod != "GET") {
           respond(ex, 405, """{"message":"read-only facade"}""")
         } else if (rawPath == "/") {
           respond(ex, 200, "graft analytics engine is running", "text/plain")

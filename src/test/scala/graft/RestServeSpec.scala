@@ -135,6 +135,48 @@ class RestServeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(resp.statusCode() == 405)
   }
 
+  test("adversarial query strings never produce a 500: every malformed input maps to a contract status") {
+    // The facade's whole error surface is 200/400/404/405 — a 500 means
+    // an engine exception leaked through the wire contract.
+    val adversarial = Seq(
+      "/tasks/",                         // empty id segment
+      "/tasks/%20",                      // whitespace id
+      "/tasks/9999999999999999999999",   // overflows Long
+      "/api/notifications?user=",        // empty param value
+      "/api/notifications?user=NaN",
+      "/api/notifications?user=12&user=13", // duplicate key
+      "/api/all-tasks?limit=",           // empty limit
+      "/api/all-tasks?limit=2147483648", // overflows Int
+      "/api/all-tasks?limit=--5",
+      "/users/profile?name=",            // empty name → no row
+      "/users/profile?name=%27%3B%20DROP%20TABLE%20x%3B--", // injection text is just a key value
+      "/admin/withdrawals?status=%00",
+      "/buyer/tasks?limit=1&junk=%%%")   // malformed percent-encoding in an IGNORED param
+    adversarial.foreach { p =>
+      val code = try client.send(
+        HttpRequest.newBuilder(URI.create(base + p)).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode()
+      catch { case _: IllegalArgumentException => 400 } // URI itself invalid → client-side reject
+      assert(code != 500, s"$p leaked a 500")
+      assert(Set(200, 400, 404).contains(code), s"$p -> $code")
+    }
+  }
+
+  test("raw-socket request with broken percent-encoding gets the 400 shape, not a 500") {
+    // The JDK HttpClient pre-rejects malformed URIs, so this path is
+    // only reachable by a raw client — exactly what the server-side
+    // decode guard exists for.
+    val sock = new java.net.Socket("127.0.0.1", server.getAddress.getPort)
+    try {
+      val out = sock.getOutputStream
+      out.write("GET /buyer/tasks?junk=%%% HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        .getBytes("US-ASCII"))
+      out.flush()
+      val status = new String(sock.getInputStream.readNBytes(16), "US-ASCII")
+      assert(status.contains("400"), status)
+    } finally sock.close()
+  }
+
   test("8 parallel clients on mixed routes: every response equals its serial twin") {
     val probes = Seq(
       "/buyer/home", "/api/worker/home", "/admin/home", "/top-workers",
