@@ -48,11 +48,12 @@ object RestServe {
     import spark.implicits._
     val t = Tables(spark, dir)
 
-    // Clamped to [1, MaxCap]: a non-positive ?limit= must not reach
+    // Clamped to [0, MaxCap]: a negative ?limit= must not reach
     // Dataset.limit (negative throws AnalysisException → a 500 where
-    // the contract says listings always answer).
+    // the contract says listings always answer); limit=0 is a LEGAL
+    // empty-listing request and stays one.
     def cap(params: Map[String, String]): Int =
-      math.max(1, math.min(MaxCap,
+      math.max(0, math.min(MaxCap,
         params.get("limit").flatMap(_.toIntOption).getOrElse(1000)))
 
     /** Catalog-backed listing/dashboard route. */
@@ -137,13 +138,16 @@ object RestServe {
     }))
 
     def respond(ex: HttpExchange, status: Int, body: String,
-                ctype: String = "application/json"): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", ctype)
-      ex.sendResponseHeaders(status, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    }
+                ctype: String = "application/json"): Unit =
+      // close() in finally: a client dropping mid-write must not leak
+      // the exchange (a body-write IOException would otherwise skip it,
+      // and the catch-all's second respond can't re-send headers).
+      try {
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", ctype)
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+      } finally ex.close()
 
     server.createContext("/", (ex: HttpExchange) => {
       try {
@@ -162,7 +166,8 @@ object RestServe {
             .flatMap(_.split("&").toSeq)
             .flatMap { kv =>
               kv.split("=", 2) match {
-                case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+                case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8")
+                  -> java.net.URLDecoder.decode(v, "UTF-8"))
                 case _           => None
               }
             }.toMap)

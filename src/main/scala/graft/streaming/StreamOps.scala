@@ -200,9 +200,14 @@ object StreamOps {
     * from scratch. The reference's own deployment story is exactly
     * this shape — a running MongoDB ledger that a stream processor
     * would have to adopt mid-life, not from genesis. */
+  /** Output shape is UserBalance — the SNAPSHOT's own type — not
+    * TypedLedger: the snapshot carries no per-event-type history, so
+    * emitting "cumulative-looking" counters that actually counted only
+    * the streamed tail would be a silently wrong migration (the review
+    * finding). Balance in, balance maintained, balance out. */
   class LedgerProcessorWithInit
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
-        Long, UserEvent, TypedLedger, UserBalance] {
+        Long, UserEvent, UserBalance, UserBalance] {
     import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
     @transient private var balance: ValueState[UserBalance] = _
@@ -213,27 +218,26 @@ object StreamOps {
         timerValues: TimerValues): Unit =
       balance.update(snapshot)
     override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
-        timerValues: TimerValues): Iterator[TypedLedger] = {
+        timerValues: TimerValues): Iterator[UserBalance] = {
       var bal =
         if (balance.exists()) balance.get() else UserBalance(userId, 0L, 10.0)
-      var (np, ne) = (0L, 0L)
       rows.foreach { e =>
         val delta = e.event_type match {
-          case "purchase" => np += 1; e.value
-          case "error"    => ne += 1; -e.value
+          case "purchase" => e.value
+          case "error"    => -e.value
           case _          => 0.0
         }
         bal = UserBalance(userId, bal.n_events + 1, bal.coins + delta)
       }
       balance.update(bal)
-      Iterator.single(TypedLedger(userId, bal.n_events, bal.coins, np, ne))
+      Iterator.single(bal)
     }
   }
 
   /** Ledger stream seeded from a batch snapshot: keys present in
     * `snapshot` continue from their history; unseen keys start fresh. */
   def typedLedgerFrom(events: Dataset[UserEvent],
-                      snapshot: Dataset[UserBalance]): Dataset[TypedLedger] = {
+                      snapshot: Dataset[UserBalance]): Dataset[UserBalance] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     events.groupByKey(_.user_id)
@@ -252,31 +256,39 @@ object StreamOps {
                                session_start: java.sql.Timestamp, n: Long)
 
   /** Timer-driven sessionization — the flagship use of the v2 API's
-    * EVENT-TIME TIMERS: each user's open session lives in a ValueState,
-    * and a registered timer at (last event + gap) fires when the
-    * WATERMARK passes it, emitting the closed session and clearing the
-    * state. This is `session_window` re-expressed imperatively — and
-    * the spec proves the two produce the IDENTICAL session set — but
-    * the timer form is the one that generalizes: emit-on-close with
-    * custom payloads, per-session side effects, early heartbeats —
-    * shapes the declarative aggregate can't express. Gap boundary is
-    * STRICT (< gap merges), matching session_window's half-open
-    * [ts, ts+gap) window end exactly.
+    * EVENT-TIME TIMERS: each user's OPEN sessions live in a ListState,
+    * and a registered timer fires when the WATERMARK passes the
+    * earliest (last event + gap), emitting every ripe session and
+    * evicting it. This is `session_window` re-expressed imperatively —
+    * the spec proves the two produce the IDENTICAL session set,
+    * including under cross-batch OUT-OF-ORDER delivery — but the timer
+    * form is the one that generalizes: emit-on-close side effects,
+    * custom payloads, early heartbeats — shapes the declarative
+    * aggregate can't express. Gap boundary is STRICT (< gap merges),
+    * matching session_window's half-open [ts, ts+gap) end exactly.
     *
-    * In-batch splitting: a micro-batch hands rows in arrival order, so
-    * each key buffers and sorts its batch (transitionPairs' bounded
-    * buffering), walks the gap rule, and emits INTERIOR closed sessions
-    * immediately — a gap observed in data is definitive; only the TAIL
-    * session waits for the watermark timer. Exactly one timer is live
-    * per key (re-registration deletes the old one). State is one
-    * SessionAgg + one timer per key — bounded regardless of stream
-    * length, evicted on close. */
+    * Why a LIST of open sessions: a session is definitively closed
+    * only when the watermark passes last+gap — an apparent in-data gap
+    * is NOT definitive, because a late-but-within-watermark event may
+    * yet arrive inside it (extending a session's START backwards, or
+    * BRIDGING two apparently-separate sessions into one — both cases
+    * session_window handles and a single-ValueState form provably
+    * got wrong, caught by review). So every batch merges the open set
+    * with the new events by interval-union-with-gap-slack (the exact
+    * transitive closure session_window computes), emits only
+    * watermark-ripe clusters, and keeps the rest. State per key is
+    * bounded by construction: open clusters all end within the
+    * lateness horizon of the watermark, so |open| ≤ horizon/gap + 1
+    * regardless of stream length. One timer per key (the earliest
+    * close instant), CEILed to ms so it can never fire early against
+    * microsecond event times. */
   class TimerSessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, TimedEvent, SessionEmit] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TimerValues, TTLConfig}
     import org.apache.spark.sql.Encoders
-    @transient private var sess: ValueState[SessionAgg] = _
+    @transient private var open: ListState[SessionAgg] = _
+    private def gapUs: Long = gapMs * 1000L
     // java.sql.Timestamp.getTime is MILLISECOND-truncated; the fixture
     // carries microsecond timestamps, so both conversions go through
     // the nanos field or the emitted session_start loses 3 digits.
@@ -287,38 +299,46 @@ object StreamOps {
       t.setNanos(((s.first_us % 1000000L) * 1000L).toInt)
       SessionEmit(userId, t, s.n)
     }
+    /** Interval union with gap slack over sorted aggregates — the
+      * transitive closure of "merge iff next.first − prev.last < gap". */
+    private def merged(aggs: Seq[SessionAgg]): Seq[SessionAgg] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+      aggs.sortBy(a => (a.first_us, a.last_us)).foreach { a =>
+        if (out.nonEmpty && a.first_us - out.last.last_us < gapUs) {
+          val c = out.remove(out.length - 1)
+          out += SessionAgg(c.first_us, math.max(c.last_us, a.last_us), c.n + a.n)
+        } else out += a
+      }
+      out.toSeq
+    }
+    /** Emit watermark-ripe clusters, keep the rest, keep ONE timer at
+      * the earliest remaining close instant (CEILed to ms). */
+    private def flush(userId: Long, clusters: Seq[SessionAgg],
+        watermarkMs: Long): Iterator[SessionEmit] = {
+      val wmUs = watermarkMs * 1000L
+      val (ripe, rest) = clusters.partition(a => wmUs >= a.last_us + gapUs)
+      if (rest.nonEmpty) open.put(rest.toArray) else open.clear()
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (rest.nonEmpty) {
+        val nextUs = rest.map(_.last_us).min + gapUs
+        getHandle.registerTimer(Math.floorDiv(nextUs + 999L, 1000L))
+      }
+      ripe.sortBy(_.first_us).map(toEmit(userId, _)).iterator
+    }
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[SessionAgg](
-        "session", Encoders.product[SessionAgg], TTLConfig.NONE)
+      open = getHandle.getListState[SessionAgg](
+        "open", Encoders.product[SessionAgg], TTLConfig.NONE)
     override def handleInputRows(userId: Long, rows: Iterator[TimedEvent],
         timerValues: TimerValues): Iterator[SessionEmit] = {
-      val gapUs = gapMs * 1000L
-      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
-      val closed = Seq.newBuilder[SessionEmit]
-      var cur = if (sess.exists()) sess.get() else null
-      sorted.foreach { e =>
-        val us = toMicros(e.ts)
-        cur =
-          if (cur == null) SessionAgg(us, us, 1L)
-          else if (us - cur.last_us < gapUs)
-            SessionAgg(cur.first_us, math.max(cur.last_us, us), cur.n + 1L)
-          else { closed += toEmit(userId, cur); SessionAgg(us, us, 1L) }
-      }
-      if (cur != null) {
-        sess.update(cur)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(cur.last_us / 1000L + gapMs)
-      }
-      closed.result().iterator
+      val incoming = rows.map { e =>
+        val us = toMicros(e.ts); SessionAgg(us, us, 1L)
+      }.toSeq
+      val clusters = merged(open.get().toSeq ++ incoming)
+      flush(userId, clusters, timerValues.getCurrentWatermarkInMs())
     }
     override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionEmit] = {
-      if (sess.exists()) {
-        val out = toEmit(userId, sess.get())
-        sess.clear()
-        Iterator.single(out)
-      } else Iterator.empty
-    }
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionEmit] =
+      flush(userId, open.get().toSeq, timerValues.getCurrentWatermarkInMs())
   }
 
   /** Event-time-timer sessionization stream (10-minute gap, e5's):

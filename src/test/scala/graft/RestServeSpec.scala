@@ -19,7 +19,13 @@ class RestServeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private lazy val server = RestServe.start(spark, dir, 0) // ephemeral port
 
-  override def afterAll(): Unit = server.stop(0) // release the port + pool
+  override def afterAll(): Unit = {
+    server.stop(0) // releases the port; the executor is ours to stop
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
   private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
   private val client = HttpClient.newHttpClient()
 
@@ -104,8 +110,15 @@ class RestServeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     // Clamp contract: non-positive and oversized limits stay servable
     // (never an engine AnalysisException surfacing as a 500).
     val clamped = get("/api/all-tasks?limit=-1")
-    assert(clamped._1 == 200 && clamped._2.count(_ == '{') == 1)
+    assert(clamped._1 == 200 && clamped._2.count(_ == '{') == 0)
     assert(get("/api/all-tasks?limit=999999999")._1 == 200)
+    // limit=0 is a legal empty-listing request, not clamped up to 1.
+    val zero = get("/api/all-tasks?limit=0")
+    assert(zero._1 == 200 && zero._2 == "[]")
+    // Percent-encoded parameter KEYS match like their plain spellings
+    // (RFC 3986 equivalence: us%65r = user).
+    assert(get("/api/notifications?us%65r=12&limit=5")._2
+      == get("/api/notifications?user=12&limit=5")._2)
   }
 
   test("every GET route the reference registers answers with 200 and a parseable body") {

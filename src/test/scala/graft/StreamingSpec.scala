@@ -182,7 +182,7 @@ class StreamingSpec extends AnyFunSuite {
       val got = StreamOps.runToMemory(spark,
         StreamOps.typedLedgerFrom(in.toDS(), snapshot.toDS()).toDF(),
         "tl_boot", OutputMode.Update())
-        .as[TypedLedger].collect()
+        .as[UserBalance].collect()
         .map(l => l.user_id -> (l.n_events, l.coins)).toMap
       // Expected: seeded users continue from their history; user 3
       // starts from the fresh default (history forgotten by design).
@@ -210,6 +210,67 @@ class StreamingSpec extends AnyFunSuite {
         assert(got(u)._1 == scratch(u)._1, s"user $u n_events vs scratch")
         assert(math.abs(got(u)._2 - scratch(u)._2) < 1e-9, s"user $u coins vs scratch")
       }
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
+
+  test("timer sessionization handles cross-batch out-of-order events: start extension and session bridging") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.{SessionEmit, TimedEvent}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(id: Long, u: Long, t: String): TimedEvent =
+        TimedEvent(Timestamp.valueOf(t), id, u, "x")
+      // Batch A: user 100 has two apparently separate sessions (10:00
+      // and 10:12 — 12 min apart); user 200 opens at 10:07. Watermark
+      // after A = 10:12 − 10 min = 10:02.
+      val batchA = Seq(ev(1, 100, "2024-01-01 10:00:00"),
+        ev(2, 100, "2024-01-01 10:12:00"), ev(3, 200, "2024-01-01 10:07:00"))
+      // Batch B, both within the watermark: 10:05 BRIDGES user 100's
+      // two sessions into one; 10:03 precedes user 200's open session
+      // and must extend its START backwards.
+      val batchB = Seq(ev(4, 100, "2024-01-01 10:05:00"),
+        ev(5, 200, "2024-01-01 10:03:00"))
+      val sentinels = Seq(ev(6, -1, "2024-03-01 00:00:00"),
+        ev(7, -2, "2024-04-01 00:00:00"))
+      val in = new MemoryStream[TimedEvent](
+        scala.util.Random.nextInt(1 << 20) + (1 << 20), spark, Some(2))
+      val baseDir = java.nio.file.Files.createTempDirectory("graft_tsooo").toString
+      val (ckpt, sink) = (s"$baseDir/ckpt", s"$baseDir/sink")
+      def runOnce(): Unit = {
+        val q = StreamOps.timerSessions(in.toDS()).toDF()
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      in.addData(batchA); runOnce()
+      in.addData(batchB); runOnce()
+      in.addData(sentinels(0)); runOnce()
+      in.addData(sentinels(1)); runOnce()
+      val got = spark.read.parquet(sink).as[SessionEmit].collect()
+        .filter(_.user_id >= 0L)
+        .map(s => (s.user_id, s.session_start.toString, s.n)).sorted.toSeq
+      // One bridged 3-event session for user 100; user 200's session
+      // starts at the LATE event's earlier time.
+      assert(got == Seq(
+        (100L, "2024-01-01 10:00:00.0", 3L),
+        (200L, "2024-01-01 10:03:00.0", 2L)))
+      // And session_window on the same rows agrees (the declarative
+      // twin computes the same merge in batch mode).
+      val want = StreamOps.sessionCounts((batchA ++ batchB).toDF())
+        .as[(Long, Timestamp, Long)].collect()
+        .map(t => (t._1, t._2.toString, t._3)).sorted.toSeq
+      assert(got == want)
     } finally {
       prev.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
     }
