@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * broadcast from runtime stats. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Scratch hygiene BEFORE any timing: stale sink/ckpt dirs from dead
+    // runs measurably inflate the write family (w9 6.4 s dirty vs
+    // 1.35 s clean; the r8 driver bench misread w10 as a 2× regression
+    // from exactly this). The swept counts go into the JSON artifact so
+    // a dirty box is visible to whoever reads the numbers.
+    val (deadRuns, legacyDirs) = Scratch.sweepStale()
+    System.err.println(s"[bench] scratch sweep: $deadRuns dead run roots, $legacyDirs legacy dirs")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -84,7 +91,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errs = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"stale_swept":${deadRuns + legacyDirs},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // Belt over the shutdown hook's suspenders: leave the box clean even
+    // if the hook is skipped (e.g. a SIGKILL would skip both — the next
+    // run's sweep covers that case via the dead-pid check).
+    Scratch.deleteRecursively(new java.io.File(Scratch.root))
   }
 }

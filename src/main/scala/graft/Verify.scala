@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Same scratch hygiene as Bench: sweep dead runs' sinks/ckpts so
+    // repeated verify passes can't accumulate box state.
+    val (deadRuns, legacyDirs) = Scratch.sweepStale()
+    System.err.println(s"[verify] scratch sweep: $deadRuns dead run roots, $legacyDirs legacy dirs")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -68,5 +72,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
     spark.stop()
+    Scratch.deleteRecursively(new java.io.File(Scratch.root))
   }
 }

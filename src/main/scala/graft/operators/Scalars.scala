@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Scratch, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -143,8 +143,8 @@ object Scalars extends QueryModule {
   private[operators] def materializedSink(spark: SparkSession, dir: String, name: String)(
       write: String => Unit): String =
     sinkMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, name), { _ =>
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
-        s"${spark.sparkContext.applicationId}_${math.abs(dir.hashCode).toString}"
+      val out = Scratch.dir(
+        s"${name}_${spark.sparkContext.applicationId}_${math.abs(dir.hashCode).toString}")
       write(out); out
     })
 

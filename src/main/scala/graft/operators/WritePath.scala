@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Scratch, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -101,7 +101,7 @@ object WritePath extends QueryModule {
     * the write path is exercised for real on every run. */
   private def w7(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w7_partitioned"
+    val out = Scratch.dir("w7_partitioned")
     Tables(spark, dir).documents.write.mode("overwrite")
       .partitionBy("lang").parquet(out)
     spark.read.parquet(out)
@@ -204,7 +204,7 @@ object WritePath extends QueryModule {
     * the session default is restored whatever happens. */
   private def w14(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w14_dynover"
+    val out = Scratch.dir("w14_dynover")
     val docs = Tables(spark, dir).documents.select($"doc_id", $"text", $"lang")
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     val conf = "spark.sql.sources.partitionOverwriteMode"
@@ -246,7 +246,7 @@ object WritePath extends QueryModule {
     * the contract costs one codegen'd projection. */
   private def w15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_w15_expect"
+    val base = Scratch.dir("w15_expect")
     val domain = Seq("click", "view", "signup", "purchase", "error")
     val raw = Tables(spark, dir).events
       .select($"event_id", $"user_id",
@@ -327,7 +327,7 @@ object WritePath extends QueryModule {
     * lists HDFS/S3A on a real deployment, not just local disk. */
   private def w9(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = s"/tmp/graft_layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val base = Scratch.dir(s"layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     def parquetFiles(p: String): Long = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -368,7 +368,7 @@ object WritePath extends QueryModule {
     when(mx > mn, (v - mn) * 65535L / (mx - mn)).otherwise(0L).cast("long")
 
   private[graft] def zorderPath(dir: String): String =
-    s"/tmp/graft_layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}/zorder_lineitem"
+    Scratch.dir(s"layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}/zorder_lineitem")
 
   /** The Z-ordered lineitem copy: Z-address from the interleaved
     * (l_partkey, l_suppkey) 16-bit coordinates, range-partitioned and

@@ -118,7 +118,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // doc 3: an exact copy of doc 1 (both directions must appear).
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val filler = (1 to 60).map(i => s"f$i").mkString(" ")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_d14").toString
+    val tmp = graft.Scratch.tempDir("d14")
     Seq((1L, quote), (2L, s"$quote $filler"), (3L, quote))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")

@@ -29,7 +29,7 @@ class HiveCatalogSpec extends AnyFunSuite {
   }
 
   test("graft.* tables and the c3 view survive an engine restart on a Hive metastore") {
-    val base = java.nio.file.Files.createTempDirectory("graft_hive").toString
+    val base = graft.Scratch.tempDir("hive")
     val p1 = parse(runPhase("phase1", base))
     val p2 = parse(runPhase("phase2", base))
     // The restarted engine sees the same catalog the first one built...

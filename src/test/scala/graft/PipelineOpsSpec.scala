@@ -151,7 +151,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // Run the query (which writes the partitioned layout), then check a
     // filtered read-back plans directory pruning, not a full scan.
     WritePath.queries("w7_partitioned_write")(spark, dir).collect()
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w7_partitioned"
+    val out = graft.Scratch.dir("w7_partitioned")
     val filtered = spark.read.parquet(out).filter($"lang" === "en")
     val scan = filtered.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
@@ -405,7 +405,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // Physical isolation: the store's non-en partitions carry the
     // ORIGINAL rows (dynamic overwrite never touched their dirs); en
     // carries exactly the suffixed rewrite.
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_w14_dynover"
+    val out = graft.Scratch.dir("w14_dynover")
     val store = spark.read.parquet(out)
       .select($"doc_id", $"text", $"lang").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
@@ -445,7 +445,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val both = events.count { case (id, _, _) => id % 143 == 0 && id != 0 }
     if (both > 0) {
       // Quarantine store really contains those rows under value_range.
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_w15_expect"
+      val base = graft.Scratch.dir("w15_expect")
       val q = spark.read.parquet(s"$base/quarantine")
         .filter($"event_id" % 143 === 0 && $"event_id" =!= 0)
         .select($"rule").collect().map(_.getString(0))
@@ -741,7 +741,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // An emoji is one code point but two UTF-16 units; a UTF-16-unit
     // splitter would count it twice (as surrogate halves) and shift the
     // entropy. Run t18 on a crafted corpus to pin the code-point contract.
-    val tmp = java.nio.file.Files.createTempDirectory("t18_nonbmp").toString
+    val tmp = graft.Scratch.tempDir("t18_nonbmp")
     Seq(
       (1L, "😀😀abc", "en", "web", 5L), // 😀😀abc = 5 cps
       (2L, "aaaa", "en", "web", 4L))

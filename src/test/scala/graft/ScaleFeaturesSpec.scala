@@ -26,7 +26,7 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     // DROP TABLE on a lost catalog entry leaves the managed location behind;
     // clear it so re-runs don't hit LOCATION_ALREADY_EXISTS.
     Seq("b_orders", "b_lineitem").foreach { t =>
-      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      val d = new java.io.File(s"${graft.Scratch.dir("warehouse")}/$t")
       if (d.exists()) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -72,7 +72,7 @@ class ScaleFeaturesSpec extends AnyFunSuite {
     import spark.implicits._
 
     WritePath.writeZordered(spark, dir)
-    val control = "/tmp/graft_layout/control_partkey_sorted"
+    val control = graft.Scratch.dir("layout/control_partkey_sorted")
     Tables(spark, dir).lineitem
       .repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey")
       .write.mode("overwrite").parquet(control)

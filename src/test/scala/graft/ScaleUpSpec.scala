@@ -13,7 +13,7 @@ class ScaleUpSpec extends AnyFunSuite {
   private val src = "/root/testdata/sf0.001"
   private val reps = 3
   private lazy val out: String = {
-    val d = s"/tmp/graft_scaleup_spec_${spark.sparkContext.applicationId}"
+    val d = graft.Scratch.dir(s"scaleup_spec_${spark.sparkContext.applicationId}")
     ScaleUp.run(spark, src, d, reps)
     d
   }

@@ -15,7 +15,7 @@ class SourcesSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def tmp(): String =
-    Files.createTempDirectory("graft_src").toString
+    graft.Scratch.tempDir("src")
 
   test("JSON sink + source roundtrip preserves rows and schema") {
     import spark.implicits._
@@ -110,7 +110,7 @@ class SourcesSpec extends AnyFunSuite {
     // added today. mergeSchema reconciles footers at read time — old
     // rows surface NULL for the new column, no rewrite of history.
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_evolve_${spark.sparkContext.applicationId}"
+    val out = graft.Scratch.dir(s"spec_evolve_${spark.sparkContext.applicationId}")
     val v1 = Tables(spark, dir).supplier.select($"s_suppkey", $"s_nationkey")
     val v2 = Tables(spark, dir).supplier
       .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
@@ -142,7 +142,7 @@ class SourcesSpec extends AnyFunSuite {
     // equals doc counts there; this pins the LINE semantics the oracle
     // restates, on a crafted multi-line body.
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_textlines_${spark.sparkContext.applicationId}"
+    val out = graft.Scratch.dir(s"spec_textlines_${spark.sparkContext.applicationId}")
     Seq("one line", "two\nlines").toDF("text").write.mode("overwrite").text(out)
     val back = spark.read.text(out)
     assert(back.count() == 3)
@@ -154,7 +154,7 @@ class SourcesSpec extends AnyFunSuite {
     // The engine must degrade row-wise (quarantine column), not
     // job-wise — and must be able to demand strictness when asked.
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_badjson_${spark.sparkContext.applicationId}"
+    val out = graft.Scratch.dir(s"spec_badjson_${spark.sparkContext.applicationId}")
     val lines = Seq(
       """{"id": 1, "v": "ok"}""",
       """{"id": 2, "v": "also ok"}""",
@@ -276,7 +276,7 @@ class SourcesSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.001"
-    val drift = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val drift = graft.Scratch.tempDir("drift")
     spark.read.parquet(s"$src/orders.parquet")
       .withColumn("o_orderdate", to_date($"o_orderdate"))          // DATE32
       .withColumn("o_totalprice", $"o_totalprice".cast("decimal(9,2)")) // INT32-backed
@@ -394,7 +394,7 @@ class SourcesSpec extends AnyFunSuite {
 
   test("ORC sink + source roundtrip is self-describing: schema and rows survive exactly") {
     import spark.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_orc_${spark.sparkContext.applicationId}"
+    val out = graft.Scratch.dir(s"spec_orc_${spark.sparkContext.applicationId}")
     val src = Tables(spark, dir).orders
     src.write.mode("overwrite").orc(out)
     val back = spark.read.orc(out) // no schema hint — ORC carries it

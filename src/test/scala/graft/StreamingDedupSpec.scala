@@ -18,7 +18,7 @@ class StreamingDedupSpec extends AnyFunSuite {
 
   test("at-least-once delivery -> exactly-once store, across a mid-stream restart") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val base = graft.Scratch.tempDir("sdedup")
     val (src, ckpt, out) = (s"$base/src", s"$base/ckpt", s"$base/out")
 
     val docs = Tables(spark, dir).documents

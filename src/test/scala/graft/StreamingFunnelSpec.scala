@@ -25,7 +25,7 @@ class StreamingFunnelSpec extends AnyFunSuite {
 
   test("streamed funnel == batch pipe2 across a mid-stream restart") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val base = graft.Scratch.tempDir("funnel")
     val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/state")
 
     // The batch half (doc_id odd) split into 6 single-file slices —
@@ -68,7 +68,7 @@ class StreamingFunnelSpec extends AnyFunSuite {
 
   test("a replayed micro-batch overwrites its own state, never double-counts") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val base = graft.Scratch.tempDir("replay")
     val state = s"$base/state"
     val batchDocs = Tables(spark, dir).documents
       .filter($"doc_id" % 2 === 1).limit(40).localCheckpoint(true)

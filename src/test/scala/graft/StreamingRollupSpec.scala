@@ -20,7 +20,7 @@ class StreamingRollupSpec extends AnyFunSuite {
 
   test("streamed rollup maintenance == batch w12 across a mid-stream restart") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val base = graft.Scratch.tempDir("rollup")
     val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/state")
 
     // The delta feed split into 6 single-file slices on a key digit —
@@ -57,7 +57,7 @@ class StreamingRollupSpec extends AnyFunSuite {
   }
 
   test("a replayed delta micro-batch overwrites its own partial, never double-counts") {
-    val base = java.nio.file.Files.createTempDirectory("graft_rollup_replay").toString
+    val base = graft.Scratch.tempDir("rollup_replay")
     val state = s"$base/state"
     val feed = graft.operators.WritePath.rollupDeltaFeed(spark, dir)
       .limit(100).localCheckpoint(true)

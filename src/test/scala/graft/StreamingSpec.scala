@@ -109,7 +109,7 @@ class StreamingSpec extends AnyFunSuite {
       // (c) A NEW query resuming the same checkpoint carries the
       // ValueState AND MapState forward: the second run's update for
       // user 1 is cumulative, not fresh.
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+      val baseDir = graft.Scratch.tempDir("tws")
       val (ckpt, sink) = (s"$baseDir/ckpt", s"$baseDir/sink")
       val inC = MemoryStream[UserEvent]
       def runOnce(): Unit = {
@@ -240,7 +240,7 @@ class StreamingSpec extends AnyFunSuite {
         ev(7, -2, "2024-04-01 00:00:00"))
       val in = new MemoryStream[TimedEvent](
         scala.util.Random.nextInt(1 << 20) + (1 << 20), spark, Some(2))
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_tsooo").toString
+      val baseDir = graft.Scratch.tempDir("tsooo")
       val (ckpt, sink) = (s"$baseDir/ckpt", s"$baseDir/sink")
       def runOnce(): Unit = {
         val q = StreamOps.timerSessions(in.toDS()).toDF()
@@ -294,7 +294,7 @@ class StreamingSpec extends AnyFunSuite {
           .as[TimedEvent].collect().toSeq)
       val in = new MemoryStream[TimedEvent](
         scala.util.Random.nextInt(1 << 20) + (1 << 20), spark, Some(4))
-      val baseDir = java.nio.file.Files.createTempDirectory("graft_tsess").toString
+      val baseDir = graft.Scratch.tempDir("tsess")
       val (ckpt, sink) = (s"$baseDir/ckpt", s"$baseDir/sink")
       def runOnce(): Unit = {
         val q = StreamOps.timerSessions(in.toDS()).toDF()
@@ -360,7 +360,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("checkpointed file stream is exactly-once across restarts") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val base = graft.Scratch.tempDir("ckpt")
     val (src, sink, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
     def writeBatch(rows: Seq[(Long, String)]): Unit =
       rows.toDF("user_id", "event_type").write.mode("append").parquet(src)
@@ -390,7 +390,7 @@ class StreamingSpec extends AnyFunSuite {
     // over a file-source stream of the actual fixture.
     val batchEvents = Tables(spark, "/root/testdata/sf0.001").events
       .select($"ts", $"user_id", $"event_type", $"value")
-    val tmpIn = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val tmpIn = graft.Scratch.tempDir("stream_in")
     batchEvents.write.mode("overwrite").parquet(tmpIn)
     val streamIn = spark.readStream
       .schema(batchEvents.schema)
@@ -500,7 +500,7 @@ class StreamingSpec extends AnyFunSuite {
   test("foreachBatch upsert maintains a latest-per-key snapshot across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_snapshot"
+    val path = graft.Scratch.dir("upsert_snapshot")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     val in = MemoryStream[(Long, Timestamp, Double)]
     val q = in.toDF().toDF("user_id", "ts", "balance")

@@ -11,7 +11,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.warehouse.dir", graft.Scratch.dir("warehouse"))
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()

@@ -27,7 +27,7 @@ class ThriftServerSpec extends AnyFunSuite {
   }
 
   test("JDBC clients over the Thrift socket reproduce the in-process engine, concurrently") {
-    val base = java.nio.file.Files.createTempDirectory("graft_thrift").toString
+    val base = graft.Scratch.tempDir("thrift")
     val port = freePort()
     val proc = new ProcessBuilder(
       ChildJvm.command("graft.ThriftServe",
@@ -190,7 +190,7 @@ class ThriftServerSpec extends AnyFunSuite {
     import java.nio.file.{Files => JFiles, Paths}
     val spark = TestSpark.spark // to author the broken fixture
     import spark.implicits._
-    val sick = JFiles.createTempDirectory("graft_sickdir").toString
+    val sick = graft.Scratch.tempDir("sickdir")
     Tables.names.filterNot(_ == "events").foreach { n =>
       JFiles.createSymbolicLink(
         Paths.get(s"$sick/$n.parquet"), Paths.get(s"$sfDir/$n.parquet"))
@@ -198,7 +198,7 @@ class ThriftServerSpec extends AnyFunSuite {
     Seq(("boom", 1L)).toDF("ts", "event_id")
       .write.mode("overwrite").parquet(s"$sick/events.parquet")
 
-    val base = java.nio.file.Files.createTempDirectory("graft_thrift_sick").toString
+    val base = graft.Scratch.tempDir("thrift_sick")
     val port = freePort()
     val proc = new ProcessBuilder(
       ChildJvm.command("graft.ThriftServe",
