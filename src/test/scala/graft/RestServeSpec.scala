@@ -140,12 +140,28 @@ class RestServeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(get("/no/such/route")._1 == 404)
   }
 
-  test("writes are rejected: the facade is read-only") {
-    val resp = client.send(
-      HttpRequest.newBuilder(URI.create(base + "/tasks"))
-        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+  test("wrong method on a GET-only route is 405; unknown method on a write path too") {
+    // The write surface lives in RestWriteSpec; here we pin that METHOD
+    // resolution is per-route: a mutation verb on a read-only path is a
+    // 405 (never a 404 or a 500), and vice versa.
+    val del = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/buyer/home"))
+        .DELETE().build(),
       HttpResponse.BodyHandlers.ofString())
-    assert(resp.statusCode() == 405)
+    assert(del.statusCode() == 405)
+    val get = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/refund-coins")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(get.statusCode() == 405) // PATCH-only path answers GET with 405
+    // ADVICE r8: method resolution precedes query processing — a
+    // non-GET with a query string on a GET-only path is a 405, never a
+    // query-shaped 400. (A %%%-broken query can't drive this: the JDK
+    // HttpServer pre-rejects it with its OWN 400 before any handler.)
+    val withQuery = client.send(
+      HttpRequest.newBuilder(URI.create(base + "/buyer/home?x=1"))
+        .DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(withQuery.statusCode() == 405)
   }
 
   test("adversarial query strings never produce a 500: every malformed input maps to a contract status") {
