@@ -85,11 +85,13 @@ object ScaleUp {
   def run(spark: SparkSession, src: String, out: String, reps: Int,
           replicate: Set[String] = AllTables.toSet): Unit = {
     // events.ts physical encoding varies by fixture generation (int64
-    // NANOS or TIMESTAMP_NTZ — see Tables.events). The conf surfaces a
-    // NANOS file as plain INT64; either way the replica copies the
-    // column verbatim and the schema-adaptive Tables.events loader
-    // normalizes both encodings identically.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NANOS or TIMESTAMP_NTZ — see Tables.events). When the source
+    // footer carries NANOS, the conf surfaces it as plain INT64 and the
+    // replica copies the column verbatim; scoped by the same footer
+    // probe as the loader so the legacy conf never leaks onto sessions
+    // whose fixtures don't need it.
+    if (Tables.eventsCarriesNanos(spark, src))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
 
     def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")

@@ -48,7 +48,17 @@ final case class Tables(spark: SparkSession, dir: String) {
     import org.apache.spark.sql.types._
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
-        case _: DecimalType   => d.withColumn(f.name, col(f.name).cast(DoubleType))
+        // Exact only up to 15 significant digits (every such decimal
+        // fits a double losslessly; fixture magnitudes are far below
+        // 2^53). A WIDER decimal must fail loudly here rather than
+        // silently round money and diverge from the oracle reading the
+        // same parquet exactly.
+        case dt: DecimalType if dt.precision <= 15 =>
+          d.withColumn(f.name, col(f.name).cast(DoubleType))
+        case dt: DecimalType =>
+          throw new IllegalStateException(
+            s"${f.name}: DECIMAL(${dt.precision},${dt.scale}) exceeds the exact double " +
+              "range (precision > 15); refusing the lossy cast — widen the loader instead")
         case DateType         => d.withColumn(f.name, col(f.name).cast(TimestampType))
         case TimestampNTZType => d.withColumn(f.name, col(f.name).cast(TimestampType))
         case _ => d
@@ -84,7 +94,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     *     wall-clock-preserving because the session zone is UTC;
     *   - TIMESTAMP (instant µs/ms): already the target type. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Scoped narrowing (ADVICE r8): the legacy conf makes EVERY
+    // TIMESTAMP(NANOS) column on the session surface as LongType, so it
+    // is set only when the events footer actually carries NANOS —
+    // probed once per dir from the parquet metadata, no job.
+    if (Tables.eventsCarriesNanos(spark, dir))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load("events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -143,4 +158,51 @@ object Tables {
       Tables(spark, dir).embeddings
         .select(size(col("embedding"))).head().getInt(0)
     })
+
+  private val nanosProbeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** True iff the events fixture physically encodes `ts` as
+    * TIMESTAMP(NANOS) — read from the parquet FOOTER (no Spark job, no
+    * session conf), once per dir. Gates the legacy `nanosAsLong` conf
+    * to exactly the fixture generations that need it, so other parquet
+    * sources with NANOS columns are never silently narrowed to Long on
+    * a session that merely touched events. */
+  def eventsCarriesNanos(spark: SparkSession, dir: String): Boolean =
+    nanosProbeCache.getOrElseUpdate(dir, {
+      val conf = spark.sessionState.newHadoopConf()
+      probeNanos(conf, s"$dir/events.parquet")
+    })
+
+  /** Session-free probe (ThriftServe needs the answer BEFORE building
+    * its session, since the conf must be builder-level there). */
+  def eventsCarriesNanos(dir: String): Boolean =
+    nanosProbeCache.getOrElseUpdate(dir,
+      probeNanos(new org.apache.hadoop.conf.Configuration(), s"$dir/events.parquet"))
+
+  private def probeNanos(conf: org.apache.hadoop.conf.Configuration,
+                         path: String): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return false
+    val file =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).collectFirst {
+          case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
+        }.getOrElse(return false)
+      else root
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      (0 until schema.getFieldCount).map(schema.getType).exists { f =>
+        f.getName == "ts" && (f.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+      }
+    } finally reader.close()
+  }
 }

@@ -126,10 +126,15 @@ object ThriftServe {
       .config("spark.hadoop.javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$base/metastore_db;create=true")
       // Builder-level (SparkConf) so every per-connection session
-      // inherits them: the parity parser profile and the NANOS
-      // narrowing events_raw may need.
+      // inherits them: the parity parser profile, and the NANOS
+      // narrowing ONLY when the events footer actually carries NANOS
+      // (ADVICE r8: a blanket legacy conf would surface every future
+      // TIMESTAMP(NANOS) parquet source as LongType on the whole wire
+      // surface; the footer probe scopes it to the one fixture
+      // generation that needs it).
       .config("spark.sql.parser.escapedStringLiterals", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong",
+        Tables.eventsCarriesNanos(sfDir).toString)
       .config("spark.sql.hive.thriftServer.singleSession", "false")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport()

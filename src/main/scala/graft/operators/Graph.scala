@@ -82,15 +82,21 @@ object Graph extends QueryModule {
   private val artifactRegistered =
     scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
-  /** Max (mtime, length) stamp over the two source tables feeding the
-    * graph — Hadoop FS API, so the same check runs on HDFS/S3A. */
-  private def sourceStamp(spark: SparkSession, dir: String): Long = {
+  /** Per-source (name, mtime, length) freshness rows over the two
+    * source tables feeding the graph — Hadoop FS API, so the same check
+    * runs on HDFS/S3A. Persisted and compared STRUCTURALLY: the old
+    * max(mtime + length) scalar could alias two distinct states (an
+    * in-place rewrite trading mtime delta against length delta, or
+    * changes on one source masked by the other's larger sum), serving a
+    * stale graph. A schema mismatch on an old meta file reads as
+    * not-fresh and rebuilds — the safe direction. */
+  private def sourceStamps(spark: SparkSession, dir: String): Seq[(String, String, Long, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     Seq("lineitem", "orders").map { n =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
       val st = p.getFileSystem(conf).getFileStatus(p)
-      st.getModificationTime + st.getLen
-    }.max
+      (dir, n, st.getModificationTime, st.getLen)
+    }
   }
 
   private[graft] def ensureGraphArtifact(spark: SparkSession, dir: String): Unit =
@@ -101,7 +107,7 @@ object Graph extends QueryModule {
         return
       import spark.implicits._
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      val stamp = sourceStamp(spark, dir)
+      val stamps = sourceStamps(spark, dir)
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val metaPath = s"$wh/$db.db/graph_meta"
       val conf = spark.sessionState.newHadoopConf()
@@ -109,7 +115,7 @@ object Graph extends QueryModule {
       val fs = mp.getFileSystem(conf)
       val fresh =
         try fs.exists(mp) && (spark.read.parquet(metaPath)
-          .as[(String, Long)].head() == (dir, stamp)) &&
+          .as[(String, String, Long, Long)].collect().toSet == stamps.toSet) &&
           ArtifactTables.forall(t =>
             fs.exists(new org.apache.hadoop.fs.Path(s"$wh/$db.db/$t")))
         catch { case scala.util.control.NonFatal(_) => false }
@@ -155,7 +161,7 @@ object Graph extends QueryModule {
           .crossJoin(broadcast(out.agg(count(lit(1)).as("nn"))))
           .write.mode("overwrite").parquet(s"$wh/$db.db/graph_nodes")
         register("graph_nodes")
-        Seq((dir, stamp)).toDF("src_dir", "src_stamp")
+        stamps.toDF("src_dir", "src_name", "src_mtime", "src_len")
           .write.mode("overwrite").parquet(metaPath)
       }
       artifactRegistered.update(spark, dir)

@@ -297,9 +297,11 @@ class GraphSpec extends AnyFunSuite {
     // the new dir; content tracks the new source.
     val d2 = "/root/testdata/sf0.01"
     G.ensureGraphArtifact(spark, d2)
-    val meta = spark.read.parquet(s"$wh/$db.db/graph_meta")
-      .collect().map(r => (r.getString(0), r.getLong(1))).head
-    assert(meta._1 == d2)
+    val meta = spark.read.parquet(s"$wh/$db.db/graph_meta").collect()
+    assert(meta.nonEmpty && meta.forall(_.getString(0) == d2))
+    // Structural stamp (ADVICE r8): one row per source with distinct
+    // mtime and length fields — no summed-scalar aliasing.
+    assert(meta.map(_.getString(1)).toSet == Set("lineitem", "orders"))
     assert(spark.table(G.PairsTable).count() > art.size, "10x fixture has more pairs")
     // Restore this suite's dir for later tests (rebuild back).
     G.ensureGraphArtifact(spark, dir)
