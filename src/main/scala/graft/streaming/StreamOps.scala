@@ -246,6 +246,47 @@ object StreamOps {
         snapshot.groupByKey(_.user_id))
   }
 
+  final case class TtlCount(user_id: Long, n: Long, resumed: Boolean)
+
+  /** State TTL — the v2 API's retention policy, attached PER STATE via
+    * `TTLConfig` (v1 had only per-operator timeouts): a value untouched
+    * for the configured duration is evicted by the store itself, and a
+    * later read sees not-exists. This is how a 100 TB-of-stream ledger
+    * bounds state for keys that go quiet (abandoned sessions, churned
+    * users) without any explicit cleanup pass — RocksDB expires entries
+    * on read/compaction, so the cost is amortized into normal
+    * operation. TTL is processing-time by definition (retention is an
+    * operational policy, not an event-time semantic), hence
+    * TimeMode.ProcessingTime. StreamingSpec pins BOTH directions:
+    * within-TTL accumulation resumes, past-TTL the key restarts
+    * fresh. */
+  class TtlCounterProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, TtlCount] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(userId: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[TtlCount] = {
+      val resumed = cnt.exists()
+      val n = (if (resumed) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single(TtlCount(userId, n, resumed))
+    }
+  }
+
+  /** TTL-expiring per-user counter stream (RocksDB provider required,
+    * like every transformWithState operator). */
+  def ttlCounter(events: Dataset[UserEvent], ttlMs: Long): Dataset[TtlCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCounterProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
   final case class Transition(user_id: Long, prev_type: String, next_type: String)
 
   final case class TimedEvent(ts: java.sql.Timestamp, event_id: Long,

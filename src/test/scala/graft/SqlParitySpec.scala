@@ -33,7 +33,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * owns with unit-keyword grammar before the function registry can see
   * a registration (e9, f_date, olap_rolling_range — verified: a
   * registered 3-arg alias never fires), ordered aggregation
-  * `list(x ORDER BY y)` inside the call parens (f_array), and
+  * `list(x ORDER BY y)` / `string_agg(x, sep ORDER BY y)` inside the
+  * call parens (f_array; t29, whose chunk hash NEEDS the ordered
+  * concat — Spark's ordered-agg spelling is `listagg ... WITHIN GROUP`,
+  * a different grammar — and which additionally subscripts with the
+  * warehouse's 1-based `w[i]` where Spark's subscript is silently
+  * 0-based), and
   * length-free VARCHAR casts and fmt-style format (f_scalar). The
   * round-8 ANN oracles (s3, s6) are off-surface for a syntactic
   * reason: they embed the 64 SRP planes as bracketed list literals

@@ -534,4 +534,118 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out(0).getAs[Long]("n") == 2 && out(1).getAs[Long]("n") == 1)
   }
+
+  test("state TTL: within-TTL updates accumulate, an aged key is evicted and restarts fresh") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // A processing-time-mode query NEVER self-terminates: processing
+      // time always advances, so `shouldRunAnotherBatch` stays true and
+      // the engine keeps scheduling (empty) batches — that is the
+      // mechanism that fires timers and expires TTL without input.
+      // Neither processAllAvailable (no-new-data never latches) nor
+      // Trigger.AvailableNow (termination condition never met) returns
+      // for such a query, so the test runs ONE continuous query with an
+      // interval trigger, polls the sink, and stops it explicitly —
+      // exactly the production shape for TTL'd state.
+      val ttlMs = 8000L
+      val in = MemoryStream[UserEvent]
+      val q = StreamOps.ttlCounter(in.toDS(), ttlMs).toDF()
+        .writeStream.format("memory").queryName("ttl_probe")
+        .outputMode(OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      try {
+        def rowsSoFar(): Seq[(Long, Long, Boolean)] =
+          spark.table("ttl_probe").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+        def awaitRows(n: Int): Seq[(Long, Long, Boolean)] = {
+          val deadline = System.nanoTime() + 120e9.toLong
+          var rows = rowsSoFar()
+          while (rows.length < n && System.nanoTime() < deadline) {
+            Thread.sleep(200); rows = rowsSoFar()
+          }
+          assert(rows.length >= n, s"sink stuck at $rows waiting for $n")
+          rows
+        }
+        in.addData(UserEvent(1L, "view", 0.0), UserEvent(1L, "view", 0.0),
+          UserEvent(1L, "view", 0.0))
+        awaitRows(1)
+        // Well inside the TTL: the value persists, the counter RESUMES.
+        in.addData(UserEvent(1L, "view", 0.0), UserEvent(1L, "view", 0.0))
+        assert(awaitRows(2) == Seq((1L, 3L, false), (1L, 5L, true)))
+        // Let the TTL lapse with the query idling: the store evicts the
+        // value, the next read sees not-exists and the key restarts
+        // from zero — the bounded-state contract for keys that go
+        // quiet.
+        Thread.sleep(ttlMs + 4000L)
+        in.addData(UserEvent(1L, "view", 0.0))
+        val all = awaitRows(3)
+        assert(all.last == ((1L, 1L, false)),
+          s"aged state was served instead of evicted: $all")
+      } finally q.stop()
+    } finally {
+      prev.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+    }
+  }
+
+  test("changelog checkpointing (v2 format): state crosses a restart via per-batch deltas") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.TypedLedger
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = spark.conf.getOption(providerKey)
+    val prevC = spark.conf.getOption(changelogKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try {
+      val baseDir = graft.Scratch.tempDir("tws_changelog")
+      val (ckpt, sink) = (s"$baseDir/ckpt", s"$baseDir/sink")
+      val in = MemoryStream[UserEvent]
+      def runOnce(): Unit = {
+        val q = StreamOps.typedLedger(in.toDS()).toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            df.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(sink)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      in.addData(UserEvent(7L, "purchase", 5.0))
+      runOnce()
+      in.addData(UserEvent(7L, "error", 2.0))
+      runOnce() // a NEW query recovers from the changelog checkpoint
+      val rows = spark.read.parquet(sink).collect()
+        .map(r => (r.getAs[Long]("batch_id"), TypedLedger(r.getAs[Long]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("coins"),
+          r.getAs[Long]("n_purchases"), r.getAs[Long]("n_errors"))))
+        .sortBy(_._1)
+      // Cumulative across the restart: recovery replayed the per-batch
+      // DELTA files, not a fresh store.
+      assert(rows.head._2 == TypedLedger(7L, 1L, 15.0, 1L, 0L))
+      assert(rows.last._2 == TypedLedger(7L, 2L, 13.0, 1L, 1L), rows.mkString(","))
+      // The checkpoint really is in the changelog format: version
+      // deltas land as <v>.changelog files under the state store dir.
+      val changelogs = new java.io.File(s"$ckpt/state")
+      def findChangelogs(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".changelog")) 1 else 0)
+        else Option(f.listFiles()).getOrElse(Array.empty).map(findChangelogs).sum
+      assert(findChangelogs(changelogs) > 0,
+        "no .changelog files — checkpoint fell back to full-snapshot format")
+    } finally {
+      prevP.fold(spark.conf.unset(providerKey))(v => spark.conf.set(providerKey, v))
+      prevC.fold(spark.conf.unset(changelogKey))(v => spark.conf.set(changelogKey, v))
+    }
+  }
 }
