@@ -82,6 +82,7 @@ import org.apache.spark.sql.functions._
 object RestServe {
 
   private val MaxCap = 10000
+  private val MaxBodyBytes = 1 << 20
   private val mapper = new ObjectMapper()
 
   private[graft] final case class Res(status: Int, body: String)
@@ -521,7 +522,10 @@ object RestServe {
             .flatMap(userByEmail)
           val key = Seq[Any](taskId.get, mintSubLine(), 0L,
             worker.map(userKey).getOrElse(0L))
-          val handled = Set("task_id", "taskId")
+          // The body spread must not override the composite KEY columns
+          // (the 201 response's id would dangle against the journal).
+          val handled = Set("task_id", "taskId",
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
           store.submissions.upsert(Map(
             "l_orderkey" -> key(0), "l_linenumber" -> key(1),
             "l_partkey" -> key(2), "l_suppkey" -> key(3),
@@ -549,11 +553,13 @@ object RestServe {
       val worker = body.get("worker_email").collect { case s: String => s }
         .flatMap(userByEmail)
       val key = Seq[Any](taskId, mintSubLine(), 0L, worker.map(userKey).getOrElse(0L))
+      val handled = Set("task_id", "taskId",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
       store.submissions.upsert(Map(
         "l_orderkey" -> key(0), "l_linenumber" -> key(1),
         "l_partkey" -> key(2), "l_suppkey" -> key(3),
         "status" -> "pending", "submitted_at" -> store.now())
-        ++ body.view.filterKeys(k => k != "task_id" && k != "taskId").toMap)
+        ++ body.view.filterKeys(k => !handled(k)).toMap)
       Res(201, s"""{"message":"Submission saved","id":"${subId(key)}"}""")
     }
 
@@ -604,9 +610,18 @@ object RestServe {
               return msg(403, "Not authorized to approve this submission")
             if (subStatus(sub) == "approved")
               return msg(400, "Submission already approved")
-            val approved = store.submissions.countJournal(r =>
-              asLong(r("l_orderkey")).contains(taskKey)
-                && r.get("status").contains("approved"))
+            // Capacity count over the MERGED view (index.js:816-822):
+            // a journal-only count would reset after compact() folds
+            // approved rows into the base (the review's finding) — this
+            // is one key-pruned filtered count per approve, the same
+            // point-read class as the ownership guard. Before any
+            // status write exists the column itself doesn't, and the
+            // count is definitionally 0.
+            val cur = store.submissions.current()
+            val approved =
+              if (!cur.columns.contains("status")) 0L
+              else cur.filter(col("l_orderkey") === taskKey
+                && col("status") === "approved").count()
             if (approved >= capacityOf(task.get))
               return msg(400, "Required number of workers already fulfilled")
             store.submissions.patch(key,
@@ -691,8 +706,15 @@ object RestServe {
           case Some(wd) =>
             if (wd.get("o_orderstatus").contains("approved"))
               return msg(400, "Withdrawal already approved")
+            // Worker resolution falls back to the o_custkey user for
+            // fixture rows (the same vocabulary rule as tasks'
+            // ownerEmail and submissions' workerOf — without it every
+            // fixture withdrawal would be unapprovable on this path
+            // while the unguarded PATCH succeeded on the same row).
             wd.get("worker_email").collect { case s: String => s }
-              .flatMap(userByEmail) match {
+              .flatMap(userByEmail)
+              .orElse(asLong(wd.getOrElse("o_custkey", null))
+                .flatMap(k => store.users.lookup(Seq(k)))) match {
               case None => msg(404, "Worker not found")
               case Some(u) =>
                 val coin = wd.get("withdrawal_coin").flatMap(asLong).getOrElse(0L)
@@ -904,12 +926,31 @@ object RestServe {
                         else respond(ex, Res(200, rows.mkString("[", ",", "]")))
                     }
                     case WriteH(run) =>
-                      val raw = new String(
-                        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-                      parseBody(raw) match {
+                      // Bounded read: the write side must not buffer an
+                      // unbounded client body in the driver (the read
+                      // side's no-unbounded-work discipline). Express's
+                      // json() default limit is 100 kB and answers 413;
+                      // mirror it at 1 MB.
+                      val raw0 = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+                      if (raw0.length > MaxBodyBytes)
+                        respond(ex, msg(413, "payload too large"))
+                      else parseBody(new String(raw0, StandardCharsets.UTF_8)) match {
                         case None => respond(ex, msg(400, "malformed JSON body"))
                         case Some(body) =>
-                          respond(ex, store.mutate(run(params, body)))
+                          // A client value that cannot land in its
+                          // column's type (unparseable string, lossy
+                          // fractional→integral) throws from the store's
+                          // coercion — a CLIENT error, mapped to the 400
+                          // shape. Guards precede writes and coercion
+                          // precedes the journal update, so a rejected
+                          // op leaves no partial row.
+                          val res =
+                            try store.mutate(run(params, body))
+                            catch {
+                              case _: IllegalArgumentException =>
+                                msg(400, "malformed field value")
+                            }
+                          respond(ex, res)
                       }
                   }
               }

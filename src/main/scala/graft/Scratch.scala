@@ -30,7 +30,10 @@ import java.nio.file.{Files, Paths}
   * Persistent warehouse artifacts (bucketed catalog tables, the graph
   * edge artifact, the d8/d10 band index, s6's ANN index) are NOT
   * scratch — they live under `spark.sql.warehouse.dir` and are
-  * untouched by any path here.
+  * untouched by any path here. (The TEST session deliberately points
+  * its warehouse INTO the run root — a fresh per-JVM warehouse, so no
+  * spec can pass off a stale prior-session artifact; the driver-facing
+  * mains keep whatever persistent warehouse they are given.)
   */
 object Scratch {
   private val tmpBase = System.getProperty("java.io.tmpdir")
@@ -60,12 +63,16 @@ object Scratch {
     f.delete(): Unit
   }
 
-  /** Delete scratch from dead runs; returns (deadRunRoots, legacyDirs)
-    * swept. Only roots whose `graft-run-<pid>-` pid is provably not
-    * alive are touched, so a concurrently live graft JVM keeps its
-    * scratch; legacy flat `graft_*` names carry no pid and are swept
-    * unconditionally (they are all pre-Scratch session leftovers —
-    * callers are the serialized Bench/Verify mains). */
+  /** Delete scratch from dead runs; returns (deadRunRoots, 0) swept
+    * (the second slot kept for the bench artifact's shape). Only roots
+    * whose `graft-run-<pid>-` pid is provably not alive are touched, so
+    * a concurrently live graft JVM keeps its scratch. The round-8
+    * `graft_*` LEGACY sweep is gone: it existed for pre-Scratch
+    * session leftovers (618 of them — all reaped that round; sweeps
+    * since report 0) and its unconditional name match would delete a
+    * LIVE ThriftServe warehouse started per the README
+    * (`/tmp/graft_wh` + its Derby metastore) out from under open JDBC
+    * sessions — a long-running server is not a dead run. */
   def sweepStale(): (Int, Int) = {
     val entries = Option(new File(tmpBase).listFiles()).getOrElse(Array.empty[File])
     def pidAlive(name: String): Boolean =
@@ -77,9 +84,7 @@ object Scratch {
       f.isDirectory && f.getName.startsWith("graft-run-") &&
         f.getAbsolutePath != root && !pidAlive(f.getName)
     }
-    val legacy = entries.filter(f => f.isDirectory && f.getName.startsWith("graft_"))
     deadRuns.foreach(deleteRecursively)
-    legacy.foreach(deleteRecursively)
-    (deadRuns.length, legacy.length)
+    (deadRuns.length, 0)
   }
 }

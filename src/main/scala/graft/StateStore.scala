@@ -131,11 +131,16 @@ final class EntityState(
 
   /** Value coercion to the column's declared type — journal rows come
     * from parsed JSON (Int/Long/Double/String/Boolean) and must land
-    * in the base/evolved column type exactly or createDataFrame throws. */
+    * in the base/evolved column type exactly or createDataFrame throws.
+    * LOUD on lossy narrowing: a fractional value for an integral column
+    * throws (IllegalArgumentException → the route's 400) instead of
+    * silently truncating — the same refuse-to-round-money stance as the
+    * loader's decimal guard. Unparseable strings throw
+    * NumberFormatException, likewise surfaced as the 400 shape. */
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _)                     => null
-    case (x: Number, LongType)         => x.longValue()
-    case (x: Number, IntegerType)      => x.intValue()
+    case (x: Number, LongType)         => integral(x)
+    case (x: Number, IntegerType)      => Math.toIntExact(integral(x))
     case (x: Number, DoubleType)       => x.doubleValue()
     case (x: String, LongType)         => x.toLong
     case (x: String, IntegerType)      => x.toInt
@@ -144,6 +149,13 @@ final class EntityState(
     case (x: Boolean, BooleanType)     => x
     case (x, StringType)               => String.valueOf(x)
     case (x, _)                        => x
+  }
+
+  private def integral(x: Number): Long = {
+    val l = x.longValue()
+    if (x.doubleValue() == l.toDouble) l
+    else throw new IllegalArgumentException(
+      s"non-integral value $x for an integral column — refusing the silent truncation")
   }
 
   private def inferType(v: Any): DataType = v match {
@@ -220,13 +232,6 @@ final class EntityState(
           .find(m => !journaled.contains(keyCols.map(m)))
     }
   }
-
-  /** Count journal rows matching a predicate — the capacity-guard read
-    * (index.js:816-822). Journal-only by contract: fixture base rows
-    * enter states like 'approved' only THROUGH the journal, so the
-    * count never needs a base scan (O(|journal|), no Spark job). */
-  def countJournal(p: Map[String, Any] => Boolean): Int =
-    synchronized(journal.valuesIterator.flatten.count(p))
 
   /** The merged relation. Empty journal → the base relation ITSELF
     * (identical object, identical plan — the read-only façade's

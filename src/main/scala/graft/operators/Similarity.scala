@@ -1073,7 +1073,7 @@ object Similarity extends QueryModule {
     // stance — d13 builds once per (session, dir)).
     val n = corpus(spark, dir).count()
     val k = math.max(KmeansK.toLong, math.ceil(n / 250.0).toLong)
-    if (k > Level3K) d13Build3(spark, dir, 250.0)
+    if (k > Level3K) d13Build3(spark, dir, 250.0, Some(n))
     else d13Build2(spark, dir, 250.0)
   }
 
@@ -1159,11 +1159,15 @@ object Similarity extends QueryModule {
     * with the two-level build and the routing invariants when forced
     * non-degenerate. */
   private[graft] def d13Build3(spark: SparkSession, dir: String,
-                                   target: Double): DataFrame = {
+                               target: Double,
+                               nOpt: Option[Long] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val c = corpus(spark, dir)
-    val n = c.count()
+    // The dispatcher already counted the corpus to pick the level —
+    // reuse it; a second full count of the LARGEST corpora (the only
+    // ones that reach this path) would be a whole extra scan.
+    val n = nOpt.getOrElse(c.count())
     val k = math.max(KmeansK.toLong, math.ceil(n / target).toLong)
     val c0 = math.max(KmeansK.toLong,
       math.ceil(math.pow(k.toDouble, 2.0 / 3.0)).toLong)

@@ -133,6 +133,18 @@ class RestStateTieSpec extends AnyFunSuite with RestHttp
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       .collect().map(_.toSeq).toSet
     assert(approved == batch, s"approved=$approved batch=$batch")
+
+    // The capacity guard survives COMPACTION (review fix): folding the
+    // approved rows into the base and clearing the journal must not
+    // reset the count — the guard reads the merged view, not the
+    // journal.
+    store.submissions.compact()
+    assert(store.submissions.journalSize == 0)
+    val postCompact = patch(s"/buyer/submissions/${subs(3)}/approve",
+      s"""{"email":"$owner"}""")
+    assert(postCompact._1 == 400
+      && postCompact._2.contains("Required number of workers already fulfilled"),
+      s"compaction reset the capacity guard: $postCompact")
   }
 
   test("w4 tie: HTTP deletes equal the negated-key filter rewrite") {

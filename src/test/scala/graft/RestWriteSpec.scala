@@ -220,6 +220,34 @@ class RestWriteSpec extends AnyFunSuite with RestHttp
     assert(wesNotif.contains("notification"), wesNotif)
   }
 
+  test("malformed field VALUES map to 400 and never 500; key columns cannot be overridden by the body") {
+    // A string where the base column is numeric: the store's coercion
+    // throws and the dispatch maps it to the 400 shape (review fix).
+    val badVal = post("/submissions", """{"task_id":3,"l_quantity":"lots"}""")
+    assert(badVal._1 == 400, badVal.toString)
+    // An evolved column's type locks on first sight; a later fractional
+    // value for an integral column is a LOUD 400, not a silent truncate.
+    assert(post("/submissions", """{"task_id":3,"rating":5}""")._1 == 201)
+    val frac = post("/submissions", """{"task_id":3,"rating":4.5}""")
+    assert(frac._1 == 400, frac.toString)
+    // Body keys must not override the composite key: the returned id
+    // stays authoritative and addressable.
+    val hijack = post("/submissions", """{"task_id":3,"l_orderkey":424242,"note":"x"}""")
+    assert(hijack._1 == 201)
+    val id = "\"id\":\"([-0-9]+)\"".r.findFirstMatchIn(hijack._2).get.group(1)
+    assert(id.startsWith("3-"), s"id $id not keyed by task_id")
+    assert(put(s"/api/submissions/approve/$id", "{}")._1 == 200) // addressable
+    // Oversized body: bounded read answers 413 (Express's json limit
+    // shape), never an OOM-able driver buffer. The server may respond
+    // and close before the client finishes streaming — an IOException
+    // on the client IS the bounded-read behavior observed early.
+    val big = "x" * (1 << 21)
+    val code =
+      try post("/submissions", s"""{"task_id":3,"blob":"$big"}""")._1
+      catch { case _: java.io.IOException => 413 }
+    assert(code == 413, s"oversized body answered $code")
+  }
+
   test("unguarded PUT status pair and the second unguarded POST sink") {
     val raw = post("/submissions", """{"task_id":3,"worker_email":"wes@x.io","note":"raw"}""")
     assert(raw._1 == 201, raw.toString)
@@ -280,6 +308,14 @@ class RestWriteSpec extends AnyFunSuite with RestHttp
     assert(after2 == before2, "the unguarded approval path must not move coins")
     assert(get("/admin/withdrawals?status=approved")._2.contains(s"\"o_orderkey\":$wid2"))
     // Worker notified of the approval (index.js:184-189).
+
+    // FIXTURE withdrawals are approvable through the guarded path too:
+    // worker resolution falls back to the o_custkey user (review fix —
+    // without it every fixture row 404'd here while the unguarded
+    // PATCH succeeded on the same row).
+    assert(post("/admin/withdrawals/7/approve", "{}")._1 == 200)
+    assert(get("/admin/withdrawals?status=approved")._2.contains("\"o_orderkey\":7,"))
+    assert(post("/admin/withdrawals/7/approve", "{}")._1 == 400) // now already approved
   }
 
   // ---- payments record + notification ownership ---------------------------
