@@ -165,11 +165,14 @@ object RestServe {
     startWithStore(spark, dir, port)._1
 
   /** Start the façade plus its backing state store (specs assert state
-    * content hash-equal to the batch w-family programs through it). */
-  def startWithStore(spark: SparkSession, dir: String, port: Int): (HttpServer, StateStore) = {
+    * content hash-equal to the batch w-family programs through it;
+    * `autoCompactAt` bounds every entity journal — see
+    * [[StateStore.mutate]]). */
+  def startWithStore(spark: SparkSession, dir: String, port: Int,
+                     autoCompactAt: Int = 4096): (HttpServer, StateStore) = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val store = new StateStore(spark, dir)
+    val store = new StateStore(spark, dir, autoCompactAt)
 
     // Clamped to [0, MaxCap]: a negative ?limit= must not reach
     // Dataset.limit (negative throws AnalysisException → a 500 where

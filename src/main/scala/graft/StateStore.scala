@@ -53,7 +53,8 @@ import org.apache.spark.sql.types._
   * state, which is what lets specs pin HTTP-driven state hash-equal to
   * the batch w-family program for the same ops.
   */
-final class StateStore(spark: SparkSession, dir: String) {
+final class StateStore(spark: SparkSession, dir: String,
+                       autoCompactAt: Int = 4096) {
   private val t = Tables(spark, dir)
 
   /** Entities in their catalog shapes (the façade's established entity
@@ -78,14 +79,30 @@ final class StateStore(spark: SparkSession, dir: String) {
   /** Logical clock: deterministic, strictly monotone per store. */
   def now(): Timestamp = synchronized { tick += 1; new Timestamp(epochMs + tick * 1000L) }
 
+  private def entities: Seq[EntityState] =
+    Seq(users, tasks, payments, withdrawals, submissions, notifications)
+
   /** Store-wide critical section: every mutation handler's
     * read-check-write sequence runs under this one lock, so cross-entity
     * invariants (approve = submission $set + user $inc; task insert =
     * coin debit + task row) are linearizable. Guard point reads are
     * journal-first O(1) or key-pruned parquet point scans — holding the
     * lock across them is the serving-tier trade (single-writer journal;
-    * reads outside `mutate` never block). */
-  def mutate[A](body: => A): A = synchronized(body)
+    * reads outside `mutate` never block).
+    *
+    * AUTO-COMPACTION: after each mutation, any entity whose journal
+    * exceeds [[autoCompactAt]] keys is compacted — the LSM discipline
+    * that keeps `current()`'s broadcast side bounded BY CONSTRUCTION
+    * however long the server runs (an unbounded journal would
+    * eventually stop being a broadcastable delta). The write that
+    * crosses the threshold pays the materialization while holding the
+    * lock — compaction debt, amortized O(1) per write, exactly how
+    * RocksDB/Delta pay for their merge-on-read. */
+  def mutate[A](body: => A): A = synchronized {
+    val r = body
+    entities.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
+    r
+  }
 }
 
 /** One mutable entity: immutable base relation + driver CDC journal.
