@@ -1,0 +1,97 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.Executors
+
+import org.apache.spark.sql.SparkSession
+
+/** Serving-throughput probe for the HTTP façade: requests/s per route
+  * class, open vs auth-armed, serial and 8-way concurrent.
+  *
+  * What it quantifies (for SURVEY's serving table):
+  *   - "/"              — pure server path, zero Spark work: the wire
+  *                        ceiling of the JDK server + façade dispatch.
+  *   - "/tasks/{id}"    — one key-pruned Spark point job per request:
+  *                        the cost class of every point route.
+  *   - FBToken route    — the same point job + one HMAC verify: the
+  *                        armed-vs-open delta IS the token check.
+  *   - AdminReq route   — token + a LIVE role point lookup (the
+  *                        reference's verifyAdmin re-reads users per
+  *                        request, kept verbatim): the auth gate's one
+  *                        Spark-visible cost.
+  *
+  * Usage: runMain graft.RestProbe <sfDir> [reqsPerRoute=200]
+  * Prints one JSON line per (route, mode, concurrency) with rps.
+  */
+object RestProbe {
+  // One shared client (thread-safe): per-request client construction
+  // would swamp the measurement with TLS-context setup.
+  private lazy val client: HttpClient = HttpClient.newHttpClient()
+
+  private def fire(base: String, path: String, tok: Option[String]): Int = {
+    val b = HttpRequest.newBuilder(URI.create(base + path)).GET()
+    tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  private def run(label: String, base: String, path: String, tok: Option[String],
+                  n: Int, threads: Int): Unit = {
+    // Warm once (plan build + code paths), then measure.
+    val warm = fire(base, path, tok)
+    require(warm == 200, s"$label warmup -> $warm")
+    val pool = Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = (1 to n).map(_ => pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = fire(base, path, tok)
+    }))
+    val codes = futs.map(_.get())
+    val wall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    require(codes.forall(_ == 200), s"$label saw non-200")
+    println(f"""{"probe":"rest_rps","route":"$label","threads":$threads,"n":$n,"wall_s":$wall%.2f,"rps":${n / wall}%.0f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val n = args.lift(1).map(_.toInt).getOrElse(200)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val secret = "rest-probe-secret"
+    val (openSrv, _) = RestServe.startWithStore(spark, sfDir, 0)
+    val (armedSrv, _) = RestServe.startWithStore(spark, sfDir, 0, authSecret = Some(secret))
+    val openBase = s"http://127.0.0.1:${openSrv.getAddress.getPort}"
+    val armedBase = s"http://127.0.0.1:${armedSrv.getAddress.getPort}"
+
+    // An admin identity the armed role gates accept (journal write, O(1)).
+    val admin = "probe-admin@graft.io"
+    val reg = HttpRequest.newBuilder(URI.create(openBase + "/users")).POST(
+      HttpRequest.BodyPublishers.ofString(
+        s"""{"name":"Probe","email":"$admin","role":"admin"}"""))
+    // Register on BOTH stores (each server holds its own).
+    client.send(reg.build(), HttpResponse.BodyHandlers.ofString())
+    val reg2 = HttpRequest.newBuilder(URI.create(armedBase + "/users")).POST(
+      HttpRequest.BodyPublishers.ofString(
+        s"""{"name":"Probe","email":"$admin","role":"admin"}"""))
+    client.send(reg2.build(), HttpResponse.BodyHandlers.ofString())
+    val tok = GraftAuth.token(secret, admin)
+
+    for (threads <- Seq(1, 8)) {
+      run("health(open)", openBase, "/", None, n, threads)
+      run("tasks_point(open)", openBase, "/tasks/1", None, n, threads)
+      run("tasks_point(armed+token)", armedBase, "/tasks/1", Some(tok), n, threads)
+      run("payments_fbtoken(armed)", armedBase, "/payments?user=1&limit=5", Some(tok), n, threads)
+      run("admin_users_adminreq(armed)", armedBase, "/admin/users", Some(tok), n, threads)
+    }
+    openSrv.stop(0); armedSrv.stop(0)
+    spark.stop()
+  }
+}

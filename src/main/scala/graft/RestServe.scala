@@ -42,12 +42,19 @@ import org.apache.spark.sql.functions._
   *   - notifications ≙ events (event_type='notification', message/
   *     toEmail/actionRoute evolved).
   *
-  * Identity: the reference authenticates via `verifyFBToken` and reads
-  * `req.decoded.email`; auth is identity, not dataflow (SURVEY P12
-  * n/a), so the façade takes the caller's email from the request
-  * (body `email`, else `?email=`) and keeps the AUTHORIZATION
-  * semantics — every ownership/role/capacity/balance guard — exactly
-  * (each pinned to its reference line below).
+  * Identity: the reference's three middlewares are live when the
+  * server is started with a signing secret. `verifyFBToken`
+  * (index.js:93-110) becomes [[GraftAuth]]'s HMAC bearer check (401
+  * missing/malformed header, 401 missing token, 403 bad signature —
+  * the exact status split); `verifyRole` (:70-89) and `verifyAdmin`
+  * (:115-129) are POINT LOOKUPS against the live users store — a role
+  * PATCH changes what the next request may do, authorization as
+  * dataflow. Each route carries exactly the middleware chain its
+  * reference registration lists (cited per route below); the verified
+  * email is the caller identity everywhere `req.decoded.email` was.
+  * Without a secret the façade runs OPEN (embedding/bench mode): no
+  * gate, and identity falls back to body `email` / `?email=` — the
+  * pre-auth stand-in, kept so analytics harnesses need no tokens.
   *
   * Consistency upgrade, stated: every mutation runs under
   * [[StateStore.mutate]] (one store-wide lock), so read-check-write
@@ -146,6 +153,16 @@ object RestServe {
 
   // ---- server ---------------------------------------------------------
 
+  /** A route's middleware chain, verbatim from its reference
+    * registration: Open (no middleware), FBToken (`verifyFBToken`),
+    * RoleReq (`verifyFBToken, verifyRole([...])`), AdminReq
+    * (`verifyFBToken, verifyAdmin`). */
+  private[graft] sealed trait AuthReq
+  private[graft] case object Open extends AuthReq
+  private[graft] case object FBToken extends AuthReq
+  private[graft] final case class RoleReq(allowed: Set[String]) extends AuthReq
+  private[graft] case object AdminReq extends AuthReq
+
   private sealed trait Handler
   /** GET: params → DataFrame (None = missing/malformed parameter →
     * 400). `pointLookup` routes 404 on an empty result (the reference's
@@ -156,7 +173,8 @@ object RestServe {
   /** Mutation: runs under the store lock. */
   private final case class WriteH(run: (Map[String, String], Map[String, Any]) => Res)
       extends Handler
-  private final case class Route(method: String, pattern: String, h: Handler) {
+  private final case class Route(method: String, pattern: String, h: Handler,
+                                 auth: AuthReq = Open) {
     val segs: Vector[String] = pattern.split("/", -1).toVector.drop(1)
   }
 
@@ -167,9 +185,12 @@ object RestServe {
   /** Start the façade plus its backing state store (specs assert state
     * content hash-equal to the batch w-family programs through it;
     * `autoCompactAt` bounds every entity journal — see
-    * [[StateStore.mutate]]). */
+    * [[StateStore.mutate]]). `authSecret = Some(s)` arms the
+    * reference's middleware chains on every route (see the Identity
+    * scaladoc block); None runs the façade open. */
   def startWithStore(spark: SparkSession, dir: String, port: Int,
-                     autoCompactAt: Int = 4096): (HttpServer, StateStore) = {
+                     autoCompactAt: Int = 4096,
+                     authSecret: Option[String] = None): (HttpServer, StateStore) = {
     import spark.implicits._
     val t = Tables(spark, dir)
     val store = new StateStore(spark, dir, autoCompactAt)
@@ -260,10 +281,13 @@ object RestServe {
     }
     def str(v: Any): String = String.valueOf(v)
 
-    /** Caller identity — the façade's stand-in for the verified token
-      * email (verifyFBToken, index.js:93-110). */
+    /** Caller identity — `req.decoded.email`. The "@auth" param is
+      * injected by the dispatch AFTER token verification (and stripped
+      * from client input, so it cannot be spoofed); the body/param
+      * fallbacks are the open-mode stand-in. */
     def identity(params: Map[String, String], body: Map[String, Any]): Option[String] =
-      body.get("email").collect { case s: String if s.nonEmpty => s }
+      params.get("@auth")
+        .orElse(body.get("email").collect { case s: String if s.nonEmpty => s })
         .orElse(params.get("email").filter(_.nonEmpty))
 
     def userByEmail(email: String): Option[Map[String, Any]] =
@@ -434,15 +458,17 @@ object RestServe {
           else msg(404, "Task not found")
       }
 
-    /** PATCH /refund-coins (index.js:708-734): self-only `$inc`. The
-      * reference guards body email against the token email; the façade's
-      * caller is `caller_email` (defaults to the target — self-refund). */
+    /** PATCH /refund-coins (index.js:708-734): self-only `$inc` — the
+      * body email must equal the TOKEN email (:716-718). With auth on,
+      * the caller is the verified email; open mode keeps the
+      * `caller_email` stand-in (defaults to the target — self-refund). */
     def refundCoins(params: Map[String, String], body: Map[String, Any]): Res = {
       val emailOk = present(body, "email")
       val coinsOk = body.get("coins").exists { case _: Long | _: Double => true; case _ => false }
       if (!emailOk || !coinsOk) return msg(400, "Email and coins are required")
       val email = str(body("email"))
-      val caller = body.get("caller_email").map(str).getOrElse(email)
+      val caller = params.get("@auth")
+        .orElse(body.get("caller_email").map(str)).getOrElse(email)
       if (caller != email)
         return msg(403, "Forbidden: cannot refund coins for another user")
       userByEmail(email) match {
@@ -802,54 +828,103 @@ object RestServe {
 
     // ---- route table ----------------------------------------------------
 
+    // Middleware chains verbatim from each registration: Open routes
+    // are exactly the reference's unguarded ones (/users :377,
+    // /users/profile :413/:1261, /api/all-tasks :532, /submissions
+    // :924, /tasks/:id :1017, /admin/tasks :1166 — yes, unguarded in
+    // the reference, kept verbatim — /top-workers :1237, and "/").
+    val buyerOnly  = RoleReq(Set("buyer"))   // index.js:132
+    val workerOnly = RoleReq(Set("worker"))  // index.js:198
     val routes: Seq[Route] = Seq(
       // Every GET path the reference registers (the /users/profile and
       // /buyer-tasks duplicates share their live twin's handler).
-      Route("GET", "/buyer/home",        ReadH()(catalogRoute("flagship_buyer_home"))),
-      Route("GET", "/api/worker/home",   ReadH()(catalogRoute("flagship_worker_home"))),
-      Route("GET", "/admin/home",        ReadH()(catalogRoute("flagship_admin_home"))),
-      Route("GET", "/admin/stats",       ReadH()(catalogRoute("a1_filtered_counts"))),
-      Route("GET", "/api/buyer/stats",   ReadH()(catalogRoute("a5_conditional_counts"))),
-      Route("GET", "/top-workers",       ReadH()(catalogRoute("o2_topk"))),
-      Route("GET", "/buyer/tasks",       ReadH()(catalogRoute("p4_filter_scan"))),
-      Route("GET", "/buyer-tasks",       ReadH()(catalogRoute("p4_filter_scan"))),
-      Route("GET", "/worker/tasks",      ReadH()(catalogRoute("p4_filter_scan"))),
-      Route("GET", "/admin/users",       ReadH()(catalogRoute("p9_projection_rename"))),
-      Route("GET", "/buyer/submissions", ReadH()(catalogRoute("j1_semi_join"))),
-      Route("GET", "/api/buyer/pending-submissions", ReadH()(catalogRoute("j1_semi_join"))),
-      Route("GET", "/api/all-tasks",     ReadH()(fullTaskScan)),
-      Route("GET", "/admin/tasks",       ReadH()(fullTaskScan)),
-      Route("GET", "/submissions",       ReadH()(submissionsRead)),
-      Route("GET", "/admin/withdrawals", ReadH()(withdrawalsRead)),
-      Route("GET", "/api/notifications", ReadH()(notifications)),
-      Route("GET", "/payments",          ReadH()(payments)),
-      Route("GET", "/users/profile",     ReadH(pointLookup = true)(userProfile)),
+      Route("GET", "/buyer/home",        ReadH()(catalogRoute("flagship_buyer_home")), FBToken),  // :542
+      Route("GET", "/api/worker/home",   ReadH()(catalogRoute("flagship_worker_home")), FBToken), // :325
+      Route("GET", "/admin/home",        ReadH()(catalogRoute("flagship_admin_home")), AdminReq), // :1200
+      Route("GET", "/admin/stats",       ReadH()(catalogRoute("a1_filtered_counts")), AdminReq),  // :1375
+      Route("GET", "/api/buyer/stats",   ReadH()(catalogRoute("a5_conditional_counts")), FBToken), // :593
+      Route("GET", "/top-workers",       ReadH()(catalogRoute("o2_topk"))),                        // :1237 open
+      Route("GET", "/buyer/tasks",       ReadH()(catalogRoute("p4_filter_scan")), FBToken),       // :517
+      Route("GET", "/buyer-tasks",       ReadH()(catalogRoute("p4_filter_scan")), FBToken),       // :632
+      Route("GET", "/worker/tasks",      ReadH()(catalogRoute("p4_filter_scan")), FBToken),       // :1034
+      Route("GET", "/admin/users",       ReadH()(catalogRoute("p9_projection_rename")), AdminReq), // :1112
+      Route("GET", "/buyer/submissions", ReadH()(catalogRoute("j1_semi_join")), FBToken),         // :778
+      Route("GET", "/api/buyer/pending-submissions", ReadH()(catalogRoute("j1_semi_join")), FBToken), // :940
+      Route("GET", "/api/all-tasks",     ReadH()(fullTaskScan)),                                   // :532 open
+      Route("GET", "/admin/tasks",       ReadH()(fullTaskScan)),                                   // :1166 open
+      Route("GET", "/submissions",       ReadH()(submissionsRead), FBToken),                      // :1001
+      Route("GET", "/admin/withdrawals", ReadH()(withdrawalsRead), AdminReq),                     // :1099
+      Route("GET", "/api/notifications", ReadH()(notifications), FBToken),                        // :226
+      Route("GET", "/payments",          ReadH()(payments), FBToken),                             // :427
+      Route("GET", "/users/profile",     ReadH(pointLookup = true)(userProfile)),                  // :413 open
       Route("GET", "/tasks/{id}",        ReadH(pointLookup = true)(p =>
-        taskById(p))),
+        taskById(p))),                                                                             // :1017 open
       // The 25 write registrations (index.js lines in each handler's
       // scaladoc; the two dead duplicates share their live twin).
-      Route("POST",   "/users",                          WriteH(postUsers)),
-      Route("POST",   "/tasks",                          WriteH(postTasks)),
-      Route("PATCH",  "/tasks/{id}",                     WriteH(patchTask)),
-      Route("DELETE", "/tasks/{id}",                     WriteH(deleteTask)),
-      Route("DELETE", "/api/admin/tasks/{id}",           WriteH(adminDeleteTask)),
-      Route("PATCH",  "/refund-coins",                   WriteH(refundCoins)),
-      Route("POST",   "/purchase-coin",                  WriteH(purchaseCoin)),
-      Route("POST",   "/api/payments/record",            WriteH(paymentsRecord)),
-      Route("POST",   "/create-payment-intent",          WriteH(paymentIntent)),
-      Route("POST",   "/api/submissions",                WriteH(postApiSubmission)),
-      Route("POST",   "/submissions",                    WriteH(postSubmission)),
-      Route("PATCH",  "/api/submissions/{id}",           WriteH(patchSubmission)),
-      Route("PATCH",  "/buyer/submissions/{id}/approve", WriteH(approveSubmission)),
-      Route("PATCH",  "/buyer/submissions/{id}/reject",  WriteH(rejectSubmission)),
-      Route("PUT",    "/api/submissions/approve/{id}",   WriteH(putSubmissionStatus("approved"))),
-      Route("PUT",    "/api/submissions/reject/{id}",    WriteH(putSubmissionStatus("rejected"))),
-      Route("POST",   "/withdrawals",                    WriteH(postWithdrawal)),
-      Route("PATCH",  "/api/withdrawals/{id}",           WriteH(patchWithdrawal)),
-      Route("POST",   "/admin/withdrawals/{id}/approve", WriteH(adminApproveWithdrawal)),
-      Route("DELETE", "/api/notifications/{id}",         WriteH(deleteNotification)),
-      Route("DELETE", "/admin/users/{email}",            WriteH(adminDeleteUser)),
-      Route("PATCH",  "/admin/users/{email}/role",       WriteH(adminPatchRole)))
+      Route("POST",   "/users",                          WriteH(postUsers)),                       // :377 open
+      Route("POST",   "/tasks",                          WriteH(postTasks), FBToken),             // :443
+      Route("PATCH",  "/tasks/{id}",                     WriteH(patchTask), FBToken),             // :650
+      Route("DELETE", "/tasks/{id}",                     WriteH(deleteTask), FBToken),            // :684
+      Route("DELETE", "/api/admin/tasks/{id}",           WriteH(adminDeleteTask), AdminReq),      // :1175
+      Route("PATCH",  "/refund-coins",                   WriteH(refundCoins), FBToken),           // :708
+      Route("POST",   "/purchase-coin",                  WriteH(purchaseCoin), FBToken),          // :738
+      Route("POST",   "/api/payments/record",            WriteH(paymentsRecord), FBToken),        // :292
+      Route("POST",   "/create-payment-intent",          WriteH(paymentIntent), FBToken),         // :260
+      Route("POST",   "/api/submissions",                WriteH(postApiSubmission), workerOnly),  // :198
+      Route("POST",   "/submissions",                    WriteH(postSubmission)),                  // :924 open
+      Route("PATCH",  "/api/submissions/{id}",           WriteH(patchSubmission), buyerOnly),     // :132
+      Route("PATCH",  "/buyer/submissions/{id}/approve", WriteH(approveSubmission), FBToken),     // :799
+      Route("PATCH",  "/buyer/submissions/{id}/reject",  WriteH(rejectSubmission), FBToken),      // :853
+      Route("PUT",    "/api/submissions/approve/{id}",   WriteH(putSubmissionStatus("approved")), FBToken), // :882
+      Route("PUT",    "/api/submissions/reject/{id}",    WriteH(putSubmissionStatus("rejected")), FBToken), // :904
+      Route("POST",   "/withdrawals",                    WriteH(postWithdrawal), FBToken),        // :1046
+      Route("PATCH",  "/api/withdrawals/{id}",           WriteH(patchWithdrawal), AdminReq),      // :170
+      Route("POST",   "/admin/withdrawals/{id}/approve", WriteH(adminApproveWithdrawal), AdminReq), // :1336
+      Route("DELETE", "/api/notifications/{id}",         WriteH(deleteNotification), FBToken),    // :241
+      Route("DELETE", "/admin/users/{email}",            WriteH(adminDeleteUser), AdminReq),      // :1125
+      Route("PATCH",  "/admin/users/{email}/role",       WriteH(adminPatchRole), AdminReq))       // :1141
+
+    /** The middleware chain, run AFTER method resolution and BEFORE
+      * query decoding (Express order: route middlewares fire before the
+      * handler ever reads the request — a broken query string on a
+      * token-less request is still the 401). Left = the middleware's
+      * response; Right = the verified email to inject (None when the
+      * route is open or the façade runs without a secret). */
+    def authorize(need: AuthReq,
+                  header: Option[String]): Either[Res, Option[String]] =
+      (authSecret, need) match {
+        case (None, _) | (_, Open) => Right(None)
+        case (Some(sec), _) =>
+          val hdr = header.getOrElse("")
+          if (!hdr.startsWith("Bearer "))
+            Left(msg(401, "Unauthorized access: missing or invalid Authorization header"))
+          else {
+            // split(' ')[1] verbatim (index.js:99): "Bearer  x" yields
+            // the empty token and the second 401, like the reference.
+            val tok = hdr.split(" ", -1).lift(1).getOrElse("")
+            if (tok.isEmpty) Left(msg(401, "Unauthorized access: missing token"))
+            else GraftAuth.verify(sec, tok) match {
+              case None => Left(msg(403, "Forbidden access: invalid token"))
+              case Some(email) => need match {
+                case RoleReq(allowed) => // index.js:70-89
+                  userByEmail(email) match {
+                    case Some(u) if allowed(roleOf(u)) => Right(Some(email))
+                    case _ => Left(msg(403, "Access denied: insufficient permissions"))
+                  }
+                case AdminReq => // index.js:115-129
+                  userByEmail(email) match {
+                    case Some(u) if roleOf(u) == "admin" => Right(Some(email))
+                    case _ => Left(msg(403, "Admin access required"))
+                  }
+                // Plain verifyFBToken trusts the decode alone — an
+                // email with no users row still passes (Firebase never
+                // reads the users collection); the route's own guards
+                // then see a missing user.
+                case _ => Right(Some(email))
+              }
+            }
+          }
+      }
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // Daemon workers: the façade must never pin a host JVM (specs and
@@ -892,6 +967,10 @@ object RestServe {
           else pickRoute(pathMatches.filter(_._1.method == method)) match {
             case None => respond(ex, msg(405, "method not allowed"))
             case Some((route, binds)) =>
+              authorize(route.auth,
+                Option(ex.getRequestHeaders.getFirst("Authorization"))) match {
+                case Left(res) => respond(ex, res)
+                case Right(authEmail) =>
               // Split on the RAW query, decode each value exactly once:
               // URI.getQuery pre-decodes, so decoding its output again
               // would corrupt literal '+' to a space and let an encoded
@@ -914,7 +993,11 @@ object RestServe {
               params0Opt match {
                 case None => respond(ex, msg(400, "malformed query encoding"))
                 case Some(params0) =>
-                  val params = params0 ++ binds // path binds win
+                  // Path binds beat query params; "@auth" is server-
+                  // injected only (client-supplied copies stripped —
+                  // identity() trusts this channel).
+                  val params = (params0 - "@auth") ++ binds ++
+                    authEmail.map("@auth" -> _)
                   route.h match {
                     case rh: ReadH => rh.make(params) match {
                       case None =>
@@ -957,6 +1040,7 @@ object RestServe {
                       }
                   }
               }
+              }
           }
         }
       } catch {
@@ -969,8 +1053,14 @@ object RestServe {
     (server, store)
   }
 
+  /** Usage: runMain graft.RestServe <sfDir> <port> [authSecret].
+    * With a secret the reference middleware chains are live; mint
+    * tokens with `GraftAuth.token(secret, email)`. */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, port) = args
+    val (sfDir, port, secret) = args match {
+      case Array(d, p)    => (d, p, None)
+      case Array(d, p, s) => (d, p, Some(s))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -980,8 +1070,9 @@ object RestServe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    start(spark, sfDir, port.toInt)
-    println(s"graft REST facade listening on 127.0.0.1:$port over $sfDir")
+    startWithStore(spark, sfDir, port.toInt, authSecret = secret)
+    println(s"graft REST facade listening on 127.0.0.1:$port over $sfDir" +
+      secret.fold("")(_ => " (auth armed)"))
     Thread.currentThread().join()
   }
 }

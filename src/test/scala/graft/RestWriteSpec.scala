@@ -53,6 +53,18 @@ class RestWriteSpec extends AnyFunSuite with RestHttp
     assert(post("/no/such/write", "{}")._1 == 404)
   }
 
+  test("open mode: a client-supplied ?@auth= is stripped, never an identity channel") {
+    // identity() trusts "@auth" as the server-injected verified email
+    // (RestAuthSpec); on an OPEN façade nothing injects it, so a query
+    // spoof must not smuggle one in. Unstripped, this refund would
+    // pass the self-only guard as Customer#000000001; stripped, the
+    // caller_email stand-in stays the caller and the guard 403s.
+    val (c, b) = send("PATCH",
+      "/refund-coins?%40auth=Customer%23000000001",
+      Some("""{"email":"Customer#000000001","coins":1,"caller_email":"someone@else"}"""))
+    assert(c == 403 && b.contains("cannot refund coins"), s"$c $b")
+  }
+
   test("malformed JSON bodies map to 400, never 500") {
     assert(post("/users", "{not json")._1 == 400)
     assert(post("/users", "[1,2,3]")._1 == 400) // non-object
