@@ -13,13 +13,18 @@ import org.apache.spark.sql.SparkSession
   *   - "/"              — pure server path, zero Spark work: the wire
   *                        ceiling of the JDK server + façade dispatch.
   *   - "/tasks/{id}"    — one key-pruned Spark point job per request:
-  *                        the cost class of every point route.
-  *   - FBToken route    — the same point job + one HMAC verify: the
-  *                        armed-vs-open delta IS the token check.
-  *   - AdminReq route   — token + a LIVE role point lookup (the
-  *                        reference's verifyAdmin re-reads users per
-  *                        request, kept verbatim): the auth gate's one
-  *                        Spark-visible cost.
+  *                        the cost class of every point route (an OPEN
+  *                        route in the reference, so probed open-only —
+  *                        a token sent to it exercises no auth code).
+  *   - "/payments" open vs ARMED on the SAME path and key: the armed
+  *                        run adds exactly the FBToken HMAC verify plus
+  *                        the route's own armed identity check (the
+  *                        reference's email===decoded.email guard,
+  *                        index.js:429-431, = one users point lookup).
+  *                        This pair IS the cost of arming a route.
+  *   - AdminReq route   — token + verifyAdmin's LIVE role point lookup
+  *                        (the reference re-reads users per request,
+  *                        kept verbatim).
   *
   * Usage: runMain graft.RestProbe <sfDir> [reqsPerRoute=200]
   * Prints one JSON line per (route, mode, concurrency) with rps.
@@ -71,25 +76,26 @@ object RestProbe {
     val openBase = s"http://127.0.0.1:${openSrv.getAddress.getPort}"
     val armedBase = s"http://127.0.0.1:${armedSrv.getAddress.getPort}"
 
-    // An admin identity the armed role gates accept (journal write, O(1)).
+    // An admin identity for the role-gated route (journal write, O(1);
+    // the armed server holds its own store — register there, checked).
     val admin = "probe-admin@graft.io"
-    val reg = HttpRequest.newBuilder(URI.create(openBase + "/users")).POST(
+    val reg = HttpRequest.newBuilder(URI.create(armedBase + "/users")).POST(
       HttpRequest.BodyPublishers.ofString(
         s"""{"name":"Probe","email":"$admin","role":"admin"}"""))
-    // Register on BOTH stores (each server holds its own).
-    client.send(reg.build(), HttpResponse.BodyHandlers.ofString())
-    val reg2 = HttpRequest.newBuilder(URI.create(armedBase + "/users")).POST(
-      HttpRequest.BodyPublishers.ofString(
-        s"""{"name":"Probe","email":"$admin","role":"admin"}"""))
-    client.send(reg2.build(), HttpResponse.BodyHandlers.ofString())
-    val tok = GraftAuth.token(secret, admin)
+    val regCode = client.send(reg.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+    require(regCode == 201, s"probe admin registration -> $regCode")
+    val adminTok = GraftAuth.token(secret, admin)
+    // The payments pair rides a FIXTURE identity: custkey 1's c_name IS
+    // the email stand-in, so the armed identity check matches ?user=1
+    // with no setup writes.
+    val cust1Tok = GraftAuth.token(secret, "Customer#000000001")
 
     for (threads <- Seq(1, 8)) {
       run("health(open)", openBase, "/", None, n, threads)
       run("tasks_point(open)", openBase, "/tasks/1", None, n, threads)
-      run("tasks_point(armed+token)", armedBase, "/tasks/1", Some(tok), n, threads)
-      run("payments_fbtoken(armed)", armedBase, "/payments?user=1&limit=5", Some(tok), n, threads)
-      run("admin_users_adminreq(armed)", armedBase, "/admin/users", Some(tok), n, threads)
+      run("payments(open)", openBase, "/payments?user=1&limit=5", None, n, threads)
+      run("payments(armed+token)", armedBase, "/payments?user=1&limit=5", Some(cust1Tok), n, threads)
+      run("admin_users_adminreq(armed)", armedBase, "/admin/users", Some(adminTok), n, threads)
     }
     openSrv.stop(0); armedSrv.stop(0)
     spark.stop()

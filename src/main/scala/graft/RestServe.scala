@@ -170,6 +170,11 @@ object RestServe {
     * — decided per route, never inferred from the param map. */
   private final case class ReadH(pointLookup: Boolean = false)(
       val make: Map[String, String] => Option[DataFrame]) extends Handler
+  /** GET whose reference handler can answer a non-200 of its own
+    * (e.g. /payments' 403 identity check, index.js:429-431): Left is
+    * served as-is, Right as the 200 row payload. */
+  private final case class CheckedReadH(run: Map[String, String] => Either[Res, DataFrame])
+      extends Handler
   /** Mutation: runs under the store lock. */
   private final case class WriteH(run: (Map[String, String], Map[String, Any]) => Res)
       extends Handler
@@ -221,17 +226,45 @@ object RestServe {
       params.get("name").map { n =>
         store.users.current().filter($"c_name" === n) // P1, index.js:413-424
       }
+    def notificationsFeed(u: Long, params: Map[String, String]): DataFrame =
+      store.notifications.current().filter($"user_id" === u) // P4+O1, index.js:226-238
+        .select($"event_id", $"ts", $"event_type")
+        .orderBy($"ts".desc, $"event_id".desc).limit(cap(params))
+    /** GET /api/notifications: the reference takes NO parameter — the
+      * feed is find({toEmail: decoded.email}) (index.js:228-231). Armed,
+      * the token identity alone selects the feed (?user= is ignored; an
+      * identity with no users row reads an empty feed, exactly the
+      * reference's empty find). Open mode keeps the ?user= stand-in. */
     def notifications(params: Map[String, String]): Option[DataFrame] =
-      params.get("user").flatMap(_.toLongOption).map { u =>
-        store.notifications.current().filter($"user_id" === u) // P4+O1, index.js:226-238
-          .select($"event_id", $"ts", $"event_type")
-          .orderBy($"ts".desc, $"event_id".desc).limit(cap(params))
+      params.get("@auth") match {
+        case Some(email) =>
+          Some(notificationsFeed(userByEmail(email).map(userKey).getOrElse(-1L), params))
+        case None =>
+          params.get("user").flatMap(_.toLongOption).map(notificationsFeed(_, params))
       }
-    def payments(params: Map[String, String]): Option[DataFrame] =
-      params.get("user").flatMap(_.toLongOption).map { u =>
-        store.payments.current().filter($"o_custkey" === u) // P4+O1, index.js:427-439
-          .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
-          .orderBy($"o_orderkey".desc).limit(cap(params))
+    def paymentsFeed(u: Long, params: Map[String, String]): DataFrame =
+      store.payments.current().filter($"o_custkey" === u) // P4+O1, index.js:427-439
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .orderBy($"o_orderkey".desc).limit(cap(params))
+    /** GET /payments: the reference 403s "Unauthorized" unless the
+      * query identity equals the token identity (index.js:429-431 —
+      * missing ?email OR a mismatch; this is the route's only
+      * cross-user read protection). ?user= is the custkey translation
+      * of the reference's ?email=, so armed it must equal the TOKEN
+      * user's key (a token with no users row can match nothing → 403).
+      * Open mode keeps the unguarded ?user= stand-in (400 absent). */
+    def payments(params: Map[String, String]): Either[Res, DataFrame] =
+      params.get("@auth") match {
+        case Some(email) =>
+          val own = userByEmail(email).map(userKey)
+          params.get("user").flatMap(_.toLongOption) match {
+            case Some(u) if own.contains(u) => Right(paymentsFeed(u, params))
+            case _ => Left(msg(403, "Unauthorized"))
+          }
+        case None =>
+          params.get("user").flatMap(_.toLongOption)
+            .map(paymentsFeed(_, params))
+            .toRight(msg(400, "missing or malformed parameter"))
       }
     def withdrawalsRead(params: Map[String, String]): Option[DataFrame] = {
       // S3 dynamic-predicate scan, index.js:1099-1109: the filter
@@ -784,13 +817,23 @@ object RestServe {
         case Some(id) => store.notifications.lookup(Seq(id)) match {
           case None => msg(404, "Notification not found")
           case Some(n) =>
+            // index.js:249: ownership is notif.toEmail === decoded.email
+            // and NOTHING else. Armed, the verified email alone decides
+            // (matched against toEmail, or against user_id through the
+            // email's own users row for pre-evolution fixture rows) —
+            // the ?user= channel is open-mode stand-in ONLY, or any
+            // token could delete any notification by guessing a key.
+            val armed = params.contains("@auth")
             val callerEmail = identity(params, body)
-            val callerUser = params.get("user").flatMap(_.toLongOption)
+            val callerUser =
+              if (armed) None else params.get("user").flatMap(_.toLongOption)
             if (callerEmail.isEmpty && callerUser.isEmpty)
               return msg(400, "Caller identity required")
+            val nUser = asLong(n.getOrElse("user_id", null))
             val owns =
-              callerEmail.exists(e => n.get("toEmail").contains(e)) ||
-              callerUser.exists(u => asLong(n.getOrElse("user_id", null)).contains(u))
+              callerEmail.exists(e => n.get("toEmail").contains(e) ||
+                userByEmail(e).map(userKey).exists(nUser.contains)) ||
+              callerUser.exists(nUser.contains)
             if (!owns) msg(403, "Not authorized to delete this notification")
             else { store.notifications.delete(Seq(id)); msg(200, "Notification deleted") }
         }
@@ -855,7 +898,7 @@ object RestServe {
       Route("GET", "/submissions",       ReadH()(submissionsRead), FBToken),                      // :1001
       Route("GET", "/admin/withdrawals", ReadH()(withdrawalsRead), AdminReq),                     // :1099
       Route("GET", "/api/notifications", ReadH()(notifications), FBToken),                        // :226
-      Route("GET", "/payments",          ReadH()(payments), FBToken),                             // :427
+      Route("GET", "/payments",          CheckedReadH(payments), FBToken),                        // :427
       Route("GET", "/users/profile",     ReadH(pointLookup = true)(userProfile)),                  // :413 open
       Route("GET", "/tasks/{id}",        ReadH(pointLookup = true)(p =>
         taskById(p))),                                                                             // :1017 open
@@ -999,6 +1042,12 @@ object RestServe {
                   val params = (params0 - "@auth") ++ binds ++
                     authEmail.map("@auth" -> _)
                   route.h match {
+                    case CheckedReadH(run) => run(params) match {
+                      case Left(res) => respond(ex, res)
+                      case Right(df) =>
+                        val rows = df.toJSON.collect()
+                        respond(ex, Res(200, rows.mkString("[", ",", "]")))
+                    }
                     case rh: ReadH => rh.make(params) match {
                       case None =>
                         respond(ex, msg(400, "missing or malformed parameter"))

@@ -113,11 +113,12 @@ class RestAuthSpec extends AnyFunSuite with RestHttp
     // before any token check.
     assert(send("DELETE", "/buyer/home", None)._1 == 405)
     // Express order: middlewares fire before the handler ever reads a
-    // request parameter. /payments requires ?user=, but with no token
-    // the gate's 401 answers — the handler's 400 needs a valid token.
-    val (c1, b1) = get("/payments")
+    // request parameter. /submissions requires ?user= (the reference's
+    // 'Email is required' 400, index.js:1003 — no identity match on
+    // this route), but with no token the gate's 401 answers first.
+    val (c1, b1) = get("/submissions")
     assert(c1 == 401 && b1.contains("Unauthorized"), s"$c1 $b1")
-    val (c2, b2) = auth(tok("bea@a.io")).get("/payments")
+    val (c2, b2) = auth(tok("bea@a.io")).get("/submissions")
     assert(c2 == 400 && b2.contains("missing or malformed parameter"), s"$c2 $b2")
     // Wire caveat, pinned: a malformed request-TARGET encoding (%GG)
     // never reaches any middleware — the HTTP layer itself rejects it
@@ -234,10 +235,12 @@ class RestAuthSpec extends AnyFunSuite with RestHttp
       "admin/users(bea)"  -> (() => auth(tok("bea@a.io")).get("/admin/users")),
       "buyer/home(forged)" -> (() => auth(tok("bea@a.io") + "x").get("/buyer/home")),
       "top-workers(none)" -> (() => get("/top-workers")),
-      "payments(wes)"     -> (() => auth(tok("wes@a.io")).get("/payments?user=3&limit=5")))
+      "payments(wes,foreign-key)" -> (() =>
+        auth(tok("wes@a.io")).get("/payments?user=3&limit=5")))
     val serial = probes.map { case (n, f) => n -> f() }.toMap
     assert(serial("buyer/home(bea)")._1 == 200 && serial("admin/users(bea)")._1 == 403
-      && serial("buyer/home(forged)")._1 == 403 && serial("top-workers(none)")._1 == 200)
+      && serial("buyer/home(forged)")._1 == 403 && serial("top-workers(none)")._1 == 200
+      && serial("payments(wes,foreign-key)")._1 == 403) // identity guard, index.js:429-431
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -259,5 +262,54 @@ class RestAuthSpec extends AnyFunSuite with RestHttp
     val (c2, b2) = auth(tok("wes@a.io")).patch(
       "/refund-coins?%40auth=bea%40a.io", """{"email":"bea@a.io","coins":5}""")
     assert(c2 == 403 && b2.contains("cannot refund coins"))
+  }
+
+  // ---- armed identity on the parameterized entity reads --------------------
+
+  /** wes's own custkey, read through the open profile route. */
+  private def keyOf(email: String): Long = {
+    val (c, b) = get("/users/profile?name=" +
+      java.net.URLEncoder.encode(email, "UTF-8"))
+    assert(c == 200, s"profile($email) -> $c $b")
+    """"c_custkey":(\d+)""".r.findFirstMatchIn(b).get.group(1).toLong
+  }
+
+  test("GET /payments armed: the query identity must equal the token identity (index.js:429-431)") {
+    ids
+    val wesKey = keyOf("wes@a.io")
+    assert(auth(tok("wes@a.io")).get(s"/payments?user=$wesKey")._1 == 200)
+    // Another user's key: the reference's only cross-user read guard.
+    val (c1, b1) = auth(tok("wes@a.io")).get("/payments?user=1")
+    assert(c1 == 403 && b1.contains("Unauthorized"), s"$c1 $b1")
+    // Missing query identity is ALSO the 403 (!email || mismatch).
+    assert(auth(tok("wes@a.io")).get("/payments")._1 == 403)
+    // A signed token whose email has no users row can match no key.
+    assert(auth(tok("ghost@a.io")).get(s"/payments?user=$wesKey")._1 == 403)
+  }
+
+  test("GET /api/notifications armed: the token alone selects the feed; DELETE ownership is identity-only (index.js:228-231, :249)") {
+    ids
+    // Manufacture a notification the reference way: a worker submission
+    // notifies the task's buyer owner (fixture task 1's o_custkey user).
+    assert(auth(tok("wes@a.io")).post("/api/submissions", """{"task_id":1}""")._1 == 201)
+    val (tc, tb) = get("/tasks/1")
+    assert(tc == 200)
+    val buyerKey = """"o_custkey":(\d+)""".r.findFirstMatchIn(tb).get.group(1).toLong
+    val buyerEmail = f"Customer#$buyerKey%09d"
+    val (fc, fb) = auth(tok(buyerEmail)).get("/api/notifications")
+    assert(fc == 200 && fb.contains("\"event_id\""), s"buyer feed: $fc $fb")
+    val notifId = """"event_id":(\d+)""".r.findFirstMatchIn(fb).get.group(1).toLong
+    // ?user= is ignored armed: wes pointing at the buyer's key still
+    // reads WES's feed — the buyer's notification must not appear.
+    val (sc, sb) = auth(tok("wes@a.io")).get(s"/api/notifications?user=$buyerKey")
+    assert(sc == 200 && !sb.contains(s""""event_id":$notifId"""), s"spoofed feed leaked: $sb")
+    // DELETE: wes cannot delete the buyer's notification, with or
+    // without the (dead, armed) ?user= channel.
+    assert(auth(tok("wes@a.io")).delete(s"/api/notifications/$notifId")._1 == 403)
+    assert(auth(tok("wes@a.io")).delete(s"/api/notifications/$notifId?user=$buyerKey")._1 == 403)
+    // The owner deletes it, and the feed reflects that (read-your-writes).
+    assert(auth(tok(buyerEmail)).delete(s"/api/notifications/$notifId")._1 == 200)
+    val (fc2, fb2) = auth(tok(buyerEmail)).get("/api/notifications")
+    assert(fc2 == 200 && !fb2.contains(s""""event_id":$notifId"""))
   }
 }
