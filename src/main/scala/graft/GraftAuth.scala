@@ -41,24 +41,42 @@ object GraftAuth {
     mac.doFinal(payload.getBytes(UTF_8))
   }
 
-  /** Issue a token asserting `email` under `secret`. */
-  def token(secret: String, email: String): String =
-    b64(email.getBytes(UTF_8)) + "." + b64(hmac(secret, email))
+  /** Issue a token asserting `email` under `secret`, optionally
+    * expiring at `expEpochSec` (Firebase ID tokens always carry `exp`;
+    * a token without one never expires — the spec/bench convenience).
+    * The expiry rides INSIDE the MAC'd payload (`email\nexp`), so it
+    * can no more be stripped or extended than the email can. */
+  def token(secret: String, email: String, expEpochSec: Option[Long] = None): String = {
+    // The newline is the payload's field separator; no identity
+    // provider issues an email containing one.
+    require(!email.contains("\n"), "email cannot contain a newline")
+    val payload = expEpochSec.fold(email)(e => email + "\n" + e)
+    b64(payload.getBytes(UTF_8)) + "." + b64(hmac(secret, payload))
+  }
 
   /** Verify and decode: Some(email) iff the signature matches under
-    * `secret`. Tampered payloads, forged signatures, and malformed
-    * base64 all answer None (the middleware's 403,
-    * index.js:104-108). */
-  def verify(secret: String, tok: String): Option[String] =
+    * `secret` AND any embedded expiry is still in the future at
+    * `nowEpochSec`. Tampered payloads, forged signatures, malformed
+    * base64, and expired tokens all answer None — Firebase's
+    * verifyIdToken throws on each, and the middleware maps every
+    * throw to the one 403 (index.js:104-108). */
+  def verify(secret: String, tok: String,
+             nowEpochSec: Long = System.currentTimeMillis() / 1000L): Option[String] =
     tok.split("\\.", 2) match {
       case Array(p, s) =>
         try {
-          val email = new String(Base64.getUrlDecoder.decode(p), UTF_8)
+          val payload = new String(Base64.getUrlDecoder.decode(p), UTF_8)
           val got = Base64.getUrlDecoder.decode(s)
           // MessageDigest.isEqual is constant-time: a byte-by-byte
           // short-circuit compare would leak signature prefixes.
-          if (MessageDigest.isEqual(hmac(secret, email), got)) Some(email)
-          else None
+          if (!MessageDigest.isEqual(hmac(secret, payload), got)) None
+          else payload.split("\n", 2) match {
+            case Array(email, exp) =>
+              // A MAC-valid payload with a malformed exp is still an
+              // invalid token (None), never a crash.
+              exp.toLongOption.filter(_ > nowEpochSec).map(_ => email)
+            case _ => Some(payload)
+          }
         } catch { case _: IllegalArgumentException => None }
       case _ => None
     }

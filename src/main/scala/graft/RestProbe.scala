@@ -92,6 +92,7 @@ object RestProbe {
 
     for (threads <- Seq(1, 8)) {
       run("health(open)", openBase, "/", None, n, threads)
+      run("dashboard_memo(open)", openBase, "/top-workers", None, n, threads)
       run("tasks_point(open)", openBase, "/tasks/1", None, n, threads)
       run("payments(open)", openBase, "/payments?user=1&limit=5", None, n, threads)
       run("payments(armed+token)", armedBase, "/payments?user=1&limit=5", Some(cust1Tok), n, threads)

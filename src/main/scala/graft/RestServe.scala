@@ -170,9 +170,10 @@ object RestServe {
     * — decided per route, never inferred from the param map. */
   private final case class ReadH(pointLookup: Boolean = false)(
       val make: Map[String, String] => Option[DataFrame]) extends Handler
-  /** GET whose reference handler can answer a non-200 of its own
-    * (e.g. /payments' 403 identity check, index.js:429-431): Left is
-    * served as-is, Right as the 200 row payload. */
+  /** GET whose handler can answer a fully-formed response of its own —
+    * a non-200 (e.g. /payments' 403 identity check, index.js:429-431)
+    * or a pre-rendered 200 (the catalog memo): Left is served as-is,
+    * Right rendered as the 200 row payload. */
   private final case class CheckedReadH(run: Map[String, String] => Either[Res, DataFrame])
       extends Handler
   /** Mutation: runs under the store lock. */
@@ -209,9 +210,25 @@ object RestServe {
         params.get("limit").flatMap(_.toIntOption).getOrElse(1000)))
 
     /** Catalog-backed listing/dashboard route (immutable-lake
-      * analytics; entity CRUD reads go through the store instead). */
-    def catalogRoute(name: String): Map[String, String] => Option[DataFrame] =
-      params => Some(SparkEntry.queries(name)(spark, dir).limit(cap(params)))
+      * analytics; entity CRUD reads go through the store instead).
+      *
+      * The DEFAULT-cap render is memoized: these programs read ONLY the
+      * immutable fixture lake (never the store), so the payload is a
+      * pure function of the program — serving discipline at scale is
+      * that you do not run an analytics job per dashboard GET when its
+      * inputs cannot change. Custom ?limit= renders stay live, so
+      * adversarial distinct caps cannot grow driver memory (the memo is
+      * bounded by the route count). computeIfAbsent means concurrent
+      * first hits run the job once. */
+    val catalogMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def catalogRoute(name: String): Map[String, String] => Either[Res, DataFrame] =
+      params =>
+        if (params.contains("limit"))
+          Right(SparkEntry.queries(name)(spark, dir).limit(cap(params)))
+        else
+          Left(Res(200, catalogMemo.computeIfAbsent(name, _ =>
+            SparkEntry.queries(name)(spark, dir).limit(cap(params))
+              .toJSON.collect().mkString("[", ",", "]"))))
 
     // Parameterized entity reads — the reference's :id / query-param
     // routes, each the parameterized form of a catalog read (ReadPath
@@ -881,18 +898,18 @@ object RestServe {
     val routes: Seq[Route] = Seq(
       // Every GET path the reference registers (the /users/profile and
       // /buyer-tasks duplicates share their live twin's handler).
-      Route("GET", "/buyer/home",        ReadH()(catalogRoute("flagship_buyer_home")), FBToken),  // :542
-      Route("GET", "/api/worker/home",   ReadH()(catalogRoute("flagship_worker_home")), FBToken), // :325
-      Route("GET", "/admin/home",        ReadH()(catalogRoute("flagship_admin_home")), AdminReq), // :1200
-      Route("GET", "/admin/stats",       ReadH()(catalogRoute("a1_filtered_counts")), AdminReq),  // :1375
-      Route("GET", "/api/buyer/stats",   ReadH()(catalogRoute("a5_conditional_counts")), FBToken), // :593
-      Route("GET", "/top-workers",       ReadH()(catalogRoute("o2_topk"))),                        // :1237 open
-      Route("GET", "/buyer/tasks",       ReadH()(catalogRoute("p4_filter_scan")), FBToken),       // :517
-      Route("GET", "/buyer-tasks",       ReadH()(catalogRoute("p4_filter_scan")), FBToken),       // :632
-      Route("GET", "/worker/tasks",      ReadH()(catalogRoute("p4_filter_scan")), FBToken),       // :1034
-      Route("GET", "/admin/users",       ReadH()(catalogRoute("p9_projection_rename")), AdminReq), // :1112
-      Route("GET", "/buyer/submissions", ReadH()(catalogRoute("j1_semi_join")), FBToken),         // :778
-      Route("GET", "/api/buyer/pending-submissions", ReadH()(catalogRoute("j1_semi_join")), FBToken), // :940
+      Route("GET", "/buyer/home",        CheckedReadH(catalogRoute("flagship_buyer_home")), FBToken),  // :542
+      Route("GET", "/api/worker/home",   CheckedReadH(catalogRoute("flagship_worker_home")), FBToken), // :325
+      Route("GET", "/admin/home",        CheckedReadH(catalogRoute("flagship_admin_home")), AdminReq), // :1200
+      Route("GET", "/admin/stats",       CheckedReadH(catalogRoute("a1_filtered_counts")), AdminReq),  // :1375
+      Route("GET", "/api/buyer/stats",   CheckedReadH(catalogRoute("a5_conditional_counts")), FBToken), // :593
+      Route("GET", "/top-workers",       CheckedReadH(catalogRoute("o2_topk"))),                        // :1237 open
+      Route("GET", "/buyer/tasks",       CheckedReadH(catalogRoute("p4_filter_scan")), FBToken),       // :517
+      Route("GET", "/buyer-tasks",       CheckedReadH(catalogRoute("p4_filter_scan")), FBToken),       // :632
+      Route("GET", "/worker/tasks",      CheckedReadH(catalogRoute("p4_filter_scan")), FBToken),       // :1034
+      Route("GET", "/admin/users",       CheckedReadH(catalogRoute("p9_projection_rename")), AdminReq), // :1112
+      Route("GET", "/buyer/submissions", CheckedReadH(catalogRoute("j1_semi_join")), FBToken),         // :778
+      Route("GET", "/api/buyer/pending-submissions", CheckedReadH(catalogRoute("j1_semi_join")), FBToken), // :940
       Route("GET", "/api/all-tasks",     ReadH()(fullTaskScan)),                                   // :532 open
       Route("GET", "/admin/tasks",       ReadH()(fullTaskScan)),                                   // :1166 open
       Route("GET", "/submissions",       ReadH()(submissionsRead), FBToken),                      // :1001

@@ -67,6 +67,30 @@ class RestAuthSpec extends AnyFunSuite with RestHttp
     assert(GraftAuth.verify("s1", p + ".").isEmpty)       // empty sig
   }
 
+  test("token expiry: expired is the 403 (Firebase throws on expired); exp rides inside the MAC") {
+    ids
+    val now = System.currentTimeMillis() / 1000L
+    val live = GraftAuth.token(secret, "bea@a.io", Some(now + 3600))
+    assert(GraftAuth.verify(secret, live).contains("bea@a.io"))
+    val dead = GraftAuth.token(secret, "bea@a.io", Some(now - 1))
+    assert(GraftAuth.verify(secret, dead).isEmpty)
+    // exp is strictly-greater: a token expiring AT now is expired.
+    assert(GraftAuth.verify(secret,
+      GraftAuth.token(secret, "x@y.z", Some(123L)), nowEpochSec = 123L).isEmpty)
+    assert(GraftAuth.verify(secret,
+      GraftAuth.token(secret, "x@y.z", Some(123L)), nowEpochSec = 122L).contains("x@y.z"))
+    // Splicing an expired token's signature onto an extended-expiry
+    // payload is a forgery: the exp is part of the MAC'd payload.
+    val sig = dead.split("\\.", 2)(1)
+    val stretched = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s"bea@a.io\n${now + 9999}".getBytes("UTF-8"))
+    assert(GraftAuth.verify(secret, stretched + "." + sig).isEmpty)
+    // Over HTTP: the expired token is verifyFBToken's one 403.
+    val (c, b) = auth(dead).get("/buyer/home")
+    assert(c == 403 && b.contains("invalid token"), s"$c $b")
+    assert(auth(live).get("/buyer/home")._1 == 200)
+  }
+
   // ---- verifyFBToken status split (index.js:93-110) ---------------------
 
   test("verifyFBToken: 401 missing header, 401 non-Bearer, 401 empty token, 403 bad signature") {

@@ -60,6 +60,19 @@ class RestServeSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("dashboard memo: repeated default-cap GETs serve identical bytes; a custom ?limit= renders live") {
+    // The memoized (default-cap) payload is byte-stable across hits...
+    val a = get("/top-workers")
+    val b = get("/top-workers")
+    assert(a._1 == 200 && a == b)
+    // ...and a custom limit bypasses the memo but still equals the
+    // live catalog render at that cap (the memo can never go stale
+    // because the program reads only the immutable fixture lake).
+    val (c7, b7) = get("/top-workers?limit=7")
+    assert(c7 == 200 && b7 == catalogJson("o2_topk", 7), s"$c7")
+    assert(get("/top-workers?limit=0") == ((200, "[]")))
+  }
+
   test("point lookup by path id: found row, 404 on absence, 400 on garbage") {
     import spark.implicits._
     val (code, body) = get("/tasks/7")
