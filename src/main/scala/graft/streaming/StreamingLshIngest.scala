@@ -49,33 +49,102 @@ import org.apache.spark.sql.types.StructType
   * no-shuffle-on-the-corpus property) and against the accumulated
   * delta frames; sketches are fetched for band-collision candidates
   * only. Delta state grows with STREAM volume (one band row per doc
-  * per band, one sketch per doc) — at production scale the deltas
-  * append to the bucketed BandIndexTable/SketchTable themselves (a
-  * transactional table append per batch, exactly d10's "survivors'
-  * rows append" maintenance note); the directory-per-batch form here
-  * keeps replay idempotence file-system-obvious, and a periodic
-  * compaction folding deltas into the base is w9's discipline again. */
+  * per band, one sketch per doc), and the per-batch read FAN-IN grows
+  * with stream lifetime — so [[compact]] periodically folds every
+  * committed delta into one versioned living base and deletes the
+  * folded dirs (w9's table-service discipline; run in a maintenance
+  * window, crash-safe via complete-version detection, flags provably
+  * unchanged). At production scale the same fold is a transactional
+  * append to the bucketed BandIndexTable/SketchTable themselves —
+  * exactly d10's "survivors' rows append" maintenance note. */
 object StreamingLshIngest {
 
   private def flagsDir(sp: String, b: Long) = s"$sp/flags/$b"
   private def bandsDir(sp: String, b: Long) = s"$sp/bands/$b"
   private def sketchesDir(sp: String, b: Long) = s"$sp/sketches/$b"
+  private val BandsDdl = "doc_id BIGINT, bkey BIGINT"
+  private val SketchesDdl = "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh BIGINT"
 
-  /** Union of `statePath/<sub>/<i>` for i < batchId; an empty frame of
-    * `ddl` when none exist (first batch, or a fresh state root). */
+  private def emptyOf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL(ddl))
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Delta dirs `statePath/<sub>/<i>` for i < batchId (all of them for
+    * batchId = Long.MaxValue). */
+  private def deltaPaths(spark: SparkSession, statePath: String, sub: String,
+                         batchId: Long): Array[Path] = {
+    val root = new Path(s"$statePath/$sub")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < batchId)
+  }
+
+  /** Union of the delta dirs; an empty frame of `ddl` when none exist
+    * (first batch, a fresh state root, or everything compacted). */
   private def priorDeltas(spark: SparkSession, statePath: String, sub: String,
                           batchId: Long, ddl: String): DataFrame = {
-    val root = new Path(s"$statePath/$sub")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prev =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < batchId)
-        .map(_.toString)
-    if (prev.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(ddl))
-    else spark.read.parquet(prev: _*)
+    val prev = deltaPaths(spark, statePath, sub, batchId).map(_.toString)
+    if (prev.isEmpty) emptyOf(spark, ddl) else spark.read.parquet(prev: _*)
+  }
+
+  // ---- delta compaction (the w9 discipline for the living index) ------
+
+  /** Highest base version whose BOTH parquet dirs carry a `_SUCCESS`
+    * marker — an interrupted compaction leaves an incomplete version
+    * that is simply ignored (crash-safe by construction, no manifest
+    * file needed). */
+  private def completeBaseVersion(spark: SparkSession, statePath: String): Option[Long] = {
+    val root = new Path(s"$statePath/base")
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong)
+      .filter(v => Seq("bands", "sketches").forall(s =>
+        fs.exists(new Path(s"$statePath/base/v$v/$s/_SUCCESS"))))
+      .sorted.lastOption
+  }
+
+  private def livingBase(spark: SparkSession, statePath: String,
+                         sub: String, ddl: String): DataFrame =
+    completeBaseVersion(spark, statePath) match {
+      case Some(v) => spark.read.parquet(s"$statePath/base/v$v/$sub")
+      case None => emptyOf(spark, ddl)
+    }
+
+  /** Fold every committed delta into one compacted living base and
+    * delete the folded dirs — bounding per-batch read fan-in, which
+    * otherwise grows with stream LIFETIME (ten thousand micro-batches
+    * = ten thousand tiny delta dirs unioned per probe). Run while the
+    * stream is stopped (a maintenance window, like w9's table
+    * service). Crash-safe: the new version only becomes visible once
+    * both its parquet writes committed their `_SUCCESS`; a crash after
+    * visibility but before the deletions leaves already-folded deltas
+    * double-read, which the probe's distinct()s make harmless, and a
+    * re-run of compact() heals. Flags produced by later batches are
+    * IDENTICAL with or without compaction (spec-pinned). */
+  def compact(spark: SparkSession, statePath: String): Unit = {
+    val foldBands = deltaPaths(spark, statePath, "bands", Long.MaxValue)
+    val foldSketches = deltaPaths(spark, statePath, "sketches", Long.MaxValue)
+    if (foldBands.isEmpty && foldSketches.isEmpty) return
+    val next = completeBaseVersion(spark, statePath).getOrElse(-1L) + 1
+    livingBase(spark, statePath, "bands", BandsDdl)
+      .unionByName(priorDeltas(spark, statePath, "bands", Long.MaxValue, BandsDdl))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$statePath/base/v$next/bands")
+    livingBase(spark, statePath, "sketches", SketchesDdl)
+      .unionByName(priorDeltas(spark, statePath, "sketches", Long.MaxValue, SketchesDdl))
+      .dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(s"$statePath/base/v$next/sketches")
+    // Visible now; clean up folded deltas and superseded versions.
+    val fs = fsOf(spark, new Path(statePath))
+    (foldBands ++ foldSketches).foreach(p => fs.delete(p, true))
+    (0L until next).foreach(v =>
+      fs.delete(new Path(s"$statePath/base/v$v"), true))
   }
 
   /** The `foreachBatch` body — public so specs can drive one batch. */
@@ -96,16 +165,22 @@ object StreamingLshIngest {
     val bands = Dedup.bandKeys(Dedup.minhashSignatures(arr)) // (doc_id, bkey)
     val batchBands = bands.select($"doc_id".as("batch_id"), $"bkey")
 
-    // Candidates from the three index strata. The base table keeps
-    // d10's broadcast-probe shape; prior deltas and the batch's own
-    // bands are micro-batch-sized frames. Within-batch pairs order by
-    // doc_id — the arrival tiebreak that makes flags split-invariant.
+    // Candidates from the four index strata: the history table (keeps
+    // d10's broadcast-probe shape), the compacted living base, the
+    // uncompacted deltas, and the batch's own bands. Within-batch
+    // pairs order by doc_id — the arrival tiebreak that makes flags
+    // split-invariant.
     val baseCand = spark.table(Dedup.BandIndexTable)
       .join(broadcast(batchBands), Seq("bkey"))
       .select($"doc_id".as("hist_id"), $"batch_id")
-    val priorCand = priorDeltas(spark, statePath, "bands", batchId,
-        "doc_id BIGINT, bkey BIGINT")
+    val streamedBands = livingBase(spark, statePath, "bands", BandsDdl)
+      .unionByName(priorDeltas(spark, statePath, "bands", batchId, BandsDdl))
+    // =!= self-guard: if the stream stopped MID-batch and compact()
+    // then folded that batch's delta, the replay finds its own rows in
+    // the living base — a doc must never flag as a near-dup of itself.
+    val priorCand = streamedBands
       .join(broadcast(batchBands), Seq("bkey"))
+      .filter($"doc_id" =!= $"batch_id")
       .select($"doc_id".as("hist_id"), $"batch_id")
     val withinCand = bands.select($"doc_id".as("hist_id"), $"bkey")
       .join(broadcast(batchBands), Seq("bkey"))
@@ -114,12 +189,15 @@ object StreamingLshIngest {
     val candidates = baseCand.unionByName(priorCand).unionByName(withinCand)
       .distinct()
 
-    // Exact verification: partner sketches may live in the base sketch
-    // store, a prior delta, or this batch itself.
+    // Exact verification: partner sketches may live in the history
+    // sketch store, the compacted base, an uncompacted delta, or this
+    // batch itself. The final distinct() also absorbs the harmless
+    // double-read window of a crashed compact() (deltas already folded
+    // but not yet deleted produce duplicate identical rows).
     val partnerSk = spark.table(Dedup.SketchTable)
       .select($"doc_id", $"hs", $"n_sh")
-      .unionByName(priorDeltas(spark, statePath, "sketches", batchId,
-        "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh BIGINT"))
+      .unionByName(livingBase(spark, statePath, "sketches", SketchesDdl))
+      .unionByName(priorDeltas(spark, statePath, "sketches", batchId, SketchesDdl))
       .unionByName(sk)
     val c = sortedIntersectCount(spark, $"hh", $"hb")
     candidates
@@ -130,6 +208,7 @@ object StreamingLshIngest {
       .select($"batch_id", $"hist_id",
         (c.cast("double") / ($"na" + $"nb" - c).cast("double")).as("jaccard"))
       .filter($"jaccard" >= 0.8)
+      .distinct()
       .write.mode("overwrite").parquet(flagsDir(statePath, batchId))
 
     // Grow the index: EVERY batch doc's bands and sketch (see the

@@ -110,6 +110,45 @@ class StreamingLshIngestSpec extends AnyFunSuite {
       "a coarser micro-batch grain changed the flag set")
   }
 
+  test("delta compaction: fold mid-stream, flags unchanged, fan-in bounded") {
+    val base = graft.Scratch.tempDir("lsh_compact")
+    val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/state")
+    val schema = Tables(spark, dir).documents.schema
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+    // Drain the first 3 slices, then compact in the maintenance window.
+    stageSlices(src, 6) // stage all; gate the stream by a 3-slice glob
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/held"))
+    (3 until 6).foreach(k => fs.rename(
+      new org.apache.hadoop.fs.Path(f"$src/slice$k%02d"),
+      new org.apache.hadoop.fs.Path(f"$base/held/slice$k%02d")))
+    val q1 = StreamingLshIngest.start(spark, dir, s"$src/*", schema, ckpt, state,
+      Trigger.AvailableNow())
+    q1.awaitTermination()
+    StreamingLshIngest.compact(spark, state)
+    // Folded: the delta dirs are gone, one complete base version exists.
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/bands/0")),
+      "compaction must delete folded delta dirs")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/base/v0/bands/_SUCCESS")))
+    // Idempotent: a second compact with nothing to fold is a no-op.
+    StreamingLshIngest.compact(spark, state)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/base/v0/bands/_SUCCESS")))
+
+    // Resume: the remaining slices probe the COMPACTED base — the final
+    // flag set must equal the uncompacted runs' (the fixture's
+    // stream-vs-stream pairs span the compaction boundary, so this also
+    // proves the fold preserved the pre-compaction index content).
+    (3 until 6).foreach(k => fs.rename(
+      new org.apache.hadoop.fs.Path(f"$base/held/slice$k%02d"),
+      new org.apache.hadoop.fs.Path(f"$src/slice$k%02d")))
+    val q2 = StreamingLshIngest.start(spark, dir, s"$src/*", schema, ckpt, state,
+      Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(flagSet(state) == expectedFlags,
+      "compaction changed the flag set")
+  }
+
   test("replay idempotence, and the cross-batch near-dup a static probe misses") {
     import spark.implicits._
     val state = graft.Scratch.tempDir("lsh_replay") + "/state"
