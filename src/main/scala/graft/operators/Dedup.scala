@@ -141,8 +141,11 @@ object Dedup extends QueryModule {
         graft.functions.ShingleFunctions.shingleHashes(spark, $"text").as("hs"))
   }
 
-  /** Exact jaccard for a pre-bounded pair set: |∩| / (|a|+|b|−|∩|). */
-  private def jaccard(c: Column, na: Column, nb: Column): Column =
+  /** Exact jaccard for a pre-bounded pair set: |∩| / (|a|+|b|−|∩|).
+    * private[graft]: the streaming living-index probe
+    * (graft.streaming.StreamingLshIngest) verifies with the SAME
+    * expression, so a precision/threshold fix here reaches it. */
+  private[graft] def jaccard(c: Column, na: Column, nb: Column): Column =
     c.cast("double") / (na.cast("long") + nb.cast("long") - c).cast("double")
 
   // ---- d1/d2: exact dedup ----

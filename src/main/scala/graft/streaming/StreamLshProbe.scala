@@ -19,6 +19,27 @@ import org.apache.spark.sql.streaming.Trigger
   *        [nSlices=8] [filesPerTrigger=1]
   * (replicas=1 probes the source fixture in place.) */
 object StreamLshProbe {
+
+  /** Stage `docs` into `nSlices` doc_id-RANGE parquet files under
+    * `src`, written oldest-first with strictly increasing mtimes — so
+    * the file source's arrival order equals doc_id order, which is
+    * what makes the living index's sequential ground truth computable.
+    * Shared by the probe and StreamingLshIngestSpec (one copy of the
+    * range-bound arithmetic and the mtime-ordering trick). */
+  def stageSlices(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
+                  src: String, nSlices: Int): Unit = {
+    import spark.implicits._
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val bounds = (1 until nSlices).map(k => ids(k * ids.length / nSlices))
+    (0 until nSlices).foreach { k =>
+      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
+      val hi = if (k == nSlices - 1) Long.MaxValue else bounds(k)
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .coalesce(1).write.mode("overwrite").parquet(f"$src/slice$k%02d")
+      Thread.sleep(30)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val reps = args(1).toInt
@@ -52,15 +73,16 @@ object StreamLshProbe {
     val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/state")
     val docs = graft.Tables(spark, dir).documents.filter($"doc_id" % 2 === 1)
     val nDocs = docs.count()
-    val ids = docs.select($"doc_id").as[Long].collect().sorted
-    val bounds = (1 until nSlices).map(k => ids(k * ids.length / nSlices))
-    (0 until nSlices).foreach { k =>
-      val lo = if (k == 0) Long.MinValue else bounds(k - 1)
-      val hi = if (k == nSlices - 1) Long.MaxValue else bounds(k)
-      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
-        .coalesce(1).write.mode("overwrite").parquet(f"$src/slice$k%02d")
-      Thread.sleep(20)
-    }
+    // The even/odd history-vs-stream split survives replication only
+    // when ScaleUp's key shift (r·(max+1)) preserves doc_id parity —
+    // true iff the source's max(doc_id)+1 is even. Guard it: a silent
+    // parity flip would invert history/stream membership per replica
+    // and the probe's flags-linear-in-R claim with it.
+    val srcOdd = graft.Tables(spark, sfDir).documents
+      .filter($"doc_id" % 2 === 1).count()
+    require(nDocs == reps * srcOdd,
+      s"replica parity broke the even/odd split: $nDocs != $reps x $srcOdd")
+    StreamLshProbe.stageSlices(spark, docs, src, nSlices)
 
     val t1 = System.nanoTime()
     val q = StreamingLshIngest.start(spark, dir, s"$src/*", docs.schema,

@@ -64,6 +64,8 @@ object StreamingLshIngest {
   private def sketchesDir(sp: String, b: Long) = s"$sp/sketches/$b"
   private val BandsDdl = "doc_id BIGINT, bkey BIGINT"
   private val SketchesDdl = "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh BIGINT"
+  private val FlagsDdl = "batch_id BIGINT, hist_id BIGINT, jaccard DOUBLE"
+  private val BaseSubs = Seq("bands", "sketches", "flags")
 
   private def emptyOf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -72,15 +74,21 @@ object StreamingLshIngest {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Delta dirs `statePath/<sub>/<i>` for i < batchId (all of them for
-    * batchId = Long.MaxValue). */
+  /** COMPLETE delta dirs `statePath/<sub>/<i>` for i < batchId (all of
+    * them for batchId = Long.MaxValue). Completeness = the dir carries
+    * its parquet `_SUCCESS` marker — a batch that crashed mid-write
+    * leaves a markerless dir that every reader ignores (its replay
+    * overwrites it); without the filter, compact() would fold
+    * uncommitted partial task output into the permanent base, and a
+    * zero-data-file aborted dir would throw from the parquet read. */
   private def deltaPaths(spark: SparkSession, statePath: String, sub: String,
                          batchId: Long): Array[Path] = {
     val root = new Path(s"$statePath/$sub")
     val fs = fsOf(spark, root)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < batchId)
+      .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < batchId &&
+        fs.exists(new Path(p, "_SUCCESS")))
   }
 
   /** Union of the delta dirs; an empty frame of `ddl` when none exist
@@ -93,10 +101,10 @@ object StreamingLshIngest {
 
   // ---- delta compaction (the w9 discipline for the living index) ------
 
-  /** Highest base version whose BOTH parquet dirs carry a `_SUCCESS`
-    * marker — an interrupted compaction leaves an incomplete version
-    * that is simply ignored (crash-safe by construction, no manifest
-    * file needed). */
+  /** Highest base version whose THREE parquet dirs all carry a
+    * `_SUCCESS` marker — an interrupted compaction leaves an
+    * incomplete version that is simply ignored (crash-safe by
+    * construction, no manifest file needed). */
   private def completeBaseVersion(spark: SparkSession, statePath: String): Option[Long] = {
     val root = new Path(s"$statePath/base")
     val fs = fsOf(spark, root)
@@ -104,7 +112,7 @@ object StreamingLshIngest {
     else fs.listStatus(root).map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong)
-      .filter(v => Seq("bands", "sketches").forall(s =>
+      .filter(v => BaseSubs.forall(s =>
         fs.exists(new Path(s"$statePath/base/v$v/$s/_SUCCESS"))))
       .sorted.lastOption
   }
@@ -128,21 +136,26 @@ object StreamingLshIngest {
     * re-run of compact() heals. Flags produced by later batches are
     * IDENTICAL with or without compaction (spec-pinned). */
   def compact(spark: SparkSession, statePath: String): Unit = {
-    val foldBands = deltaPaths(spark, statePath, "bands", Long.MaxValue)
-    val foldSketches = deltaPaths(spark, statePath, "sketches", Long.MaxValue)
-    if (foldBands.isEmpty && foldSketches.isEmpty) return
+    // Only COMPLETE delta dirs fold (deltaPaths' _SUCCESS filter): a
+    // markerless dir from a crashed batch is left alone for its replay
+    // to overwrite. Flags fold too — they share the grows-with-
+    // lifetime fan-in pathology (every flags() read unions one dir per
+    // batch otherwise).
+    val fold = BaseSubs.map(s => s -> deltaPaths(spark, statePath, s, Long.MaxValue)).toMap
+    if (fold.values.forall(_.isEmpty)) return
     val next = completeBaseVersion(spark, statePath).getOrElse(-1L) + 1
-    livingBase(spark, statePath, "bands", BandsDdl)
-      .unionByName(priorDeltas(spark, statePath, "bands", Long.MaxValue, BandsDdl))
-      .distinct()
+    def folded(sub: String, ddl: String): DataFrame =
+      livingBase(spark, statePath, sub, ddl)
+        .unionByName(priorDeltas(spark, statePath, sub, Long.MaxValue, ddl))
+    folded("bands", BandsDdl).distinct()
       .write.mode("overwrite").parquet(s"$statePath/base/v$next/bands")
-    livingBase(spark, statePath, "sketches", SketchesDdl)
-      .unionByName(priorDeltas(spark, statePath, "sketches", Long.MaxValue, SketchesDdl))
-      .dropDuplicates("doc_id")
+    folded("sketches", SketchesDdl).dropDuplicates("doc_id")
       .write.mode("overwrite").parquet(s"$statePath/base/v$next/sketches")
+    folded("flags", FlagsDdl).distinct()
+      .write.mode("overwrite").parquet(s"$statePath/base/v$next/flags")
     // Visible now; clean up folded deltas and superseded versions.
     val fs = fsOf(spark, new Path(statePath))
-    (foldBands ++ foldSketches).foreach(p => fs.delete(p, true))
+    fold.values.flatten.foreach(p => fs.delete(p, true))
     (0L until next).foreach(v =>
       fs.delete(new Path(s"$statePath/base/v$v"), true))
   }
@@ -161,6 +174,7 @@ object StreamingLshIngest {
     val arr = batch.select($"doc_id",
       graft.functions.ShingleFunctions.shingleHashes(spark, $"text").as("hs"))
       .persist()
+    try {
     val sk = arr.select($"doc_id", $"hs", size($"hs").cast("long").as("n_sh"))
     val bands = Dedup.bandKeys(Dedup.minhashSignatures(arr)) // (doc_id, bkey)
     val batchBands = bands.select($"doc_id".as("batch_id"), $"bkey")
@@ -175,12 +189,18 @@ object StreamingLshIngest {
       .select($"doc_id".as("hist_id"), $"batch_id")
     val streamedBands = livingBase(spark, statePath, "bands", BandsDdl)
       .unionByName(priorDeltas(spark, statePath, "bands", batchId, BandsDdl))
-    // =!= self-guard: if the stream stopped MID-batch and compact()
-    // then folded that batch's delta, the replay finds its own rows in
-    // the living base — a doc must never flag as a near-dup of itself.
+    // Anti-join guard: if the stream stopped after processBatch but
+    // before the checkpoint commit and compact() then folded that
+    // batch's delta, the replay finds its own rows — the whole batch's,
+    // not just each doc's own — in the living base. Treating a
+    // batchmate as "prior" would emit the REVERSED within-batch pair
+    // (earlier doc flagged against later, diverging from the
+    // sequential ground truth), so the current batch's doc ids are
+    // excluded wholesale: within-batch ordering is solely withinCand's
+    // strict `<`.
     val priorCand = streamedBands
+      .join(broadcast(arr.select($"doc_id")), Seq("doc_id"), "left_anti")
       .join(broadcast(batchBands), Seq("bkey"))
-      .filter($"doc_id" =!= $"batch_id")
       .select($"doc_id".as("hist_id"), $"batch_id")
     val withinCand = bands.select($"doc_id".as("hist_id"), $"bkey")
       .join(broadcast(batchBands), Seq("bkey"))
@@ -199,14 +219,14 @@ object StreamingLshIngest {
       .unionByName(livingBase(spark, statePath, "sketches", SketchesDdl))
       .unionByName(priorDeltas(spark, statePath, "sketches", batchId, SketchesDdl))
       .unionByName(sk)
-    val c = sortedIntersectCount(spark, $"hh", $"hb")
     candidates
       .join(partnerSk.select($"doc_id".as("hist_id"), $"hs".as("hh"), $"n_sh".as("na")),
         Seq("hist_id"))
       .join(sk.select($"doc_id".as("batch_id"), $"hs".as("hb"), $"n_sh".as("nb")),
         Seq("batch_id"))
       .select($"batch_id", $"hist_id",
-        (c.cast("double") / ($"na" + $"nb" - c).cast("double")).as("jaccard"))
+        Dedup.jaccard(sortedIntersectCount(spark, $"hh", $"hb"), $"na", $"nb")
+          .as("jaccard"))
       .filter($"jaccard" >= 0.8)
       .distinct()
       .write.mode("overwrite").parquet(flagsDir(statePath, batchId))
@@ -215,7 +235,10 @@ object StreamingLshIngest {
     // index-ALL semantics note), keyed by batchId for replay overwrite.
     bands.write.mode("overwrite").parquet(bandsDir(statePath, batchId))
     sk.write.mode("overwrite").parquet(sketchesDir(statePath, batchId))
-    arr.unpersist(): Unit
+    // finally: a batch that throws (transient FS error, kill) must not
+    // leak its cached shingle blocks into the next replay attempt —
+    // the driver is long-running.
+    } finally arr.unpersist(): Unit
   }
 
   /** Start the living-index ingest over a parquet file-source stream
@@ -233,10 +256,17 @@ object StreamingLshIngest {
       .trigger(trigger)
       .start()
 
-  /** All near-dup flags the stream has committed so far:
-    * (batch_id = the flagged arrival, hist_id = its earlier partner,
-    * jaccard). Empty frame before any batch. */
+  /** All near-dup flags the stream has COMPLETELY written so far —
+    * compacted base ∪ complete per-batch deltas (a torn dir from a
+    * crashed batch has no `_SUCCESS` and is invisible until its replay
+    * rewrites it; a written-but-uncommitted batch's flags ARE visible,
+    * which is harmless because its replay provably rewrites the
+    * identical rows, and the distinct() absorbs the one crash window
+    * where a fold made them visible twice). (batch_id = the flagged
+    * arrival, hist_id = its earlier partner, jaccard). Empty frame
+    * before any batch. */
   def flags(spark: SparkSession, statePath: String): DataFrame =
-    priorDeltas(spark, statePath, "flags", Long.MaxValue,
-      "batch_id BIGINT, hist_id BIGINT, jaccard DOUBLE")
+    livingBase(spark, statePath, "flags", FlagsDdl)
+      .unionByName(priorDeltas(spark, statePath, "flags", Long.MaxValue, FlagsDdl))
+      .distinct()
 }
