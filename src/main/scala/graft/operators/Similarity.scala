@@ -383,10 +383,16 @@ object Similarity extends QueryModule {
     * projection = float_dot(embedding, ±1-plane literal). Accumulation
     * is (double)x * (double)sign left-to-right — bit-identical to the
     * previous HOF formulation (±1 is exact in float). Shared by the
-    * in-query index (s3) and the persisted index build (s6). */
-  private def srpBucket(t: Int, dim: Int): Column = {
+    * in-query index (s3), the persisted index build (s6), and — at
+    * adaptive widths — the living vector index. `nBits ≤ 16`: the
+    * plane-seed family `t·16 + p + 1` is injective across (t, p)
+    * exactly up to 16 planes per table, and the first 8 planes of
+    * every table are IDENTICAL to the fixed-width family the s3/s4/s6
+    * oracles restate in SQL. */
+  private def srpBucket(t: Int, dim: Int, nBits: Int = SrpBits): Column = {
     import org.apache.spark.sql.functions.col
-    val bits = (0 until SrpBits).map { p =>
+    require(nBits >= 1 && nBits <= 16, s"SRP width out of range: $nBits")
+    val bits = (0 until nBits).map { p =>
       val plane = typedLit((0 until dim).map(d => planeSignScala(t, p, d)))
       val proj = dot(col("embedding"), plane)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
@@ -555,6 +561,82 @@ object Similarity extends QueryModule {
           .mode("overwrite").saveAsTable(IndexTable)
         indexRegistered.update(spark, dir)
       }
+    }
+
+  /** The flattened-bkey expansion as an explodable column (8 rows per
+    * vector, `bkey = t·2^nBits + bk`) — the one bucket-key definition
+    * shared by the in-query index (s3), the persisted index build (s6),
+    * and the streaming living index (StreamingAnnIngest). Binds to the
+    * frame's `embedding` column. */
+  private[graft] def srpBkeys(dim: Int, nBits: Int = SrpBits): Column =
+    explode(array((0 until SrpTables).map(t =>
+      (lit(t.toLong) * (1L << nBits) + srpBucket(t, dim, nBits)).as("bkey")): _*))
+
+  /** Codegen'd cosine norm over a float-array column — exposed for the
+    * streaming ANN ingest, which must normalize arriving vectors with
+    * the exact fold every batch tier uses. */
+  private[graft] def vecNorm(spark: SparkSession, a: Column): Column = {
+    graft.functions.VectorFunctions.register(spark)
+    norm(a)
+  }
+
+  /** Bucket width for the LIVING vector index, derived from history
+    * size: with fixed-width buckets, per-table occupancy — and with it
+    * every arrival's candidate volume — grows LINEARLY with the corpus,
+    * making a retrieval-at-every-arrival stream quadratic in total.
+    * Production LSH widens with n; here bits ≈ log2(n/16) keeps
+    * expected occupancy ~16 per table-bucket, so per-arrival work is
+    * O(tables · occupancy) = O(1) and the stream stays linear. Floor 8
+    * (below ~4k history the fixed family is already sparse — and the
+    * sf-fixture specs exercise exactly the oracle-gated 8-bit family);
+    * cap 16 (the plane-seed family's injectivity bound). */
+  private[graft] def adaptiveSrpBits(nHistory: Long): Int = {
+    val needed = math.ceil(math.log(math.max(1L, nHistory) / 16.0)
+      / math.log(2.0)).toInt
+    math.min(16, math.max(SrpBits, needed))
+  }
+
+  /** The HISTORY half of the living vector index (StreamingAnnIngest's
+    * d8/d10 convention twin): the even-vec_id corpus persisted as two
+    * warehouse tables — narrow bucket rows for candidate generation,
+    * bucketed+sorted on the flattened bkey so probes prune storage
+    * buckets, and the vector payload for exact re-rank, bucketed on
+    * vec_id so verification fetches co-locate. The odd half streams.
+    * Bucket width is [[adaptiveSrpBits]] of the history count; every
+    * reader (stream batches, living topK, the spec's ground-truth
+    * twin) re-derives the same width via [[annBits]], so the family
+    * is consistent by construction. */
+  val AnnHistBucketsTable = s"${CatalogOps.Database}.ann_hist_buckets"
+  val AnnHistVectorsTable = s"${CatalogOps.Database}.ann_hist_vectors"
+
+  private val histIndexRegistered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Int)]
+
+  def ensureAnnHistoryIndex(spark: SparkSession, dir: String): Unit =
+    annBits(spark, dir): Unit
+
+  /** Ensures the history index and returns its bucket width. */
+  def annBits(spark: SparkSession, dir: String): Int =
+    histIndexRegistered.synchronized {
+      histIndexRegistered.get(spark).filter(_._1 == dir).map(_._2)
+        .getOrElse {
+          import spark.implicits._
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS ${CatalogOps.Database}")
+          Seq("ann_hist_buckets", "ann_hist_vectors")
+            .foreach(CatalogOps.clearOrphan(spark, _))
+          val dim = Tables.embeddingDim(spark, dir)
+          val hist = corpus(spark, dir).filter($"vec_id" % 2 === 0).persist()
+          try {
+            val bits = adaptiveSrpBits(hist.count())
+            hist.select($"vec_id", srpBkeys(dim, bits).as("bkey"))
+              .write.bucketBy(IndexBuckets, "bkey").sortBy("bkey")
+              .mode("overwrite").saveAsTable(AnnHistBucketsTable)
+            hist.write.bucketBy(IndexBuckets, "vec_id")
+              .mode("overwrite").saveAsTable(AnnHistVectorsTable)
+            histIndexRegistered.update(spark, (dir, bits))
+            bits
+          } finally hist.unpersist(): Unit
+        }
     }
 
   /** s6 — ANN served FROM the persisted index: the query-time half of

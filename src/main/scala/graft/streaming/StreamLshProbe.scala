@@ -20,21 +20,21 @@ import org.apache.spark.sql.streaming.Trigger
   * (replicas=1 probes the source fixture in place.) */
 object StreamLshProbe {
 
-  /** Stage `docs` into `nSlices` doc_id-RANGE parquet files under
-    * `src`, written oldest-first with strictly increasing mtimes — so
-    * the file source's arrival order equals doc_id order, which is
-    * what makes the living index's sequential ground truth computable.
-    * Shared by the probe and StreamingLshIngestSpec (one copy of the
+  /** Stage `rows` into `nSlices` key-RANGE parquet files under `src`,
+    * written oldest-first with strictly increasing mtimes — so the
+    * file source's arrival order equals key order, which is what makes
+    * a living index's sequential ground truth computable. Shared by
+    * both living-index probes and their specs (one copy of the
     * range-bound arithmetic and the mtime-ordering trick). */
-  def stageSlices(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
-                  src: String, nSlices: Int): Unit = {
+  def stageSlices(spark: SparkSession, rows: org.apache.spark.sql.DataFrame,
+                  src: String, nSlices: Int, key: String = "doc_id"): Unit = {
     import spark.implicits._
-    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val ids = rows.select(col(key)).as[Long].collect().sorted
     val bounds = (1 until nSlices).map(k => ids(k * ids.length / nSlices))
     (0 until nSlices).foreach { k =>
       val lo = if (k == 0) Long.MinValue else bounds(k - 1)
       val hi = if (k == nSlices - 1) Long.MaxValue else bounds(k)
-      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+      rows.filter(col(key) >= lo && col(key) < hi)
         .coalesce(1).write.mode("overwrite").parquet(f"$src/slice$k%02d")
       Thread.sleep(30)
     }

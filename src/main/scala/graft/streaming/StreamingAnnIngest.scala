@@ -1,0 +1,224 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The LIVING VECTOR INDEX: streaming embedding ingest where the ANN
+  * index itself grows with the stream — the retrieval twin of
+  * [[StreamingLshIngest]] (that one answers "is this document a
+  * near-dup of anything seen", this one answers "what are this
+  * vector's nearest neighbors among everything seen").
+  *
+  * Why it exists: s6 serves ANN from a persisted SRP-LSH index built
+  * OFFLINE; a training-data pipeline's embeddings land continuously
+  * (every new crawl shard is embedded as it arrives), and the
+  * retrieval products computed at arrival time — online hard-negative
+  * mining, dedup-by-retrieval, freshness-sensitive RAG — need the
+  * index to FOLLOW the stream without a rebuild per batch. A static
+  * index is structurally blind to a neighbor that arrived one
+  * micro-batch earlier; rebuilding per batch rescans the corpus.
+  * Here every arriving vector's bucket rows and payload append to
+  * batchId-keyed delta state, batch k probes history ∪ everything
+  * that arrived strictly before it, and [[compact]] periodically
+  * folds deltas into a versioned living base ([[DeltaState]]'s
+  * crash-safety algebra, shared with the LSH living index).
+  *
+  * Per-arrival product (`hits/<batchId>`): each arriving vector's
+  * exact-cosine top-[[TopK]] over its SRP-LSH candidates (vectors
+  * sharing ≥1 of the 8 flattened bucket keys — exactly s3/s6's
+  * candidate rule) among history vectors and EARLIER arrivals
+  * (earlier micro-batch, or smaller vec_id within the same batch).
+  * Indexing every vector and ordering within-batch by vec_id makes
+  * the hit set a pure function of the arrival prefix — invariant to
+  * the micro-batch grain (spec-pinned), the same index-ALL posture
+  * as the LSH living index.
+  *
+  * Exactly-once mechanics (identical to StreamingLshIngest): the file
+  * source's checkpoint WAL fixes (batchId → files); all per-batch
+  * output is batchId-keyed mode=overwrite parquet; batch k reads
+  * deltas strictly before k; and the whole-batch anti-join guards the
+  * crash-then-compact-then-replay window where a batch's own rows sit
+  * in the folded base (treating a batchmate as "prior" would reverse
+  * within-batch hit ordering).
+  *
+  * Scale: per-batch cost is O(batch buckets) + O(candidates) — the
+  * batch's bucket keys BROADCAST against the bucketed history table
+  * (storage-bucket-pruned, s6's layout) and against the accumulated
+  * deltas; vector payloads are fetched for candidates only. Delta
+  * state grows with STREAM volume (8 narrow bucket rows + 1 payload
+  * row per vector); read fan-in is bounded by compaction. At
+  * production scale the fold is a transactional append to the
+  * bucketed index tables themselves. */
+object StreamingAnnIngest {
+
+  /** Neighbors retrieved per arriving vector. */
+  val TopK = 10
+
+  private val Subs = Seq(
+    "buckets" -> "vec_id BIGINT, bkey BIGINT",
+    "vectors" -> "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE",
+    "hits" -> "query_id BIGINT, rank BIGINT, neighbor_id BIGINT, sim_r DOUBLE")
+  private def state(sp: String) = new DeltaState(sp, Subs)
+
+  /** Fold every committed delta into one compacted living base and
+    * delete the folded dirs — [[DeltaState.compact]]'s algebra. Hits
+    * fold too (they share the grows-with-lifetime fan-in pathology);
+    * hits produced by later batches are IDENTICAL with or without
+    * compaction (spec-pinned). */
+  def compact(spark: SparkSession, statePath: String): Unit =
+    state(statePath).compact(spark, Map(
+      "buckets" -> (_.distinct()),
+      "vectors" -> (_.dropDuplicates("vec_id")),
+      "hits" -> (_.distinct())))
+
+  /** Exact-cosine top-k re-rank of candidate pairs. `sims` carries
+    * (query_id, neighbor_id, sim_r); duplicates (a pair reachable
+    * through several buckets, or a vector double-read through a
+    * crashed compact's window) MUST be collapsed before ranking —
+    * row_number over duplicate rows would shift every rank below
+    * them. */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_r").desc, col("neighbor_id"))
+    sims.distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim_r"))
+  }
+
+  private def cosine(qe: Column, qn: Column, ne: Column, nn: Column): Column =
+    round(call_function("float_dot", qe, ne) / (qn * nn), 6)
+
+  /** The `foreachBatch` body — public so specs can drive one batch. */
+  def processBatch(dir: String, statePath: String)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val st = state(statePath)
+    // Bucket width adapts to history size (constant expected occupancy
+    // → per-arrival candidate volume O(1), the stream linear in total);
+    // every reader re-derives the same width, so delta and base keys
+    // agree by construction.
+    val bits = Similarity.annBits(spark, dir)
+    val dim = Tables.embeddingDim(spark, dir)
+
+    // Row-local signature work on the batch only (the arriving shard is
+    // new data; history is never rescanned). Persisted: the normalized
+    // frame feeds bucketing, both re-rank sides, and the index append.
+    val arr = batch.select($"vec_id", $"embedding",
+      Similarity.vecNorm(spark, $"embedding").as("nrm")).persist()
+    try {
+      val qb = arr.select($"vec_id", Similarity.srpBkeys(dim, bits).as("bkey"))
+      val batchB = qb.select($"vec_id".as("query_id"), $"bkey")
+
+      // Candidates from the three index strata + the batch itself. The
+      // batch's bucket keys broadcast against the bucketed history
+      // table (d10/s6's no-shuffle-on-the-corpus property) and the
+      // accumulated deltas. Within-batch pairs order by vec_id — the
+      // arrival tiebreak that makes hits split-invariant.
+      val histCand = spark.table(Similarity.AnnHistBucketsTable)
+        .join(broadcast(batchB), Seq("bkey"))
+        .select($"vec_id".as("neighbor_id"), $"query_id")
+      // Whole-batch anti-join: if the stream died between processBatch
+      // and the checkpoint commit and a maintenance compact() folded
+      // this batch's delta, the replay finds its batchmates' rows in
+      // the living base — treating them as "prior" would emit the
+      // REVERSED within-batch hits. Within-batch ordering is solely
+      // withinCand's strict `<`.
+      val priorCand = st.prior(spark, "buckets", batchId)
+        .join(broadcast(arr.select($"vec_id")), Seq("vec_id"), "left_anti")
+        .join(broadcast(batchB), Seq("bkey"))
+        .select($"vec_id".as("neighbor_id"), $"query_id")
+      val withinCand = qb.select($"vec_id".as("neighbor_id"), $"bkey")
+        .join(broadcast(batchB), Seq("bkey"))
+        .filter($"neighbor_id" < $"query_id")
+        .select($"neighbor_id", $"query_id")
+      val candidates = histCand.unionByName(priorCand).unionByName(withinCand)
+        .distinct()
+
+      // Exact re-rank: partner payloads may live in the history vector
+      // table, the compacted base, an uncompacted delta, or this batch
+      // itself. rankTopK's distinct() absorbs the double-read window of
+      // a crashed compact (identical rows, identical sim).
+      val partnerVec = spark.table(Similarity.AnnHistVectorsTable)
+        .unionByName(st.prior(spark, "vectors", batchId))
+        .unionByName(arr)
+        .select($"vec_id".as("neighbor_id"),
+          $"embedding".as("ne"), $"nrm".as("nn"))
+      val sims = candidates
+        .join(partnerVec, Seq("neighbor_id"))
+        .join(broadcast(arr.select($"vec_id".as("query_id"),
+          $"embedding".as("qe"), $"nrm".as("qn"))), Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          cosine($"qe", $"qn", $"ne", $"nn").as("sim_r"))
+      rankTopK(sims, TopK)
+        .write.mode("overwrite").parquet(st.deltaDir("hits", batchId))
+
+      // Grow the index: EVERY batch vector's bucket rows and payload
+      // (index-ALL semantics), keyed by batchId for replay overwrite.
+      qb.write.mode("overwrite").parquet(st.deltaDir("buckets", batchId))
+      arr.select($"vec_id", $"embedding", $"nrm")
+        .write.mode("overwrite").parquet(st.deltaDir("vectors", batchId))
+    } finally arr.unpersist(): Unit
+  }
+
+  /** Start the living-index ingest over a parquet file-source stream
+    * of embeddings. `maxFilesPerTrigger` sets the micro-batch grain —
+    * hits are provably invariant to it. */
+  def start(spark: SparkSession, dir: String, srcPath: String,
+            schema: StructType, checkpoint: String, statePath: String,
+            trigger: Trigger, maxFilesPerTrigger: Int = 1): StreamingQuery =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(processBatch(dir, statePath) _)
+      .trigger(trigger)
+      .start()
+
+  /** All retrieval-at-arrival hits the stream has completely written
+    * so far (query_id = the arrived vector, ranked neighbors among
+    * history ∪ earlier arrivals). Empty frame before any batch. */
+  def hits(spark: SparkSession, statePath: String): DataFrame =
+    state(statePath).full(spark, "hits").distinct()
+
+  /** Serve a top-k query OVER the living index: candidates from the
+    * bucketed history table ∪ every streamed vector (compacted base ∪
+    * complete deltas), exact re-rank — s6's serving path, with the
+    * stream visible. `queries` carries (query_id, embedding); a query
+    * vector that was itself ingested is excluded from its own
+    * neighbors. The query side broadcasts (request payload, never
+    * corpus data). */
+  def topK(spark: SparkSession, dir: String, statePath: String,
+           queries: DataFrame, k: Int = TopK): DataFrame = {
+    import spark.implicits._
+    val st = state(statePath)
+    val bits = Similarity.annBits(spark, dir)
+    val dim = Tables.embeddingDim(spark, dir)
+    val q = queries.select($"query_id", $"embedding".as("qe"),
+      Similarity.vecNorm(spark, $"embedding").as("qn"))
+    val qb = queries.select($"query_id",
+      Similarity.srpBkeys(dim, bits).as("bkey"))
+    val cand = spark.table(Similarity.AnnHistBucketsTable)
+      .unionByName(st.full(spark, "buckets"))
+      .join(broadcast(qb), Seq("bkey"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"vec_id".as("neighbor_id"), $"query_id")
+      .distinct()
+    val partnerVec = spark.table(Similarity.AnnHistVectorsTable)
+      .unionByName(st.full(spark, "vectors"))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+    val sims = cand
+      .join(partnerVec, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        cosine($"qe", $"qn", $"ne", $"nn").as("sim_r"))
+    rankTopK(sims, k)
+  }
+}

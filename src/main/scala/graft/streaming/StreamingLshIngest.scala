@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.operators.Dedup
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -59,106 +58,26 @@ import org.apache.spark.sql.types.StructType
   * exactly d10's "survivors' rows append" maintenance note. */
 object StreamingLshIngest {
 
-  private def flagsDir(sp: String, b: Long) = s"$sp/flags/$b"
-  private def bandsDir(sp: String, b: Long) = s"$sp/bands/$b"
-  private def sketchesDir(sp: String, b: Long) = s"$sp/sketches/$b"
-  private val BandsDdl = "doc_id BIGINT, bkey BIGINT"
-  private val SketchesDdl = "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh BIGINT"
-  private val FlagsDdl = "batch_id BIGINT, hist_id BIGINT, jaccard DOUBLE"
-  private val BaseSubs = Seq("bands", "sketches", "flags")
-
-  private def emptyOf(spark: SparkSession, ddl: String): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType.fromDDL(ddl))
-
-  private def fsOf(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** COMPLETE delta dirs `statePath/<sub>/<i>` for i < batchId (all of
-    * them for batchId = Long.MaxValue). Completeness = the dir carries
-    * its parquet `_SUCCESS` marker — a batch that crashed mid-write
-    * leaves a markerless dir that every reader ignores (its replay
-    * overwrites it); without the filter, compact() would fold
-    * uncommitted partial task output into the permanent base, and a
-    * zero-data-file aborted dir would throw from the parquet read. */
-  private def deltaPaths(spark: SparkSession, statePath: String, sub: String,
-                         batchId: Long): Array[Path] = {
-    val root = new Path(s"$statePath/$sub")
-    val fs = fsOf(spark, root)
-    if (!fs.exists(root)) Array.empty
-    else fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < batchId &&
-        fs.exists(new Path(p, "_SUCCESS")))
-  }
-
-  /** Union of the delta dirs; an empty frame of `ddl` when none exist
-    * (first batch, a fresh state root, or everything compacted). */
-  private def priorDeltas(spark: SparkSession, statePath: String, sub: String,
-                          batchId: Long, ddl: String): DataFrame = {
-    val prev = deltaPaths(spark, statePath, sub, batchId).map(_.toString)
-    if (prev.isEmpty) emptyOf(spark, ddl) else spark.read.parquet(prev: _*)
-  }
-
-  // ---- delta compaction (the w9 discipline for the living index) ------
-
-  /** Highest base version whose THREE parquet dirs all carry a
-    * `_SUCCESS` marker — an interrupted compaction leaves an
-    * incomplete version that is simply ignored (crash-safe by
-    * construction, no manifest file needed). */
-  private def completeBaseVersion(spark: SparkSession, statePath: String): Option[Long] = {
-    val root = new Path(s"$statePath/base")
-    val fs = fsOf(spark, root)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong)
-      .filter(v => BaseSubs.forall(s =>
-        fs.exists(new Path(s"$statePath/base/v$v/$s/_SUCCESS"))))
-      .sorted.lastOption
-  }
-
-  private def livingBase(spark: SparkSession, statePath: String,
-                         sub: String, ddl: String): DataFrame =
-    completeBaseVersion(spark, statePath) match {
-      case Some(v) => spark.read.parquet(s"$statePath/base/v$v/$sub")
-      case None => emptyOf(spark, ddl)
-    }
+  private val Subs = Seq(
+    "bands" -> "doc_id BIGINT, bkey BIGINT",
+    "sketches" -> "doc_id BIGINT, hs ARRAY<BIGINT>, n_sh BIGINT",
+    "flags" -> "batch_id BIGINT, hist_id BIGINT, jaccard DOUBLE")
+  private def state(sp: String) = new DeltaState(sp, Subs)
 
   /** Fold every committed delta into one compacted living base and
-    * delete the folded dirs — bounding per-batch read fan-in, which
-    * otherwise grows with stream LIFETIME (ten thousand micro-batches
-    * = ten thousand tiny delta dirs unioned per probe). Run while the
-    * stream is stopped (a maintenance window, like w9's table
-    * service). Crash-safe: the new version only becomes visible once
-    * both its parquet writes committed their `_SUCCESS`; a crash after
-    * visibility but before the deletions leaves already-folded deltas
-    * double-read, which the probe's distinct()s make harmless, and a
-    * re-run of compact() heals. Flags produced by later batches are
-    * IDENTICAL with or without compaction (spec-pinned). */
-  def compact(spark: SparkSession, statePath: String): Unit = {
-    // Only COMPLETE delta dirs fold (deltaPaths' _SUCCESS filter): a
-    // markerless dir from a crashed batch is left alone for its replay
-    // to overwrite. Flags fold too — they share the grows-with-
-    // lifetime fan-in pathology (every flags() read unions one dir per
-    // batch otherwise).
-    val fold = BaseSubs.map(s => s -> deltaPaths(spark, statePath, s, Long.MaxValue)).toMap
-    if (fold.values.forall(_.isEmpty)) return
-    val next = completeBaseVersion(spark, statePath).getOrElse(-1L) + 1
-    def folded(sub: String, ddl: String): DataFrame =
-      livingBase(spark, statePath, sub, ddl)
-        .unionByName(priorDeltas(spark, statePath, sub, Long.MaxValue, ddl))
-    folded("bands", BandsDdl).distinct()
-      .write.mode("overwrite").parquet(s"$statePath/base/v$next/bands")
-    folded("sketches", SketchesDdl).dropDuplicates("doc_id")
-      .write.mode("overwrite").parquet(s"$statePath/base/v$next/sketches")
-    folded("flags", FlagsDdl).distinct()
-      .write.mode("overwrite").parquet(s"$statePath/base/v$next/flags")
-    // Visible now; clean up folded deltas and superseded versions.
-    val fs = fsOf(spark, new Path(statePath))
-    fold.values.flatten.foreach(p => fs.delete(p, true))
-    (0L until next).foreach(v =>
-      fs.delete(new Path(s"$statePath/base/v$v"), true))
-  }
+    * delete the folded dirs — see [[DeltaState.compact]] for the
+    * crash-safety algebra (only `_SUCCESS`-complete deltas fold; an
+    * interrupted fold leaves an ignored incomplete version; the
+    * visible-but-undeleted window double-reads identical rows, which
+    * every reader's distinct() absorbs). Flags fold too — they share
+    * the grows-with-lifetime fan-in pathology (every flags() read
+    * unions one dir per batch otherwise). Flags produced by later
+    * batches are IDENTICAL with or without compaction (spec-pinned). */
+  def compact(spark: SparkSession, statePath: String): Unit =
+    state(statePath).compact(spark, Map(
+      "bands" -> (_.distinct()),
+      "sketches" -> (_.dropDuplicates("doc_id")),
+      "flags" -> (_.distinct())))
 
   /** The `foreachBatch` body — public so specs can drive one batch. */
   def processBatch(dir: String, statePath: String)
@@ -166,6 +85,7 @@ object StreamingLshIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     import graft.functions.ArrayFunctions.sortedIntersectCount
+    val st = state(statePath)
     Dedup.ensureLshIndex(spark, dir)
 
     // Row-local signature work on the batch only (the stream side is
@@ -187,8 +107,7 @@ object StreamingLshIngest {
     val baseCand = spark.table(Dedup.BandIndexTable)
       .join(broadcast(batchBands), Seq("bkey"))
       .select($"doc_id".as("hist_id"), $"batch_id")
-    val streamedBands = livingBase(spark, statePath, "bands", BandsDdl)
-      .unionByName(priorDeltas(spark, statePath, "bands", batchId, BandsDdl))
+    val streamedBands = st.prior(spark, "bands", batchId)
     // Anti-join guard: if the stream stopped after processBatch but
     // before the checkpoint commit and compact() then folded that
     // batch's delta, the replay finds its own rows — the whole batch's,
@@ -216,8 +135,7 @@ object StreamingLshIngest {
     // but not yet deleted produce duplicate identical rows).
     val partnerSk = spark.table(Dedup.SketchTable)
       .select($"doc_id", $"hs", $"n_sh")
-      .unionByName(livingBase(spark, statePath, "sketches", SketchesDdl))
-      .unionByName(priorDeltas(spark, statePath, "sketches", batchId, SketchesDdl))
+      .unionByName(st.prior(spark, "sketches", batchId))
       .unionByName(sk)
     candidates
       .join(partnerSk.select($"doc_id".as("hist_id"), $"hs".as("hh"), $"n_sh".as("na")),
@@ -229,12 +147,12 @@ object StreamingLshIngest {
           .as("jaccard"))
       .filter($"jaccard" >= 0.8)
       .distinct()
-      .write.mode("overwrite").parquet(flagsDir(statePath, batchId))
+      .write.mode("overwrite").parquet(st.deltaDir("flags", batchId))
 
     // Grow the index: EVERY batch doc's bands and sketch (see the
     // index-ALL semantics note), keyed by batchId for replay overwrite.
-    bands.write.mode("overwrite").parquet(bandsDir(statePath, batchId))
-    sk.write.mode("overwrite").parquet(sketchesDir(statePath, batchId))
+    bands.write.mode("overwrite").parquet(st.deltaDir("bands", batchId))
+    sk.write.mode("overwrite").parquet(st.deltaDir("sketches", batchId))
     // finally: a batch that throws (transient FS error, kill) must not
     // leak its cached shingle blocks into the next replay attempt —
     // the driver is long-running.
@@ -266,7 +184,5 @@ object StreamingLshIngest {
     * arrival, hist_id = its earlier partner, jaccard). Empty frame
     * before any batch. */
   def flags(spark: SparkSession, statePath: String): DataFrame =
-    livingBase(spark, statePath, "flags", FlagsDdl)
-      .unionByName(priorDeltas(spark, statePath, "flags", Long.MaxValue, FlagsDdl))
-      .distinct()
+    state(statePath).full(spark, "flags").distinct()
 }

@@ -1,0 +1,268 @@
+package graft
+
+import graft.operators.Similarity
+import graft.streaming.StreamingAnnIngest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The living vector index under streaming delivery: every arriving
+  * vector's retrieval-at-arrival hits must equal the SEQUENTIAL ground
+  * truth — exact-cosine top-10 over its SRP-LSH candidates among
+  * history (even vec_ids) ∪ earlier arrivals — across a mid-stream
+  * kill/restart, invariantly to the micro-batch grain, and unchanged
+  * by a mid-stream delta compaction. Ground truth replays the
+  * IDENTICAL candidate rule and cosine expression as a batch DataFrame
+  * program, so equality is decided by the streaming mechanics (delta
+  * visibility, arrival ordering, replay overwrite) — exactly what the
+  * operator adds over s3/s6's static index. */
+class StreamingAnnIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The sequential ground truth, computed by the batch twin of the
+    * streaming rule: for every odd (streamed) vector q, candidates =
+    * vectors sharing ≥1 flattened SRP bucket that are history (even)
+    * or earlier-streamed (odd, vec_id < q); exact cosine, top-10 by
+    * (sim_r desc, neighbor_id). Same bucket family, same codegen'd
+    * dot fold, same rounding — bit-identical sims by construction. */
+  private lazy val expectedHits: Set[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    val dim = Tables.embeddingDim(spark, dir)
+    val bits = Similarity.annBits(spark, dir)
+    // The sf0.001 history (250 vectors) sits below the adaptive
+    // threshold, so the width the stream derives IS the oracle-gated
+    // 8-bit family — pinned so a fixture regrowth that silently crossed
+    // the threshold can't make this spec vacuous about the s3 family.
+    assert(bits == 8, s"sf0.001 history should use the fixed family, got $bits")
+    val emb = Tables(spark, dir).embeddings
+    val vecs = emb.select($"vec_id", $"embedding",
+      Similarity.vecNorm(spark, $"embedding").as("nrm")).cache()
+    val bk = emb.select($"vec_id", Similarity.srpBkeys(dim, bits).as("bkey"))
+    val cand = bk.join(
+        bk.filter($"vec_id" % 2 === 1)
+          .select($"vec_id".as("query_id"), $"bkey"), Seq("bkey"))
+      .filter($"vec_id" % 2 === 0 || $"vec_id" < $"query_id")
+      .select($"vec_id".as("neighbor_id"), $"query_id")
+      .distinct()
+    val sims = cand
+      .join(vecs.select($"vec_id".as("neighbor_id"),
+        $"embedding".as("ne"), $"nrm".as("nn")), Seq("neighbor_id"))
+      .join(vecs.select($"vec_id".as("query_id"),
+        $"embedding".as("qe"), $"nrm".as("qn")), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        round(call_function("float_dot", $"qe", $"ne") / ($"qn" * $"nn"), 6)
+          .as("sim_r"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    val out = sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= StreamingAnnIngest.TopK)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    vecs.unpersist()
+    out
+  }
+
+  private def streamedOdds: DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).embeddings.filter($"vec_id" % 2 === 1)
+  }
+
+  private def stageSlices(src: String, nSlices: Int): Unit =
+    graft.streaming.StreamLshProbe.stageSlices(spark, streamedOdds, src,
+      nSlices, key = "vec_id")
+
+  private def hitSet(statePath: String): Set[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    StreamingAnnIngest.hits(spark, statePath)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+      .as[(Long, Long, Long, Double)].collect().toSet
+  }
+
+  test("adaptive bucket width: floor 8, log-growth with history, cap 16") {
+    assert(Similarity.adaptiveSrpBits(0) == 8)
+    assert(Similarity.adaptiveSrpBits(250) == 8)     // sf-fixture regime
+    assert(Similarity.adaptiveSrpBits(4096) == 8)    // last of the floor
+    assert(Similarity.adaptiveSrpBits(4097) == 9)    // first widening
+    assert(Similarity.adaptiveSrpBits(65536) == 12)  // ~16/bucket/table
+    assert(Similarity.adaptiveSrpBits(1L << 30) == 16) // injectivity cap
+  }
+
+  test("streamed hits == sequential ground truth, across a mid-stream kill/restart") {
+    assert(expectedHits.nonEmpty, "fixture must produce retrieval hits")
+    // The structural point: some arrivals retrieve STREAMED neighbors —
+    // pairs a static history-only index is blind to.
+    assert(expectedHits.exists { case (_, _, n, _) => n % 2 == 1 },
+      "fixture must carry stream-vs-stream retrievals")
+
+    val base = graft.Scratch.tempDir("ann_ingest")
+    val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/state")
+    val schema = streamedOdds.schema
+    stageSlices(src, 6)
+
+    val q1 = StreamingAnnIngest.start(spark, dir, s"$src/*", schema, ckpt,
+      state, Trigger.ProcessingTime(0))
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    def committed(): Int = {
+      val root = new org.apache.hadoop.fs.Path(s"$state/vectors")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) 0 else fs.listStatus(root).length
+    }
+    while (committed() < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+    q1.stop()
+    // Progress-only assertion (no flake when a fast box drains first).
+    assert(committed() >= 2, "stream must have made progress before the kill")
+
+    val q2 = StreamingAnnIngest.start(spark, dir, s"$src/*", schema, ckpt,
+      state, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(hitSet(state) == expectedHits)
+  }
+
+  test("hits are invariant to the micro-batch grain (3 files per trigger)") {
+    val base = graft.Scratch.tempDir("ann_grain")
+    val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/state")
+    stageSlices(src, 6)
+    val q = StreamingAnnIngest.start(spark, dir, s"$src/*",
+      streamedOdds.schema, ckpt, state, Trigger.AvailableNow(),
+      maxFilesPerTrigger = 3)
+    q.awaitTermination()
+    assert(hitSet(state) == expectedHits,
+      "a coarser micro-batch grain changed the hit set")
+  }
+
+  test("delta compaction mid-stream: hits unchanged, fan-in bounded, living topK == batch-rebuild twin") {
+    import spark.implicits._
+    val base = graft.Scratch.tempDir("ann_compact")
+    val (src, ckpt, state) = (s"$base/src", s"$base/ckpt", s"$base/state")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    stageSlices(src, 6)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/held"))
+    (3 until 6).foreach(k => fs.rename(
+      new org.apache.hadoop.fs.Path(f"$src/slice$k%02d"),
+      new org.apache.hadoop.fs.Path(f"$base/held/slice$k%02d")))
+    val q1 = StreamingAnnIngest.start(spark, dir, s"$src/*",
+      streamedOdds.schema, ckpt, state, Trigger.AvailableNow())
+    q1.awaitTermination()
+    StreamingAnnIngest.compact(spark, state)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/buckets/0")),
+      "compaction must delete folded delta dirs")
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$state/base/v0/buckets/_SUCCESS")))
+    StreamingAnnIngest.compact(spark, state) // idempotent no-op
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$state/base/v0/buckets/_SUCCESS")))
+
+    (3 until 6).foreach(k => fs.rename(
+      new org.apache.hadoop.fs.Path(f"$base/held/slice$k%02d"),
+      new org.apache.hadoop.fs.Path(f"$src/slice$k%02d")))
+    val q2 = StreamingAnnIngest.start(spark, dir, s"$src/*",
+      streamedOdds.schema, ckpt, state, Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(hitSet(state) == expectedHits, "compaction changed the hit set")
+
+    // Serving over the living index: a fresh query payload's top-k must
+    // equal the batch twin over history ∪ ALL streamed vectors — the
+    // full-corpus rule with the query excluded from its own neighbors.
+    val dim = Tables.embeddingDim(spark, dir)
+    val bits = Similarity.annBits(spark, dir)
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val served = StreamingAnnIngest.topK(spark, dir, state, queries)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val vecs = emb.select($"vec_id", $"embedding",
+      Similarity.vecNorm(spark, $"embedding").as("nrm"))
+    val bk = emb.select($"vec_id", Similarity.srpBkeys(dim, bits).as("bkey"))
+    val twin = {
+      val cand = bk.join(
+          bk.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"bkey"),
+          Seq("bkey"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"vec_id".as("neighbor_id"), $"query_id").distinct()
+      val sims = cand
+        .join(vecs.select($"vec_id".as("neighbor_id"),
+          $"embedding".as("ne"), $"nrm".as("nn")), Seq("neighbor_id"))
+        .join(vecs.select($"vec_id".as("query_id"),
+          $"embedding".as("qe"), $"nrm".as("qn")), Seq("query_id"))
+        .select($"query_id", $"neighbor_id",
+          round(call_function("float_dot", $"qe", $"ne") / ($"qn" * $"nn"), 6)
+            .as("sim_r")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= StreamingAnnIngest.TopK)
+        .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    }
+    assert(served == twin,
+      "living-index serving diverged from the batch-rebuild twin")
+  }
+
+  test("replay after compact() folded its own uncommitted delta: within-batch order survives, no reversed or self hits") {
+    import spark.implicits._
+    // Two same-direction vectors (cosine 1) in ONE batch, ids far above
+    // the corpus — each other's only possible streamed partner.
+    val seed = Tables(spark, dir).embeddings
+      .filter($"vec_id" === 1).select($"embedding")
+      .as[Seq[Float]].head().toArray
+    val batch = spark.createDataFrame(Seq(
+        (9000001L, seed.toSeq), (9000003L, seed.map(_ * 2.0f).toSeq)))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    val state = graft.Scratch.tempDir("ann_crashfold") + "/state"
+    // Crash window: processBatch completes, checkpoint commit never lands.
+    StreamingAnnIngest.processBatch(dir, state)(batch, 0L)
+    def pairs(): Set[(Long, Long)] = {
+      import spark.implicits._
+      StreamingAnnIngest.hits(spark, state)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+        .filter { case (q, n) => q >= 9000000L && n >= 9000000L }
+    }
+    val first = pairs()
+    assert(first.contains((9000003L, 9000001L)) &&
+      !first.contains((9000001L, 9000003L)),
+      s"within-batch arrival order broken before the fold: $first")
+    // Maintenance compact folds the batch's own rows into the base...
+    StreamingAnnIngest.compact(spark, state)
+    // ...and the batch replays. The whole-batch anti-join must keep the
+    // hit set exactly sequential: no reversed pair, no self-hit.
+    StreamingAnnIngest.processBatch(dir, state)(batch, 0L)
+    assert(pairs() == first, s"crash+fold+replay corrupted hits: ${pairs()}")
+    val self = StreamingAnnIngest.hits(spark, state)
+      .filter($"query_id" === $"neighbor_id").count()
+    assert(self == 0, "self-hits after replay")
+  }
+
+  test("replay idempotence, and the cross-batch neighbor a static probe misses") {
+    import spark.implicits._
+    val state = graft.Scratch.tempDir("ann_replay") + "/state"
+    val b0 = streamedOdds.filter($"vec_id" < 200).localCheckpoint(true)
+
+    StreamingAnnIngest.processBatch(dir, state)(b0, 0L)
+    val once = hitSet(state)
+    val bucketsOnce = spark.read.parquet(s"$state/buckets/0").count()
+    StreamingAnnIngest.processBatch(dir, state)(b0, 0L)
+    assert(hitSet(state) == once)
+    assert(spark.read.parquet(s"$state/buckets/0").count() == bucketsOnce)
+
+    // Batch 1 carries a same-direction twin of a batch-0 vector: its
+    // nearest neighbor arrived in an EARLIER micro-batch. The history
+    // index knows only even vec_ids, so a static probe cannot retrieve
+    // it; the living index must, at rank 1 with cosine 1.
+    val seed = b0.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].head()
+    // ×4 (an exact power-of-two float scale): same direction exactly,
+    // so every SRP bucket matches and the rounded cosine is exactly 1.
+    val b1 = spark.createDataFrame(Seq((9999999L, seed._2.map(_ * 4.0f))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    StreamingAnnIngest.processBatch(dir, state)(b1, 1L)
+    val top = StreamingAnnIngest.hits(spark, state)
+      .filter($"query_id" === 9999999L && $"rank" === 1)
+      .select($"neighbor_id", $"sim_r").as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.head._1 == seed._1 && top.head._2 == 1.0,
+      s"living index must retrieve the cross-batch twin at rank 1: ${top.toSeq}")
+  }
+}
