@@ -537,6 +537,10 @@ object Similarity extends QueryModule {
     * buckets ≈ cluster width; at billions of vectors this is the
     * offline index-build job. */
   val IndexTable = s"${CatalogOps.Database}.ann_srp_index"
+  // Width note: this catalog index keeps the FIXED 8-bit family (the
+  // s3/s4/s6 oracles restate it in SQL); at corpus scale the width
+  // knob is [[adaptiveSrpBits]] — the living index derives it from
+  // corpus size so bucket occupancy stays constant.
   private val IndexBuckets = 64
 
   private val indexRegistered =
@@ -563,13 +567,14 @@ object Similarity extends QueryModule {
       }
     }
 
-  /** The flattened-bkey expansion as an explodable column (8 rows per
-    * vector, `bkey = t·2^nBits + bk`) — the one bucket-key definition
-    * shared by the in-query index (s3), the persisted index build (s6),
-    * and the streaming living index (StreamingAnnIngest). Binds to the
-    * frame's `embedding` column. */
-  private[graft] def srpBkeys(dim: Int, nBits: Int = SrpBits): Column =
-    explode(array((0 until SrpTables).map(t =>
+  /** The flattened-bkey expansion as an explodable column (`nTables`
+    * rows per vector, `bkey = t·2^nBits + bk`) — the one bucket-key
+    * definition shared by the in-query index (s3), the persisted index
+    * build (s6), and the streaming living index (StreamingAnnIngest).
+    * Binds to the frame's `embedding` column. */
+  private[graft] def srpBkeys(dim: Int, nBits: Int = SrpBits,
+                              nTables: Int = SrpTables): Column =
+    explode(array((0 until nTables).map(t =>
       (lit(t.toLong) * (1L << nBits) + srpBucket(t, dim, nBits)).as("bkey")): _*))
 
   /** Codegen'd cosine norm over a float-array column — exposed for the
@@ -580,63 +585,114 @@ object Similarity extends QueryModule {
     norm(a)
   }
 
-  /** Bucket width for the LIVING vector index, derived from history
-    * size: with fixed-width buckets, per-table occupancy — and with it
-    * every arrival's candidate volume — grows LINEARLY with the corpus,
-    * making a retrieval-at-every-arrival stream quadratic in total.
-    * Production LSH widens with n; here bits ≈ log2(n/16) keeps
-    * expected occupancy ~16 per table-bucket, so per-arrival work is
-    * O(tables · occupancy) = O(1) and the stream stays linear. Floor 8
-    * (below ~4k history the fixed family is already sparse — and the
-    * sf-fixture specs exercise exactly the oracle-gated 8-bit family);
-    * cap 16 (the plane-seed family's injectivity bound). */
-  private[graft] def adaptiveSrpBits(nHistory: Long): Int = {
+  /** The (bits, tables) SRP family for the LIVING vector index,
+    * derived from history size — BOTH dials move so BOTH invariants
+    * hold as the corpus grows:
+    *
+    *   - **occupancy**: with fixed-width buckets, per-table occupancy —
+    *     and with it every arrival's candidate volume — grows LINEARLY
+    *     with the corpus, making a retrieval-at-every-arrival stream
+    *     quadratic in total. `bits ≈ log2(n/16)` keeps expected
+    *     occupancy ~16 per table-bucket. Floor 8 (below ~4k history
+    *     the fixed family is already sparse — and the sf-fixture specs
+    *     exercise exactly the oracle-gated 8-bit family); cap 16 (the
+    *     plane-seed family `t·16 + p + 1` is injective across (t, p)
+    *     only up to 16 planes per table — t is unbounded).
+    *   - **recall**: widening alone would silently TRADE RECALL — a
+    *     cos-0.9 neighbor's per-table collision probability is
+    *     (1 − θ/π)^bits (Charikar 2002), falling from 0.29 at 8 bits
+    *     to 0.13 at 13 — exactly the silent-quality-cap pattern this
+    *     engine bans. So the table count grows with the width to hold
+    *     the 8-bit/8-table family's own design recall (≈0.935 at
+    *     cosine 0.9): tables = ⌈ln(1−R₈)/ln(1−q^bits)⌉. 8 bits → 8
+    *     tables (the fixture family, exactly); 13 bits → 20; 16 → 32.
+    *
+    * Per-arrival work is then O(tables · occupancy) = O(log n · const)
+    * with recall pinned — the honest production scaling, not a trade
+    * made silently on either axis. */
+  private[graft] def adaptiveSrpFamily(nHistory: Long): (Int, Int) = {
     val needed = math.ceil(math.log(math.max(1L, nHistory) / 16.0)
       / math.log(2.0)).toInt
-    math.min(16, math.max(SrpBits, needed))
+    val bits = math.min(16, math.max(SrpBits, needed))
+    // q = P(one hyperplane agrees) at the design cosine 0.9.
+    val q = 1.0 - math.acos(0.9) / math.Pi
+    // Design recall of the fixed family: 8 tables of 8 bits.
+    val r8 = 1.0 - math.pow(1.0 - math.pow(q, SrpBits), SrpTables)
+    val tables = math.ceil(
+      math.log(1.0 - r8) / math.log(1.0 - math.pow(q, bits)) - 1e-9).toInt
+    (bits, tables)
   }
 
   /** The HISTORY half of the living vector index (StreamingAnnIngest's
-    * d8/d10 convention twin): the even-vec_id corpus persisted as two
-    * warehouse tables — narrow bucket rows for candidate generation,
+    * d8/d10 convention twin): the even-vec_id corpus persisted as
+    * warehouse tables — a vector-payload table for exact re-rank
+    * (family-independent, bucketed on vec_id so verification fetches
+    * co-locate) plus ONE bucket table PER (bits, tables) family,
     * bucketed+sorted on the flattened bkey so probes prune storage
-    * buckets, and the vector payload for exact re-rank, bucketed on
-    * vec_id so verification fetches co-locate. The odd half streams.
-    * Bucket width is [[adaptiveSrpBits]] of the history count; every
-    * reader (stream batches, living topK, the spec's ground-truth
-    * twin) re-derives the same width via [[annBits]], so the family
-    * is consistent by construction. */
-  val AnnHistBucketsTable = s"${CatalogOps.Database}.ann_hist_buckets"
+    * buckets. The odd half streams. Families are per-table-name
+    * because a living index may be RE-SHARDED mid-life
+    * (StreamingAnnIngest.reindex): its statePath pins the family it
+    * currently probes with, and two statePaths over the same history
+    * may legitimately run different families at once. */
   val AnnHistVectorsTable = s"${CatalogOps.Database}.ann_hist_vectors"
+  def annHistBucketsTable(family: (Int, Int)): String =
+    s"${CatalogOps.Database}.ann_hist_buckets_${family._1}_${family._2}"
 
+  /** (dir, history count, built bucket families) per APPLICATION —
+    * keyed by applicationId, NOT SparkSession: Structured Streaming
+    * runs foreachBatch under a CLONED session, so a session-keyed memo
+    * misses on every new streaming query and re-overwrites the vectors
+    * table — a rebuild racing any reader plan that still holds the
+    * previous build's file listing (measured: FILE_NOT_EXIST flakes in
+    * the suite the moment the table build split in two). Session
+    * clones share the application and the warehouse, which is the
+    * identity that matters here. */
   private val histIndexRegistered =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Int)]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Set[(Int, Int)])]
 
-  def ensureAnnHistoryIndex(spark: SparkSession, dir: String): Unit =
-    annBits(spark, dir): Unit
+  private def histState(spark: SparkSession, dir: String): (String, Long, Set[(Int, Int)]) = {
+    val app = spark.sparkContext.applicationId
+    histIndexRegistered.get(app).filter(_._1 == dir).getOrElse {
+      import spark.implicits._
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${CatalogOps.Database}")
+      CatalogOps.clearOrphan(spark, "ann_hist_vectors")
+      val hist = corpus(spark, dir).filter($"vec_id" % 2 === 0)
+      hist.write.bucketBy(IndexBuckets, "vec_id")
+        .mode("overwrite").saveAsTable(AnnHistVectorsTable)
+      val st = (dir, spark.table(AnnHistVectorsTable).count(), Set.empty[(Int, Int)])
+      histIndexRegistered.update(app, st)
+      st
+    }
+  }
 
-  /** Ensures the history index and returns its bucket width. */
-  def annBits(spark: SparkSession, dir: String): Int =
+  /** The DEFAULT family for a fresh living index over this history —
+    * [[adaptiveSrpFamily]] of the history count. A statePath that has
+    * been re-sharded carries its own pinned family instead
+    * (StreamingAnnIngest.familyOf). */
+  def annFamily(spark: SparkSession, dir: String): (Int, Int) =
     histIndexRegistered.synchronized {
-      histIndexRegistered.get(spark).filter(_._1 == dir).map(_._2)
-        .getOrElse {
-          import spark.implicits._
-          spark.sql(s"CREATE DATABASE IF NOT EXISTS ${CatalogOps.Database}")
-          Seq("ann_hist_buckets", "ann_hist_vectors")
-            .foreach(CatalogOps.clearOrphan(spark, _))
-          val dim = Tables.embeddingDim(spark, dir)
-          val hist = corpus(spark, dir).filter($"vec_id" % 2 === 0).persist()
-          try {
-            val bits = adaptiveSrpBits(hist.count())
-            hist.select($"vec_id", srpBkeys(dim, bits).as("bkey"))
-              .write.bucketBy(IndexBuckets, "bkey").sortBy("bkey")
-              .mode("overwrite").saveAsTable(AnnHistBucketsTable)
-            hist.write.bucketBy(IndexBuckets, "vec_id")
-              .mode("overwrite").saveAsTable(AnnHistVectorsTable)
-            histIndexRegistered.update(spark, (dir, bits))
-            bits
-          } finally hist.unpersist(): Unit
-        }
+      adaptiveSrpFamily(histState(spark, dir)._2)
+    }
+
+  /** Idempotently builds the history bucket table for `family` and
+    * returns its name (plus the vectors table on first touch). */
+  def ensureAnnHistoryIndex(spark: SparkSession, dir: String,
+                            family: (Int, Int)): String =
+    histIndexRegistered.synchronized {
+      val (d, n, built) = histState(spark, dir)
+      val table = annHistBucketsTable(family)
+      if (!built.contains(family)) {
+        import spark.implicits._
+        CatalogOps.clearOrphan(spark, table.split("\\.").last)
+        val dim = Tables.embeddingDim(spark, dir)
+        spark.table(AnnHistVectorsTable)
+          .select($"vec_id", srpBkeys(dim, family._1, family._2).as("bkey"))
+          .write.bucketBy(IndexBuckets, "bkey").sortBy("bkey")
+          .mode("overwrite").saveAsTable(table)
+        histIndexRegistered.update(spark.sparkContext.applicationId,
+          (d, n, built + family))
+      }
+      table
     }
 
   /** s6 — ANN served FROM the persisted index: the query-time half of

@@ -94,6 +94,25 @@ final class DeltaState(statePath: String, subs: Seq[(String, String)]) {
   def full(spark: SparkSession, sub: String): DataFrame =
     prior(spark, sub, Long.MaxValue)
 
+  /** Write a NEW base version from `frames` (one per sub, evaluated
+    * lazily at write time) and delete superseded versions. The version
+    * becomes visible only once every sub's `_SUCCESS` committed; a
+    * crash mid-publish leaves an ignored incomplete version and a
+    * re-run overwrites the same version number. Frames may READ the
+    * current base — the new version is a different directory, so the
+    * read side is never overwritten mid-scan. */
+  def publishVersion(spark: SparkSession, frames: Map[String, DataFrame => DataFrame],
+                     source: String => DataFrame): Unit = {
+    val next = completeBaseVersion(spark).getOrElse(-1L) + 1
+    subs.foreach { case (sub, _) =>
+      frames(sub)(source(sub))
+        .write.mode("overwrite").parquet(s"$statePath/base/v$next/$sub")
+    }
+    val fs = fsOf(spark, new Path(statePath))
+    (0L until next).foreach(v =>
+      fs.delete(new Path(s"$statePath/base/v$v"), true))
+  }
+
   /** Fold every committed delta into one compacted living base and
     * delete the folded dirs — bounding per-batch read fan-in, which
     * otherwise grows with stream LIFETIME. Run while the stream is
@@ -104,15 +123,9 @@ final class DeltaState(statePath: String, subs: Seq[(String, String)]) {
     val fold = subs.map { case (s, _) =>
       s -> deltaPaths(spark, s, Long.MaxValue) }.toMap
     if (fold.values.forall(_.isEmpty)) return
-    val next = completeBaseVersion(spark).getOrElse(-1L) + 1
-    subs.foreach { case (sub, _) =>
-      dedup(sub)(full(spark, sub))
-        .write.mode("overwrite").parquet(s"$statePath/base/v$next/$sub")
-    }
-    // Visible now; clean up folded deltas and superseded versions.
+    publishVersion(spark, dedup, sub => full(spark, sub))
+    // Visible now; clean up the folded deltas.
     val fs = fsOf(spark, new Path(statePath))
     fold.values.flatten.foreach(p => fs.delete(p, true))
-    (0L until next).foreach(v =>
-      fs.delete(new Path(s"$statePath/base/v$v"), true))
   }
 }

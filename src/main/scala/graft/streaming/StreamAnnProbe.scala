@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.ScaleUp
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Scale probe for [[StreamingAnnIngest]]: replicate the embeddings
@@ -46,7 +47,8 @@ object StreamAnnProbe {
 
     // Index build (the offline half) timed separately from ingest.
     val t0 = System.nanoTime()
-    graft.operators.Similarity.ensureAnnHistoryIndex(spark, dir)
+    graft.operators.Similarity.ensureAnnHistoryIndex(spark, dir,
+      graft.operators.Similarity.annFamily(spark, dir))
     val buildS = (System.nanoTime() - t0) / 1e9
 
     val base = graft.Scratch.tempDir(s"annprobe_run_$reps")
@@ -69,9 +71,56 @@ object StreamAnnProbe {
     val ingestS = (System.nanoTime() - t1) / 1e9
     val hits = StreamingAnnIngest.hits(spark, state).count()
 
+    // Serving leg: top-k for a 5-vector query payload over the LIVING
+    // index (history + the whole just-ingested stream), uncompacted
+    // then compacted — the question a growing index must answer is
+    // whether query latency tracks the stream's LIFETIME (delta
+    // fan-in) or stays bucket-bounded after the fold.
+    val queries = graft.Tables(spark, dir).embeddings
+      .filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"embedding")
+      .localCheckpoint(true)
+    def timeTopK(): Double = {
+      val t = System.nanoTime()
+      StreamingAnnIngest.topK(spark, dir, state, queries)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    val qDeltas = (1 to 3).map(_ => timeTopK()).sorted.apply(1)
+    val tc = System.nanoTime()
+    StreamingAnnIngest.compact(spark, state)
+    val compactS = (System.nanoTime() - tc) / 1e9
+    val qBase = (1 to 3).map(_ => timeTopK()).sorted.apply(1)
+
+    // Recall leg: the served top-10 vs the EXACT brute-force top-10
+    // over the same visible set (history ∪ the whole stream = the full
+    // replica table) — the adaptive family's claim is that recall does
+    // NOT decay as bits widen, so measure it where it would.
+    val (bits, tables) = StreamingAnnIngest.familyOf(spark, dir, state)
+    import org.apache.spark.sql.expressions.Window
+    val all = graft.Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding",
+        sqrt(call_function("float_dot", $"embedding", $"embedding")).as("nrm"))
+    val exact = all
+      .join(broadcast(queries.withColumn("qn",
+        sqrt(call_function("float_dot", $"embedding", $"embedding")))
+        .withColumnRenamed("embedding", "qe")), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(call_function("float_dot", $"qe", $"embedding") / ($"qn" * $"nrm"), 6)
+          .as("sim_r"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")))
+      .filter($"rank" <= 10).select($"query_id", $"neighbor_id")
+    val served = StreamingAnnIngest.topK(spark, dir, state, queries)
+      .select($"query_id", $"neighbor_id")
+    val nQ = queries.count()
+    val recall = served.intersect(exact).count().toDouble / (10.0 * nQ)
+
     println(f"""{"probe":"stream_ann_ingest","replicas":$reps,"n_vecs":$nVecs,""" +
-      f""""slices":$nSlices,"files_per_trigger":$fpt,"index_build_s":$buildS%.1f,""" +
-      f""""ingest_wall_s":$ingestS%.1f,"vecs_per_s":${nVecs / ingestS}%.0f,"hits":$hits}""")
+      f""""slices":$nSlices,"files_per_trigger":$fpt,"bits":$bits,"tables":$tables,""" +
+      f""""index_build_s":$buildS%.1f,""" +
+      f""""ingest_wall_s":$ingestS%.1f,"vecs_per_s":${nVecs / ingestS}%.0f,"hits":$hits,""" +
+      f""""topk_deltas_s":$qDeltas%.2f,"compact_s":$compactS%.1f,"topk_compacted_s":$qBase%.2f,""" +
+      f""""recall_at_10":$recall%.2f}""")
     spark.stop()
   }
 }

@@ -30,8 +30,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Per-arrival product (`hits/<batchId>`): each arriving vector's
   * exact-cosine top-[[TopK]] over its SRP-LSH candidates (vectors
-  * sharing ≥1 of the 8 flattened bucket keys — exactly s3/s6's
-  * candidate rule) among history vectors and EARLIER arrivals
+  * sharing ≥1 flattened bucket key of the history-size-adaptive
+  * (bits, tables) family — s3/s6's candidate rule, both dials moving
+  * with corpus size; see `Similarity.adaptiveSrpFamily`) among
+  * history vectors and EARLIER arrivals
   * (earlier micro-batch, or smaller vec_id within the same batch).
   * Indexing every vector and ordering within-batch by vec_id makes
   * the hit set a pure function of the arrival prefix — invariant to
@@ -50,8 +52,8 @@ import org.apache.spark.sql.types.StructType
   * batch's bucket keys BROADCAST against the bucketed history table
   * (storage-bucket-pruned, s6's layout) and against the accumulated
   * deltas; vector payloads are fetched for candidates only. Delta
-  * state grows with STREAM volume (8 narrow bucket rows + 1 payload
-  * row per vector); read fan-in is bounded by compaction. At
+  * state grows with STREAM volume (`tables` narrow bucket rows + 1
+  * payload row per vector); read fan-in is bounded by compaction. At
   * production scale the fold is a transactional append to the
   * bucketed index tables themselves. */
 object StreamingAnnIngest {
@@ -62,19 +64,81 @@ object StreamingAnnIngest {
   private val Subs = Seq(
     "buckets" -> "vec_id BIGINT, bkey BIGINT",
     "vectors" -> "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE",
-    "hits" -> "query_id BIGINT, rank BIGINT, neighbor_id BIGINT, sim_r DOUBLE")
+    "hits" -> "query_id BIGINT, rank BIGINT, neighbor_id BIGINT, sim_r DOUBLE",
+    // One row after a re-shard: the (bits, tables) family this
+    // statePath's bucket rows are hashed with. Absent = the default
+    // family derived from history size (Similarity.annFamily).
+    "family" -> "bits INT, tables INT")
   private def state(sp: String) = new DeltaState(sp, Subs)
+
+  private val FoldDedup: Map[String, DataFrame => DataFrame] = Map(
+    "buckets" -> (_.distinct()),
+    "vectors" -> (_.dropDuplicates("vec_id")),
+    "hits" -> (_.distinct()),
+    "family" -> (_.distinct()))
+
+  /** The (bits, tables) family THIS statePath probes and appends with:
+    * the pinned marker a [[reindex]] published, else the default
+    * family derived from history size. Pinning matters because bucket
+    * keys are only comparable within one family — every index row in
+    * the statePath is hashed with exactly this family, and only a
+    * reindex (which rehashes everything) may change it. */
+  def familyOf(spark: SparkSession, dir: String, statePath: String): (Int, Int) = {
+    import spark.implicits._
+    state(statePath).livingBase(spark, "family")
+      .as[(Int, Int)].collect().headOption
+      .getOrElse(Similarity.annFamily(spark, dir))
+  }
 
   /** Fold every committed delta into one compacted living base and
     * delete the folded dirs — [[DeltaState.compact]]'s algebra. Hits
     * fold too (they share the grows-with-lifetime fan-in pathology);
     * hits produced by later batches are IDENTICAL with or without
-    * compaction (spec-pinned). */
+    * compaction (spec-pinned). The family marker, if any, carries
+    * forward unchanged. */
   def compact(spark: SparkSession, statePath: String): Unit =
-    state(statePath).compact(spark, Map(
-      "buckets" -> (_.distinct()),
-      "vectors" -> (_.dropDuplicates("vec_id")),
-      "hits" -> (_.distinct())))
+    state(statePath).compact(spark, FoldDedup)
+
+  /** Maintenance-window RE-SHARD: the adaptive family is sized from
+    * history at index birth, so a stream that OUTGROWS its history
+    * would drift past the occupancy target (per-arrival candidate
+    * volume creeping back toward linear). reindex() is the LSM
+    * re-sharding pass production vector stores run: fold everything
+    * ([[compact]]), re-derive the family from the FULL visible corpus
+    * (history + stream), rehash every indexed vector's bucket rows
+    * under it, rebuild the history bucket table at the new family, and
+    * pin the family in the published base version so every later
+    * batch, replay, and query agrees. Vectors, hits, and COMMITTED
+    * history are untouched — hits are immutable arrival-time facts.
+    *
+    * Caveat (the one replay window): a batch that completed
+    * processBatch but whose checkpoint commit never landed replays
+    * AFTER the reindex under the NEW family — its rewritten hits are
+    * self-consistent under that family but may differ from the
+    * uncommitted attempt's (those rows were never covered by a
+    * commit). Same class as the documented crash-fold window.
+    *
+    * `force` overrides the derived family (specs; capacity planning
+    * ahead of a known backfill). */
+  def reindex(spark: SparkSession, dir: String, statePath: String,
+              force: Option[(Int, Int)] = None): Unit = {
+    import spark.implicits._
+    val st = state(statePath)
+    st.compact(spark, FoldDedup)
+    Similarity.annFamily(spark, dir): Unit // ensures the vectors table
+    val nHist = spark.table(Similarity.AnnHistVectorsTable).count()
+    val fam = force.getOrElse(Similarity.adaptiveSrpFamily(
+      nHist + st.livingBase(spark, "vectors").count()))
+    Similarity.ensureAnnHistoryIndex(spark, dir, fam): Unit
+    val dim = Tables.embeddingDim(spark, dir)
+    st.publishVersion(spark, Map(
+      "buckets" -> (_ => st.livingBase(spark, "vectors")
+        .select($"vec_id", Similarity.srpBkeys(dim, fam._1, fam._2).as("bkey"))),
+      "vectors" -> (d => d),
+      "hits" -> (d => d),
+      "family" -> (_ => Seq(fam).toDF("bits", "tables"))),
+      sub => st.livingBase(spark, sub))
+  }
 
   /** Exact-cosine top-k re-rank of candidate pairs. `sims` carries
     * (query_id, neighbor_id, sim_r); duplicates (a pair reachable
@@ -100,11 +164,14 @@ object StreamingAnnIngest {
     val spark = batch.sparkSession
     import spark.implicits._
     val st = state(statePath)
-    // Bucket width adapts to history size (constant expected occupancy
-    // → per-arrival candidate volume O(1), the stream linear in total);
-    // every reader re-derives the same width, so delta and base keys
-    // agree by construction.
-    val bits = Similarity.annBits(spark, dir)
+    // The bucket family adapts on BOTH dials — width for constant
+    // expected occupancy (per-arrival candidate volume O(1), the
+    // stream linear in total) and table count to hold the design
+    // recall the widening would otherwise silently trade. The family
+    // is the statePath's PINNED one (set by reindex) or the history-
+    // derived default, so delta and base keys agree by construction.
+    val fam @ (bits, tables) = familyOf(spark, dir, statePath)
+    val histBuckets = Similarity.ensureAnnHistoryIndex(spark, dir, fam)
     val dim = Tables.embeddingDim(spark, dir)
 
     // Row-local signature work on the batch only (the arriving shard is
@@ -113,7 +180,8 @@ object StreamingAnnIngest {
     val arr = batch.select($"vec_id", $"embedding",
       Similarity.vecNorm(spark, $"embedding").as("nrm")).persist()
     try {
-      val qb = arr.select($"vec_id", Similarity.srpBkeys(dim, bits).as("bkey"))
+      val qb = arr.select($"vec_id",
+        Similarity.srpBkeys(dim, bits, tables).as("bkey"))
       val batchB = qb.select($"vec_id".as("query_id"), $"bkey")
 
       // Candidates from the three index strata + the batch itself. The
@@ -121,7 +189,7 @@ object StreamingAnnIngest {
       // table (d10/s6's no-shuffle-on-the-corpus property) and the
       // accumulated deltas. Within-batch pairs order by vec_id — the
       // arrival tiebreak that makes hits split-invariant.
-      val histCand = spark.table(Similarity.AnnHistBucketsTable)
+      val histCand = spark.table(histBuckets)
         .join(broadcast(batchB), Seq("bkey"))
         .select($"vec_id".as("neighbor_id"), $"query_id")
       // Whole-batch anti-join: if the stream died between processBatch
@@ -199,13 +267,14 @@ object StreamingAnnIngest {
            queries: DataFrame, k: Int = TopK): DataFrame = {
     import spark.implicits._
     val st = state(statePath)
-    val bits = Similarity.annBits(spark, dir)
+    val fam @ (bits, tables) = familyOf(spark, dir, statePath)
+    val histBuckets = Similarity.ensureAnnHistoryIndex(spark, dir, fam)
     val dim = Tables.embeddingDim(spark, dir)
     val q = queries.select($"query_id", $"embedding".as("qe"),
       Similarity.vecNorm(spark, $"embedding").as("qn"))
     val qb = queries.select($"query_id",
-      Similarity.srpBkeys(dim, bits).as("bkey"))
-    val cand = spark.table(Similarity.AnnHistBucketsTable)
+      Similarity.srpBkeys(dim, bits, tables).as("bkey"))
+    val cand = spark.table(histBuckets)
       .unionByName(st.full(spark, "buckets"))
       .join(broadcast(qb), Seq("bkey"))
       .filter($"vec_id" =!= $"query_id")

@@ -30,16 +30,19 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
   private lazy val expectedHits: Set[(Long, Long, Long, Double)] = {
     import spark.implicits._
     val dim = Tables.embeddingDim(spark, dir)
-    val bits = Similarity.annBits(spark, dir)
+    val (bits, tables) = Similarity.annFamily(spark, dir)
     // The sf0.001 history (250 vectors) sits below the adaptive
-    // threshold, so the width the stream derives IS the oracle-gated
-    // 8-bit family — pinned so a fixture regrowth that silently crossed
-    // the threshold can't make this spec vacuous about the s3 family.
-    assert(bits == 8, s"sf0.001 history should use the fixed family, got $bits")
+    // threshold, so the family the stream derives IS the oracle-gated
+    // 8-bit/8-table one — pinned so a fixture regrowth that silently
+    // crossed the threshold can't make this spec vacuous about the s3
+    // family.
+    assert((bits, tables) == (8, 8),
+      s"sf0.001 history should use the fixed family, got ($bits, $tables)")
     val emb = Tables(spark, dir).embeddings
     val vecs = emb.select($"vec_id", $"embedding",
       Similarity.vecNorm(spark, $"embedding").as("nrm")).cache()
-    val bk = emb.select($"vec_id", Similarity.srpBkeys(dim, bits).as("bkey"))
+    val bk = emb.select($"vec_id",
+      Similarity.srpBkeys(dim, bits, tables).as("bkey"))
     val cand = bk.join(
         bk.filter($"vec_id" % 2 === 1)
           .select($"vec_id".as("query_id"), $"bkey"), Seq("bkey"))
@@ -81,13 +84,68 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
   }
 
-  test("adaptive bucket width: floor 8, log-growth with history, cap 16") {
-    assert(Similarity.adaptiveSrpBits(0) == 8)
-    assert(Similarity.adaptiveSrpBits(250) == 8)     // sf-fixture regime
-    assert(Similarity.adaptiveSrpBits(4096) == 8)    // last of the floor
-    assert(Similarity.adaptiveSrpBits(4097) == 9)    // first widening
-    assert(Similarity.adaptiveSrpBits(65536) == 12)  // ~16/bucket/table
-    assert(Similarity.adaptiveSrpBits(1L << 30) == 16) // injectivity cap
+  /** Living-index topK for the standard 5-vector payload. */
+  private def servedTopK(statePath: String): Set[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    val queries = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    StreamingAnnIngest.topK(spark, dir, statePath, queries)
+      .as[(Long, Long, Long, Double)].collect().toSet
+  }
+
+  /** The batch-rebuild twin of [[servedTopK]] under an explicit family:
+    * candidates share ≥1 flattened bucket over the FULL corpus (history
+    * ∪ every streamed vector), self excluded, exact-cosine top-10. */
+  private def topKTwin(bits: Int, tables: Int): Set[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    val dim = Tables.embeddingDim(spark, dir)
+    val emb = Tables(spark, dir).embeddings
+    val vecs = emb.select($"vec_id", $"embedding",
+      Similarity.vecNorm(spark, $"embedding").as("nrm"))
+    val bk = emb.select($"vec_id",
+      Similarity.srpBkeys(dim, bits, tables).as("bkey"))
+    val cand = bk.join(
+        bk.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"bkey"),
+        Seq("bkey"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"vec_id".as("neighbor_id"), $"query_id").distinct()
+    val sims = cand
+      .join(vecs.select($"vec_id".as("neighbor_id"),
+        $"embedding".as("ne"), $"nrm".as("nn")), Seq("neighbor_id"))
+      .join(vecs.select($"vec_id".as("query_id"),
+        $"embedding".as("qe"), $"nrm".as("qn")), Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        round(call_function("float_dot", $"qe", $"ne") / ($"qn" * $"nn"), 6)
+          .as("sim_r")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= StreamingAnnIngest.TopK)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+      .as[(Long, Long, Long, Double)].collect().toSet
+  }
+
+  test("adaptive family: width floor 8 / log-growth / cap 16; tables grow to hold the design recall") {
+    // The fixture regime and the floor: exactly the oracle-gated family.
+    assert(Similarity.adaptiveSrpFamily(0) == ((8, 8)))
+    assert(Similarity.adaptiveSrpFamily(250) == ((8, 8)))  // sf fixtures
+    assert(Similarity.adaptiveSrpFamily(4096) == ((8, 8))) // last of the floor
+    // Width grows with log(n); the table count grows alongside so the
+    // cos-0.9 collision recall stays ≥ the 8-bit/8-table design value.
+    val q = 1.0 - math.acos(0.9) / math.Pi
+    val r8 = 1.0 - math.pow(1.0 - math.pow(q, 8), 8)
+    for (n <- Seq(4097L, 65536L, 1L << 20, 1L << 30)) {
+      val (bits, tables) = Similarity.adaptiveSrpFamily(n)
+      assert(bits == math.min(16, math.max(8,
+        math.ceil(math.log(n / 16.0) / math.log(2.0)).toInt)))
+      val recall = 1.0 - math.pow(1.0 - math.pow(q, bits), tables)
+      assert(recall >= r8 - 1e-12,
+        f"family ($bits,$tables) at n=$n holds recall $recall%.4f < design $r8%.4f")
+      // ...and doesn't overshoot: one table fewer would drop below.
+      val under = 1.0 - math.pow(1.0 - math.pow(q, bits), tables - 1)
+      assert(under < r8, s"family ($bits,$tables) at n=$n wastes tables")
+    }
+    assert(Similarity.adaptiveSrpFamily(1L << 30)._1 == 16) // injectivity cap
   }
 
   test("streamed hits == sequential ground truth, across a mid-stream kill/restart") {
@@ -167,39 +225,57 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
     // Serving over the living index: a fresh query payload's top-k must
     // equal the batch twin over history ∪ ALL streamed vectors — the
     // full-corpus rule with the query excluded from its own neighbors.
-    val dim = Tables.embeddingDim(spark, dir)
-    val bits = Similarity.annBits(spark, dir)
-    val emb = Tables(spark, dir).embeddings
-    val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"embedding")
-    val served = StreamingAnnIngest.topK(spark, dir, state, queries)
-      .as[(Long, Long, Long, Double)].collect().toSet
-    val vecs = emb.select($"vec_id", $"embedding",
-      Similarity.vecNorm(spark, $"embedding").as("nrm"))
-    val bk = emb.select($"vec_id", Similarity.srpBkeys(dim, bits).as("bkey"))
-    val twin = {
-      val cand = bk.join(
-          bk.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"bkey"),
-          Seq("bkey"))
-        .filter($"vec_id" =!= $"query_id")
-        .select($"vec_id".as("neighbor_id"), $"query_id").distinct()
-      val sims = cand
-        .join(vecs.select($"vec_id".as("neighbor_id"),
-          $"embedding".as("ne"), $"nrm".as("nn")), Seq("neighbor_id"))
-        .join(vecs.select($"vec_id".as("query_id"),
-          $"embedding".as("qe"), $"nrm".as("qn")), Seq("query_id"))
-        .select($"query_id", $"neighbor_id",
-          round(call_function("float_dot", $"qe", $"ne") / ($"qn" * $"nn"), 6)
-            .as("sim_r")).distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
-      sims.withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= StreamingAnnIngest.TopK)
-        .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
-        .as[(Long, Long, Long, Double)].collect().toSet
-    }
-    assert(served == twin,
+    val (bits, tables) = Similarity.annFamily(spark, dir)
+    assert(servedTopK(state) == topKTwin(bits, tables),
       "living-index serving diverged from the batch-rebuild twin")
+  }
+
+  test("reindex: maintenance-window re-shard — family pinned, everything rehashed, continuity across the boundary") {
+    import spark.implicits._
+    val state = graft.Scratch.tempDir("ann_reindex") + "/state"
+    val b0 = streamedOdds.filter($"vec_id" < 250).localCheckpoint(true)
+    val b1 = streamedOdds.filter($"vec_id" >= 250).localCheckpoint(true)
+    StreamingAnnIngest.processBatch(dir, state)(b0, 0L)
+    StreamingAnnIngest.processBatch(dir, state)(b1, 1L)
+    assert(hitSet(state) == expectedHits) // sanity under the default family
+
+    // Re-shard to a deliberately wider family (the fixture never crosses
+    // the adaptive threshold on its own).
+    StreamingAnnIngest.reindex(spark, dir, state, force = Some((10, 12)))
+    assert(StreamingAnnIngest.familyOf(spark, dir, state) == ((10, 12)),
+      "the published family marker must pin the new family")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/buckets/0")),
+      "reindex must have folded the deltas")
+    // Every indexed vector's bucket rows were rehashed: exactly 12 per
+    // vector (flattened keys are distinct across tables by construction).
+    val perVec = spark.read.parquet(s"$state/base/v1/buckets")
+      .groupBy($"vec_id").count().select($"count").distinct()
+      .as[Long].collect().toSeq
+    assert(perVec == Seq(12L), s"rehash must emit 12 bucket rows/vector: $perVec")
+
+    // Hits are immutable arrival-time facts — unchanged by the re-shard.
+    assert(hitSet(state) == expectedHits, "reindex must not rewrite hits")
+
+    // Serving equals the batch twin UNDER THE NEW FAMILY (consistency is
+    // the contract; the candidate rule legitimately changes with it).
+    assert(servedTopK(state) == topKTwin(10, 12),
+      "post-reindex serving diverged from the new-family twin")
+
+    // Continuity: a post-reindex arrival whose nearest neighbor was
+    // indexed PRE-reindex (under 8/8) must still retrieve it — the
+    // rehash made the old rows reachable in the new key space.
+    val seed = b0.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].head()
+    val b2 = spark.createDataFrame(Seq((8888888L, seed._2.map(_ * 2.0f))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    StreamingAnnIngest.processBatch(dir, state)(b2, 2L)
+    val top = StreamingAnnIngest.hits(spark, state)
+      .filter($"query_id" === 8888888L && $"rank" === 1)
+      .select($"neighbor_id", $"sim_r").as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.head._1 == seed._1 && top.head._2 == 1.0,
+      s"post-reindex arrival must retrieve its pre-reindex twin: ${top.toSeq}")
   }
 
   test("replay after compact() folded its own uncommitted delta: within-batch order survives, no reversed or self hits") {
