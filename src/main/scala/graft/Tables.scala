@@ -143,17 +143,22 @@ object Tables {
   private val relationCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** Embedding dimensionality, probed ONCE per (session, dir). The
+  /** Embedding dimensionality, probed ONCE per (application, dir). The
     * element count of a variable-length list column is not carried in
     * the parquet schema, so the first call runs one single-row job;
     * memoizing it keeps plan BUILDS job-free — s3/s4 construct
     * dim-sized hyperplane literals at plan time, and a driver-blocking
-    * mini-job per plan build was measurable fixed cost per query. */
+    * mini-job per plan build was measurable fixed cost per query.
+    * Keyed by applicationId, not SparkSession: Structured Streaming's
+    * foreachBatch runs under a CLONED session per query, and a
+    * session-keyed memo would both re-run the probe job on every new
+    * streaming query and accumulate entries pinning dead session
+    * clones (the histIndexRegistered lesson, same class). */
   private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
 
   def embeddingDim(spark: SparkSession, dir: String): Int =
-    dimCache.getOrElseUpdate((spark, dir), {
+    dimCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.functions.{col, size}
       Tables(spark, dir).embeddings
         .select(size(col("embedding"))).head().getInt(0)

@@ -674,6 +674,12 @@ object Similarity extends QueryModule {
       adaptiveSrpFamily(histState(spark, dir)._2)
     }
 
+  /** The memoized history-vector count (ensures the vectors table on
+    * first touch) — so reindex's family derivation never pays a
+    * redundant corpus-sized count job. */
+  def annHistoryCount(spark: SparkSession, dir: String): Long =
+    histIndexRegistered.synchronized { histState(spark, dir)._2 }
+
   /** Idempotently builds the history bucket table for `family` and
     * returns its name (plus the vectors table on first touch). */
   def ensureAnnHistoryIndex(spark: SparkSession, dir: String,

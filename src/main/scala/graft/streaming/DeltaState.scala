@@ -117,15 +117,25 @@ final class DeltaState(statePath: String, subs: Seq[(String, String)]) {
     * delete the folded dirs — bounding per-batch read fan-in, which
     * otherwise grows with stream LIFETIME. Run while the stream is
     * stopped (a maintenance window, like w9's table service).
-    * `dedup` is the per-sub fold normalization (distinct /
-    * dropDuplicates on the sub's natural key). */
-  def compact(spark: SparkSession, dedup: Map[String, DataFrame => DataFrame]): Unit = {
-    val fold = subs.map { case (s, _) =>
+    * `fold` is the per-sub combine: it receives the CURRENT living
+    * base and the union of complete deltas SEPARATELY, so a sub whose
+    * replay may legitimately rewrite rows (the ANN index's hits after
+    * a reindex changed the family) can give delta rows precedence
+    * over already-folded base rows, while plain subs just
+    * union+distinct. */
+  def compact(spark: SparkSession,
+              fold: Map[String, (DataFrame, DataFrame) => DataFrame]): Unit = {
+    val folded = subs.map { case (s, _) =>
       s -> deltaPaths(spark, s, Long.MaxValue) }.toMap
-    if (fold.values.forall(_.isEmpty)) return
-    publishVersion(spark, dedup, sub => full(spark, sub))
+    if (folded.values.forall(_.isEmpty)) return
+    publishVersion(spark,
+      subs.map { case (s, _) =>
+        s -> ((_: DataFrame) =>
+          fold(s)(livingBase(spark, s), priorDeltas(spark, s, Long.MaxValue)))
+      }.toMap,
+      sub => livingBase(spark, sub))
     // Visible now; clean up the folded deltas.
     val fs = fsOf(spark, new Path(statePath))
-    fold.values.flatten.foreach(p => fs.delete(p, true))
+    folded.values.flatten.foreach(p => fs.delete(p, true))
   }
 }

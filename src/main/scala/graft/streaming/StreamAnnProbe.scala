@@ -97,12 +97,15 @@ object StreamAnnProbe {
     // NOT decay as bits widen, so measure it where it would.
     val (bits, tables) = StreamingAnnIngest.familyOf(spark, dir, state)
     import org.apache.spark.sql.expressions.Window
+    // Norms via Similarity.vecNorm — ONE definition of the engine's
+    // cosine-norm fold (an inline copy here would let the probe's
+    // "exact" ground truth silently diverge from the served path).
     val all = graft.Tables(spark, dir).embeddings
       .select($"vec_id", $"embedding",
-        sqrt(call_function("float_dot", $"embedding", $"embedding")).as("nrm"))
+        graft.operators.Similarity.vecNorm(spark, $"embedding").as("nrm"))
     val exact = all
       .join(broadcast(queries.withColumn("qn",
-        sqrt(call_function("float_dot", $"embedding", $"embedding")))
+        graft.operators.Similarity.vecNorm(spark, $"embedding"))
         .withColumnRenamed("embedding", "qe")), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         round(call_function("float_dot", $"qe", $"embedding") / ($"qn" * $"nrm"), 6)

@@ -71,22 +71,45 @@ object StreamingAnnIngest {
     "family" -> "bits INT, tables INT")
   private def state(sp: String) = new DeltaState(sp, Subs)
 
-  private val FoldDedup: Map[String, DataFrame => DataFrame] = Map(
-    "buckets" -> (_.distinct()),
-    "vectors" -> (_.dropDuplicates("vec_id")),
-    "hits" -> (_.distinct()),
-    "family" -> (_.distinct()))
+  private val FoldDedup: Map[String, (DataFrame, DataFrame) => DataFrame] = Map(
+    "buckets" -> ((b, d) => b.unionByName(d).distinct()),
+    "vectors" -> ((b, d) => b.unionByName(d).dropDuplicates("vec_id")),
+    "hits" -> ((b, d) => supersede(b, d, "query_id")),
+    "family" -> ((b, d) => b.unionByName(d).distinct()))
+
+  /** Supersede-by-owner fold: delta rows WIN over base rows carrying
+    * the same key. Needed for hits because a replayed batch may
+    * legitimately REWRITE its rows — if a batch completed processBatch
+    * but its checkpoint commit never landed, a maintenance [[reindex]]
+    * can fold its hits AND change the family, and the replay then
+    * computes a (self-consistent but different) top-10 under the new
+    * family. Without precedence, both sets would sit in the base
+    * forever and (query_id, rank) would stop being a key; with it,
+    * the replay's delta supersedes the folded copy here and in
+    * [[hits]], and the state converges. */
+  private def supersede(base: DataFrame, deltas: DataFrame, key: String): DataFrame =
+    base.join(deltas.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(deltas).distinct()
 
   /** The (bits, tables) family THIS statePath probes and appends with:
     * the pinned marker a [[reindex]] published, else the default
     * family derived from history size. Pinning matters because bucket
     * keys are only comparable within one family — every index row in
     * the statePath is hashed with exactly this family, and only a
-    * reindex (which rehashes everything) may change it. */
+    * reindex (which rehashes everything) may change it. The marker
+    * collect is memoized per (statePath, base version): the family can
+    * only change when a reindex publishes a NEW version, so the
+    * version number is exactly its cache key — no per-micro-batch
+    * marker job. */
+  private val familyMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Option[(Int, Int)]]
+
   def familyOf(spark: SparkSession, dir: String, statePath: String): (Int, Int) = {
     import spark.implicits._
-    state(statePath).livingBase(spark, "family")
-      .as[(Int, Int)].collect().headOption
+    val st = state(statePath)
+    st.completeBaseVersion(spark)
+      .flatMap(v => familyMemo.getOrElseUpdate((statePath, v),
+        st.livingBase(spark, "family").as[(Int, Int)].collect().headOption))
       .getOrElse(Similarity.annFamily(spark, dir))
   }
 
@@ -125,10 +148,9 @@ object StreamingAnnIngest {
     import spark.implicits._
     val st = state(statePath)
     st.compact(spark, FoldDedup)
-    Similarity.annFamily(spark, dir): Unit // ensures the vectors table
-    val nHist = spark.table(Similarity.AnnHistVectorsTable).count()
     val fam = force.getOrElse(Similarity.adaptiveSrpFamily(
-      nHist + st.livingBase(spark, "vectors").count()))
+      Similarity.annHistoryCount(spark, dir)
+        + st.livingBase(spark, "vectors").count()))
     Similarity.ensureAnnHistoryIndex(spark, dir, fam): Unit
     val dim = Tables.embeddingDim(spark, dir)
     st.publishVersion(spark, Map(
@@ -185,12 +207,22 @@ object StreamingAnnIngest {
       val batchB = qb.select($"vec_id".as("query_id"), $"bkey")
 
       // Candidates from the three index strata + the batch itself. The
-      // batch's bucket keys broadcast against the bucketed history
-      // table (d10/s6's no-shuffle-on-the-corpus property) and the
-      // accumulated deltas. Within-batch pairs order by vec_id — the
-      // arrival tiebreak that makes hits split-invariant.
+      // batch's bucket keys broadcast against the history bucket table
+      // — d10's no-shuffle-on-the-corpus posture: one columnar scan of
+      // the NARROW index per batch (a broadcast join cannot prune
+      // storage buckets; the literal-IN pruning s6 uses is the serving
+      // path's lever, see topK) — and against the accumulated deltas.
+      // Within-batch pairs order by vec_id — the arrival tiebreak that
+      // makes hits split-invariant. Precondition carried from the
+      // LSH twin: vec_ids are unique across history ∪ stream. The
+      // =!= guard below is defense-in-depth if that is violated (a
+      // vector would otherwise retrieve ITSELF from the history table
+      // at sim 1.0); the whole-batch anti-join additionally assumes a
+      // batch's ids can reappear in prior state only via its own
+      // crash-folded attempt.
       val histCand = spark.table(histBuckets)
         .join(broadcast(batchB), Seq("bkey"))
+        .filter($"vec_id" =!= $"query_id")
         .select($"vec_id".as("neighbor_id"), $"query_id")
       // Whole-batch anti-join: if the stream died between processBatch
       // and the checkpoint commit and a maintenance compact() folded
@@ -252,9 +284,16 @@ object StreamingAnnIngest {
 
   /** All retrieval-at-arrival hits the stream has completely written
     * so far (query_id = the arrived vector, ranked neighbors among
-    * history ∪ earlier arrivals). Empty frame before any batch. */
-  def hits(spark: SparkSession, statePath: String): DataFrame =
-    state(statePath).full(spark, "hits").distinct()
+    * history ∪ earlier arrivals). Empty frame before any batch.
+    * Delta rows supersede base rows per query_id (see [[supersede]]):
+    * a replay's rewrite wins over a copy a maintenance fold already
+    * froze, so (query_id, rank) stays a key even across the
+    * reindex-replay window. */
+  def hits(spark: SparkSession, statePath: String): DataFrame = {
+    val st = state(statePath)
+    supersede(st.livingBase(spark, "hits"),
+      st.priorDeltas(spark, "hits", Long.MaxValue), "query_id")
+  }
 
   /** Serve a top-k query OVER the living index: candidates from the
     * bucketed history table ∪ every streamed vector (compacted base ∪
@@ -274,8 +313,17 @@ object StreamingAnnIngest {
       Similarity.vecNorm(spark, $"embedding").as("qn"))
     val qb = queries.select($"query_id",
       Similarity.srpBkeys(dim, bits, tables).as("bkey"))
-    val cand = spark.table(histBuckets)
-      .unionByName(st.full(spark, "buckets"))
+    // Serving-path bucket pruning, s6's pattern: the payload's bucket
+    // keys (O(|queries|·tables) — request payload, never corpus data)
+    // become a literal IN-filter, so the bucketed history table scan
+    // prunes storage buckets and the delta scans skip row-groups by
+    // min/max. Skipped for pathological payloads whose key set would
+    // bloat the plan — the broadcast join alone stays correct.
+    val keys = qb.select($"bkey").distinct().as[Long].collect()
+    def pruned(df: DataFrame): DataFrame =
+      if (keys.length <= 4096) df.filter($"bkey".isin(keys: _*)) else df
+    val cand = pruned(spark.table(histBuckets))
+      .unionByName(pruned(st.full(spark, "buckets")))
       .join(broadcast(qb), Seq("bkey"))
       .filter($"vec_id" =!= $"query_id")
       .select($"vec_id".as("neighbor_id"), $"query_id")

@@ -75,9 +75,12 @@ object StreamingLshIngest {
     * batches are IDENTICAL with or without compaction (spec-pinned). */
   def compact(spark: SparkSession, statePath: String): Unit =
     state(statePath).compact(spark, Map(
-      "bands" -> (_.distinct()),
-      "sketches" -> (_.dropDuplicates("doc_id")),
-      "flags" -> (_.distinct())))
+      // Replays here are provably bit-identical (the band family never
+      // changes), so plain union+distinct folds suffice — contrast the
+      // ANN living index's supersede-fold for hits.
+      "bands" -> ((b, d) => b.unionByName(d).distinct()),
+      "sketches" -> ((b, d) => b.unionByName(d).dropDuplicates("doc_id")),
+      "flags" -> ((b, d) => b.unionByName(d).distinct())))
 
   /** The `foreachBatch` body — public so specs can drive one batch. */
   def processBatch(dir: String, statePath: String)

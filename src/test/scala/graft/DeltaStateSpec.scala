@@ -17,7 +17,9 @@ class DeltaStateSpec extends AnyFunSuite {
     spark.sparkContext.hadoopConfiguration)
 
   private val Subs = Seq("rows" -> "id BIGINT, v BIGINT")
-  private val Dedup = Map("rows" -> ((d: org.apache.spark.sql.DataFrame) => d.distinct()))
+  private val Dedup = Map("rows" ->
+    ((b: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) =>
+      b.unionByName(d).distinct()))
 
   private def writeDelta(st: DeltaState, b: Long, rows: Seq[(Long, Long)]): Unit = {
     import spark.implicits._

@@ -278,6 +278,41 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
       s"post-reindex arrival must retrieve its pre-reindex twin: ${top.toSeq}")
   }
 
+  test("reindex replay window: a batch folded then replayed under the NEW family leaves exactly ONE hit set") {
+    import spark.implicits._
+    val state = graft.Scratch.tempDir("ann_reindex_replay") + "/state"
+    // One crafted vector whose rank-1 neighbor is a HISTORY vector (an
+    // exact-direction twin of even vec 2) — collides in every family.
+    val seed = Tables(spark, dir).embeddings
+      .filter($"vec_id" === 2).select($"embedding").as[Seq[Float]].head()
+    val batch = spark.createDataFrame(Seq((9100001L, seed.map(_ * 2.0f))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // The window: processBatch completes, the checkpoint commit never
+    // lands, and a maintenance reindex folds the batch's hits AND
+    // changes the family...
+    StreamingAnnIngest.processBatch(dir, state)(batch, 0L)
+    StreamingAnnIngest.reindex(spark, dir, state, force = Some((10, 12)))
+    // ...then the batch REPLAYS under the new family. Its rewritten
+    // top-10 is self-consistent under (10,12) but may differ from the
+    // folded attempt's — the delta must SUPERSEDE the frozen base copy,
+    // or (query_id, rank) stops being a key forever.
+    StreamingAnnIngest.processBatch(dir, state)(batch, 0L)
+    val perRank = StreamingAnnIngest.hits(spark, state)
+      .groupBy($"query_id", $"rank").count()
+      .agg(max($"count")).as[Long].head()
+    assert(perRank == 1L,
+      "reindex+replay left divergent hit sets for the same (query_id, rank)")
+    val top = StreamingAnnIngest.hits(spark, state)
+      .filter($"query_id" === 9100001L && $"rank" === 1)
+      .select($"neighbor_id", $"sim_r").as[(Long, Double)].collect()
+    assert(top.toSeq == Seq((2L, 1.0)), s"rank-1 must be the twin: ${top.toSeq}")
+    // A later fold keeps the supersede outcome (delta wins, then folds).
+    StreamingAnnIngest.compact(spark, state)
+    assert(StreamingAnnIngest.hits(spark, state)
+      .groupBy($"query_id", $"rank").count()
+      .agg(max($"count")).as[Long].head() == 1L)
+  }
+
   test("replay after compact() folded its own uncommitted delta: within-batch order survives, no reversed or self hits") {
     import spark.implicits._
     // Two same-direction vectors (cosine 1) in ONE batch, ids far above
