@@ -179,6 +179,11 @@ object RestServe {
   /** Mutation: runs under the store lock. */
   private final case class WriteH(run: (Map[String, String], Map[String, Any]) => Res)
       extends Handler
+  /** Body-parameterized READ (the vector-search extension): parses the
+    * bounded JSON body exactly like WriteH but runs NO mutation and
+    * takes no store lock — the handler renders its own response. */
+  private final case class QueryH(run: (Map[String, String], Map[String, Any]) => Res)
+      extends Handler
   private final case class Route(method: String, pattern: String, h: Handler,
                                  auth: AuthReq = Open) {
     val segs: Vector[String] = pattern.split("/", -1).toVector.drop(1)
@@ -194,9 +199,17 @@ object RestServe {
     * [[StateStore.mutate]]). `authSecret = Some(s)` arms the
     * reference's middleware chains on every route (see the Identity
     * scaladoc block); None runs the façade open. */
+  /** `annStatePath = Some(p)` additionally serves the LIVING vector
+    * index (graft.streaming.StreamingAnnIngest) at POST /ann/query —
+    * the one ENGINE-EXTENSION route (clearly outside the reference's
+    * surface, which is why it lives under its own /ann namespace):
+    * body {"embedding": [floats], "k": n?} answers the payload's
+    * exact-cosine top-k over history ∪ everything the stream has
+    * ingested, through topK's bucket-pruned serving path. */
   def startWithStore(spark: SparkSession, dir: String, port: Int,
                      autoCompactAt: Int = 4096,
-                     authSecret: Option[String] = None): (HttpServer, StateStore) = {
+                     authSecret: Option[String] = None,
+                     annStatePath: Option[String] = None): (HttpServer, StateStore) = {
     import spark.implicits._
     val t = Tables(spark, dir)
     val store = new StateStore(spark, dir, autoCompactAt)
@@ -893,6 +906,49 @@ object RestServe {
     // /users/profile :413/:1261, /api/all-tasks :532, /submissions
     // :924, /tasks/:id :1017, /admin/tasks :1166 — yes, unguarded in
     // the reference, kept verbatim — /top-workers :1237, and "/").
+    /** POST /ann/query — the living vector index served over the wire
+      * (see the startWithStore scaladoc). Contract: 400 for a missing/
+      * non-array/non-numeric/wrong-dimension embedding; k clamped to
+      * [1, 100]; the response is exactly topK's rows for a one-vector
+      * payload (spec-pinned byte-equal to the direct call). */
+    def annQuery(statePath: String)(params: Map[String, String],
+                                    body: Map[String, Any]): Res = {
+      val dim = Tables.embeddingDim(spark, dir)
+      val parsed: Either[String, Array[Float]] = body.get("embedding") match {
+        case Some(s: String) =>
+          try {
+            val node = mapper.readTree(s)
+            if (!node.isArray)
+              Left("embedding must be a JSON array of numbers")
+            else {
+              val xs = node.elements().asScala.toArray
+              if (!xs.forall(_.isNumber))
+                Left("embedding must contain only numbers")
+              else if (xs.length != dim)
+                Left(s"embedding must have $dim dimensions")
+              else Right(xs.map(_.asDouble().toFloat))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Left("embedding must be a JSON array of numbers")
+          }
+        case _ => Left("embedding is required")
+      }
+      parsed match {
+        case Left(m) => msg(400, m)
+        case Right(vec) =>
+          val k = math.max(1, math.min(100,
+            body.get("k").collect { case l: Long => l.toInt }
+              .getOrElse(graft.streaming.StreamingAnnIngest.TopK)))
+          val queries = Seq((0L, vec.toSeq)).toDF("query_id", "embedding")
+          val rows = graft.streaming.StreamingAnnIngest
+            .topK(spark, dir, statePath, queries, k)
+            .select($"rank", $"neighbor_id", $"sim_r")
+            .toJSON.collect()
+          Res(200, rows.mkString("[", ",", "]"))
+      }
+    }
+
     val buyerOnly  = RoleReq(Set("buyer"))   // index.js:132
     val workerOnly = RoleReq(Set("worker"))  // index.js:198
     val routes: Seq[Route] = Seq(
@@ -942,7 +998,13 @@ object RestServe {
       Route("POST",   "/admin/withdrawals/{id}/approve", WriteH(adminApproveWithdrawal), AdminReq), // :1336
       Route("DELETE", "/api/notifications/{id}",         WriteH(deleteNotification), FBToken),    // :241
       Route("DELETE", "/admin/users/{email}",            WriteH(adminDeleteUser), AdminReq),      // :1125
-      Route("PATCH",  "/admin/users/{email}/role",       WriteH(adminPatchRole), AdminReq))       // :1141
+      Route("PATCH",  "/admin/users/{email}/role",       WriteH(adminPatchRole), AdminReq)        // :1141
+    ) ++ annStatePath.map(sp =>
+      // ENGINE EXTENSION (no reference twin — hence the /ann
+      // namespace): vector search over the living index. The payload
+      // is request data, never corpus data; k is clamped so no request
+      // can demand an unbounded render.
+      Route("POST", "/ann/query", QueryH(annQuery(sp))))
 
     /** The middleware chain, run AFTER method resolution and BEFORE
       * query decoding (Express order: route middlewares fire before the
@@ -1077,6 +1139,21 @@ object RestServe {
                           respond(ex, msg(404, "not found"))
                         else respond(ex, Res(200, rows.mkString("[", ",", "]")))
                     }
+                    case QueryH(run) =>
+                      // Same bounded-body discipline as WriteH; no
+                      // store lock, no mutation — a malformed payload
+                      // value is still the client's 400.
+                      val rawQ = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+                      if (rawQ.length > MaxBodyBytes)
+                        respond(ex, msg(413, "payload too large"))
+                      else parseBody(new String(rawQ, StandardCharsets.UTF_8)) match {
+                        case None => respond(ex, msg(400, "malformed JSON body"))
+                        case Some(body) =>
+                          respond(ex,
+                            try run(params, body)
+                            catch { case _: IllegalArgumentException =>
+                              msg(400, "malformed field value") })
+                      }
                     case WriteH(run) =>
                       // Bounded read: the write side must not buffer an
                       // unbounded client body in the driver (the read

@@ -1,0 +1,99 @@
+package graft
+
+import graft.streaming.StreamingAnnIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The living vector index served over the wire: POST /ann/query (the
+  * façade's one engine-extension route) must answer exactly what the
+  * direct `StreamingAnnIngest.topK` call answers for the same payload
+  * — including STREAMED vectors, proving the wire path reads the
+  * living state, not just the offline history — with the 400 contract
+  * for malformed payloads and the extension absent unless the façade
+  * was started with a statePath. */
+class RestAnnSpec extends AnyFunSuite with RestHttp
+    with org.scalatest.BeforeAndAfterAll {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // A living index with real stream content: one batch of odd fixture
+  // vectors plus a crafted exact-direction twin of odd vec 3 (id far
+  // above the corpus) — the twin can only be found via the STREAM.
+  private lazy val statePath: String = {
+    import spark.implicits._
+    val sp = Scratch.tempDir("rest_ann") + "/state"
+    val b0 = Tables(spark, dir).embeddings
+      .filter($"vec_id" % 2 === 1 && $"vec_id" < 200).localCheckpoint(true)
+    StreamingAnnIngest.processBatch(dir, sp)(b0, 0L)
+    val seed = b0.filter($"vec_id" === 3)
+      .select($"embedding").as[Seq[Float]].head()
+    val b1 = spark.createDataFrame(Seq((9300001L, seed.map(_ * 2.0f))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    StreamingAnnIngest.processBatch(dir, sp)(b1, 1L)
+    sp
+  }
+
+  private lazy val started =
+    RestServe.startWithStore(spark, dir, 0, annStatePath = Some(statePath))
+  private lazy val server = started._1
+  override lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
+
+  private def vecJson(xs: Seq[Float]): String = xs.mkString("[", ",", "]")
+
+  test("POST /ann/query answers byte-equal to the direct topK call, and sees streamed vectors") {
+    import spark.implicits._
+    val qv = Tables(spark, dir).embeddings
+      .filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+    val (code, body) = post("/ann/query", s"""{"embedding":${vecJson(qv)}}""")
+    assert(code == 200, body)
+    val direct = StreamingAnnIngest.topK(spark, dir, statePath,
+        Seq((0L, qv)).toDF("query_id", "embedding"))
+      .select($"rank", $"neighbor_id", $"sim_r")
+      .toJSON.collect().mkString("[", ",", "]")
+    assert(body == direct, "wire response must be byte-equal to the engine call")
+    // The payload IS vec 3's own vector: both vec 3 (streamed, batch 0)
+    // and its crafted twin (streamed, batch 1) score exactly 1.0 — a
+    // history-only index could return neither.
+    val ids = spark.read.json(Seq(body).toDS()).select($"neighbor_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(3L) && ids.contains(9300001L),
+      s"the wire path must read the LIVING index: $ids")
+  }
+
+  test("k clamps and bounds the render") {
+    import spark.implicits._
+    val qv = Tables(spark, dir).embeddings
+      .filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+    val (code, body) = post("/ann/query", s"""{"embedding":${vecJson(qv)},"k":2}""")
+    assert(code == 200)
+    assert(spark.read.json(Seq(body).toDS()).count() == 2)
+  }
+
+  test("400 contract: missing, non-array, non-numeric, wrong-dimension embeddings; 405 on GET; 404 without statePath") {
+    assert(post("/ann/query", """{}""")._1 == 400)
+    assert(post("/ann/query", """{"embedding":"xx"}""")._1 == 400)
+    assert(post("/ann/query", """{"embedding":[1,"a",2]}""")._1 == 400)
+    assert(post("/ann/query", """{"embedding":[0.5,0.5]}""")._1 == 400)
+    assert(post("/ann/query", """not json""")._1 == 400)
+    assert(get("/ann/query")._1 == 405)
+    // A façade started WITHOUT a statePath does not register the route.
+    val (plain, _) = RestServe.startWithStore(spark, dir, 0)
+    try {
+      val r = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(
+            s"http://127.0.0.1:${plain.getAddress.getPort}/ann/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 404, "extension route must be absent by default")
+    } finally plain.stop(0)
+  }
+}
