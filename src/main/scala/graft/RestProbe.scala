@@ -34,21 +34,26 @@ object RestProbe {
   // would swamp the measurement with TLS-context setup.
   private lazy val client: HttpClient = HttpClient.newHttpClient()
 
-  private def fire(base: String, path: String, tok: Option[String]): Int = {
-    val b = HttpRequest.newBuilder(URI.create(base + path)).GET()
+  private def fire(base: String, path: String, tok: Option[String],
+                   body: Option[String] = None): Int = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+    body match {
+      case Some(s) => b.POST(HttpRequest.BodyPublishers.ofString(s))
+      case None    => b.GET()
+    }
     tok.foreach(t => b.header("Authorization", s"Bearer $t"))
     client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
   }
 
   private def run(label: String, base: String, path: String, tok: Option[String],
-                  n: Int, threads: Int): Unit = {
+                  n: Int, threads: Int, body: Option[String] = None): Unit = {
     // Warm once (plan build + code paths), then measure.
-    val warm = fire(base, path, tok)
+    val warm = fire(base, path, tok, body)
     require(warm == 200, s"$label warmup -> $warm")
     val pool = Executors.newFixedThreadPool(threads)
     val t0 = System.nanoTime()
     val futs = (1 to n).map(_ => pool.submit(new java.util.concurrent.Callable[Int] {
-      def call(): Int = fire(base, path, tok)
+      def call(): Int = fire(base, path, tok, body)
     }))
     val codes = futs.map(_.get())
     val wall = (System.nanoTime() - t0) / 1e9
@@ -90,6 +95,22 @@ object RestProbe {
     // with no setup writes.
     val cust1Tok = GraftAuth.token(secret, "Customer#000000001")
 
+    // The vector-search extension: one topK Spark job per request over
+    // the LIVING index (history + one ingested stream batch), through
+    // the bucket-pruned serving path — the cost class of a per-request
+    // analytics job with a payload-bounded scan.
+    val annState = Scratch.tempDir("restprobe_ann") + "/state"
+    import spark.implicits._
+    graft.streaming.StreamingAnnIngest.processBatch(sfDir, annState)(
+      Tables(spark, sfDir).embeddings.filter($"vec_id" % 2 === 1)
+        .localCheckpoint(true), 0L)
+    val (annSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
+      annStatePath = Some(annState))
+    val annBase = s"http://127.0.0.1:${annSrv.getAddress.getPort}"
+    val annBody = Tables(spark, sfDir).embeddings.filter($"vec_id" === 3)
+      .select($"embedding").as[Seq[Float]].head()
+      .mkString("""{"embedding":[""", ",", """],"k":10}""")
+
     for (threads <- Seq(1, 8)) {
       run("health(open)", openBase, "/", None, n, threads)
       run("dashboard_memo(open)", openBase, "/top-workers", None, n, threads)
@@ -97,8 +118,9 @@ object RestProbe {
       run("payments(open)", openBase, "/payments?user=1&limit=5", None, n, threads)
       run("payments(armed+token)", armedBase, "/payments?user=1&limit=5", Some(cust1Tok), n, threads)
       run("admin_users_adminreq(armed)", armedBase, "/admin/users", Some(adminTok), n, threads)
+      run("ann_query(open)", annBase, "/ann/query", None, n, threads, Some(annBody))
     }
-    openSrv.stop(0); armedSrv.stop(0)
+    openSrv.stop(0); armedSrv.stop(0); annSrv.stop(0)
     spark.stop()
   }
 }
