@@ -937,10 +937,30 @@ object RestServe {
       parsed match {
         case Left(m) => msg(400, m)
         case Right(vec) =>
-          val k = math.max(1, math.min(100,
-            body.get("k").collect { case l: Long => l.toInt }
-              .getOrElse(graft.streaming.StreamingAnnIngest.TopK)))
-          val queries = Seq((0L, vec.toSeq)).toDF("query_id", "embedding")
+          // k: lossless integral coercion, the WriteH discipline —
+          // integral JSON, a WHOLE floating value, or a numeric string
+          // all land; anything else (5.5, "x", true, null) is the 400
+          // shape (QueryH maps the IAE). Clamp in the Long domain so a
+          // huge literal clamps instead of overflowing.
+          def clamp(l: Long): Int = math.max(1L, math.min(100L, l)).toInt
+          val k = body.get("k") match {
+            case None => graft.streaming.StreamingAnnIngest.TopK
+            case Some(l: Long) => clamp(l)
+            case Some(d: Double) if d.isWhole => clamp(d.toLong)
+            case Some(s: String) =>
+              s.trim.toLongOption
+                .orElse(s.trim.toDoubleOption.filter(_.isWhole).map(_.toLong))
+                .map(clamp).getOrElse(
+                  throw new IllegalArgumentException("non-integral k"))
+            case Some(_) =>
+              throw new IllegalArgumentException("non-integral k")
+          }
+          // query_id is a SENTINEL no corpus id can carry (fixture and
+          // stream vec_ids are >= 0): topK excludes a query's own
+          // vec_id from its neighbors, so a colliding id — 0 is a real
+          // history vector — would silently drop that vector from
+          // every wire response (the r9 ADVICE finding).
+          val queries = Seq((-1L, vec.toSeq)).toDF("query_id", "embedding")
           val rows = graft.streaming.StreamingAnnIngest
             .topK(spark, dir, statePath, queries, k)
             .select($"rank", $"neighbor_id", $"sim_r")
@@ -1003,8 +1023,12 @@ object RestServe {
       // ENGINE EXTENSION (no reference twin — hence the /ann
       // namespace): vector search over the living index. The payload
       // is request data, never corpus data; k is clamped so no request
-      // can demand an unbounded render.
-      Route("POST", "/ann/query", QueryH(annQuery(sp))))
+      // can demand an unbounded render. FBToken: the response is
+      // corpus-DERIVED (neighbor ids + cosines), so on an armed façade
+      // it is guarded like every other data route; on an open façade
+      // authorize() short-circuits and the route stays open (the
+      // bench/embedding posture).
+      Route("POST", "/ann/query", QueryH(annQuery(sp)), FBToken))
 
     /** The middleware chain, run AFTER method resolution and BEFORE
       * query decoding (Express order: route middlewares fire before the

@@ -404,11 +404,14 @@ object Similarity extends QueryModule {
     * identical plane family and the identical left-to-right
     * float→double fold (FloatDotProduct's accumulation), so a vector
     * hashed at the "server" lands in exactly the bucket the index
-    * assigned it. */
-  private[graft] def srpBucketLocal(t: Int, e: Array[Float]): Long = {
+    * assigned it. `nBits` widens it to the living index's adaptive
+    * families (the serving path hashes request payloads driver-side —
+    * one fewer Spark job per request than hashing them distributed). */
+  private[graft] def srpBucketLocal(t: Int, e: Array[Float],
+                                    nBits: Int = SrpBits): Long = {
     var key = 0L
     var p = 0
-    while (p < SrpBits) {
+    while (p < nBits) {
       var acc = 0.0; var d = 0
       while (d < e.length) {
         acc += e(d).toDouble * planeSignScala(t, p, d).toDouble; d += 1
@@ -417,6 +420,18 @@ object Similarity extends QueryModule {
       p += 1
     }
     key
+  }
+
+  /** The full flattened-bkey set of one payload vector under `family`,
+    * computed DRIVER-SIDE — [[srpBkeys]]'s twin for request payloads
+    * (one key per table; O(tables · bits · dim) scalar work, no Spark
+    * job). The serving path (StreamingAnnIngest.serve) uses this so a
+    * single-vector request never runs a hash-the-payload job before
+    * the one real candidate/re-rank job. */
+  private[graft] def srpBkeysLocal(e: Array[Float], family: (Int, Int)): Array[Long] = {
+    val (bits, tables) = family
+    Array.tabulate(tables)(t =>
+      t.toLong * (1L << bits) + srpBucketLocal(t, e, bits))
   }
 
   /** s3 — SRP-LSH ANN: 8 tables × 8-bit sign buckets, exact re-rank of
@@ -539,7 +554,7 @@ object Similarity extends QueryModule {
   val IndexTable = s"${CatalogOps.Database}.ann_srp_index"
   // Width note: this catalog index keeps the FIXED 8-bit family (the
   // s3/s4/s6 oracles restate it in SQL); at corpus scale the width
-  // knob is [[adaptiveSrpBits]] — the living index derives it from
+  // knob is [[adaptiveSrpFamily]] — the living index derives it from
   // corpus size so bucket occupancy stays constant.
   private val IndexBuckets = 64
 
@@ -625,20 +640,28 @@ object Similarity extends QueryModule {
 
   /** The HISTORY half of the living vector index (StreamingAnnIngest's
     * d8/d10 convention twin): the even-vec_id corpus persisted as
-    * warehouse tables — a vector-payload table for exact re-rank
-    * (family-independent, bucketed on vec_id so verification fetches
-    * co-locate) plus ONE bucket table PER (bits, tables) family,
+    * warehouse tables — a vector-payload table PER DIR for exact
+    * re-rank (family-independent, bucketed on vec_id so verification
+    * fetches co-locate) plus ONE bucket table PER (dir, family),
     * bucketed+sorted on the flattened bkey so probes prune storage
     * buckets. The odd half streams. Families are per-table-name
     * because a living index may be RE-SHARDED mid-life
     * (StreamingAnnIngest.reindex): its statePath pins the family it
     * currently probes with, and two statePaths over the same history
     * may legitimately run different families at once. */
-  val AnnHistVectorsTable = s"${CatalogOps.Database}.ann_hist_vectors"
-  def annHistBucketsTable(family: (Int, Int)): String =
-    s"${CatalogOps.Database}.ann_hist_buckets_${family._1}_${family._2}"
+  /** Deterministic short token for a source dir: history tables are
+    * PER-DIR warehouse artifacts (see below), so the dir must be part
+    * of the table NAME the way the family already is. MurmurHash3 of
+    * the normalized path — stable across JVMs, filename-safe. */
+  private def dirToken(dir: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL}%08x"
 
-  /** (dir, history count, built bucket families) per APPLICATION —
+  def annHistVectorsTable(dir: String): String =
+    s"${CatalogOps.Database}.ann_hist_vectors_${dirToken(dir)}"
+  def annHistBucketsTable(dir: String, family: (Int, Int)): String =
+    s"${CatalogOps.Database}.ann_hist_buckets_${dirToken(dir)}_${family._1}_${family._2}"
+
+  /** (history count, built bucket families) per (APPLICATION, dir) —
     * keyed by applicationId, NOT SparkSession: Structured Streaming
     * runs foreachBatch under a CLONED session, so a session-keyed memo
     * misses on every new streaming query and re-overwrites the vectors
@@ -646,23 +669,29 @@ object Similarity extends QueryModule {
     * previous build's file listing (measured: FILE_NOT_EXIST flakes in
     * the suite the moment the table build split in two). Session
     * clones share the application and the warehouse, which is the
-    * identity that matters here. */
+    * identity that matters here. The DIR is part of the key AND the
+    * table names: two living indexes over different dirs in one
+    * application each get their own history tables — a single shared
+    * slot would alternate mode=overwrite rebuilds of one table, the
+    * exact cross-query race the applicationId keying fixed,
+    * reintroduced across dirs (the r9 ADVICE finding). */
   private val histIndexRegistered =
-    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Set[(Int, Int)])]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Set[(Int, Int)])]
 
-  private def histState(spark: SparkSession, dir: String): (String, Long, Set[(Int, Int)]) = {
-    val app = spark.sparkContext.applicationId
-    histIndexRegistered.get(app).filter(_._1 == dir).getOrElse {
+  private def histState(spark: SparkSession, dir: String): (Long, Set[(Int, Int)]) = {
+    val key = (spark.sparkContext.applicationId, dir)
+    histIndexRegistered.getOrElse(key, {
       import spark.implicits._
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${CatalogOps.Database}")
-      CatalogOps.clearOrphan(spark, "ann_hist_vectors")
+      val table = annHistVectorsTable(dir)
+      CatalogOps.clearOrphan(spark, table.split("\\.").last)
       val hist = corpus(spark, dir).filter($"vec_id" % 2 === 0)
       hist.write.bucketBy(IndexBuckets, "vec_id")
-        .mode("overwrite").saveAsTable(AnnHistVectorsTable)
-      val st = (dir, spark.table(AnnHistVectorsTable).count(), Set.empty[(Int, Int)])
-      histIndexRegistered.update(app, st)
+        .mode("overwrite").saveAsTable(table)
+      val st = (spark.table(table).count(), Set.empty[(Int, Int)])
+      histIndexRegistered.update(key, st)
       st
-    }
+    })
   }
 
   /** The DEFAULT family for a fresh living index over this history —
@@ -671,32 +700,32 @@ object Similarity extends QueryModule {
     * (StreamingAnnIngest.familyOf). */
   def annFamily(spark: SparkSession, dir: String): (Int, Int) =
     histIndexRegistered.synchronized {
-      adaptiveSrpFamily(histState(spark, dir)._2)
+      adaptiveSrpFamily(histState(spark, dir)._1)
     }
 
   /** The memoized history-vector count (ensures the vectors table on
     * first touch) — so reindex's family derivation never pays a
     * redundant corpus-sized count job. */
   def annHistoryCount(spark: SparkSession, dir: String): Long =
-    histIndexRegistered.synchronized { histState(spark, dir)._2 }
+    histIndexRegistered.synchronized { histState(spark, dir)._1 }
 
   /** Idempotently builds the history bucket table for `family` and
     * returns its name (plus the vectors table on first touch). */
   def ensureAnnHistoryIndex(spark: SparkSession, dir: String,
                             family: (Int, Int)): String =
     histIndexRegistered.synchronized {
-      val (d, n, built) = histState(spark, dir)
-      val table = annHistBucketsTable(family)
+      val (n, built) = histState(spark, dir)
+      val table = annHistBucketsTable(dir, family)
       if (!built.contains(family)) {
         import spark.implicits._
         CatalogOps.clearOrphan(spark, table.split("\\.").last)
         val dim = Tables.embeddingDim(spark, dir)
-        spark.table(AnnHistVectorsTable)
+        spark.table(annHistVectorsTable(dir))
           .select($"vec_id", srpBkeys(dim, family._1, family._2).as("bkey"))
           .write.bucketBy(IndexBuckets, "bkey").sortBy("bkey")
           .mode("overwrite").saveAsTable(table)
-        histIndexRegistered.update(spark.sparkContext.applicationId,
-          (d, n, built + family))
+        histIndexRegistered.update((spark.sparkContext.applicationId, dir),
+          (n, built + family))
       }
       table
     }

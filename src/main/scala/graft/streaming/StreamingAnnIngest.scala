@@ -245,7 +245,7 @@ object StreamingAnnIngest {
       // table, the compacted base, an uncompacted delta, or this batch
       // itself. rankTopK's distinct() absorbs the double-read window of
       // a crashed compact (identical rows, identical sim).
-      val partnerVec = spark.table(Similarity.AnnHistVectorsTable)
+      val partnerVec = spark.table(Similarity.annHistVectorsTable(dir))
         .unionByName(st.prior(spark, "vectors", batchId))
         .unionByName(arr)
         .select($"vec_id".as("neighbor_id"),
@@ -328,7 +328,7 @@ object StreamingAnnIngest {
       .filter($"vec_id" =!= $"query_id")
       .select($"vec_id".as("neighbor_id"), $"query_id")
       .distinct()
-    val partnerVec = spark.table(Similarity.AnnHistVectorsTable)
+    val partnerVec = spark.table(Similarity.annHistVectorsTable(dir))
       .unionByName(st.full(spark, "vectors"))
       .select($"vec_id".as("neighbor_id"), $"embedding".as("ne"), $"nrm".as("nn"))
     val sims = cand

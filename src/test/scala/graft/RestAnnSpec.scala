@@ -54,8 +54,11 @@ class RestAnnSpec extends AnyFunSuite with RestHttp
       .filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
     val (code, body) = post("/ann/query", s"""{"embedding":${vecJson(qv)}}""")
     assert(code == 200, body)
+    // -1L: the wire sentinel — the direct twin must use a NON-corpus id
+    // too, or the comparison hides the self-exclusion of a real vector
+    // (the r9 ADVICE finding, pinned below with history vec 0).
     val direct = StreamingAnnIngest.topK(spark, dir, statePath,
-        Seq((0L, qv)).toDF("query_id", "embedding"))
+        Seq((-1L, qv)).toDF("query_id", "embedding"))
       .select($"rank", $"neighbor_id", $"sim_r")
       .toJSON.collect().mkString("[", ",", "]")
     assert(body == direct, "wire response must be byte-equal to the engine call")
@@ -75,6 +78,60 @@ class RestAnnSpec extends AnyFunSuite with RestHttp
     val (code, body) = post("/ann/query", s"""{"embedding":${vecJson(qv)},"k":2}""")
     assert(code == 200)
     assert(spark.read.json(Seq(body).toDS()).count() == 2)
+  }
+
+  test("history vector 0 is servable: the wire query_id is a non-colliding sentinel") {
+    import spark.implicits._
+    // Query WITH history vec 0's own embedding: neighbor 0 scores
+    // cosine 1.0 and must head the response. Before the sentinel fix
+    // the wire payload rode query_id = 0 and topK's self-exclusion
+    // silently dropped vector 0 from every response whose true top-k
+    // contained it (r9 ADVICE, medium).
+    val v0 = Tables(spark, dir).embeddings
+      .filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val (code, body) = post("/ann/query", s"""{"embedding":${vecJson(v0)},"k":3}""")
+    assert(code == 200, body)
+    val top = spark.read.json(Seq(body).toDS())
+      .orderBy($"rank").select($"neighbor_id").as[Long].head()
+    assert(top == 0L, s"history vector 0 must be retrievable over the wire: $body")
+  }
+
+  test("k coercion: whole floating and numeric-string k land; non-integral k is the 400 shape") {
+    import spark.implicits._
+    val qv = Tables(spark, dir).embeddings
+      .filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+    val e = vecJson(qv)
+    val (c1, b1) = post("/ann/query", s"""{"embedding":$e,"k":2.0}""")
+    assert(c1 == 200 && spark.read.json(Seq(b1).toDS()).count() == 2,
+      s"whole floating k must coerce losslessly: $c1 $b1")
+    val (c2, b2) = post("/ann/query", s"""{"embedding":$e,"k":"2"}""")
+    assert(c2 == 200 && spark.read.json(Seq(b2).toDS()).count() == 2,
+      s"numeric-string k must coerce: $c2 $b2")
+    assert(post("/ann/query", s"""{"embedding":$e,"k":2.5}""")._1 == 400,
+      "fractional k must be rejected, not silently defaulted")
+    assert(post("/ann/query", s"""{"embedding":$e,"k":"x"}""")._1 == 400)
+    assert(post("/ann/query", s"""{"embedding":$e,"k":true}""")._1 == 400)
+  }
+
+  test("armed façade guards /ann/query like every data route; open façade stays open") {
+    val secret = "ann-spec-secret"
+    val (armed, _) = RestServe.startWithStore(spark, dir, 0,
+      authSecret = Some(secret), annStatePath = Some(statePath))
+    try {
+      import spark.implicits._
+      val qv = Tables(spark, dir).embeddings
+        .filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+      val payload = s"""{"embedding":${vecJson(qv)},"k":2}"""
+      val armedBase = s"http://127.0.0.1:${armed.getAddress.getPort}"
+      val bare = new RestHttp { override val base = armedBase }
+      assert(bare.post("/ann/query", payload)._1 == 401,
+        "corpus-derived data must not be served tokenless on an armed façade")
+      val (okCode, okBody) =
+        bare.auth(GraftAuth.token(secret, "ann@graft.io")).post("/ann/query", payload)
+      assert(okCode == 200)
+      // Same engine answer as the open façade (auth gates, never alters).
+      assert(okBody == post("/ann/query", payload)._2)
+    } finally armed.stop(0)
   }
 
   test("400 contract: missing, non-array, non-numeric, wrong-dimension embeddings; 405 on GET; 404 without statePath") {
