@@ -206,13 +206,18 @@ object RestServe {
     * body {"embedding": [floats], "k": n?} answers the payload's
     * exact-cosine top-k over history ∪ everything the stream has
     * ingested, through topK's bucket-pruned serving path. */
+  /** `walPath = Some(p)` makes the store DURABLE: every acknowledged
+    * mutation is fsynced to the write-ahead log before its response,
+    * and a façade restarted over the same path replays it (see
+    * [[StateStore]]'s DURABILITY block; kill/restart spec-pinned). */
   def startWithStore(spark: SparkSession, dir: String, port: Int,
                      autoCompactAt: Int = 4096,
                      authSecret: Option[String] = None,
-                     annStatePath: Option[String] = None): (HttpServer, StateStore) = {
+                     annStatePath: Option[String] = None,
+                     walPath: Option[String] = None): (HttpServer, StateStore) = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val store = new StateStore(spark, dir, autoCompactAt)
+    val store = new StateStore(spark, dir, autoCompactAt, walPath)
 
     // Clamped to [0, MaxCap]: a negative ?limit= must not reach
     // Dataset.limit (negative throws AnalysisException → a 500 where

@@ -1,8 +1,11 @@
 package graft
 
+import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,10 +55,36 @@ import org.apache.spark.sql.types._
   * second per write — so any op sequence replays to bit-identical
   * state, which is what lets specs pin HTTP-driven state hash-equal to
   * the batch w-family program for the same ops.
+  *
+  * DURABILITY (`walPath = Some(p)`): every journal mutation is
+  * appended to a write-ahead log BEFORE the store acknowledges it —
+  * one fsynced JSON line per op — and a store constructed over an
+  * existing WAL replays it against the immutable fixture base, so
+  * acknowledged writes survive a process kill (spec-pinned through a
+  * SIGKILLed façade). This is the durability posture the reference
+  * gets from remote Mongo and RocksDB gets from its log: the journal
+  * is process memory, the WAL is its recovery source. The log records
+  * JOURNAL OPS (not state), so it is small, append-only, and replay is
+  * deterministic; compaction does NOT truncate it because the
+  * compacted base lives in run-scoped scratch — after a crash the only
+  * durable inputs are the fixture lake and the WAL, so the WAL must
+  * span the store's whole life (at production scale the fold would be
+  * a durable table commit and the WAL would checkpoint there).
+  * Torn tails (a crash mid-append) are dropped on replay — an
+  * unacknowledged op is legitimately lost, never corrupting.
   */
 final class StateStore(spark: SparkSession, dir: String,
-                       autoCompactAt: Int = 4096) {
+                       autoCompactAt: Int = 4096,
+                       walPath: Option[String] = None) {
   private val t = Tables(spark, dir)
+  private val wal: Option[WriteAheadLog] = walPath.map(new WriteAheadLog(_))
+  @volatile private var replaying = false
+
+  private def entity(name: String, baseF: () => DataFrame,
+                     keyCols: Seq[String]): EntityState =
+    new EntityState(spark, baseF, keyCols,
+      (del, key, row) => if (!replaying)
+        wal.foreach(_.append(name, del, key, row, tick.get())))
 
   /** Entities in their catalog shapes (the façade's established entity
     * mapping, SURVEY Appendix A): users≙customer (c_name plays the
@@ -65,22 +94,45 @@ final class StateStore(spark: SparkSession, dir: String,
     * sharing one base relation, each with its own journal);
     * submissions≙lineitem (composite natural key);
     * notifications≙events. */
-  val users         = new EntityState(spark, () => t.customer, Seq("c_custkey"))
-  val tasks         = new EntityState(spark, () => t.orders,   Seq("o_orderkey"))
-  val payments      = new EntityState(spark, () => t.orders,   Seq("o_orderkey"))
-  val withdrawals   = new EntityState(spark, () => t.orders,   Seq("o_orderkey"))
-  val submissions   = new EntityState(spark, () => t.lineitem,
+  val users         = entity("users",         () => t.customer, Seq("c_custkey"))
+  val tasks         = entity("tasks",         () => t.orders,   Seq("o_orderkey"))
+  val payments      = entity("payments",      () => t.orders,   Seq("o_orderkey"))
+  val withdrawals   = entity("withdrawals",   () => t.orders,   Seq("o_orderkey"))
+  val submissions   = entity("submissions",   () => t.lineitem,
     Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
-  val notifications = new EntityState(spark, () => t.events,   Seq("event_id"))
+  val notifications = entity("notifications", () => t.events,   Seq("event_id"))
 
-  private var tick = 0L
+  private val tick = new java.util.concurrent.atomic.AtomicLong(0L)
   private val epochMs = 1767225600000L // 2026-01-01T00:00:00Z
 
   /** Logical clock: deterministic, strictly monotone per store. */
-  def now(): Timestamp = synchronized { tick += 1; new Timestamp(epochMs + tick * 1000L) }
+  def now(): Timestamp = new Timestamp(epochMs + tick.incrementAndGet() * 1000L)
 
   private def entities: Seq[EntityState] =
     Seq(users, tasks, payments, withdrawals, submissions, notifications)
+
+  private val entityByName: Map[String, EntityState] = Map(
+    "users" -> users, "tasks" -> tasks, "payments" -> payments,
+    "withdrawals" -> withdrawals, "submissions" -> submissions,
+    "notifications" -> notifications)
+
+  // Recovery: replay the WAL's journal ops (in log order, across
+  // entities) against the fixture base. The logical clock resumes past
+  // the highest recorded tick so post-restart stamps stay monotone.
+  // Oversized replayed journals fold immediately — same LSM discipline
+  // as mutate()'s auto-compaction.
+  wal.foreach { w =>
+    replaying = true
+    try {
+      var maxTick = 0L
+      w.replay { case (e, del, key, row, tk) =>
+        entityByName(e).replayOp(del, key, row)
+        if (tk > maxTick) maxTick = tk
+      }
+      tick.set(math.max(tick.get(), maxTick))
+    } finally replaying = false
+    entities.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
+  }
 
   /** Store-wide critical section: every mutation handler's
     * read-check-write sequence runs under this one lock, so cross-entity
@@ -107,11 +159,15 @@ final class StateStore(spark: SparkSession, dir: String,
 
 /** One mutable entity: immutable base relation + driver CDC journal.
   * All journal access is `this`-synchronized; `current()` snapshots
-  * under the lock and builds the merged plan outside it. */
+  * under the lock and builds the merged plan outside it. `record` is
+  * the store's WAL hook, fired with the NORMALIZED key and coerced row
+  * after each journal mutation lands (no-op without a WAL). */
 final class EntityState(
     spark: SparkSession,
     baseF: () => DataFrame,
-    val keyCols: Seq[String]) {
+    val keyCols: Seq[String],
+    record: (Boolean, Seq[Any], Option[Map[String, Any]]) => Unit =
+      (_, _, _) => ()) {
 
   /** The current base relation — the fixture parquet until [[compact]]
     * swaps in a materialized merge (which then CARRIES any evolved
@@ -128,6 +184,11 @@ final class EntityState(
   /** Evolved columns in first-seen order (base columns never move). */
   private var extras = Vector.empty[StructField]
   private var nextIdCache: Option[Long] = None
+  /** Watermark over every single-column Long key this journal has ever
+    * seen — after a WAL replay, [[newId]] must not re-hand-out an id a
+    * replayed upsert already carries (the fresh base-max probe knows
+    * nothing of journal rows above it). */
+  private var minNextId = 0L
 
   private def keyFields: Seq[StructField] =
     keyCols.map(c => base.schema(base.schema.fieldIndex(c)))
@@ -138,10 +199,10 @@ final class EntityState(
     * once) + count of ids handed out. Single-key entities only. */
   def newId(): Long = synchronized {
     require(keyCols.size == 1, "newId() needs a single-column key")
-    val next = nextIdCache.getOrElse {
+    val next = math.max(minNextId, nextIdCache.getOrElse {
       val m = base.agg(max(col(keyCols.head))).head()
       (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
-    }
+    })
     nextIdCache = Some(next + 1L)
     next
   }
@@ -194,7 +255,13 @@ final class EntityState(
     }
     val types = allFields.map(f => f.name -> f.dataType).toMap
     val coerced = row.map { case (k, v) => k -> coerce(v, types(k)) }
-    journal.update(keyCols.map(coerced), Some(coerced))
+    val key = keyCols.map(coerced)
+    key match {
+      case Seq(l: Long) if l >= minNextId => minNextId = l + 1
+      case _ => ()
+    }
+    journal.update(key, Some(coerced))
+    record(false, key, Some(coerced))
   }
 
   /** Read-merge-write `$set`: fetch the current row, apply changes,
@@ -208,7 +275,23 @@ final class EntityState(
   /** Tombstone a key. False when absent. */
   def delete(key: Seq[Any]): Boolean = synchronized {
     if (lookup(key).isEmpty) false
-    else { journal.update(normKey(key), None); true }
+    else {
+      val nk = normKey(key)
+      journal.update(nk, None)
+      record(true, nk, None)
+      true
+    }
+  }
+
+  /** WAL-replay entry: apply one logged journal op verbatim. Keys and
+    * rows were normalized/coerced when first logged (the WAL codec
+    * round-trips types exactly), so the tombstone path skips the
+    * existence probe the original delete already paid. Upserts re-enter
+    * [[upsert]] — schema evolution re-infers the same extras because
+    * the decoded values carry their original types. */
+  private[graft] def replayOp(del: Boolean, key: Seq[Any],
+                              row: Option[Map[String, Any]]): Unit = synchronized {
+    if (del) journal.update(key, None) else upsert(row.get)
   }
 
   private def normKey(key: Seq[Any]): Seq[Any] =
@@ -234,7 +317,16 @@ final class EntityState(
   /** Secondary-key point read (e.g. users by email≙c_name): journal
     * scan first (last write wins — reverse insertion order), then base
     * rows whose key the journal has NOT superseded (a journal version
-    * that no longer matches, or a tombstone, hides its base row). */
+    * that no longer matches, or a tombstone, hides its base row).
+    *
+    * The supersede check runs DISTRIBUTED — base matches anti-join the
+    * journaled keys (broadcast; bounded by auto-compaction) — so the
+    * driver collect is `limit(1)` regardless of the secondary column's
+    * selectivity (the r9 verdict's unbounded-collect observation: the
+    * old form collected EVERY base match before filtering). When the
+    * secondary key is non-unique, the smallest primary key wins — a
+    * deterministic restatement of the reference's findOne-in-file-order
+    * (spec-pinned in StateStoreSpec). */
   def lookupBy(column: String, value: Any): Option[Map[String, Any]] = {
     val snap = synchronized(journal.toVector)
     snap.reverseIterator.collectFirst {
@@ -242,11 +334,19 @@ final class EntityState(
     } match {
       case hit @ Some(_) => hit
       case None =>
-        val journaled = snap.map(_._1).toSet
         if (!base.schema.fieldNames.contains(column)) None
-        else base.filter(col(column) === lit(value)).collect()
-          .map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
-          .find(m => !journaled.contains(keyCols.map(m)))
+        else {
+          val matches = base.filter(col(column) === lit(value))
+          val live =
+            if (snap.isEmpty) matches
+            else {
+              val keysDf = spark.createDataFrame(
+                snap.map(_._1).map(Row.fromSeq).asJava, StructType(keyFields))
+              matches.join(broadcast(keysDf), keyCols, "left_anti")
+            }
+          live.orderBy(keyCols.map(col): _*).limit(1).collect().headOption
+            .map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
+        }
     }
   }
 
@@ -289,4 +389,103 @@ final class EntityState(
       baseRel = Some(spark.read.parquet(out))
     }
   }
+}
+
+/** Fsynced append-only journal-op log — [[StateStore]]'s durability
+  * (see its DURABILITY scaladoc block). One self-contained JSON line
+  * per op, values carrying an explicit type tag so replay round-trips
+  * EXACTLY the types the journal held (Long vs Int vs Double vs
+  * Timestamp-with-nanos — a tagless rendering would come back as
+  * whatever JSON guesses). `append` returns only after the line is
+  * written AND fsynced, so an acknowledged write is on stable storage
+  * before the client sees its 2xx — the RocksDB-WAL contract. An
+  * unencodable value throws loudly (the store's refuse-to-guess
+  * stance); the journal can only hold the types `coerce` produces, all
+  * of which are covered.
+  *
+  * Replay tolerates exactly ONE torn record and only at the TAIL (a
+  * crash mid-append): that op was never acknowledged, so dropping it
+  * is correct. A malformed line anywhere ELSE is real corruption and
+  * throws — recovering around silently-lost acknowledged writes would
+  * be worse than failing the boot. */
+final class WriteAheadLog(path: String) {
+  private val mapper = new ObjectMapper()
+  private val file = new java.io.File(path)
+  Option(file.getParentFile).foreach(_.mkdirs())
+  private val out = new java.io.FileOutputStream(file, true)
+
+  private def encode(v: Any): JsonNode = {
+    val n = mapper.createObjectNode()
+    v match {
+      case null          => n.put("t", "n")
+      case l: Long       => n.put("t", "l"); n.put("v", l)
+      case i: Int        => n.put("t", "i"); n.put("v", i)
+      // Double as its toString: exact round-trip including NaN/±Inf,
+      // which JSON number literals cannot carry.
+      case d: Double     => n.put("t", "d"); n.put("v", java.lang.Double.toString(d))
+      case b: Boolean    => n.put("t", "b"); n.put("v", b)
+      case s: String     => n.put("t", "s"); n.put("v", s)
+      case ts: Timestamp =>
+        n.put("t", "ts"); n.put("v", ts.getTime); n.put("x", ts.getNanos)
+      case other => throw new IllegalArgumentException(
+        s"WAL cannot encode ${other.getClass.getName} — refusing a lossy guess")
+    }
+    n
+  }
+
+  private def decode(n: JsonNode): Any = n.get("t").asText() match {
+    case "n" => null
+    case "l" => n.get("v").asLong()
+    case "i" => n.get("v").asInt()
+    case "d" => java.lang.Double.parseDouble(n.get("v").asText())
+    case "b" => n.get("v").asBoolean()
+    case "s" => n.get("v").asText()
+    case "ts" =>
+      val ts = new Timestamp(n.get("v").asLong())
+      ts.setNanos(n.get("x").asInt())
+      ts
+  }
+
+  def append(entity: String, del: Boolean, key: Seq[Any],
+             row: Option[Map[String, Any]], tick: Long): Unit = synchronized {
+    val rec = mapper.createObjectNode()
+    rec.put("e", entity)
+    rec.put("del", del)
+    rec.put("tk", tick)
+    val ka = rec.putArray("key")
+    key.foreach(v => ka.add(encode(v)))
+    row.foreach { m =>
+      val ro = rec.putObject("row")
+      m.foreach { case (k, v) => ro.set[JsonNode](k, encode(v)): Unit }
+    }
+    out.write((mapper.writeValueAsString(rec) + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    out.flush()
+    out.getFD.sync()
+  }
+
+  /** Stream every logged op, in log order, to `apply(entity, del, key,
+    * row, tick)`. */
+  def replay(apply: (String, Boolean, Seq[Any], Option[Map[String, Any]], Long) => Unit): Unit =
+    if (file.exists()) {
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      val lines = try src.getLines().toVector finally src.close()
+      lines.zipWithIndex.foreach { case (line, i) =>
+        val parsed = try Some(mapper.readTree(line)).filter(n =>
+          n != null && n.isObject && n.has("e")) catch { case NonFatal(_) => None }
+        parsed match {
+          case Some(n) =>
+            val key = n.get("key").elements().asScala.map(decode).toSeq
+            val row = Option(n.get("row")).map(r =>
+              r.properties().asScala.map(e => e.getKey -> decode(e.getValue)).toMap)
+            apply(n.get("e").asText(), n.get("del").asBoolean(), key, row,
+              n.get("tk").asLong())
+          case None if i == lines.length - 1 => () // torn tail: unacknowledged
+          case None => throw new IllegalStateException(
+            s"WAL corruption at $path:${i + 1} — a non-tail record is unreadable")
+        }
+      }
+    }
+
+  def close(): Unit = synchronized(out.close())
 }

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The store's own contracts, driven directly (no HTTP): the bounded
+  * secondary-key read, and the write-ahead log — replay equivalence,
+  * newId safety across restart, torn-tail tolerance vs mid-file
+  * corruption, and the real thing: a SIGKILLed façade whose
+  * acknowledged HTTP writes survive into a fresh process. */
+class StateStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rowsOf(e: EntityState): Seq[String] =
+    e.current().collect().map(_.toString).sorted.toSeq
+
+  // ---- lookupBy: bounded, deterministic, supersede-aware -------------
+
+  test("lookupBy on a NON-unique secondary column: smallest primary key wins, supersede hides rewritten base rows, journal wins last-write") {
+    import spark.implicits._
+    val store = new StateStore(spark, dir)
+    // o_orderstatus is massively non-unique — the exact shape whose
+    // every base match the old form collected onto the driver. The
+    // read itself is limit(1) now; semantics pinned here.
+    val expectedFirst = Tables(spark, dir).orders
+      .filter($"o_orderstatus" === "O")
+      .agg(min($"o_orderkey")).as[Long].head()
+    val hit = store.tasks.lookupBy("o_orderstatus", "O")
+    assert(hit.exists(_("o_orderkey") == expectedFirst),
+      s"smallest-key determinism: $hit")
+
+    // Supersede: journal the winner AWAY from status O — the base copy
+    // of that key must be hidden and the next-smallest O row win.
+    assert(store.tasks.patch(Seq(expectedFirst), Map("o_orderstatus" -> "X")))
+    val second = Tables(spark, dir).orders
+      .filter($"o_orderstatus" === "O" && $"o_orderkey" =!= expectedFirst)
+      .agg(min($"o_orderkey")).as[Long].head()
+    assert(store.tasks.lookupBy("o_orderstatus", "O")
+      .exists(_("o_orderkey") == second))
+
+    // Journal-first, last write wins: two journaled O rows — the later
+    // one is returned regardless of key order.
+    store.tasks.upsert(Map("o_orderkey" -> 900001L, "o_orderstatus" -> "O"))
+    store.tasks.upsert(Map("o_orderkey" -> 900002L, "o_orderstatus" -> "O"))
+    assert(store.tasks.lookupBy("o_orderstatus", "O")
+      .exists(_("o_orderkey") == 900002L))
+
+    // Tombstoned base row is hidden from the secondary read too.
+    val uniq = store.users.lookupBy("c_name", "Customer#000000001")
+    assert(uniq.isDefined)
+    assert(store.users.delete(Seq(uniq.get("c_custkey"))))
+    assert(store.users.lookupBy("c_name", "Customer#000000001").isEmpty)
+  }
+
+  // ---- WAL: replay equivalence --------------------------------------
+
+  test("WAL replay rebuilds the journal exactly: every op kind, every value type, across entities") {
+    val wal = Scratch.tempDir("wal_spec") + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    // Every coerce-producible type rides a row: long/int keys, double,
+    // string, boolean + null + timestamp as EVOLVED columns.
+    val id = a.users.newId()
+    a.users.upsert(Map("c_custkey" -> id, "c_name" -> "wal@graft.io",
+      "c_nationkey" -> 7, "c_acctbal" -> 12.5, "c_mktsegment" -> "BUILDING",
+      "verified" -> true, "note" -> null, "joined" -> a.now()))
+    assert(a.users.patch(Seq(id), Map("c_acctbal" -> 99.25)))
+    assert(a.tasks.patch(Seq(7L), Map("o_orderstatus" -> "approved")))
+    assert(a.tasks.delete(Seq(11L)))
+    a.submissions.upsert(Map("l_orderkey" -> 1L, "l_linenumber" -> 1,
+      "l_partkey" -> 155190L, "l_suppkey" -> 7706L, "status" -> "approved"))
+    a.notifications.delete(Seq(5L))
+
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    for ((ea, eb) <- Seq(a.users -> b.users, a.tasks -> b.tasks,
+        a.submissions -> b.submissions, a.notifications -> b.notifications)) {
+      assert(ea.journalSize == eb.journalSize)
+      assert(rowsOf(ea) == rowsOf(eb), "replayed merged state must be identical")
+    }
+    // Typed round-trip, point-read form.
+    val u = b.users.lookup(Seq(id)).get
+    assert(u("c_acctbal") == 99.25 && u("verified") == true
+      && u("note") == null && u("joined").isInstanceOf[java.sql.Timestamp])
+    // newId never re-hands-out a replayed id; the logical clock resumes
+    // monotone past replayed stamps.
+    assert(b.users.newId() > id)
+    assert(b.now().after(u("joined").asInstanceOf[java.sql.Timestamp]))
+  }
+
+  test("WAL torn tail is dropped (unacknowledged); mid-file corruption refuses to boot") {
+    val wal = Scratch.tempDir("wal_torn") + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    a.tasks.patch(Seq(7L), Map("o_orderstatus" -> "approved")): Unit
+    // A crash mid-append: partial JSON, no trailing newline.
+    Files.write(Paths.get(wal), """{"e":"tasks","del":false,"tk":9,"key":[{"t":"l","v"""".getBytes,
+      StandardOpenOption.APPEND)
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    assert(b.tasks.journalSize == 1 &&
+      b.tasks.lookup(Seq(7L)).exists(_("o_orderstatus") == "approved"))
+
+    // Corruption BEFORE acknowledged records must throw, not silently
+    // drop acknowledged writes.
+    val wal2 = Scratch.tempDir("wal_corrupt") + "/ops.wal"
+    val c = new StateStore(spark, dir, walPath = Some(wal2))
+    c.tasks.patch(Seq(7L), Map("o_orderstatus" -> "approved")): Unit
+    val good = new String(Files.readAllBytes(Paths.get(wal2)))
+    Files.write(Paths.get(wal2), ("garbage not json\n" + good).getBytes)
+    assertThrows[IllegalStateException] {
+      new StateStore(spark, dir, walPath = Some(wal2))
+    }
+  }
+
+  test("auto-compaction does not lose WAL'd history: replay after a fold reproduces the merged state") {
+    import spark.implicits._
+    val wal = Scratch.tempDir("wal_compact") + "/ops.wal"
+    val a = new StateStore(spark, dir, autoCompactAt = 4, walPath = Some(wal))
+    // 6 upserts under mutate(): the 5th crosses the threshold and folds
+    // the journal into a scratch base — which a NEW PROCESS cannot see.
+    (1 to 6).foreach { i =>
+      a.mutate(a.notifications.upsert(Map("event_id" -> (800000L + i),
+        "event_type" -> "notification", "message" -> s"m$i")))
+    }
+    assert(a.notifications.journalSize <= 4, "threshold must have folded")
+    val b = new StateStore(spark, dir, autoCompactAt = 4, walPath = Some(wal))
+    val names = b.notifications.current()
+      .filter($"event_id" >= 800001L && $"event_id" <= 800006L)
+      .select($"message").as[String].collect().sorted.toSeq
+    assert(names == (1 to 6).map(i => s"m$i"),
+      s"all six acknowledged writes must survive the fold + restart: $names")
+  }
+
+  // ---- the real thing: SIGKILL the serving process --------------------
+
+  test("acknowledged HTTP writes survive a SIGKILLed facade: WAL replay in a fresh store") {
+    val wal = Scratch.tempDir("wal_kill") + "/ops.wal"
+    val proc = new ProcessBuilder(
+      ChildJvm.command("graft.WalCrashServe", Seq(dir, wal)): _*)
+      .redirectErrorStream(true).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var port = -1
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    while (port < 0 && System.nanoTime() < deadline) {
+      val l = reader.readLine()
+      if (l == null) Thread.sleep(50)
+      else if (l.startsWith("WAL_READY")) port = l.split("port=")(1).trim.toInt
+    }
+    assert(port > 0, "child facade never came up")
+    try {
+      val http = new RestHttp {
+        override val base = s"http://127.0.0.1:$port"
+      }
+      assert(http.post("/users",
+        """{"name":"K","email":"kill@graft.io","role":"admin"}""")._1 == 201)
+      assert(http.patch("/admin/users/kill@graft.io/role",
+        """{"role":"worker"}""")._1 == 200)
+      // Both responses are in hand — the writes are ACKNOWLEDGED. Kill
+      // without ceremony: no shutdown hooks, no flushes beyond what
+      // append() already fsynced.
+      proc.destroyForcibly()
+      proc.waitFor()
+    } finally if (proc.isAlive) { proc.destroyForcibly(); proc.waitFor(): Unit }
+
+    val revived = new StateStore(spark, dir, walPath = Some(wal))
+    val u = revived.users.lookupBy("c_name", "kill@graft.io")
+    assert(u.isDefined, "the acknowledged registration must survive the kill")
+    assert(u.get("role") == "worker",
+      s"the acknowledged role patch must survive too: $u")
+  }
+}
