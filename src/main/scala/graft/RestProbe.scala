@@ -62,6 +62,40 @@ object RestProbe {
     println(f"""{"probe":"rest_rps","route":"$label","threads":$threads,"n":$n,"wall_s":$wall%.2f,"rps":${n / wall}%.0f}""")
   }
 
+  /** Sustained-WRITE leg: N threads drive `n` POST /users registrations
+    * (each = one email guard read + newId + an O(1) journal append,
+    * +1 journal KEY per request — so the store's auto-compaction
+    * threshold fires repeatedly MID-TRAFFIC, and its pause shows up
+    * in-band as the tail latency instead of hiding between runs).
+    * Reports rps plus p50/p99/max per-request latency; `expect` is the
+    * route's success status (201). */
+  private def runWrite(label: String, base: String, n: Int, threads: Int,
+                       tag: String): Unit = {
+    val warm = fire(base, "/users", None,
+      Some(s"""{"name":"w","email":"warm-$tag-$threads@graft.io","role":"worker"}"""))
+    require(warm == 201, s"$label warmup -> $warm")
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val pool = Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = (1 to n).map(i => pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        val r0 = System.nanoTime()
+        val code = fire(base, "/users", None,
+          Some(s"""{"name":"w$i","email":"w$i-$tag-$threads@graft.io","role":"worker"}"""))
+        lats.add((System.nanoTime() - r0) / 1e3 / 1e3) // ms
+        code
+      }
+    }))
+    val codes = futs.map(_.get())
+    val wall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    require(codes.forall(_ == 201), s"$label saw non-201")
+    val sorted = lats.toArray(Array.empty[java.lang.Double]).map(_.doubleValue()).sorted
+    def pct(p: Double): Double = sorted(math.min(sorted.length - 1,
+      (p * sorted.length).toInt))
+    println(f"""{"probe":"rest_write_rps","route":"$label","threads":$threads,"n":$n,"wall_s":$wall%.2f,"rps":${n / wall}%.0f,"p50_ms":${pct(0.50)}%.1f,"p99_ms":${pct(0.99)}%.1f,"max_ms":${sorted.last}%.1f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val n = args.lift(1).map(_.toInt).getOrElse(200)
@@ -111,6 +145,19 @@ object RestProbe {
       .select($"embedding").as[Seq[Float]].head()
       .mkString("""{"embedding":[""", ",", """],"k":10}""")
 
+    // WRITE-load facades: autoCompactAt = 64 so the LSM fold fires
+    // every 64 new journal keys — repeatedly inside the measured
+    // window — and one twin runs the DURABLE posture (per-request
+    // fsynced WAL) so the price of durability is a measured number,
+    // not a guess.
+    val (writeSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
+      autoCompactAt = 64)
+    val (walSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
+      autoCompactAt = 64,
+      walPath = Some(Scratch.tempDir("restprobe_wal") + "/ops.wal"))
+    val writeBase = s"http://127.0.0.1:${writeSrv.getAddress.getPort}"
+    val walBase = s"http://127.0.0.1:${walSrv.getAddress.getPort}"
+
     for (threads <- Seq(1, 8)) {
       run("health(open)", openBase, "/", None, n, threads)
       run("dashboard_memo(open)", openBase, "/top-workers", None, n, threads)
@@ -119,8 +166,11 @@ object RestProbe {
       run("payments(armed+token)", armedBase, "/payments?user=1&limit=5", Some(cust1Tok), n, threads)
       run("admin_users_adminreq(armed)", armedBase, "/admin/users", Some(adminTok), n, threads)
       run("ann_query(open)", annBase, "/ann/query", None, n, threads, Some(annBody))
+      runWrite("users_post(write)", writeBase, n, threads, "plain")
+      runWrite("users_post(write+wal)", walBase, n, threads, "wal")
     }
     openSrv.stop(0); armedSrv.stop(0); annSrv.stop(0)
+    writeSrv.stop(0); walSrv.stop(0)
     spark.stop()
   }
 }

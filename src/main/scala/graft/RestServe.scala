@@ -914,8 +914,14 @@ object RestServe {
     /** POST /ann/query — the living vector index served over the wire
       * (see the startWithStore scaladoc). Contract: 400 for a missing/
       * non-array/non-numeric/wrong-dimension embedding; k clamped to
-      * [1, 100]; the response is exactly topK's rows for a one-vector
-      * payload (spec-pinned byte-equal to the direct call). */
+      * [1, 100]; the response is exactly the engine's rows for a
+      * one-vector payload (spec-pinned byte-equal to the direct call,
+      * row-equal to topK). Rides `StreamingAnnIngest.serve` — the
+      * CACHED serving view (per base-version + delta-set, invalidated
+      * exactly when a new delta's `_SUCCESS` lands) with the payload's
+      * bucket keys hashed driver-side, so each request runs ONE Spark
+      * job over in-memory columnar state; rows are rank-ordered to
+      * make the wire rendering plan-independent. */
     def annQuery(statePath: String)(params: Map[String, String],
                                     body: Map[String, Any]): Res = {
       val dim = Tables.embeddingDim(spark, dir)
@@ -960,14 +966,15 @@ object RestServe {
             case Some(_) =>
               throw new IllegalArgumentException("non-integral k")
           }
-          // query_id is a SENTINEL no corpus id can carry (fixture and
-          // stream vec_ids are >= 0): topK excludes a query's own
-          // vec_id from its neighbors, so a colliding id — 0 is a real
-          // history vector — would silently drop that vector from
-          // every wire response (the r9 ADVICE finding).
-          val queries = Seq((-1L, vec.toSeq)).toDF("query_id", "embedding")
+          // serve()'s default query_id is a SENTINEL no corpus id can
+          // carry (fixture and stream vec_ids are >= 0): the engine
+          // excludes a query's own vec_id from its neighbors, so a
+          // colliding id — 0 is a real history vector — would silently
+          // drop that vector from every wire response (the r9 ADVICE
+          // finding).
           val rows = graft.streaming.StreamingAnnIngest
-            .topK(spark, dir, statePath, queries, k)
+            .serve(spark, dir, statePath, vec, k)
+            .orderBy($"rank")
             .select($"rank", $"neighbor_id", $"sim_r")
             .toJSON.collect()
           Res(200, rows.mkString("[", ",", "]"))

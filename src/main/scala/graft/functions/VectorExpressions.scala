@@ -144,10 +144,18 @@ case class ListDotProduct(left: Expression, right: Expression)
 
 object VectorFunctions {
   /** Idempotently register the kernels as temp SQL functions so both the
-    * Column API (via call_function) and spark.sql can use them. */
+    * Column API (via call_function) and spark.sql can use them.
+    * Memoized PER SESSION (temp functions are session state; clones
+    * re-register under their own session): the serving path calls this
+    * per request, and an unconditional createOrReplaceTempFunction
+    * would log a replaced-function WARN and take the registry lock at
+    * request rate. */
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    registered.getOrElseUpdate(spark,
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in"))
 
   /** Dot product of two float-array columns (double result). */
   def fdot(spark: SparkSession, a: Column, b: Column): Column = {

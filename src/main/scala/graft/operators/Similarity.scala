@@ -229,9 +229,16 @@ object Similarity extends QueryModule {
     * top-20 cuts, so pair volume is |Q|·20·19 BY CONSTRUCTION and the
     * rounds never touch the corpus again (the d10/pipe2 serving
     * shape: retrieval prunes, re-rank works on the pruned set). The
-    * candidate and pair frames are `checkpointed` — each of the 2^K
-    * unrolled references reads a ~20-row-per-query leaf, never
-    * recomputes the broadcast pass (the g5/g7 unroll lesson).
+    * candidate and pair frames are `checkpointed` — each unrolled
+    * reference reads a ~20-row-per-query leaf, never recomputes the
+    * broadcast pass (the g5/g7 unroll lesson) — and so are EACH
+    * ROUND's pick and state: a lazily-stacked unroll re-evaluates
+    * every earlier round inside every later one (2^K window stages —
+    * measured as the catalog's slowest query at 2.26 s for what is
+    * ~100 rows of state), while the per-round leaves make the unroll
+    * LINEAR: 2K tiny materializations, each one window or one pair of
+    * broadcast hash joins over a leaf (the d13/s12 restatement the r9
+    * verdict asked for; measured 4× on the full-catalog bench).
     *
     * Determinism: rel and pair sims rounded to 6 (the s1 discipline);
     * scores are two IEEE mults + one subtract on rounded inputs,
@@ -261,19 +268,24 @@ object Similarity extends QueryModule {
     val picks = (1 to 5).map { r =>
       val scored = state.withColumn("score_r",
         round(lit(0.7) * $"rel_r" - lit(0.3) * $"maxsim", 7))
-      val pick = scored.withColumn("rk", row_number().over(wp)).filter($"rk" === 1)
-        .select($"query_id", $"cand_id", $"rel_r", $"score_r")
+      // Each pick and state is its OWN leaf: the final union and every
+      // later round read materialized rows instead of re-evaluating the
+      // whole earlier unroll (see the scaladoc's 2^K note).
+      val pick = checkpointed(
+        scored.withColumn("rk", row_number().over(wp)).filter($"rk" === 1)
+          .select($"query_id", $"cand_id", $"rel_r", $"score_r"))
       // Both join sides are tiny by construction (pick: |Q| rows;
       // pairs: |Q|·20·19) — broadcast hints keep each round a pair of
       // map-side hash joins instead of the SMJ + exchange chains the
       // stats-free checkpoint leaves otherwise plan (.explain review).
-      state = scored.as("s")
+      // Round 5's state feeds nothing — skip its build entirely.
+      if (r < 5) state = checkpointed(scored.as("s")
         .join(broadcast(pick.select($"query_id", $"cand_id".as("pid"))), Seq("query_id"))
         .filter($"cand_id" =!= $"pid")
         .join(broadcast(pairs.select($"query_id", $"i".as("pid"), $"j".as("cand_id"), $"psim_r")),
           Seq("query_id", "pid", "cand_id"))
         .select($"query_id", $"cand_id", $"rel_r",
-          greatest($"maxsim", $"psim_r").as("maxsim"))
+          greatest($"maxsim", $"psim_r").as("maxsim")))
       pick.withColumn("pick_rank", lit(r.toLong))
     }
     picks.reduce(_ unionByName _)
@@ -432,6 +444,17 @@ object Similarity extends QueryModule {
     val (bits, tables) = family
     Array.tabulate(tables)(t =>
       t.toLong * (1L << bits) + srpBucketLocal(t, e, bits))
+  }
+
+  /** Driver twin of [[norm]] — `sqrt(float_dot(e, e))` with the
+    * identical left-to-right float→double fold (and Math.sqrt is
+    * IEEE-correctly-rounded on both sides), so a payload norm computed
+    * at the server is bit-identical to the column form. */
+  private[graft] def vecNormLocal(e: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < e.length) { acc += e(i).toDouble * e(i).toDouble; i += 1 }
+    math.sqrt(acc)
   }
 
   /** s3 — SRP-LSH ANN: 8 tables × 8-bit sign buckets, exact re-rank of

@@ -122,6 +122,37 @@ object StreamingAnnIngest {
   def compact(spark: SparkSession, statePath: String): Unit =
     state(statePath).compact(spark, FoldDedup)
 
+  /** The maintenance pass an OPERATOR no longer has to remember: fold,
+    * then re-shard iff the family has DRIFTED. The adaptive family is
+    * sized at index birth from history alone, so a stream that outgrows
+    * it slides back toward linear per-arrival candidate volume until a
+    * reindex — previously a manual call (the r9 verdict's #3). The
+    * drift rule is the family function itself: re-derive
+    * [[Similarity.adaptiveSrpFamily]] from the FULL visible corpus
+    * (history + committed stream vectors) and compare with the family
+    * the statePath currently pins — `adaptiveSrpFamily` already
+    * embodies the occupancy threshold (bits move only when the corpus
+    * crosses a 16·2^bits capacity boundary), and the corpus only
+    * grows, so the rule cannot flap. Drifted ⇒ [[reindex]] (which
+    * folds first); otherwise just [[compact]]. Returns whether a
+    * re-shard happened. Run this as the periodic table service — the
+    * streaming twin of w9 — and the candidate volume stays bounded
+    * with NO manual reindex anywhere (spec-pinned: a stream that
+    * crosses the boundary re-shards itself on its next maintenance
+    * pass). Cost beyond compact: one narrow distinct-count over the
+    * committed vector ids. */
+  def maintain(spark: SparkSession, dir: String, statePath: String): Boolean = {
+    val st = state(statePath)
+    val streamed = st.full(spark, "vectors")
+      .select("vec_id").distinct().count()
+    val total = Similarity.annHistoryCount(spark, dir) + streamed
+    val drifted =
+      Similarity.adaptiveSrpFamily(total) != familyOf(spark, dir, statePath)
+    if (drifted) reindex(spark, dir, statePath)
+    else compact(spark, statePath)
+    drifted
+  }
+
   /** Maintenance-window RE-SHARD: the adaptive family is sized from
     * history at index birth, so a stream that OUTGROWS its history
     * would drift past the occupancy target (per-arrival candidate
@@ -295,13 +326,122 @@ object StreamingAnnIngest {
       st.priorDeltas(spark, "hits", Long.MaxValue), "query_id")
   }
 
+  /** SERVING-VIEW CACHE: the assembled candidate frames — history ∪
+    * everything the stream has committed — memoized per statePath and
+    * keyed by exactly what can change them: (base version, visible
+    * delta-dir set, family). The living index legitimately changes per
+    * micro-batch, so unlike the façade's immutable dashboard memo this
+    * cache must INVALIDATE — and the stamp is read from the same
+    * `_SUCCESS` algebra every reader uses (one driver-side listing per
+    * request, no Spark job), so a query issued after a new delta's
+    * marker lands sees that delta's vectors, never a stale view
+    * (staleness spec-pinned in RestAnnSpec). On a hit, the per-request
+    * job scans the in-memory columnar view instead of re-assembling
+    * parquet unions; on a miss the new view is persisted and
+    * materialized ONCE (the old one unpersisted), which is the cost of
+    * one micro-batch boundary, amortized over every query between
+    * batches — the r9 verdict's #1 (the production posture named in
+    * SURVEY §15's /ann/query note, now built). MEMORY_AND_DISK: at
+    * corpus scale the view spills instead of evicting to recompute. */
+  private case class ViewStamp(version: Long, deltas: Vector[String],
+                               family: (Int, Int))
+  private val servingViews = scala.collection.concurrent.TrieMap
+    .empty[String, (ViewStamp, DataFrame, DataFrame)]
+
+  private def stampOf(spark: SparkSession, dir: String,
+                      statePath: String): ViewStamp = {
+    val st = state(statePath)
+    ViewStamp(
+      st.completeBaseVersion(spark).getOrElse(-1L),
+      (st.deltaPaths(spark, "buckets", Long.MaxValue) ++
+        st.deltaPaths(spark, "vectors", Long.MaxValue))
+        .map(_.toString).sorted.toVector,
+      familyOf(spark, dir, statePath))
+  }
+
+  /** The cached (buckets, vectors) serving frames for this statePath —
+    * rebuilt iff the stamp moved. Synchronized: concurrent first
+    * requests after a batch build the view once. */
+  private def servingView(spark: SparkSession, dir: String,
+                          statePath: String): (DataFrame, DataFrame, (Int, Int)) =
+    servingViews.synchronized {
+      import spark.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val stamp = stampOf(spark, dir, statePath)
+      servingViews.get(statePath) match {
+        case Some((s, b, v)) if s == stamp => (b, v, stamp.family)
+        case old =>
+          old.foreach { case (_, b, v) =>
+            b.unpersist(blocking = false); v.unpersist(blocking = false): Unit
+          }
+          val st = state(statePath)
+          val histBuckets = Similarity.ensureAnnHistoryIndex(spark, dir, stamp.family)
+          val buckets = spark.table(histBuckets)
+            .unionByName(st.full(spark, "buckets")).distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val vectors = spark.table(Similarity.annHistVectorsTable(dir))
+            .unionByName(st.full(spark, "vectors"))
+            .select($"vec_id".as("neighbor_id"),
+              $"embedding".as("ne"), $"nrm".as("nn"))
+            .dropDuplicates("neighbor_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // Materialize NOW (not on the first request): the boundary
+          // pays the build, every request between batches rides memory.
+          buckets.count(): Unit
+          vectors.count(): Unit
+          servingViews.update(statePath, (stamp, buckets, vectors))
+          (buckets, vectors, stamp.family)
+      }
+    }
+
+  /** The wire-speed serving entry: one payload vector against the
+    * CACHED serving view. EVERYTHING request-shaped stays on the
+    * driver — bucket keys hashed locally (s6's serving pattern), the
+    * vector and its norm riding as LITERALS — so the per-request plan
+    * has no broadcast exchanges and no window shuffle at all: one
+    * literal-IN pruned scan of the in-memory bucket view, a distinct,
+    * the candidate-bounded hash join to payloads, and a
+    * TakeOrderedAndProject top-k (partial top-k per partition, driver
+    * merge — never a global sort). Row-identical to [[topK]] on a
+    * one-vector payload (spec-pinned): identical candidate rule,
+    * bit-identical cosine (literal-side float_dot keeps the same fold,
+    * [[Similarity.vecNormLocal]] the same norm), identical
+    * (sim desc, neighbor_id) tie-break. topK stays the uncached batch
+    * form (ingest twins, multi-vector payloads). */
+  def serve(spark: SparkSession, dir: String, statePath: String,
+            vec: Array[Float], k: Int = TopK, queryId: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val (buckets, vectors, fam) = servingView(spark, dir, statePath)
+    val keys = Similarity.srpBkeysLocal(vec, fam)
+    val qe = typedLit(vec.toSeq)
+    val qn = lit(Similarity.vecNormLocal(vec))
+    val cand = buckets.filter($"bkey".isin(keys.toSeq: _*))
+      .select($"vec_id".as("neighbor_id"))
+      .filter($"neighbor_id" =!= queryId)
+      .distinct()
+    val topk = cand
+      .join(vectors, Seq("neighbor_id"))
+      .select($"neighbor_id",
+        cosine(qe, qn, $"ne", $"nn").as("sim_r"))
+      .orderBy($"sim_r".desc, $"neighbor_id")
+      .limit(k)
+    // Rank over the already-cut k rows (k ≤ 100): a single tiny
+    // partition, same ordering keys as rankTopK — positions match the
+    // window form exactly.
+    val w = Window.partitionBy($"query_id").orderBy($"sim_r".desc, $"neighbor_id")
+    topk.withColumn("query_id", lit(queryId))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"query_id", $"rank", $"neighbor_id", $"sim_r")
+  }
+
   /** Serve a top-k query OVER the living index: candidates from the
     * bucketed history table ∪ every streamed vector (compacted base ∪
     * complete deltas), exact re-rank — s6's serving path, with the
     * stream visible. `queries` carries (query_id, embedding); a query
     * vector that was itself ingested is excluded from its own
     * neighbors. The query side broadcasts (request payload, never
-    * corpus data). */
+    * corpus data). Single-vector serving traffic should ride [[serve]]
+    * (the cached path); this is the batch/rebuild-twin form. */
   def topK(spark: SparkSession, dir: String, statePath: String,
            queries: DataFrame, k: Int = TopK): DataFrame = {
     import spark.implicits._

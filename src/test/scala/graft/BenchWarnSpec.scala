@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.scheduler.SparkListenerTaskEnd
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact's `"warnings"` wiring: a non-Success task
+  * end counts, a Success does not — so a green-but-noisy run (retried
+  * task mid-bench logging a raw stack while `errors` stays 0) is
+  * visible in the one JSON line the driver diffs. */
+class BenchWarnSpec extends AnyFunSuite {
+  test("BenchWarnListener counts non-Success task ends and nothing else") {
+    val l = new BenchWarnListener
+    l.onTaskEnd(SparkListenerTaskEnd(1, 0, "result",
+      org.apache.spark.Success, null, null, null))
+    assert(l.count.get() == 0)
+    l.onTaskEnd(SparkListenerTaskEnd(1, 0, "result",
+      org.apache.spark.UnknownReason, null, null, null))
+    l.onTaskEnd(SparkListenerTaskEnd(2, 0, "result",
+      org.apache.spark.Resubmitted, null, null, null))
+    assert(l.count.get() == 2)
+  }
+}

@@ -48,20 +48,28 @@ class RestAnnSpec extends AnyFunSuite with RestHttp
 
   private def vecJson(xs: Seq[Float]): String = xs.mkString("[", ",", "]")
 
-  test("POST /ann/query answers byte-equal to the direct topK call, and sees streamed vectors") {
+  test("POST /ann/query answers byte-equal to the direct serve call, row-equal to topK, and sees streamed vectors") {
     import spark.implicits._
     val qv = Tables(spark, dir).embeddings
       .filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
     val (code, body) = post("/ann/query", s"""{"embedding":${vecJson(qv)}}""")
     assert(code == 200, body)
-    // -1L: the wire sentinel — the direct twin must use a NON-corpus id
-    // too, or the comparison hides the self-exclusion of a real vector
-    // (the r9 ADVICE finding, pinned below with history vec 0).
-    val direct = StreamingAnnIngest.topK(spark, dir, statePath,
-        Seq((-1L, qv)).toDF("query_id", "embedding"))
+    // The wire rides serve() — the CACHED view — with the -1L sentinel
+    // (a corpus id would hide its own vector via self-exclusion, the
+    // r9 ADVICE finding, pinned below with history vec 0).
+    val direct = StreamingAnnIngest.serve(spark, dir, statePath, qv.toArray)
+      .orderBy($"rank")
       .select($"rank", $"neighbor_id", $"sim_r")
       .toJSON.collect().mkString("[", ",", "]")
     assert(body == direct, "wire response must be byte-equal to the engine call")
+    // And serve() itself must be row-identical to the uncached batch
+    // form — the cache changes the plan, never the answer.
+    val cached = StreamingAnnIngest.serve(spark, dir, statePath, qv.toArray)
+      .orderBy($"rank").collect().toSeq
+    val uncached = StreamingAnnIngest.topK(spark, dir, statePath,
+        Seq((-1L, qv)).toDF("query_id", "embedding"))
+      .orderBy($"rank").collect().toSeq
+    assert(cached == uncached, "cached serving view must equal the uncached path")
     // The payload IS vec 3's own vector: both vec 3 (streamed, batch 0)
     // and its crafted twin (streamed, batch 1) score exactly 1.0 — a
     // history-only index could return neither.
@@ -111,6 +119,27 @@ class RestAnnSpec extends AnyFunSuite with RestHttp
       "fractional k must be rejected, not silently defaulted")
     assert(post("/ann/query", s"""{"embedding":$e,"k":"x"}""")._1 == 400)
     assert(post("/ann/query", s"""{"embedding":$e,"k":true}""")._1 == 400)
+  }
+
+  test("serving-view cache staleness pin: a vector ingested AFTER the cache warmed is visible to the very next query") {
+    import spark.implicits._
+    // Warm the cache through the wire (the suite's earlier tests also
+    // did — this makes the ordering explicit and self-contained).
+    val qv = Tables(spark, dir).embeddings
+      .filter($"vec_id" === 3).select($"embedding").as[Seq[Float]].head()
+    assert(post("/ann/query", s"""{"embedding":${vecJson(qv)},"k":1}""")._1 == 200)
+    // A new batch lands: an exact-direction twin of vec 3 with a fresh
+    // id. Its delta's _SUCCESS is the cache's invalidation signal — no
+    // restart, no manual flush.
+    val b2 = spark.createDataFrame(Seq((9300002L, qv.map(_ * 3.0f))))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    StreamingAnnIngest.processBatch(dir, statePath)(b2, 2L)
+    val (code, body) = post("/ann/query", s"""{"embedding":${vecJson(qv)},"k":3}""")
+    assert(code == 200, body)
+    val ids = spark.read.json(Seq(body).toDS()).select($"neighbor_id")
+      .as[Long].collect().toSet
+    assert(ids.contains(9300002L),
+      s"the next query after an ingest must see the new vector, not a stale cache: $ids")
   }
 
   test("armed façade guards /ann/query like every data route; open façade stays open") {

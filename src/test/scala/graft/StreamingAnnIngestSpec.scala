@@ -427,4 +427,52 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.head._1 == seed._1 && top.head._2 == 1.0,
       s"living index must retrieve the cross-batch twin at rank 1: ${top.toSeq}")
   }
+
+  test("maintain(): a stream that outgrows its birth family re-shards ITSELF on the next maintenance pass") {
+    import spark.implicits._
+    // A scratch corpus whose HISTORY is tiny (birth family = the (8,8)
+    // floor, capacity 16·2^8 = 4096) and whose stream then pushes the
+    // visible corpus past that boundary — the drift reindex() exists
+    // for, previously fired only when an operator remembered to call it
+    // (the r9 verdict's #3).
+    val root = Scratch.tempDir("ann_maintain")
+    val dim = 4
+    val rnd = new scala.util.Random(7)
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, s"l${i % 3}", Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    spark.createDataFrame(mk(0L until 100L by 2))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+    assert(Similarity.annFamily(spark, root) == (8, 8))
+
+    val state = s"$root/state"
+    val streamed = spark.createDataFrame(mk(1L to 8400L by 2))
+      .toDF("vec_id", "label", "embedding").select($"vec_id", $"embedding")
+      .localCheckpoint(true)
+    StreamingAnnIngest.processBatch(root, state)(streamed, 0L)
+    assert(StreamingAnnIngest.familyOf(spark, root, state) == (8, 8),
+      "ingest alone must not re-shard — that is the maintenance pass's job")
+
+    // The maintenance pass: detects 50 + 4200 = 4250 > 4096, re-shards.
+    val expected = Similarity.adaptiveSrpFamily(4250)
+    assert(expected._1 > 8, s"the spec corpus must actually cross the boundary: $expected")
+    assert(StreamingAnnIngest.maintain(spark, root, state),
+      "maintain must report the drift re-shard")
+    assert(StreamingAnnIngest.familyOf(spark, root, state) == expected)
+    // Candidate volume is re-bounded BY CONSTRUCTION: every indexed
+    // vector now carries exactly `tables` bucket rows under the wider
+    // family (occupancy per table-bucket halved at +1 bit) — verified
+    // against the folded base, and against the next arrival's delta.
+    val baseBuckets = spark.read.parquet(s"$state/base/v1/buckets")
+    assert(baseBuckets.count() == 4200L * expected._2)
+    val next = spark.createDataFrame(mk(Seq(9001L)))
+      .toDF("vec_id", "label", "embedding").select($"vec_id", $"embedding")
+      .localCheckpoint(true)
+    StreamingAnnIngest.processBatch(root, state)(next, 1L)
+    assert(spark.read.parquet(s"$state/buckets/1").count() == expected._2.toLong,
+      "post-maintain arrivals must index under the re-sharded family")
+    // Steady state: a second pass finds no drift and folds only.
+    assert(!StreamingAnnIngest.maintain(spark, root, state))
+    assert(StreamingAnnIngest.familyOf(spark, root, state) == expected)
+  }
 }

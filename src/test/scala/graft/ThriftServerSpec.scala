@@ -171,6 +171,78 @@ class ThriftServerSpec extends AnyFunSuite {
       workers.foreach(_.join(600000))
       assert(failures.isEmpty,
         s"wire mismatches:\n${failures.toArray.mkString("\n")}")
+
+      // ---- the WRITE surface over the wire (the r9 verdict's #5) ----
+      // Hive-server mutation posture, driven ENTIRELY by the JDBC
+      // client: INSERT INTO for appends, and the classic staged
+      // INSERT OVERWRITE for UPDATE/DELETE — v1 parquet tables have no
+      // row-level ops, and a full-table masked rewrite IS the w2/w4
+      // batch shape, here arriving over the wire. Managed tables land
+      // in the server's scratch warehouse; the fixture lake stays
+      // immutable. Final state is tied to the equivalent batch
+      // program computed in THIS JVM (the same tie discipline as
+      // RestStateTieSpec).
+      val wc = connect()
+      try {
+        val st = wc.createStatement()
+        st.execute("DROP TABLE IF EXISTS graft.users_live")
+        st.execute("DROP TABLE IF EXISTS graft.users_live_stage")
+        st.execute(
+          "CREATE TABLE graft.users_live USING PARQUET AS SELECT * FROM graft.customer")
+        // w1's insert, over JDBC — and read-your-own-write on the SAME
+        // connection.
+        st.execute("INSERT INTO graft.users_live VALUES " +
+          "(900001, 'jdbc@graft.io', 0, 50.0, 'BUILDING')")
+        val own = wireRows(wc,
+          "SELECT c_custkey, c_name, c_acctbal FROM graft.users_live WHERE c_custkey = 900001")
+        assert(own == Seq(ThriftServe.canonRow(Seq(
+          Long.box(900001L), "jdbc@graft.io", Double.box(50.0)))),
+          s"read-your-write over JDBC failed: $own")
+        // Visible to a SECOND connection: the mutation is metastore-
+        // backed table state, not session state.
+        val c2 = connect()
+        try assert(wireRows(c2,
+            "SELECT count(*) AS n FROM graft.users_live WHERE c_name = 'jdbc@graft.io'")
+          == Seq(ThriftServe.canonRow(Seq(Long.box(1L)))),
+          "a second connection must see the committed insert")
+        finally c2.close()
+        // w2's masked UPDATE + w4's negated-key DELETE as ONE staged
+        // rewrite (read-stage-overwrite: Spark refuses to overwrite a
+        // table it is reading, which is the correct posture — the
+        // stage IS the new table version).
+        st.execute(
+          """CREATE TABLE graft.users_live_stage USING PARQUET AS
+            |SELECT c_custkey, c_name, c_nationkey,
+            |       CASE WHEN c_mktsegment = 'BUILDING'
+            |            THEN c_acctbal + 25.0 ELSE c_acctbal END AS c_acctbal,
+            |       c_mktsegment
+            |FROM graft.users_live WHERE c_custkey <> 3""".stripMargin)
+        st.execute(
+          "INSERT OVERWRITE TABLE graft.users_live SELECT * FROM graft.users_live_stage")
+        st.execute("DROP TABLE graft.users_live_stage")
+        // The tie: the wire-mutated table must hash-equal the batch
+        // program for the same op sequence, run in THIS JVM.
+        val spark = TestSpark.spark
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val inserted = Seq((900001L, "jdbc@graft.io", 0, 50.0, "BUILDING"))
+          .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        val expected = Tables(spark, sfDir).customer
+          .unionByName(inserted)
+          .filter($"c_custkey" =!= 3)
+          .select($"c_custkey", $"c_name", $"c_nationkey",
+            when($"c_mktsegment" === "BUILDING", $"c_acctbal" + 25.0)
+              .otherwise($"c_acctbal").as("c_acctbal"),
+            $"c_mktsegment")
+          .collect().map(r => ThriftServe.canonRow(r.toSeq)).toSeq
+        val finalWire = wireRows(wc, "SELECT * FROM graft.users_live")
+        assert(finalWire.length == expected.length,
+          s"${finalWire.length} wire rows != ${expected.length} batch rows")
+        assert(ThriftServe.hashRows(finalWire) == ThriftServe.hashRows(expected),
+          "JDBC-mutated state must hash-equal the batch w2/w4 program")
+        st.execute("DROP TABLE graft.users_live")
+        st.close()
+      } finally wc.close()
     } finally {
       // Graceful shutdown: any stdin line stops the server.
       try {
