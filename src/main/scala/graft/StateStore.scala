@@ -65,19 +65,32 @@ import org.apache.spark.sql.types._
   * gets from remote Mongo and RocksDB gets from its log: the journal
   * is process memory, the WAL is its recovery source. The log records
   * JOURNAL OPS (not state), so it is small, append-only, and replay is
-  * deterministic; compaction does NOT truncate it because the
-  * compacted base lives in run-scoped scratch — after a crash the only
-  * durable inputs are the fixture lake and the WAL, so the WAL must
-  * span the store's whole life (at production scale the fold would be
-  * a durable table commit and the WAL would checkpoint there).
-  * Torn tails (a crash mid-append) are dropped on replay — an
-  * unacknowledged op is legitimately lost, never corrupting.
+  * deterministic. Torn tails (a crash mid-append) are dropped on
+  * replay — an unacknowledged op is legitimately lost, never
+  * corrupting.
+  *
+  * CHECKPOINTS bound recovery time: [[checkpoint]] snapshots every
+  * ever-mutated entity's merged state to a DURABLE versioned dir
+  * beside the log (`<walDir>/snap/v<N>/<entity>` + an atomically
+  * renamed manifest carrying the entity list and the logical clock),
+  * then rotates the WAL — so a restart replays only ops SINCE the
+  * last checkpoint instead of the store's whole life (RocksDB's
+  * flush-then-truncate, exactly). Every crash window is safe by
+  * construction: a manifest-less snapshot is ignored (previous
+  * snapshot + unrotated WAL is complete); a committed manifest with
+  * an unrotated WAL replays pre-checkpoint ops onto the snapshot,
+  * which is IDEMPOTENT (re-journaled upserts carry identical rows;
+  * tombstones for already-absent keys hide nothing). Fired
+  * automatically every `walCheckpointEvery` logged ops, or on demand.
   */
 final class StateStore(spark: SparkSession, dir: String,
                        autoCompactAt: Int = 4096,
-                       walPath: Option[String] = None) {
+                       walPath: Option[String] = None,
+                       walCheckpointEvery: Int = 100000) {
   private val t = Tables(spark, dir)
   private val wal: Option[WriteAheadLog] = walPath.map(new WriteAheadLog(_))
+  private val walDir: Option[String] =
+    walPath.map(p => Option(new java.io.File(p).getParent).getOrElse("."))
   @volatile private var replaying = false
 
   private def entity(name: String, baseF: () => DataFrame,
@@ -116,11 +129,17 @@ final class StateStore(spark: SparkSession, dir: String,
     "withdrawals" -> withdrawals, "submissions" -> submissions,
     "notifications" -> notifications)
 
-  // Recovery: replay the WAL's journal ops (in log order, across
-  // entities) against the fixture base. The logical clock resumes past
-  // the highest recorded tick so post-restart stamps stay monotone.
-  // Oversized replayed journals fold immediately — same LSM discipline
-  // as mutate()'s auto-compaction.
+  // Recovery, two layers: (1) the latest manifest-complete checkpoint
+  // snapshot — each listed entity adopts its snapshot dir as base and
+  // the logical clock resumes from the manifest; (2) the WAL's journal
+  // ops (in log order, across entities) replayed on top. The clock
+  // then resumes past the highest replayed tick so post-restart stamps
+  // stay monotone. Oversized replayed journals fold immediately — same
+  // LSM discipline as mutate()'s auto-compaction.
+  for (root <- walDir; (v, names, ckTick) <- StateStore.latestSnapshot(root)) {
+    names.foreach(n => entityByName(n).adoptBase(s"$root/snap/v$v/$n"))
+    tick.set(ckTick)
+  }
   wal.foreach { w =>
     replaying = true
     try {
@@ -132,6 +151,25 @@ final class StateStore(spark: SparkSession, dir: String,
       tick.set(math.max(tick.get(), maxTick))
     } finally replaying = false
     entities.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
+  }
+
+  /** Snapshot + rotate (see the CHECKPOINTS scaladoc block). No-op
+    * without a WAL or when nothing was ever mutated. */
+  def checkpoint(): Unit = synchronized {
+    for (w <- wal; root <- walDir) {
+      val dirty = entityByName.filter(_._2.everMutated).toSeq.sortBy(_._1)
+      if (dirty.nonEmpty) {
+        val next = StateStore.latestSnapshot(root).map(_._1 + 1).getOrElse(0L)
+        dirty.foreach { case (name, e) =>
+          e.compactTo(s"$root/snap/v$next/$name")
+        }
+        StateStore.writeManifest(root, next, dirty.map(_._1), tick.get())
+        w.rotate()
+        // Superseded snapshot versions are dead weight; reap them.
+        (0L until next).foreach(v =>
+          Scratch.deleteRecursively(new java.io.File(s"$root/snap/v$v")))
+      }
+    }
   }
 
   /** Store-wide critical section: every mutation handler's
@@ -153,7 +191,54 @@ final class StateStore(spark: SparkSession, dir: String,
   def mutate[A](body: => A): A = synchronized {
     val r = body
     entities.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
+    if (wal.exists(_.sinceRotate >= walCheckpointEvery)) checkpoint()
     r
+  }
+}
+
+object StateStore {
+  private val manifestMapper = new ObjectMapper()
+
+  /** Latest checkpoint version whose manifest committed, with its
+    * entity list and logical-clock watermark. A snapshot dir without a
+    * manifest is a crash remnant and is ignored. */
+  private[graft] def latestSnapshot(root: String): Option[(Long, Seq[String], Long)] = {
+    val snap = new java.io.File(s"$root/snap")
+    Option(snap.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v")
+        && f.getName.drop(1).forall(_.isDigit))
+      .map(_.getName.drop(1).toLong).sorted.reverse
+      .flatMap { v =>
+        val m = new java.io.File(s"$root/snap/v$v/manifest.json")
+        if (!m.exists()) None
+        else try {
+          val n = manifestMapper.readTree(m)
+          Some((v,
+            n.get("entities").elements().asScala.map(_.asText()).toSeq,
+            n.get("tick").asLong()))
+        } catch { case NonFatal(_) => None }
+      }.headOption
+  }
+
+  /** Commit a checkpoint manifest: write-then-rename, so a version is
+    * visible atomically or not at all. */
+  private[graft] def writeManifest(root: String, v: Long,
+                                   entities: Seq[String], tick: Long): Unit = {
+    val n = manifestMapper.createObjectNode()
+    val arr = n.putArray("entities")
+    entities.foreach(arr.add)
+    n.put("tick", tick)
+    val tmp = new java.io.File(s"$root/snap/v$v/manifest.json.tmp")
+    val fin = new java.io.File(s"$root/snap/v$v/manifest.json")
+    val out = new java.io.FileOutputStream(tmp)
+    try {
+      out.write(manifestMapper.writeValueAsString(n)
+        .getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      out.getFD.sync()
+    } finally out.close()
+    if (!tmp.renameTo(fin))
+      throw new java.io.IOException(s"checkpoint manifest rename failed: $fin")
   }
 }
 
@@ -177,6 +262,36 @@ final class EntityState(
     baseRel.getOrElse { val b = baseF(); baseRel = Some(b); b }
   }
 
+  /** True once this entity's state can differ from the immutable
+    * fixture — any journal op ever applied (live or replayed), or a
+    * checkpoint snapshot adopted as base. Checkpoints snapshot exactly
+    * these entities: an untouched entity's durable state IS the
+    * fixture, and re-snapshotting it would copy a full table for
+    * nothing; an ever-mutated one must appear in EVERY later snapshot
+    * version or recovery would fall back to the fixture after old
+    * versions are reaped. */
+  @volatile private[graft] var everMutated = false
+
+  /** Recovery: adopt a checkpoint snapshot dir as this entity's base
+    * (replacing the fixture loader). */
+  private[graft] def adoptBase(path: String): Unit = synchronized {
+    baseRel = Some(spark.read.parquet(path))
+    blooms = Map.empty
+    everMutated = true
+  }
+
+  /** [[compact]] into an explicit DURABLE directory (the checkpoint
+    * path) instead of run-scoped scratch, and adopt it as base. Runs
+    * even with an empty journal — a previously-snapshotted entity must
+    * carry its state into the new version. */
+  private[graft] def compactTo(path: String): Unit = synchronized {
+    current().write.mode("overwrite").parquet(path)
+    foldJournalIntoBlooms()
+    journal.clear()
+    extras = Vector.empty
+    baseRel = Some(spark.read.parquet(path))
+  }
+
   /** key → Some(full row as column→value) for upserts, None for
     * tombstones. LinkedHashMap: iteration order = first-write order
     * (stable output order for merged reads). */
@@ -189,6 +304,66 @@ final class EntityState(
     * replayed upsert already carries (the fresh base-max probe knows
     * nothing of journal rows above it). */
   private var minNextId = 0L
+
+  /** Lazily-built per-column Bloom filters over the BASE's values —
+    * the serving-tier negative cache for secondary-key guards: a write
+    * like user registration runs a does-this-email-exist probe, and
+    * without the sketch EVERY new key pays a Spark point job to learn
+    * "no". The Bloom's one-sided error is exactly safe here: a false
+    * positive falls through to the real probe; a false negative is
+    * impossible, so the fast "not in base" answer is always true.
+    * Journal rows are checked BEFORE the base path, so the sketch only
+    * ever stands in for the immutable base — and [[compact]] (the only
+    * event that changes the base) folds the journal's values INTO the
+    * live sketches ([[foldJournalIntoBlooms]]) so no rebuild job ever
+    * re-runs; a recovery's [[adoptBase]] rebuilds lazily, once.
+    * None = the column's type has no Bloom encoding (fall through to
+    * the probe). Sizing: ~9.6 bits/item at 1% fpp — driver-resident by
+    * design, the FAISS/HBase-block-cache posture; a directory so large
+    * its sketch outgrows the driver is sharded across serving replicas
+    * (each holding its shard's sketch), not a reason to pay a
+    * distributed scan per negative lookup. */
+  private var blooms = Map.empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  private def baseBloom(column: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    synchronized {
+      blooms.getOrElse(column, {
+        val b = base.schema(column).dataType match {
+          case StringType | LongType | IntegerType =>
+            Some(base.stat.bloomFilter(column, math.max(1000L, base.count()), 0.01))
+          case _ => None
+        }
+        blooms = blooms.updated(column, b)
+        b
+      })
+    }
+
+  /** False only when the base PROVABLY lacks `value` in `column`. */
+  private def mightBeInBase(column: String, value: Any): Boolean =
+    (base.schema(column).dataType, value) match {
+      case (StringType, s: String) => baseBloom(column).forall(_.mightContainString(s))
+      case (LongType, l: Long)     => baseBloom(column).forall(_.mightContainLong(l))
+      case (IntegerType, i: Int)   => baseBloom(column).forall(_.mightContainLong(i.toLong))
+      case _ => true
+    }
+
+  /** Compaction folds journal rows into the base — fold their values
+    * into the live sketches too (insert-only, so the one-sided error
+    * stays one-sided: a tombstoned value leaves a harmless false
+    * positive) instead of dropping them, which would re-pay the build
+    * job after every fold. Long-lived stores degrade fpp gracefully,
+    * never correctness. */
+  private def foldJournalIntoBlooms(): Unit =
+    blooms.foreach {
+      case (column, Some(b)) =>
+        journal.values.flatten.foreach(_.get(column).foreach {
+          case s: String => b.putString(s): Unit
+          case l: Long   => b.putLong(l): Unit
+          case i: Int    => b.putLong(i.toLong): Unit
+          case _         => ()
+        })
+      case _ => ()
+    }
 
   private def keyFields: Seq[StructField] =
     keyCols.map(c => base.schema(base.schema.fieldIndex(c)))
@@ -261,6 +436,7 @@ final class EntityState(
       case _ => ()
     }
     journal.update(key, Some(coerced))
+    everMutated = true
     record(false, key, Some(coerced))
   }
 
@@ -278,6 +454,7 @@ final class EntityState(
     else {
       val nk = normKey(key)
       journal.update(nk, None)
+      everMutated = true
       record(true, nk, None)
       true
     }
@@ -291,6 +468,7 @@ final class EntityState(
     * the decoded values carry their original types. */
   private[graft] def replayOp(del: Boolean, key: Seq[Any],
                               row: Option[Map[String, Any]]): Unit = synchronized {
+    everMutated = true
     if (del) journal.update(key, None) else upsert(row.get)
   }
 
@@ -335,6 +513,10 @@ final class EntityState(
       case hit @ Some(_) => hit
       case None =>
         if (!base.schema.fieldNames.contains(column)) None
+        // Bloom fast path: a provably-absent value answers in O(1)
+        // driver time — the write path's guard probes (new email on
+        // every registration) never pay a Spark job for "no".
+        else if (!mightBeInBase(column, value)) None
         else {
           val matches = base.filter(col(column) === lit(value))
           val live =
@@ -384,6 +566,7 @@ final class EntityState(
     if (journal.nonEmpty) {
       val out = Scratch.tempDir("state_compact")
       current().write.mode("overwrite").parquet(out)
+      foldJournalIntoBlooms() // keep the sketches live across the fold
       journal.clear()
       extras = Vector.empty
       baseRel = Some(spark.read.parquet(out))
@@ -412,7 +595,27 @@ final class WriteAheadLog(path: String) {
   private val mapper = new ObjectMapper()
   private val file = new java.io.File(path)
   Option(file.getParentFile).foreach(_.mkdirs())
-  private val out = new java.io.FileOutputStream(file, true)
+  private var out = new java.io.FileOutputStream(file, true)
+  /** Ops appended since the last [[rotate]] (seeded with the existing
+    * log's length so a reopened store still checkpoints on schedule). */
+  @volatile private var appended: Long =
+    if (file.exists()) {
+      val src = scala.io.Source.fromFile(file, "UTF-8")
+      try src.getLines().size.toLong finally src.close()
+    } else 0L
+
+  def sinceRotate: Long = appended
+
+  /** Truncate after a committed checkpoint: everything logged so far
+    * is folded into the durable snapshot, so the log restarts empty.
+    * delete + fresh stream (not ftruncate) — an append racing a
+    * rotation is impossible under the store lock. */
+  def rotate(): Unit = synchronized {
+    out.close()
+    file.delete(): Unit
+    out = new java.io.FileOutputStream(file, true)
+    appended = 0L
+  }
 
   private def encode(v: Any): JsonNode = {
     val n = mapper.createObjectNode()
@@ -462,6 +665,7 @@ final class WriteAheadLog(path: String) {
       .getBytes(StandardCharsets.UTF_8))
     out.flush()
     out.getFD.sync()
+    appended += 1
   }
 
   /** Stream every logged op, in log order, to `apply(entity, del, key,

@@ -326,73 +326,115 @@ object StreamingAnnIngest {
       st.priorDeltas(spark, "hits", Long.MaxValue), "query_id")
   }
 
-  /** SERVING-VIEW CACHE: the assembled candidate frames — history ∪
-    * everything the stream has committed — memoized per statePath and
-    * keyed by exactly what can change them: (base version, visible
-    * delta-dir set, family). The living index legitimately changes per
-    * micro-batch, so unlike the façade's immutable dashboard memo this
-    * cache must INVALIDATE — and the stamp is read from the same
-    * `_SUCCESS` algebra every reader uses (one driver-side listing per
-    * request, no Spark job), so a query issued after a new delta's
-    * marker lands sees that delta's vectors, never a stale view
-    * (staleness spec-pinned in RestAnnSpec). On a hit, the per-request
-    * job scans the in-memory columnar view instead of re-assembling
-    * parquet unions; on a miss the new view is persisted and
-    * materialized ONCE (the old one unpersisted), which is the cost of
-    * one micro-batch boundary, amortized over every query between
-    * batches — the r9 verdict's #1 (the production posture named in
-    * SURVEY §15's /ann/query note, now built). MEMORY_AND_DISK: at
-    * corpus scale the view spills instead of evicting to recompute. */
-  private case class ViewStamp(version: Long, deltas: Vector[String],
-                               family: (Int, Int))
+  /** SERVING-VIEW CACHE, incremental: the serving view splits into a
+    * PERSISTED part and a LIVE part so the cache never re-materializes
+    * the corpus at a micro-batch boundary.
+    *
+    *   - The persisted part — history ∪ the compacted living base, the
+    *     corpus-sized bulk — is cached MEMORY_AND_DISK per statePath,
+    *     keyed by the only things that can change it: (base version,
+    *     family). Both move only at MAINTENANCE events (compact /
+    *     reindex), so between them every request scans in-memory
+    *     columnar state and the boundary rebuild is paid once per
+    *     fold, never per batch.
+    *   - The live part — uncompacted delta dirs — is read per request
+    *     through the same `_SUCCESS` algebra every reader uses. It is
+    *     BOUNDED BY COMPACTION CADENCE (that is compaction's whole
+    *     job), so the per-request cost of exactness is a few small
+    *     parquet scans, and a new delta is visible the moment its
+    *     marker lands (staleness spec-pinned in RestAnnSpec) with no
+    *     rebuild at all.
+    *
+    * An earlier cut cached the WHOLE assembled view keyed additionally
+    * by the visible delta set — exact too, but each micro-batch
+    * invalidated the corpus-sized persist: at one batch/s that is a
+    * full re-materialization per second, the LSM anti-pattern. The
+    * split is the r9 verdict's #1 taken to its production shape. */
+  private case class ViewStamp(version: Long, family: (Int, Int))
   private val servingViews = scala.collection.concurrent.TrieMap
     .empty[String, (ViewStamp, DataFrame, DataFrame)]
 
-  private def stampOf(spark: SparkSession, dir: String,
-                      statePath: String): ViewStamp = {
-    val st = state(statePath)
-    ViewStamp(
-      st.completeBaseVersion(spark).getOrElse(-1L),
-      (st.deltaPaths(spark, "buckets", Long.MaxValue) ++
-        st.deltaPaths(spark, "vectors", Long.MaxValue))
-        .map(_.toString).sorted.toVector,
-      familyOf(spark, dir, statePath))
-  }
-
-  /** The cached (buckets, vectors) serving frames for this statePath —
-    * rebuilt iff the stamp moved. Synchronized: concurrent first
-    * requests after a batch build the view once. */
-  private def servingView(spark: SparkSession, dir: String,
+  /** The persisted (buckets, vectors) base part — rebuilt iff (base
+    * version, family) moved. Synchronized: concurrent first requests
+    * after a maintenance event build it once. */
+  private def servingBase(spark: SparkSession, dir: String,
                           statePath: String): (DataFrame, DataFrame, (Int, Int)) =
     servingViews.synchronized {
       import spark.implicits._
       import org.apache.spark.storage.StorageLevel
-      val stamp = stampOf(spark, dir, statePath)
+      val st = state(statePath)
+      val stamp = ViewStamp(st.completeBaseVersion(spark).getOrElse(-1L),
+        familyOf(spark, dir, statePath))
       servingViews.get(statePath) match {
         case Some((s, b, v)) if s == stamp => (b, v, stamp.family)
         case old =>
           old.foreach { case (_, b, v) =>
             b.unpersist(blocking = false); v.unpersist(blocking = false): Unit
           }
-          val st = state(statePath)
           val histBuckets = Similarity.ensureAnnHistoryIndex(spark, dir, stamp.family)
           val buckets = spark.table(histBuckets)
-            .unionByName(st.full(spark, "buckets")).distinct()
+            .unionByName(st.livingBase(spark, "buckets")).distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
           val vectors = spark.table(Similarity.annHistVectorsTable(dir))
-            .unionByName(st.full(spark, "vectors"))
+            .unionByName(st.livingBase(spark, "vectors"))
             .select($"vec_id".as("neighbor_id"),
               $"embedding".as("ne"), $"nrm".as("nn"))
             .dropDuplicates("neighbor_id")
             .persist(StorageLevel.MEMORY_AND_DISK)
-          // Materialize NOW (not on the first request): the boundary
-          // pays the build, every request between batches rides memory.
+          // Materialize NOW: the maintenance boundary pays the build,
+          // every request until the next fold rides memory.
           buckets.count(): Unit
           vectors.count(): Unit
           servingViews.update(statePath, (stamp, buckets, vectors))
           (buckets, vectors, stamp.family)
       }
     }
+
+  /** The delta part — uncompacted batch dirs — cached per statePath
+    * keyed by the visible delta-dir SET (the `_SUCCESS` listing, one
+    * driver-side stat per request). A new batch invalidates ONLY this
+    * part, and re-materializing it costs O(delta) — the memtable tier
+    * of the LSM split, vs the base part's once-per-fold O(corpus). */
+  private val servingDeltaViews = scala.collection.concurrent.TrieMap
+    .empty[String, (Vector[String], DataFrame, DataFrame)]
+
+  private def servingDeltas(spark: SparkSession,
+                            statePath: String): (DataFrame, DataFrame) =
+    servingViews.synchronized {
+      import spark.implicits._
+      import org.apache.spark.storage.StorageLevel
+      val st = state(statePath)
+      val stamp = (st.deltaPaths(spark, "buckets", Long.MaxValue) ++
+        st.deltaPaths(spark, "vectors", Long.MaxValue))
+        .map(_.toString).sorted.toVector
+      servingDeltaViews.get(statePath) match {
+        case Some((s, b, v)) if s == stamp => (b, v)
+        case old =>
+          old.foreach { case (_, b, v) =>
+            b.unpersist(blocking = false); v.unpersist(blocking = false): Unit
+          }
+          val buckets = st.priorDeltas(spark, "buckets", Long.MaxValue)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val vectors = st.priorDeltas(spark, "vectors", Long.MaxValue)
+            .select($"vec_id".as("neighbor_id"),
+              $"embedding".as("ne"), $"nrm".as("nn"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          buckets.count(): Unit
+          vectors.count(): Unit
+          servingDeltaViews.update(statePath, (stamp, buckets, vectors))
+          (buckets, vectors)
+      }
+    }
+
+  /** Persisted base part ∪ persisted delta part — the full serving
+    * view, both tiers in memory, each invalidated by exactly its own
+    * change event. */
+  private def servingView(spark: SparkSession, dir: String,
+                          statePath: String): (DataFrame, DataFrame, (Int, Int)) = {
+    val (bBase, vBase, fam) = servingBase(spark, dir, statePath)
+    val (bDelta, vDelta) = servingDeltas(spark, statePath)
+    (bBase.unionByName(bDelta), vBase.unionByName(vDelta), fam)
+  }
 
   /** The wire-speed serving entry: one payload vector against the
     * CACHED serving view. EVERYTHING request-shaped stays on the
@@ -423,6 +465,11 @@ object StreamingAnnIngest {
       .join(vectors, Seq("neighbor_id"))
       .select($"neighbor_id",
         cosine(qe, qn, $"ne", $"nn").as("sim_r"))
+      // A payload can reach its vector through base AND a crash-window
+      // delta copy (identical row, identical sim — the documented
+      // double-read window): dedup the CANDIDATE-BOUNDED scored rows,
+      // never the corpus-sized vector view.
+      .dropDuplicates("neighbor_id")
       .orderBy($"sim_r".desc, $"neighbor_id")
       .limit(k)
     // Rank over the already-cut k rows (k ≤ 100): a single tiny

@@ -54,6 +54,34 @@ class StateStoreSpec extends AnyFunSuite {
     assert(store.users.lookupBy("c_name", "Customer#000000001").isEmpty)
   }
 
+  test("lookupBy Bloom fast path: a provably-absent secondary value answers with ZERO Spark jobs; positives and compaction stay correct") {
+    val store = new StateStore(spark, dir)
+    // Warm-up: builds the per-column sketch (jobs expected here).
+    assert(store.users.lookupBy("c_name", "nobody-1@graft.io").isEmpty)
+    // The fast path, measured by the engine's own accounting: jobs our
+    // thread triggers carry this job group — an absent value after the
+    // sketch exists must enqueue NONE.
+    val sc = spark.sparkContext
+    sc.setJobGroup("bloom-fast-path", "StateStoreSpec bloom probe")
+    try {
+      assert(store.users.lookupBy("c_name", "nobody-2@graft.io").isEmpty)
+      Thread.sleep(1500) // status store feeds from the async listener bus
+      val jobs = sc.statusTracker.getJobIdsForGroup("bloom-fast-path")
+      assert(jobs.isEmpty,
+        s"absent-value guard must not run a Spark job, ran ${jobs.length}")
+    } finally sc.clearJobGroup()
+    // A present value rides the sketch's positive into the real probe.
+    assert(store.users.lookupBy("c_name", "Customer#000000002").isDefined)
+    // Compaction folds journal rows into the base AND into the live
+    // sketches (no rebuild job): the folded row must stay visible, and
+    // absent values must stay provably absent.
+    store.users.upsert(Map("c_custkey" -> 777777L, "c_name" -> "folded@graft.io"))
+    store.users.compact()
+    assert(store.users.lookupBy("c_name", "folded@graft.io").isDefined,
+      "a folded journal row must stay visible through the folded sketch")
+    assert(store.users.lookupBy("c_name", "nobody-3@graft.io").isEmpty)
+  }
+
   // ---- WAL: replay equivalence --------------------------------------
 
   test("WAL replay rebuilds the journal exactly: every op kind, every value type, across entities") {
@@ -128,6 +156,67 @@ class StateStoreSpec extends AnyFunSuite {
       .select($"message").as[String].collect().sorted.toSeq
     assert(names == (1 to 6).map(i => s"m$i"),
       s"all six acknowledged writes must survive the fold + restart: $names")
+  }
+
+  test("WAL checkpoint: snapshot + rotation bound recovery to ops-since-checkpoint; crash windows replay correctly; auto-trigger fires") {
+    import java.nio.file.{Files, Paths}
+    val root = Scratch.tempDir("wal_ckpt")
+    val wal = root + "/ops.wal"
+    def walLines(): Int = Files.readAllLines(Paths.get(wal)).size()
+
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    assert(a.tasks.patch(Seq(7L), Map("o_orderstatus" -> "approved")))
+    a.users.upsert(Map("c_custkey" -> 700001L, "c_name" -> "ck@graft.io"))
+    val preRotation = Files.readAllBytes(Paths.get(wal))
+    a.checkpoint()
+    assert(walLines() == 0, "a committed checkpoint must rotate the log")
+    // Post-checkpoint ops: the log carries ONLY these.
+    assert(a.notifications.delete(Seq(5L)))
+    assert(a.tasks.patch(Seq(11L), Map("o_orderstatus" -> "approved")))
+    assert(walLines() == 2, "recovery cost must be ops-SINCE-checkpoint")
+
+    // Clean recovery: snapshot base + short log = the full state.
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    for ((ea, eb) <- Seq(a.tasks -> b.tasks, a.users -> b.users,
+        a.notifications -> b.notifications))
+      assert(rowsOf(ea) == rowsOf(eb),
+        "checkpoint + tail replay must equal the live store")
+    assert(b.users.newId() > 700001L,
+      "the id watermark must survive through the snapshot")
+
+    // Crash window: manifest committed but the rotation never ran —
+    // the full pre-checkpoint log sits in FRONT of the tail. Replaying
+    // already-folded ops onto the snapshot must be idempotent.
+    val post = Files.readAllBytes(Paths.get(wal))
+    Files.write(Paths.get(wal), preRotation ++ post)
+    val c = new StateStore(spark, dir, walPath = Some(wal))
+    for ((ea, ec) <- Seq(a.tasks -> c.tasks, a.users -> c.users,
+        a.notifications -> c.notifications))
+      assert(rowsOf(ea) == rowsOf(ec),
+        "replay of pre-checkpoint ops onto the snapshot must be idempotent")
+
+    // Crash window: a snapshot version without a manifest is a crash
+    // remnant — recovery must ignore it and use the committed one.
+    Files.createDirectories(Paths.get(s"$root/snap/v99/users"))
+    Files.write(Paths.get(s"$root/snap/v99/users/part-junk"), "junk".getBytes)
+    Files.write(Paths.get(wal), post) // back to the clean tail
+    val d = new StateStore(spark, dir, walPath = Some(wal))
+    assert(rowsOf(d.tasks) == rowsOf(a.tasks),
+      "a manifest-less snapshot remnant must be invisible to recovery")
+
+    // Auto-trigger: crossing walCheckpointEvery inside mutate()
+    // checkpoints without anyone calling it.
+    val root2 = Scratch.tempDir("wal_auto")
+    val e = new StateStore(spark, dir, walPath = Some(root2 + "/ops.wal"),
+      walCheckpointEvery = 5)
+    (1 to 6).foreach(i => e.mutate(
+      e.notifications.upsert(Map("event_id" -> (810000L + i),
+        "event_type" -> "notification"))))
+    assert(StateStore.latestSnapshot(root2).isDefined,
+      "the op-count threshold must fire a checkpoint on its own")
+    assert(Files.readAllLines(Paths.get(root2 + "/ops.wal")).size() < 6)
+    val f = new StateStore(spark, dir, walPath = Some(root2 + "/ops.wal"))
+    assert(rowsOf(f.notifications) == rowsOf(e.notifications))
   }
 
   // ---- the real thing: SIGKILL the serving process --------------------
