@@ -152,9 +152,13 @@ object RestProbe {
     // not a guess.
     val (writeSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
       autoCompactAt = 64)
+    // walCheckpointEvery = 128: the WAL facade also snapshots+rotates
+    // mid-traffic, so the checkpoint pause lands in the measured tail
+    // exactly like the compaction pause does.
     val (walSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
       autoCompactAt = 64,
-      walPath = Some(Scratch.tempDir("restprobe_wal") + "/ops.wal"))
+      walPath = Some(Scratch.tempDir("restprobe_wal") + "/ops.wal"),
+      walCheckpointEvery = 128)
     val writeBase = s"http://127.0.0.1:${writeSrv.getAddress.getPort}"
     val walBase = s"http://127.0.0.1:${walSrv.getAddress.getPort}"
 

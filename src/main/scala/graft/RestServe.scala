@@ -214,10 +214,11 @@ object RestServe {
                      autoCompactAt: Int = 4096,
                      authSecret: Option[String] = None,
                      annStatePath: Option[String] = None,
-                     walPath: Option[String] = None): (HttpServer, StateStore) = {
+                     walPath: Option[String] = None,
+                     walCheckpointEvery: Int = 100000): (HttpServer, StateStore) = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val store = new StateStore(spark, dir, autoCompactAt, walPath)
+    val store = new StateStore(spark, dir, autoCompactAt, walPath, walCheckpointEvery)
 
     // Clamped to [0, MaxCap]: a negative ?limit= must not reach
     // Dataset.limit (negative throws AnalysisException → a 500 where

@@ -154,7 +154,12 @@ final class StateStore(spark: SparkSession, dir: String,
   }
 
   /** Snapshot + rotate (see the CHECKPOINTS scaladoc block). No-op
-    * without a WAL or when nothing was ever mutated. */
+    * without a WAL or when nothing was ever mutated. Holds the store
+    * lock, so mutations routed through [[mutate]] — every façade
+    * write — cannot land between the snapshot and the rotation (an op
+    * appended in that window would be silently folded away); direct
+    * EntityState calls bypass that fence and must not run concurrently
+    * with a checkpoint. */
   def checkpoint(): Unit = synchronized {
     for (w <- wal; root <- walDir) {
       val dirty = entityByName.filter(_._2.everMutated).toSeq.sortBy(_._1)
@@ -165,8 +170,11 @@ final class StateStore(spark: SparkSession, dir: String,
         }
         StateStore.writeManifest(root, next, dirty.map(_._1), tick.get())
         w.rotate()
-        // Superseded snapshot versions are dead weight; reap them.
-        (0L until next).foreach(v =>
+        // Reap superseded snapshot versions, KEEPING the immediately
+        // previous one: a read planned against it before the swap may
+        // still be scanning (the same grace the scratch compact gets
+        // from run-scoped retention). Two versions bound the disk.
+        (0L until math.max(0L, next - 1)).foreach(v =>
           Scratch.deleteRecursively(new java.io.File(s"$root/snap/v$v")))
       }
     }
