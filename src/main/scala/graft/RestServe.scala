@@ -210,15 +210,22 @@ object RestServe {
     * mutation is fsynced to the write-ahead log before its response,
     * and a façade restarted over the same path replays it (see
     * [[StateStore]]'s DURABILITY block; kill/restart spec-pinned). */
+  /** `publishViewsAs = Some(prefix)` additionally publishes every
+    * entity's LIVE merged relation as `global_temp.<prefix>_<entity>`
+    * after each mutation — the bridge that lets an in-process Thrift
+    * server (or any session on the same context) read the store's
+    * state over SQL, live (see [[StateStore.publishGlobalViews]]). */
   def startWithStore(spark: SparkSession, dir: String, port: Int,
                      autoCompactAt: Int = 4096,
                      authSecret: Option[String] = None,
                      annStatePath: Option[String] = None,
                      walPath: Option[String] = None,
-                     walCheckpointEvery: Int = 100000): (HttpServer, StateStore) = {
+                     walCheckpointEvery: Int = 100000,
+                     publishViewsAs: Option[String] = None): (HttpServer, StateStore) = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val store = new StateStore(spark, dir, autoCompactAt, walPath, walCheckpointEvery)
+    val store = new StateStore(spark, dir, autoCompactAt, walPath,
+      walCheckpointEvery, publishViewsAs)
 
     // Clamped to [0, MaxCap]: a negative ?limit= must not reach
     // Dataset.limit (negative throws AnalysisException → a 500 where

@@ -86,7 +86,8 @@ import org.apache.spark.sql.types._
 final class StateStore(spark: SparkSession, dir: String,
                        autoCompactAt: Int = 4096,
                        walPath: Option[String] = None,
-                       walCheckpointEvery: Int = 100000) {
+                       walCheckpointEvery: Int = 100000,
+                       publishViewsAs: Option[String] = None) {
   private val t = Tables(spark, dir)
   private val wal: Option[WriteAheadLog] = walPath.map(new WriteAheadLog(_))
   private val walDir: Option[String] =
@@ -200,8 +201,28 @@ final class StateStore(spark: SparkSession, dir: String,
     val r = body
     entities.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
     if (wal.exists(_.sinceRotate >= walCheckpointEvery)) checkpoint()
+    publishViewsAs.foreach(publishGlobalViews)
     r
   }
+
+  /** LIVE SQL VIEWS: publish every entity's merged relation as a
+    * GLOBAL temp view (`global_temp.<prefix>_<entity>`). Global temp
+    * views live in the SparkContext-wide registry, so they are visible
+    * to EVERY session sharing the context — including each
+    * per-connection session an in-process HiveThriftServer2 creates —
+    * which makes the store's merged state queryable over JDBC, live.
+    * current()'s plan bakes the journal snapshot at build time, so the
+    * view must be RE-published after each mutation; [[mutate]] does
+    * (when the store was constructed with `publishViewsAs`), and
+    * createOrReplace is a registry swap — a concurrent JDBC read plans
+    * against the old or the new snapshot, never a torn one. Driver-only
+    * work (plan registration, no job). */
+  def publishGlobalViews(prefix: String): Unit =
+    entityByName.foreach { case (n, e) =>
+      e.current().createOrReplaceGlobalTempView(s"${prefix}_$n")
+    }
+
+  publishViewsAs.foreach(publishGlobalViews) // initial state (post-replay)
 }
 
 object StateStore {

@@ -111,7 +111,10 @@ object ThriftServe {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(port, base, sfDir) = args
+    val (port, base, sfDir, liveMode) = args match {
+      case Array(p, b, d)         => (p, b, d, false)
+      case Array(p, b, d, "live") => (p, b, d, true)
+    }
     // HiveConf overlays matching system properties onto every new conf —
     // the documented way to pick a port for an embedded HiveServer2.
     System.setProperty("hive.server2.thrift.port", port)
@@ -200,6 +203,19 @@ object ThriftServe {
         } catch { case e: Exception =>
           println(s"THRIFT_QUERY_FAILED $name ${e.getMessage}")
         }
+      }
+      // LIVE mode: the HTTP write façade and the Thrift server share
+      // ONE engine — the store publishes its merged entity state as
+      // global temp views after every mutation, so a write acknowledged
+      // over HTTP is readable over JDBC (`global_temp.live_<entity>`)
+      // by every connection's session, immediately. This is the
+      // "store's merged views over the SQL wire" posture: mutations
+      // arrive through the façade's guarded routes, the SQL surface
+      // reads them live (spec-pinned in ThriftServerSpec).
+      if (liveMode) {
+        val (rest, _) = RestServe.startWithStore(spark, sfDir, 0,
+          publishViewsAs = Some("live"))
+        println(s"THRIFT_LIVE_REST port=${rest.getAddress.getPort}")
       }
       val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         .startWithSparkSession(spark, exitOnError = false)

@@ -31,13 +31,14 @@ class ThriftServerSpec extends AnyFunSuite {
     val port = freePort()
     val proc = new ProcessBuilder(
       ChildJvm.command("graft.ThriftServe",
-        Seq(port.toString, base, sfDir)): _*)
+        Seq(port.toString, base, sfDir, "live")): _*)
       .redirectErrorStream(true).start()
     val out = new java.lang.StringBuilder
     val inproc = scala.collection.mutable.Map.empty[String, Seq[String]]
     val sqlHash = scala.collection.mutable.Map.empty[String, (Long, String)]
     val skipped = scala.collection.mutable.Set.empty[String]
     @volatile var ready = false
+    @volatile var liveRestPort = -1
     val reader = new Thread(() => {
       val br = new java.io.BufferedReader(
         new java.io.InputStreamReader(proc.getInputStream))
@@ -55,6 +56,8 @@ class ThriftServerSpec extends AnyFunSuite {
         }
         if (l.startsWith("THRIFT_SKIP "))
           skipped.synchronized { skipped += l.split(" ", 3)(1); () }
+        if (l.startsWith("THRIFT_LIVE_REST"))
+          liveRestPort = l.split("port=")(1).trim.toInt
         if (l.startsWith("THRIFT_READY")) ready = true
       }
     })
@@ -243,6 +246,35 @@ class ThriftServerSpec extends AnyFunSuite {
         st.execute("DROP TABLE graft.users_live")
         st.close()
       } finally wc.close()
+
+      // ---- the STORE's merged views, LIVE over the SQL wire ---------
+      // The child runs in "live" mode: the HTTP write façade and the
+      // Thrift server share one engine, and the store re-publishes its
+      // merged entity state as global temp views after every mutation.
+      // A write acknowledged over HTTP must be readable over JDBC by a
+      // fresh connection's session, immediately — no refresh step, no
+      // export.
+      assert(liveRestPort > 0, "live mode must report the façade port")
+      val http = new RestHttp {
+        override val base = s"http://127.0.0.1:$liveRestPort"
+      }
+      assert(http.post("/users",
+        """{"name":"L","email":"live@graft.io","role":"buyer"}""")._1 == 201)
+      val lc = connect()
+      try {
+        val seen = wireRows(lc,
+          "SELECT c_name, c_acctbal FROM global_temp.live_users WHERE c_name = 'live@graft.io'")
+        assert(seen == Seq(ThriftServe.canonRow(Seq("live@graft.io", Double.box(50.0)))),
+          s"an HTTP-acknowledged write must be live on the SQL wire: $seen")
+        // And the next mutation is live too — the view tracks the
+        // store, not a registration-time snapshot.
+        assert(http.patch("/admin/users/live@graft.io/role",
+          """{"role":"worker"}""")._1 == 200)
+        val role = wireRows(lc,
+          "SELECT role FROM global_temp.live_users WHERE c_name = 'live@graft.io'")
+        assert(role == Seq(ThriftServe.canonRow(Seq("worker"))),
+          s"the SQL view must track the store across mutations: $role")
+      } finally lc.close()
     } finally {
       // Graceful shutdown: any stdin line stops the server.
       try {
