@@ -214,7 +214,15 @@ object RestServe {
     * entity's LIVE merged relation as `global_temp.<prefix>_<entity>`
     * after each mutation — the bridge that lets an in-process Thrift
     * server (or any session on the same context) read the store's
-    * state over SQL, live (see [[StateStore.publishGlobalViews]]). */
+    * state over SQL, live (see [[StateStore.publishGlobalViews]]).
+    * SECURITY BOUNDARY, stated: published views are context-visible
+    * and do NOT pass through this façade's HTTP middlewares — the
+    * route-level auth gates HTTP verbs, not co-located sessions (which
+    * already own the SparkSession). A deployment that arms
+    * `authSecret` AND publishes views must authenticate whatever WIRE
+    * serves those views (HiveServer2 carries its own auth layer);
+    * ThriftServe's `live` mode deliberately runs the open-façade
+    * posture only. */
   def startWithStore(spark: SparkSession, dir: String, port: Int,
                      autoCompactAt: Int = 4096,
                      authSecret: Option[String] = None,
