@@ -76,11 +76,11 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 }
 
 object ArrayFunctions {
-  /** Idempotently register for both the Column API and spark.sql. */
+  /** Idempotently register for both the Column API and spark.sql —
+    * once per session (non-retaining memo, see [[Registration]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count",
-      exprs => SortedLongIntersectCount(exprs(0), exprs(1)), "built-in")
+    Registration.ensure(spark, "sorted_intersect_count",
+      exprs => SortedLongIntersectCount(exprs(0), exprs(1)))
 
   /** |a ∩ b| for two sorted `array<bigint>` columns. */
   def sortedIntersectCount(spark: SparkSession, a: Column, b: Column): Column = {

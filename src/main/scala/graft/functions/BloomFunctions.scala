@@ -22,13 +22,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0)).toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
+    Registration.ensure(spark, "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs(0)).toAggregateExpression())
+    Registration.ensure(spark, "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
   }
 }

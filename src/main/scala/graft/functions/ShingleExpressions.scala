@@ -106,10 +106,11 @@ object ShingleKernel {
 }
 
 object ShingleFunctions {
-  /** Idempotently register for both the Column API and spark.sql. */
+  /** Idempotently register for both the Column API and spark.sql —
+    * once per session (non-retaining memo, see [[Registration]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashArray(exprs(0)), "built-in")
+    Registration.ensure(spark, "shingle_hashes",
+      exprs => ShingleHashArray(exprs(0)))
 
   /** Sorted distinct 3-gram shingle hashes of a string column. */
   def shingleHashes(spark: SparkSession, text: Column): Column = {

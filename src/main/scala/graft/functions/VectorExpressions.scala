@@ -144,18 +144,13 @@ case class ListDotProduct(left: Expression, right: Expression)
 
 object VectorFunctions {
   /** Idempotently register the kernels as temp SQL functions so both the
-    * Column API (via call_function) and spark.sql can use them.
-    * Memoized PER SESSION (temp functions are session state; clones
-    * re-register under their own session): the serving path calls this
-    * per request, and an unconditional createOrReplaceTempFunction
-    * would log a replaced-function WARN and take the registry lock at
-    * request rate. */
-  private val registered =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+    * Column API (via call_function) and spark.sql can use them — once
+    * per session, memoized in the session's OWN registry (the old
+    * strong-keyed TrieMap retained every session ever passed in;
+    * [[Registration]] carries the full rationale). */
   def register(spark: SparkSession): Unit =
-    registered.getOrElseUpdate(spark,
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "float_dot", exprs => FloatDotProduct(exprs(0), exprs(1)), "built-in"))
+    Registration.ensure(spark, "float_dot",
+      exprs => FloatDotProduct(exprs(0), exprs(1)))
 
   /** Dot product of two float-array columns (double result). */
   def fdot(spark: SparkSession, a: Column, b: Column): Column = {

@@ -672,12 +672,31 @@ object Similarity extends QueryModule {
     * (StreamingAnnIngest.reindex): its statePath pins the family it
     * currently probes with, and two statePaths over the same history
     * may legitimately run different families at once. */
+  /** The CANONICAL spelling of a source dir — `getCanonicalPath`
+    * resolves relative segments, symlinks, and trailing slashes, so
+    * two spellings of one directory ("/x" vs "/x/", relative vs
+    * absolute) identify the SAME history tables and memo slot instead
+    * of building duplicate corpus-sized artifacts (the r10 ADVICE
+    * finding). An IO failure falls back to the absolute path — still
+    * deterministic, just less aggressive about aliases. */
+  private[graft] def canonDir(dir: String): String = {
+    val f = new java.io.File(dir)
+    try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+  }
+
   /** Deterministic short token for a source dir: history tables are
     * PER-DIR warehouse artifacts (see below), so the dir must be part
-    * of the table NAME the way the family already is. MurmurHash3 of
-    * the normalized path — stable across JVMs, filename-safe. */
-  private def dirToken(dir: String): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0xffffffffL}%08x"
+    * of the table NAME the way the family already is. 64 bits of MD5
+    * over the CANONICAL path — stable across JVMs, filename-safe, and
+    * wide enough that a collision between two real dirs (which would
+    * silently SHARE ann_hist tables — the mode=overwrite race the
+    * per-dir keying exists to prevent) is negligible, unlike the old
+    * 32-bit MurmurHash (birthday-bound ~2^16 dirs). */
+  private def dirToken(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonDir(dir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md5.take(8).map("%02x".format(_)).mkString
+  }
 
   def annHistVectorsTable(dir: String): String =
     s"${CatalogOps.Database}.ann_hist_vectors_${dirToken(dir)}"
@@ -702,7 +721,9 @@ object Similarity extends QueryModule {
     scala.collection.concurrent.TrieMap.empty[(String, String), (Long, Set[(Int, Int)])]
 
   private def histState(spark: SparkSession, dir: String): (Long, Set[(Int, Int)]) = {
-    val key = (spark.sparkContext.applicationId, dir)
+    // Memo key matches the table-name key: the CANONICAL dir, so path
+    // aliases cannot run two overwriting builders against one table.
+    val key = (spark.sparkContext.applicationId, canonDir(dir))
     histIndexRegistered.getOrElse(key, {
       import spark.implicits._
       spark.sql(s"CREATE DATABASE IF NOT EXISTS ${CatalogOps.Database}")
@@ -747,7 +768,7 @@ object Similarity extends QueryModule {
           .select($"vec_id", srpBkeys(dim, family._1, family._2).as("bkey"))
           .write.bucketBy(IndexBuckets, "bkey").sortBy("bkey")
           .mode("overwrite").saveAsTable(table)
-        histIndexRegistered.update((spark.sparkContext.applicationId, dir),
+        histIndexRegistered.update((spark.sparkContext.applicationId, canonDir(dir)),
           (n, built + family))
       }
       table

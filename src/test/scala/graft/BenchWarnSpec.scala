@@ -19,4 +19,24 @@ class BenchWarnSpec extends AnyFunSuite {
       org.apache.spark.Resubmitted, null, null, null))
     assert(l.count.get() == 2)
   }
+
+  test("BenchErrorLogCounter counts ERROR log events and ignores WARN (r10 verdict #7)") {
+    val c = new BenchErrorLogCounter
+    c.attach()
+    try {
+      val log = org.apache.logging.log4j.LogManager.getLogger("graft.bench.probe")
+      val before = c.count.get()
+      log.warn("benign warn — must not count")
+      assert(c.count.get() == before, "WARN must not count as a log error")
+      log.error("raw stack stand-in — must count")
+      assert(c.count.get() == before + 1,
+        "an ERROR event must be visible in the bench artifact's log_errors")
+    } finally {
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      ctx.getConfiguration.getRootLogger.removeAppender("graft-bench-errors")
+      ctx.updateLoggers()
+      c.stop()
+    }
+  }
 }
