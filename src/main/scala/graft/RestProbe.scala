@@ -96,6 +96,36 @@ object RestProbe {
     println(f"""{"probe":"rest_write_rps","route":"$label","threads":$threads,"n":$n,"wall_s":$wall%.2f,"rps":${n / wall}%.0f,"p50_ms":${pct(0.50)}%.1f,"p99_ms":${pct(0.99)}%.1f,"max_ms":${sorted.last}%.1f}""")
   }
 
+  /** MIXED disjoint-entity write leg (r10 verdict #2's done criterion):
+    * half the threads register users, half insert submissions — two
+    * DISJOINT entity write sets. Under the old single store lock this
+    * could not beat the single-entity ceiling (every body queued on one
+    * writer); under per-entity locking the two populations only contend
+    * within their own entity. Reported beside the single-entity rps so
+    * the scaling past the ceiling is a printed number. */
+  private def runMixed(label: String, base: String, n: Int, threads: Int,
+                       tag: String): Unit = {
+    val warm = fire(base, "/users", None,
+      Some(s"""{"name":"m","email":"warm-mix-$tag-$threads@graft.io","role":"worker"}"""))
+    require(warm == 201, s"$label warmup -> $warm")
+    val pool = Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    val futs = (1 to n).map(i => pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int =
+        if (i % 2 == 0)
+          fire(base, "/users", None,
+            Some(s"""{"name":"m$i","email":"m$i-$tag-$threads@graft.io","role":"worker"}"""))
+        else
+          fire(base, "/submissions", None,
+            Some(s"""{"task_id":1,"note":"mix-$tag-$i"}"""))
+    }))
+    val codes = futs.map(_.get())
+    val wall = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    require(codes.forall(_ == 201), s"$label saw non-201")
+    println(f"""{"probe":"rest_write_mixed_rps","route":"$label","threads":$threads,"n":$n,"wall_s":$wall%.2f,"rps":${n / wall}%.0f}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val n = args.lift(1).map(_.toInt).getOrElse(200)
@@ -155,7 +185,7 @@ object RestProbe {
     // walCheckpointEvery = 128: the WAL facade also snapshots+rotates
     // mid-traffic, so the checkpoint pause lands in the measured tail
     // exactly like the compaction pause does.
-    val (walSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
+    val (walSrv, walStore) = RestServe.startWithStore(spark, sfDir, 0,
       autoCompactAt = 64,
       walPath = Some(Scratch.tempDir("restprobe_wal") + "/ops.wal"),
       walCheckpointEvery = 128)
@@ -172,6 +202,43 @@ object RestProbe {
       run("ann_query(open)", annBase, "/ann/query", None, n, threads, Some(annBody))
       runWrite("users_post(write)", writeBase, n, threads, "plain")
       runWrite("users_post(write+wal)", walBase, n, threads, "wal")
+      runMixed("users+submissions(write)", writeBase, n, threads, s"p$threads")
+      runMixed("users+submissions(write+wal)", walBase, n, threads, s"w$threads")
+    }
+    // LOCK-SCALING leg: a facade whose auto-compaction cannot fire
+    // inside the window (threshold >> request count), so the numbers
+    // isolate dispatch + entity locks + journal appends from the LSM
+    // fold pauses that dominate the legs above. Same-entity vs
+    // disjoint-entity at depth 8 is the per-entity-locking readout.
+    val (lockSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
+      autoCompactAt = 100000)
+    val lockBase = s"http://127.0.0.1:${lockSrv.getAddress.getPort}"
+    runWrite("users_post(nocompact)", lockBase, 400, 8, "lk")
+    runMixed("users+submissions(nocompact)", lockBase, 400, 8, "lk8")
+    lockSrv.stop(0)
+    // Group-commit accounting for the WAL facade's whole run: with 8
+    // threads the fsync count must sit below the commit count (each
+    // coalesced fsync covered several acknowledged bodies).
+    for (w <- walStore.wal)
+      println(s"""{"probe":"wal_group_commit","commits":${w.commits.get()},"syncs":${w.syncs.get()}}""")
+    // Incremental-checkpoint pause (r10 verdict #1): after a users-only
+    // write burst, a checkpoint snapshots users (+whatever traffic
+    // dirtied); a SECOND burst touching ONLY submissions then
+    // checkpoints submissions alone — the pause tracks the CHANGED
+    // entity, not every entity ever touched.
+    for (_ <- walStore.wal) {
+      def timed(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"""{"probe":"wal_checkpoint_pause","leg":"$label","wall_s":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      }
+      timed("after_mixed_traffic")(walStore.checkpoint())
+      (1 to 50).foreach(i => walStore.mutateOn(Seq("submissions")) {
+        walStore.submissions.upsert(Map(
+          "l_orderkey" -> 1L, "l_linenumber" -> (90000 + i),
+          "l_partkey" -> 1L, "l_suppkey" -> 1L, "note" -> s"ckpt-$i"))
+      })
+      timed("submissions_only")(walStore.checkpoint())
     }
     openSrv.stop(0); armedSrv.stop(0); annSrv.stop(0)
     writeSrv.stop(0); walSrv.stop(0)

@@ -177,7 +177,21 @@ object RestServe {
   private final case class CheckedReadH(run: Map[String, String] => Either[Res, DataFrame])
       extends Handler
   /** Mutation: runs under the store lock. */
-  private final case class WriteH(run: (Map[String, String], Map[String, Any]) => Res)
+  /** Mutation route. `touches` = the entities the handler may WRITE:
+    * the dispatch takes exactly those locks (canonical order) under
+    * the store gate's read side, so writes to DISJOINT entities run
+    * concurrently while overlapping writers — including every
+    * cross-entity invariant, which lists both its entities —
+    * serialize (StateStore's CONSISTENCY block). None = the
+    * store-wide exclusive lock (unknown touch set); Some(Nil) is the
+    * pure-computation form (no entity lock at all). Guard READS of
+    * other entities deliberately take no lock — point-in-time reads,
+    * the reference's own posture — because the no-lost-update and
+    * capacity/balance invariants only need the WRITTEN entities
+    * serialized (the debit path always locks the balance's entity). */
+  private final case class WriteH(
+      run: (Map[String, String], Map[String, Any]) => Res,
+      touches: Option[Seq[String]] = None)
       extends Handler
   /** Body-parameterized READ (the vector-search extension): parses the
     * bounded JSON body exactly like WriteH but runs NO mutation and
@@ -220,9 +234,11 @@ object RestServe {
     * route-level auth gates HTTP verbs, not co-located sessions (which
     * already own the SparkSession). A deployment that arms
     * `authSecret` AND publishes views must authenticate whatever WIRE
-    * serves those views (HiveServer2 carries its own auth layer);
-    * ThriftServe's `live` mode deliberately runs the open-façade
-    * posture only. */
+    * serves those views: ThriftServe's `live-armed` mode does exactly
+    * that — HiveServer2 CUSTOM auth through [[GraftThriftAuth]], which
+    * verifies the same [[GraftAuth]] HMAC tokens this façade's FBToken
+    * chain does (one verifier, both wires; spec-pinned). The plain
+    * `live` mode remains the open-façade posture for open deployments. */
   def startWithStore(spark: SparkSession, dir: String, port: Int,
                      autoCompactAt: Int = 4096,
                      authSecret: Option[String] = None,
@@ -424,9 +440,12 @@ object RestServe {
           .flatMap(k => store.users.lookup(Seq(k))))
 
     /** Fresh journal-unique line number for POSTed submissions (fixture
-      * l_linenumber ≤ 7; minted ids start far above). */
-    var nextSubLine = 1000000
-    def mintSubLine(): Int = { nextSubLine += 1; nextSubLine }
+      * l_linenumber ≤ 7; minted ids start far above). Atomic: both
+      * minting routes hold the `submissions` entity lock, but the
+      * counter must stay correct even for a future caller that
+      * doesn't. */
+    val nextSubLine = new java.util.concurrent.atomic.AtomicInteger(1000000)
+    def mintSubLine(): Int = nextSubLine.incrementAndGet()
 
     /** addNotification (index.js:56-66): one event-entity insert. */
     def notify(toUser: Long, toEmail: String, message: String, actionRoute: String): Unit =
@@ -1025,28 +1044,32 @@ object RestServe {
         taskById(p))),                                                                             // :1017 open
       // The 25 write registrations (index.js lines in each handler's
       // scaladoc; the two dead duplicates share their live twin).
-      Route("POST",   "/users",                          WriteH(postUsers)),                       // :377 open
-      Route("POST",   "/tasks",                          WriteH(postTasks), FBToken),             // :443
-      Route("PATCH",  "/tasks/{id}",                     WriteH(patchTask), FBToken),             // :650
-      Route("DELETE", "/tasks/{id}",                     WriteH(deleteTask), FBToken),            // :684
-      Route("DELETE", "/api/admin/tasks/{id}",           WriteH(adminDeleteTask), AdminReq),      // :1175
-      Route("PATCH",  "/refund-coins",                   WriteH(refundCoins), FBToken),           // :708
-      Route("POST",   "/purchase-coin",                  WriteH(purchaseCoin), FBToken),          // :738
-      Route("POST",   "/api/payments/record",            WriteH(paymentsRecord), FBToken),        // :292
-      Route("POST",   "/create-payment-intent",          WriteH(paymentIntent), FBToken),         // :260
-      Route("POST",   "/api/submissions",                WriteH(postApiSubmission), workerOnly),  // :198
-      Route("POST",   "/submissions",                    WriteH(postSubmission)),                  // :924 open
-      Route("PATCH",  "/api/submissions/{id}",           WriteH(patchSubmission), buyerOnly),     // :132
-      Route("PATCH",  "/buyer/submissions/{id}/approve", WriteH(approveSubmission), FBToken),     // :799
-      Route("PATCH",  "/buyer/submissions/{id}/reject",  WriteH(rejectSubmission), FBToken),      // :853
-      Route("PUT",    "/api/submissions/approve/{id}",   WriteH(putSubmissionStatus("approved")), FBToken), // :882
-      Route("PUT",    "/api/submissions/reject/{id}",    WriteH(putSubmissionStatus("rejected")), FBToken), // :904
-      Route("POST",   "/withdrawals",                    WriteH(postWithdrawal), FBToken),        // :1046
-      Route("PATCH",  "/api/withdrawals/{id}",           WriteH(patchWithdrawal), AdminReq),      // :170
-      Route("POST",   "/admin/withdrawals/{id}/approve", WriteH(adminApproveWithdrawal), AdminReq), // :1336
-      Route("DELETE", "/api/notifications/{id}",         WriteH(deleteNotification), FBToken),    // :241
-      Route("DELETE", "/admin/users/{email}",            WriteH(adminDeleteUser), AdminReq),      // :1125
-      Route("PATCH",  "/admin/users/{email}/role",       WriteH(adminPatchRole), AdminReq)        // :1141
+      // Each declares the entities it may WRITE (the per-entity
+      // concurrency contract in WriteH's scaladoc): single-entity
+      // writers run concurrently when disjoint; cross-entity
+      // invariants list every written entity and stay linearizable.
+      Route("POST",   "/users",                          WriteH(postUsers, Some(Seq("users")))),                       // :377 open
+      Route("POST",   "/tasks",                          WriteH(postTasks, Some(Seq("tasks", "users"))), FBToken),    // :443
+      Route("PATCH",  "/tasks/{id}",                     WriteH(patchTask, Some(Seq("tasks"))), FBToken),             // :650
+      Route("DELETE", "/tasks/{id}",                     WriteH(deleteTask, Some(Seq("tasks"))), FBToken),            // :684
+      Route("DELETE", "/api/admin/tasks/{id}",           WriteH(adminDeleteTask, Some(Seq("tasks"))), AdminReq),      // :1175
+      Route("PATCH",  "/refund-coins",                   WriteH(refundCoins, Some(Seq("users"))), FBToken),           // :708
+      Route("POST",   "/purchase-coin",                  WriteH(purchaseCoin, Some(Seq("users", "payments"))), FBToken), // :738
+      Route("POST",   "/api/payments/record",            WriteH(paymentsRecord, Some(Seq("payments", "users"))), FBToken), // :292
+      Route("POST",   "/create-payment-intent",          WriteH(paymentIntent, Some(Nil)), FBToken),                  // :260 (writes nothing)
+      Route("POST",   "/api/submissions",                WriteH(postApiSubmission, Some(Seq("submissions", "notifications"))), workerOnly), // :198
+      Route("POST",   "/submissions",                    WriteH(postSubmission, Some(Seq("submissions")))),            // :924 open
+      Route("PATCH",  "/api/submissions/{id}",           WriteH(patchSubmission, Some(Seq("submissions", "notifications"))), buyerOnly), // :132
+      Route("PATCH",  "/buyer/submissions/{id}/approve", WriteH(approveSubmission, Some(Seq("submissions", "users"))), FBToken), // :799
+      Route("PATCH",  "/buyer/submissions/{id}/reject",  WriteH(rejectSubmission, Some(Seq("submissions"))), FBToken), // :853
+      Route("PUT",    "/api/submissions/approve/{id}",   WriteH(putSubmissionStatus("approved"), Some(Seq("submissions"))), FBToken), // :882
+      Route("PUT",    "/api/submissions/reject/{id}",    WriteH(putSubmissionStatus("rejected"), Some(Seq("submissions"))), FBToken), // :904
+      Route("POST",   "/withdrawals",                    WriteH(postWithdrawal, Some(Seq("withdrawals"))), FBToken),  // :1046
+      Route("PATCH",  "/api/withdrawals/{id}",           WriteH(patchWithdrawal, Some(Seq("withdrawals", "notifications"))), AdminReq), // :170
+      Route("POST",   "/admin/withdrawals/{id}/approve", WriteH(adminApproveWithdrawal, Some(Seq("withdrawals", "users"))), AdminReq), // :1336
+      Route("DELETE", "/api/notifications/{id}",         WriteH(deleteNotification, Some(Seq("notifications"))), FBToken), // :241
+      Route("DELETE", "/admin/users/{email}",            WriteH(adminDeleteUser, Some(Seq("users"))), AdminReq),      // :1125
+      Route("PATCH",  "/admin/users/{email}/role",       WriteH(adminPatchRole, Some(Seq("users"))), AdminReq)        // :1141
     ) ++ annStatePath.map(sp =>
       // ENGINE EXTENSION (no reference twin — hence the /ann
       // namespace): vector search over the living index. The payload
@@ -1100,6 +1123,13 @@ object RestServe {
           }
       }
 
+    // TCP_NODELAY on the server's sockets (read once by the JDK server's
+    // static config — set before the first create()): without it every
+    // request pays the classic ~40 ms Nagle/delayed-ACK stall, which the
+    // r10 probes measured as a 44 ms p50 "wire floor" on EVERY route —
+    // including the zero-Spark health path. With it the wire floor is
+    // sub-millisecond and the serving numbers measure the ENGINE.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // Daemon workers: the façade must never pin a host JVM (specs and
     // embedding sessions exit cleanly; `main` blocks explicitly).
@@ -1206,7 +1236,7 @@ object RestServe {
                             catch { case _: IllegalArgumentException =>
                               msg(400, "malformed field value") })
                       }
-                    case WriteH(run) =>
+                    case WriteH(run, touches) =>
                       // Bounded read: the write side must not buffer an
                       // unbounded client body in the driver (the read
                       // side's no-unbounded-work discipline). Express's
@@ -1226,7 +1256,10 @@ object RestServe {
                           // precedes the journal update, so a rejected
                           // op leaves no partial row.
                           val res =
-                            try store.mutate(run(params, body))
+                            try touches match {
+                              case Some(names) => store.mutateOn(names)(run(params, body))
+                              case None        => store.mutate(run(params, body))
+                            }
                             catch {
                               case _: IllegalArgumentException =>
                                 msg(400, "malformed field value")

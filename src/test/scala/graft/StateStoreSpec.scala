@@ -219,6 +219,142 @@ class StateStoreSpec extends AnyFunSuite {
     assert(rowsOf(f.notifications) == rowsOf(e.notifications))
   }
 
+  // ---- incremental checkpoints (r10 verdict #1) -----------------------
+
+  test("incremental checkpoint: an untouched entity is pointed at, not rewritten; the reaper never deletes a still-referenced version") {
+    import java.nio.file.{Files, Paths}
+    val root = Scratch.tempDir("wal_incr")
+    val wal = root + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    // Checkpoint 1: users + tasks dirty.
+    a.users.upsert(Map("c_custkey" -> 710001L, "c_name" -> "incr@graft.io"))
+    assert(a.tasks.patch(Seq(7L), Map("o_orderstatus" -> "approved")))
+    a.checkpoint()
+    val (v1, ptrs1, _) = StateStore.latestSnapshot(root).get
+    assert(ptrs1 == Map("users" -> v1, "tasks" -> v1), s"first manifest: $ptrs1")
+    // Checkpoint 2: ONLY notifications dirty — users/tasks must keep
+    // their v1 pointers and their v1 bytes must NOT be rewritten.
+    assert(a.notifications.delete(Seq(5L)))
+    val usersSnapMtime = Files.getLastModifiedTime(
+      Paths.get(s"$root/snap/v$v1/users")).toMillis
+    a.checkpoint()
+    val (v2, ptrs2, _) = StateStore.latestSnapshot(root).get
+    assert(v2 == v1 + 1)
+    assert(ptrs2 == Map("users" -> v1, "tasks" -> v1, "notifications" -> v2),
+      s"the untouched entities must be re-REFERENCED, not re-written: $ptrs2")
+    assert(Files.exists(Paths.get(s"$root/snap/v$v1/users")),
+      "the reaper must never delete a still-referenced version")
+    assert(Files.getLastModifiedTime(Paths.get(s"$root/snap/v$v1/users"))
+      .toMillis == usersSnapMtime, "an untouched entity's snapshot was rewritten")
+    assert(!Files.exists(Paths.get(s"$root/snap/v$v2/users")),
+      "checkpoint 2 must snapshot ONLY the dirty entity")
+    // A third checkpoint with a users touch moves its pointer and the
+    // reaper may now drop nothing referenced by the two newest
+    // manifests (v2's pointers still include v1's users/tasks).
+    a.users.upsert(Map("c_custkey" -> 710002L, "c_name" -> "incr2@graft.io"))
+    a.checkpoint()
+    val (v3, ptrs3, _) = StateStore.latestSnapshot(root).get
+    assert(ptrs3("users") == v3 && ptrs3("tasks") == v1)
+    assert(Files.exists(Paths.get(s"$root/snap/v$v1/tasks")),
+      "tasks@v1 is referenced by the LATEST manifest — must survive any reap")
+    // Recovery through the pointers: exact state.
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    for ((ea, eb) <- Seq(a.users -> b.users, a.tasks -> b.tasks,
+        a.notifications -> b.notifications))
+      assert(rowsOf(ea) == rowsOf(eb),
+        "recovery through entity->version pointers must be exact")
+  }
+
+  // ---- WAL batch framing + rollback (r10 ADVICE mediums) --------------
+
+  test("a multi-op mutate() body is ONE atomic WAL record: a torn tail drops the whole body, never half an invariant") {
+    import java.nio.file.{Files, Paths}
+    val wal = Scratch.tempDir("wal_batch") + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    // The approve shape: a submission $set + a user $inc in one body.
+    a.mutateOn(Seq("submissions", "users")) {
+      a.submissions.upsert(Map("l_orderkey" -> 1L, "l_linenumber" -> 1,
+        "l_partkey" -> 155190L, "l_suppkey" -> 7706L, "status" -> "approved"))
+      assert(a.users.patch(Seq(1L), Map("c_acctbal" -> 999.75)))
+    }
+    val lines = Files.readAllLines(Paths.get(wal))
+    assert(lines.size() == 1, s"one body must frame as ONE record, got ${lines.size()}")
+    assert(lines.get(0).contains("\"b\""), "multi-op bodies use the batch frame")
+    // Replay of the intact record applies BOTH ops.
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    assert(b.users.lookup(Seq(1L)).exists(_("c_acctbal") == 999.75))
+    assert(b.submissions.lookup(Seq(1L, 1, 155190L, 7706L))
+      .exists(_("status") == "approved"))
+    // Tear the record (crash mid-append): BOTH ops vanish — the store
+    // can never recover half the invariant.
+    val full = new String(Files.readAllBytes(Paths.get(wal)))
+    Files.write(Paths.get(wal), full.dropRight(30).getBytes)
+    val c = new StateStore(spark, dir, walPath = Some(wal))
+    assert(c.users.journalSize == 0 && c.submissions.journalSize == 0,
+      "a torn batch record must drop the WHOLE body on replay")
+  }
+
+  test("a failed WAL append rolls the body's journal ops back: served state never diverges from durable state") {
+    val wal = Scratch.tempDir("wal_fail") + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    a.users.upsert(Map("c_custkey" -> 720001L, "c_name" -> "pre@graft.io"))
+    // Force the next append to fail: close the log's stream out from
+    // under the store (the disk-full / IO-error stand-in).
+    a.wal.get.close()
+    val thrown = intercept[Exception] {
+      a.mutateOn(Seq("users", "tasks")) {
+        a.users.upsert(Map("c_custkey" -> 720002L, "c_name" -> "lost@graft.io"))
+        a.tasks.patch(Seq(7L), Map("o_orderstatus" -> "half")): Unit
+      }
+    }
+    assert(thrown.isInstanceOf[java.io.IOException], s"unexpected: $thrown")
+    // The failed body's ops are GONE from served state...
+    assert(a.users.lookup(Seq(720002L)).isEmpty,
+      "an un-logged write must not stay live in memory")
+    assert(!a.tasks.lookup(Seq(7L)).exists(_("o_orderstatus") == "half"))
+    // ...and the pre-failure write (which WAS logged) replays fine.
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    assert(b.users.lookup(Seq(720001L)).isDefined)
+    assert(b.users.lookup(Seq(720002L)).isEmpty)
+  }
+
+  // ---- group commit + per-entity concurrency (r10 verdict #2/#8) ------
+
+  test("group commit: 8 concurrent writers fsync FEWER times than they commit; disjoint-entity bodies do not serialize on one store lock") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val wal = Scratch.tempDir("wal_group") + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    val perThread = 40
+    val work = (0 until 8).map { t =>
+      Future {
+        val entity = if (t % 2 == 0) "users" else "notifications"
+        (1 to perThread).foreach { i =>
+          a.mutateOn(Seq(entity)) {
+            if (t % 2 == 0)
+              a.users.upsert(Map("c_custkey" -> (730000L + t * 1000 + i),
+                "c_name" -> s"g$t-$i@graft.io"))
+            else
+              a.notifications.upsert(Map("event_id" -> (830000L + t * 1000 + i),
+                "event_type" -> "notification"))
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(work), 180.seconds)
+    val w = a.wal.get
+    assert(w.commits.get() == 8L * perThread, s"commits: ${w.commits.get()}")
+    assert(w.syncs.get() < w.commits.get(),
+      s"group commit must coalesce fsyncs at depth 8: " +
+        s"${w.syncs.get()} syncs for ${w.commits.get()} commits")
+    // Nothing lost: every op replays.
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    assert(b.users.journalSize == 4 * perThread)
+    assert(b.notifications.journalSize == 4 * perThread)
+  }
+
   // ---- the real thing: SIGKILL the serving process --------------------
 
   test("acknowledged HTTP writes survive a SIGKILLed facade: WAL replay in a fresh store") {
