@@ -285,6 +285,86 @@ class ThriftServerSpec extends AnyFunSuite {
     }
   }
 
+  test("armed live mode: unauthenticated JDBC is rejected, a minted token connects, and the live view still tracks the store (r10 verdict #3)") {
+    val secret = "thrift-armed-secret"
+    val email = "armed@graft.io"
+    val base = graft.Scratch.tempDir("thrift_armed")
+    val port = freePort()
+    val proc = new ProcessBuilder(
+      ChildJvm.command("graft.ThriftServe",
+        Seq(port.toString, base, sfDir, "live-armed", secret)): _*)
+      .redirectErrorStream(true).start()
+    val out = new java.lang.StringBuilder
+    @volatile var ready = false
+    @volatile var liveRestPort = -1
+    val reader = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      Iterator.continually(br.readLine()).takeWhile(_ != null).foreach { l =>
+        out.synchronized { out.append(l).append('\n') }
+        if (l.startsWith("THRIFT_LIVE_REST"))
+          liveRestPort = l.split("port=")(1).trim.toInt
+        if (l.startsWith("THRIFT_READY")) ready = true
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    try {
+      val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
+      while (!ready && proc.isAlive && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(ready, s"armed server never became ready:\n${
+        out.synchronized(out.toString.takeRight(4000))}")
+      assert(liveRestPort > 0, "armed live mode must report the façade port")
+
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val token = GraftAuth.token(secret, email)
+      // Prove the socket is UP with a valid token first (so the
+      // rejection below is an auth verdict, not a race with startup).
+      def connectAs(user: String, pass: String): java.sql.Connection =
+        java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/graft", user, pass)
+      var conn: java.sql.Connection = null
+      var attempts = 0
+      while (conn == null && attempts < 120) {
+        try conn = connectAs(email, token)
+        catch { case _: java.sql.SQLException =>
+          attempts += 1; Thread.sleep(1000) }
+      }
+      assert(conn != null, "a minted token must be able to connect")
+      try {
+        // Anonymous and forged credentials are refused by the SASL
+        // handshake — the exact bypass the boundary doc warned about.
+        assertThrows[java.sql.SQLException](connectAs("anonymous", "").close())
+        assertThrows[java.sql.SQLException](
+          connectAs(email, token.dropRight(2) + "xx").close())
+        assertThrows[java.sql.SQLException](
+          connectAs("other@graft.io", token).close()) // identity mismatch
+        // The armed façade + authed wire still serve the LIVE view:
+        // registration is an open route (reference posture), and the
+        // acknowledged write must be readable over the authed socket.
+        val http = new RestHttp {
+          override val base = s"http://127.0.0.1:$liveRestPort"
+        }
+        assert(http.post("/users",
+          s"""{"name":"A","email":"$email","role":"buyer"}""")._1 == 201)
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"SELECT c_acctbal FROM global_temp.live_users WHERE c_name = '$email'")
+          assert(rs.next() && rs.getDouble(1) == 50.0,
+            "the HTTP write must be live on the AUTHENTICATED wire")
+        } finally st.close()
+      } finally conn.close()
+    } finally {
+      try {
+        proc.getOutputStream.write('\n'); proc.getOutputStream.flush()
+      } catch { case _: java.io.IOException => () }
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+    }
+  }
+
   test("sick-view isolation: a broken events table is reported, the rest of the surface still serves over JDBC") {
     // Round-6 failure mode: the events encoding break killed ThriftServe
     // startup wholesale. Contract now: the server reports the sick view
