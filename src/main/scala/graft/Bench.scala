@@ -85,10 +85,17 @@ object Bench {
     // Warehouse build (external DDL + bucketed table writes) is one-time
     // setup, not query work: do it here so c1/c2 time the QUERIES.
     graft.operators.CatalogOps.ensure(spark, sfDir)
-    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver leaves it unset).
+    // Dev aids (driver leaves both unset): SPARK_GRAFT_ONLY=q1,q2
+    // restricts the run; SPARK_GRAFT_SKIP=q3,q4 excludes — the lever
+    // for scale passes where a LABELED intentionally-quadratic tier
+    // (s2's ground-truth all-pairs) would alone dwarf the other 200+
+    // queries' wall. Skips are printed so an excluded query can never
+    // read as a covered one.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
+    skip.toSeq.sorted.foreach(q => System.err.println(s"[bench] SKIPPED by env: $q"))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip(n) }
     // Median-of-3 per query: a single shot lets one GC pause or a
     // contended box masquerade as a regression (the round-4 driver run
     // showed 2.5-6x phantom blowups that never reproduced). The median

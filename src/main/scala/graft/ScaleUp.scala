@@ -50,10 +50,9 @@ import org.apache.spark.sql.functions._
   * catalog query still finds its inputs. This is the disk-budget lever
   * for the deep probes: a 100× replica of documents/embeddings/events
   * is ~340 MB where a full-fixture 100× would be ~1.6 GB dominated by
-  * lineitem no deep-probe query touches at that scale. Replica counts
-  * >10 are allowed ONLY in subset mode excluding customer/supplier:
-  * their single-digit name tags are what caps the full-fixture mode
-  * (the `#rrr` suffix needs all three positions to differ), while the
+  * lineitem no deep-probe query touches at that scale. Full-fixture
+  * mode scales to 999 replicas: customer/supplier name tags are
+  * zero-padded constant-width suffixes (injective to 999), and the
   * documents `_r<N>` vocabulary tags and the seeded orthogonal
   * embedding transforms are injective at any replica count. */
 object ScaleUp {
@@ -100,12 +99,11 @@ object ScaleUp {
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$n.parquet")
 
-    // Single-digit replica tags keep the 3-positions-differ guarantee;
-    // ≥11 replicas would need a wider alphabet — only the name-tagged
-    // tables are capped, subset probes of the others scale further.
-    require(reps <= 10
+    // Zero-padded replica tags are injective to 999 replicas; beyond
+    // that the padding would alias and full-fixture mode must refuse.
+    require(reps <= 999
         || !(replicate("customer") || replicate("supplier")),
-      s"name tags support at most 10 replicas, got $reps with customer/supplier")
+      s"name tags support at most 999 replicas, got $reps with customer/supplier")
 
     // Fixed dimensions and unreplicated tables: verbatim 1× copies so
     // the out dir is a complete fixture for every catalog loader.
@@ -114,9 +112,17 @@ object ScaleUp {
 
     def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until reps).map(r => f(df, r)).reduce(_ unionByName _)
+    // Constant-width zero-padded tag, the 3-digit field REPEATED three
+    // times ("#001001001"): injective to 999 replicas (the old
+    // single-digit `#rrr` capped full-fixture mode at 10), and any two
+    // distinct replicas' tags differ in ≥3 positions at equal length —
+    // so no cross-replica name pair can sit within Levenshtein
+    // distance 1 (equal length makes lev-1 a single substitution =
+    // Hamming 1, which the tripled field rules out; the fuzzy-join
+    // no-cross-replica-match invariant, spec-pinned).
     def tagName(df: DataFrame, r: Int, c: String): DataFrame =
       if (r == 0) df
-      else df.withColumn(c, concat(col(c), lit(s"#$r$r$r")))
+      else df.withColumn(c, concat(col(c), lit("#" + f"$r%03d" * 3)))
 
     if (replicate("customer") || replicate("orders") || replicate("lineitem")
         || replicate("supplier") || replicate("part")) {

@@ -452,17 +452,32 @@ object Olap extends QueryModule {
     * (correctly rounded in both engines). */
   private def qdeltas(m: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val n8 = col("n").cast("decimal(19,0)")
+    // Width budget, constrained by THREE rules at once: Spark's
+    // multiply result precision p1+p2+1 caps at 38 (lossless here —
+    // scale 0, values bounded below 10³⁸); the warehouse dialect BINDS
+    // only when p1+p2 ≤ 38; and that dialect COMPUTES a multiply in
+    // the wider operand's storage class — two ≤dec(18) operands
+    // multiply in int64 and overflow at 9.2·10¹⁸ regardless of the
+    // declared result width (measured: dec(15)² threw at sf0.01's
+    // Σy = 1.06·10¹¹), so every operand whose product can exceed int64
+    // is cast to dec(19)+ (int128). Widths: n→dec(11) (10¹¹ rows per
+    // group), sx/sy/sxx/sxy→dec(19) (the BIGINT moment bound), the
+    // recombined Σy²→dec(25) (≤ 9.2·10²⁴ by the syyh limb's own
+    // BIGINT bound). The r11 100× pass overflowed the old dec(20) Σy²
+    // at 7.4·10²⁰ — these widths carry ~10⁸ rows PER GROUP exactly
+    // (binding cap: the Σxy BIGINT moment); past that, Σxy splits
+    // into limbs like Σy² does (the documented third-limb escape).
+    val n8 = col("n").cast("decimal(11,0)")
     val syy = col("syyh").cast("decimal(19,0)") * lit(1000000L).cast("decimal(7,0)") +
       col("syyl").cast("decimal(19,0)")
     m.select(col("l_returnflag"), col("n"),
       (n8 * col("sxx").cast("decimal(19,0)")
         - col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)"))
         .cast("double").as("dxx"),
-      (n8 * syy.cast("decimal(20,0)")
+      (n8 * syy.cast("decimal(25,0)")
         - col("sy").cast("decimal(19,0)") * col("sy").cast("decimal(19,0)"))
         .cast("double").as("dyy"),
-      (n8 * col("sxy").cast("decimal(18,0)")
+      (n8 * col("sxy").cast("decimal(19,0)")
         - col("sx").cast("decimal(19,0)") * col("sy").cast("decimal(19,0)"))
         .cast("double").as("dxy"),
       col("sx").cast("double").as("sxd"),
@@ -559,16 +574,16 @@ object Olap extends QueryModule {
       |  GROUP BY l_returnflag),
       |d AS (
       |  SELECT l_returnflag, n,
-      |         CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxx AS DECIMAL(19,0))
+      |         CAST(CAST(n AS DECIMAL(11,0)) * CAST(sxx AS DECIMAL(19,0))
       |              - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
       |            AS DOUBLE) AS dxx,
-      |         CAST(CAST(n AS DECIMAL(19,0))
+      |         CAST(CAST(n AS DECIMAL(11,0))
       |                * CAST(CAST(syyh AS DECIMAL(19,0))
       |                         * CAST(1000000 AS DECIMAL(7,0))
-      |                       + CAST(syyl AS DECIMAL(19,0)) AS DECIMAL(20,0))
+      |                       + CAST(syyl AS DECIMAL(19,0)) AS DECIMAL(25,0))
       |              - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
       |            AS DOUBLE) AS dyy,
-      |         CAST(CAST(n AS DECIMAL(19,0)) * CAST(sxy AS DECIMAL(19,0))
+      |         CAST(CAST(n AS DECIMAL(11,0)) * CAST(sxy AS DECIMAL(19,0))
       |              - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
       |            AS DOUBLE) AS dxy,
       |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd

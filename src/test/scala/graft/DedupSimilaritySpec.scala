@@ -173,6 +173,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(spec.values.exists(_.nonEmpty))
   }
 
+  test("dedup_normalize kernel is byte-equal to the two-regex normalize pipeline (fixture + adversarial strings)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Adversarial shapes: multi-byte UTF-8 (each byte is a separator
+    // under the kernel, each CHAR one under the regex — collapse makes
+    // them equal), punctuation runs, leading/trailing noise, empties,
+    // digit/letter boundaries, all-separator strings.
+    val adversarial = Seq(
+      "", "   ", "!!!", "a", "A.b,C  d!", "  leading and trailing  ",
+      "héllo wörld — naïve café", "日本語テキスト mixed ascii 123",
+      "tabs\tand\nnewlines\r\nandvt", "0a1b2c3", "---a---", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+      "a  b   c", "ALL CAPS 42!").toDF("text")
+    val sample = Tables(spark, dir).documents.select($"text").limit(300)
+      .unionByName(adversarial)
+    val regexForm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    val diff = sample.select(
+        graft.functions.TextNormalizeFunctions
+          .dedupNormalize(spark, lower($"text")).as("kernel"),
+        regexForm.as("regex"))
+      .filter($"kernel" =!= $"regex")
+    assert(diff.isEmpty, s"kernel/regex divergence: ${diff.take(3).toSeq}")
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayFunctions.sortedIntersectCount
