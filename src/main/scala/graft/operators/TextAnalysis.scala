@@ -38,15 +38,22 @@ object TextAnalysis extends QueryModule {
 
   private[operators] val Stopwords = Seq("the", "a", "of", "and", "is", "to", "in")
 
-  /** t1 — token counting: whitespace tokens and a BPE-ish lexer regex
-    * (letter runs | digit runs | single non-alnum glyph). */
+  /** t1 — token counting: whitespace tokens and a BPE-ish lexer
+    * (letter runs | digit runs | single non-alnum glyph). Both counts
+    * ride the fused [[graft.functions.TokenStats]] kernel — one
+    * codegen'd byte pass, provably count-equal to the two regexes the
+    * oracle still spells (equivalence spec-pinned; the r11 100× pass
+    * measured the regex form at 56.9 s, the kernel at 2.0 s). The
+    * struct binds to its own attribute first (the t12 projection
+    * discipline) so the kernel runs once per row, not per column. */
   private def t1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
+      .select($"doc_id", $"text",
+        graft.functions.TokenStatsFunctions.tokenStats(spark, $"text").as("ts"))
       .select($"doc_id",
-        regexp_count($"text", lit("""\S+""")).cast("long").as("n_ws_tokens"),
-        regexp_count($"text", lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""))
-          .cast("long").as("n_bpe_tokens"),
+        $"ts.n_ws_tokens".as("n_ws_tokens"),
+        $"ts.n_bpe_tokens".as("n_bpe_tokens"),
         length($"text").cast("long").as("n_chars"))
       .orderBy($"doc_id")
   }
@@ -66,7 +73,10 @@ object TextAnalysis extends QueryModule {
         size($"w").cast("double").as("n_tok"),
         size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
           .cast("double").as("n_stop"),
-        regexp_count($"text", lit("""[^A-Za-z0-9\s]""")).cast("double").as("n_punct"),
+        // The punct count is TokenStats' third field (see t1) — the
+        // oracle keeps the regex spelling; count-equality spec-pinned.
+        graft.functions.TokenStatsFunctions.tokenStats(spark, $"text")
+          .getField("n_punct").cast("double").as("n_punct"),
         length($"text").cast("double").as("n_chars"))
     val stopRatio = when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0)
     val punctRatio = when($"n_chars" > 0, $"n_punct" / $"n_chars").otherwise(0.0)

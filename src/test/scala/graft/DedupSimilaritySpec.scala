@@ -197,6 +197,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff.isEmpty, s"kernel/regex divergence: ${diff.take(3).toSeq}")
   }
 
+  test("token_stats kernel is count-equal to the three regex forms (fixture + adversarial strings)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val adversarial = Seq(
+      "", "   ", "!!!", "a", "A.b,C  d!", "  leading and trailing  ",
+      "héllo wörld — naïve café", "日本語テキスト mixed ascii 123",
+      "tabs\tand\nnewlines\r\nandvt", "0a1b2c3", "---a---", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢",
+      "a  b   c", "ALL CAPS 42!", "abc123def", "1a1", "x—y").toDF("text")
+    val sample = Tables(spark, dir).documents.select($"text").limit(300)
+      .unionByName(adversarial)
+    val diff = sample
+      .select($"text",
+        graft.functions.TokenStatsFunctions.tokenStats(spark, $"text").as("ts"),
+        regexp_count($"text", lit("""\S+""")).cast("long").as("r_ws"),
+        regexp_count($"text", lit("""[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""))
+          .cast("long").as("r_bpe"),
+        regexp_count($"text", lit("""[^A-Za-z0-9\s]""")).cast("long").as("r_punct"))
+      .filter($"ts.n_ws_tokens" =!= $"r_ws"
+        || $"ts.n_bpe_tokens" =!= $"r_bpe"
+        || $"ts.n_punct" =!= $"r_punct")
+    assert(diff.isEmpty, s"kernel/regex count divergence: ${diff.take(3).toSeq}")
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayFunctions.sortedIntersectCount
