@@ -137,6 +137,27 @@ final class StateStore(spark: SparkSession, dir: String,
         // one single-op record, committed immediately — with the same
         // roll-back-on-failed-append contract as the batch path.
         else commitOrUndo(Seq(op))
+      },
+      // Direct (un-framed) public writes take the SAME locks a mutateOn
+      // body holds — the gate's READ side plus this entity's lock — so
+      // a direct write can never interleave a checkpoint's snapshot/
+      // rotate window (r11 ADVICE: the unfenced path could commit a WAL
+      // record into a log rotate() was deleting — the fsync hit a
+      // closed fd and a durably-acknowledged record could be stranded
+      // in the rotated-away file). Calls already inside a mutation
+      // frame, and recovery replay, pass through: their own fences (or
+      // the single-threaded constructor) govern. Lock order is the
+      // store-wide canonical one (gate → entity lock → entity monitor),
+      // so no cycle against mutateOn or checkpoint.
+      body => {
+        if (replaying || activeBatch.get() != null) body()
+        else {
+          gate.readLock().lock()
+          val l = entityLocks(name)
+          l.lock()
+          try body()
+          finally { l.unlock(); gate.readLock().unlock() }
+        }
       })
 
   /** Frame `ops` as one WAL record; on an append failure roll the
@@ -222,8 +243,10 @@ final class StateStore(spark: SparkSession, dir: String,
   /** Snapshot + rotate (see the CHECKPOINTS scaladoc block): holds the
     * gate's WRITE side, so mutations routed through [[mutate]] /
     * [[mutateOn]] — every façade write — cannot land between the
-    * snapshot and the rotation. Direct EntityState calls bypass that
-    * fence and must not run concurrently with a checkpoint. No-op
+    * snapshot and the rotation. Direct EntityState calls (specs,
+    * probes) are fenced too since round 12: each takes the gate's read
+    * side + its entity's lock around the whole journal-op + WAL-commit
+    * sequence, so no write of ANY kind interleaves the window. No-op
     * without a WAL or when nothing changed since the last checkpoint. */
   def checkpoint(): Unit = {
     gate.writeLock().lock()
@@ -235,17 +258,33 @@ final class StateStore(spark: SparkSession, dir: String,
     for (w <- wal; root <- walDir) {
       val dirty = entityByName.filter(_._2.dirtySinceCheckpoint).toSeq.sortBy(_._1)
       if (dirty.nonEmpty) {
-        val next = StateStore.latestSnapshot(root).map(_._1 + 1).getOrElse(0L)
-        dirty.foreach { case (name, e) =>
-          e.compactTo(s"$root/snap/v$next/$name")
-          e.dirtySinceCheckpoint = false
-        }
+        // Version numbers come from the version DIRS, not the committed
+        // manifests: a FAILED attempt below leaves a manifest-less dir
+        // that the compacted entities' in-memory bases now read from,
+        // and the retry must write a FRESH version — re-using the
+        // number would overwrite a directory its own `current()` is
+        // scanning (Spark's self-overwrite guard would refuse, and the
+        // checkpoint could never succeed again). Manifest-less dirs
+        // stay invisible to recovery and are reaped after the next
+        // committed checkpoint re-bases their entities.
+        val next = StateStore.nextVersion(root)
+        dirty.foreach { case (name, e) => e.compactTo(s"$root/snap/v$next/$name") }
         // Untouched entities keep their old pointers — THE incremental
         // step: their bytes are never rewritten, only re-referenced.
         val ptrs = entityVersion ++ dirty.map(_._1 -> next)
         StateStore.writeManifest(root, next, ptrs, tick.get())
         entityVersion = ptrs
         w.rotate()
+        // Dirty flags clear ONLY after the manifest committed and the
+        // log rotated (r11 ADVICE): the old per-entity clearing inside
+        // the compactTo loop meant a later failure left already-cleared
+        // entities' new snapshots manifest-less — the NEXT successful
+        // checkpoint would re-point them at their OLD version and
+        // rotate away the WAL tail holding their acknowledged writes,
+        // durably losing them. On any failure above, every entity stays
+        // dirty (re-snapshotting is idempotent) and the reap is skipped,
+        // so nothing a live base reads from is deleted.
+        dirty.foreach(_._2.dirtySinceCheckpoint = false)
         StateStore.reapSnapshots(root)
         // The checkpointed entities' bases were swapped (compactTo):
         // republish their live views so a long-idle entity's view never
@@ -375,10 +414,30 @@ object StateStore {
   private[graft] def latestSnapshot(root: String): Option[(Long, Map[String, Long], Long)] =
     allSnapshots(root).headOption
 
+  /** The next unused snapshot version: max over version DIRS — including
+    * manifest-less remnants of crashed or FAILED checkpoint attempts —
+    * plus one. See checkpointLocked for why a failed attempt's number
+    * must never be re-used. */
+  private[graft] def nextVersion(root: String): Long = {
+    val snap = new java.io.File(s"$root/snap")
+    val vs = Option(snap.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v")
+        && f.getName.drop(1).forall(_.isDigit))
+      .map(_.getName.drop(1).toLong)
+    if (vs.isEmpty) 0L else vs.max + 1L
+  }
+
+  /** Test-only fault injection, fired at the start of [[writeManifest]]:
+    * lets specs exercise the failed-checkpoint window (snapshots written,
+    * manifest not committed) that real IO failures hit
+    * nondeterministically. A no-op in production. */
+  @volatile private[graft] var manifestFault: () => Unit = () => ()
+
   /** Commit a checkpoint manifest: write-then-rename (then parent-dir
     * fsync), so a version is visible atomically or not at all. */
   private[graft] def writeManifest(root: String, v: Long,
                                    ptrs: Map[String, Long], tick: Long): Unit = {
+    manifestFault()
     val n = manifestMapper.createObjectNode()
     val ents = n.putObject("entities")
     ptrs.toSeq.sortBy(_._1).foreach { case (name, ver) => ents.put(name, ver) }
@@ -456,7 +515,14 @@ final class EntityState(
     val keyCols: Seq[String],
     record: (EntityState, Boolean, Seq[Any], Option[Map[String, Any]],
              Option[Option[Map[String, Any]]]) => Unit =
-      (_, _, _, _, _) => ()) {
+      (_, _, _, _, _) => (),
+    fence: (() => Any) => Any = f => f()) {
+
+  /** Every public mutator runs under the owning store's fence (identity
+    * for store-less entities): direct writes serialize with checkpoints
+    * without callers knowing about the store's lock scheme. Reentrant by
+    * construction — patch's inner upsert re-enters the same locks. */
+  private def fenced[A](body: => A): A = fence(() => body).asInstanceOf[A]
 
   /** The current base relation — the fixture parquet until [[compact]]
     * swaps in a materialized merge (which then CARRIES any evolved
@@ -634,7 +700,9 @@ final class EntityState(
     * [[StateStore.mutateOn]] the hook only buffers (no IO held under
     * the monitor), and the direct path's commit takes only WAL-local
     * locks — no cycle. */
-  def upsert(row: Map[String, Any]): Unit = synchronized {
+  def upsert(row: Map[String, Any]): Unit = fenced { doUpsert(row) }
+
+  private def doUpsert(row: Map[String, Any]): Unit = synchronized {
     val known = allFields.map(f => f.name -> f.dataType).toMap
     row.keys.filterNot(known.contains).toSeq.foreach { c =>
       extras :+= StructField(c, inferType(row(c)), nullable = true)
@@ -654,14 +722,15 @@ final class EntityState(
 
   /** Read-merge-write `$set`: fetch the current row, apply changes,
     * upsert. False when the key does not exist (→ the route's 404). */
-  def patch(key: Seq[Any], changes: Map[String, Any]): Boolean =
+  def patch(key: Seq[Any], changes: Map[String, Any]): Boolean = fenced {
     lookup(key) match {
-      case Some(row) => upsert(row ++ changes ++ keyCols.zip(key).toMap); true
+      case Some(row) => doUpsert(row ++ changes ++ keyCols.zip(key).toMap); true
       case None => false
     }
+  }
 
   /** Tombstone a key. False when absent. */
-  def delete(key: Seq[Any]): Boolean = synchronized {
+  def delete(key: Seq[Any]): Boolean = fenced { synchronized {
     if (lookup(key).isEmpty) false
     else {
       val nk = normKey(key)
@@ -671,7 +740,7 @@ final class EntityState(
       record(this, true, nk, None, prior)
       true
     }
-  }
+  } }
 
   /** Roll one journal op back to its PRIOR value — the store's WAL
     * failure path: a body whose log append failed must not keep
@@ -699,7 +768,10 @@ final class EntityState(
   private[graft] def replayOp(del: Boolean, key: Seq[Any],
                               row: Option[Map[String, Any]]): Unit = synchronized {
     dirtySinceCheckpoint = true
-    if (del) journal.update(key, None) else upsert(row.get)
+    // doUpsert, not upsert: recovery is single-threaded construction;
+    // entering the store fence while holding this monitor would invert
+    // the canonical lock order for no protection gained.
+    if (del) journal.update(key, None) else doUpsert(row.get)
   }
 
   private def normKey(key: Seq[Any]): Seq[Any] =
@@ -855,7 +927,8 @@ final class WriteAheadLog(path: String) {
   private val parent = Option(file.getParentFile)
   parent.foreach(_.mkdirs())
   private val existed = file.exists()
-  private var out = new java.io.FileOutputStream(file, true)
+  /** package-visible for the spec's partial-write fault injection. */
+  private[graft] var out = new java.io.FileOutputStream(file, true)
   if (!existed) parent.foreach(StateStore.fsyncDir) // the CREATE itself, durable
   /** Ops appended since the last [[rotate]] (seeded with the existing
     * log's op count so a reopened store still checkpoints on schedule). */
@@ -875,6 +948,16 @@ final class WriteAheadLog(path: String) {
   private val syncLock = new Object
   private var writeSeq = 0L
   private var syncedSeq = 0L
+  /** File position covered by the last successful fsync (seeded with the
+    * size the log had at open): the truncation point when an fsync
+    * FAILS — everything past it is non-durable and must not survive as
+    * bytes a restart would replay. */
+  private var syncedPos: Long = file.length()
+  /** Write sequences at-or-below this mark were truncated away by a
+    * failed covering fsync: their committers throw (and the store rolls
+    * their journal ops back) instead of acknowledging records that no
+    * longer exist in the log. */
+  private var abortedThrough = 0L
   /** fsyncs actually issued / commit calls acknowledged — the group-
     * commit ratio (syncs < commits under concurrent writers). */
   val syncs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -893,6 +976,8 @@ final class WriteAheadLog(path: String) {
       appended = 0L
       writeSeq = 0L
       syncedSeq = 0L
+      syncedPos = 0L
+      abortedThrough = 0L
     }
   }
 
@@ -960,20 +1045,52 @@ final class WriteAheadLog(path: String) {
     var o: java.io.FileOutputStream = null
     synchronized {
       o = out
-      out.write(line)
-      out.flush()
+      // A failed or PARTIAL append (disk full mid-buffer, IO error) must
+      // leave no bytes behind (r11 ADVICE): replay's torn-record grace
+      // is TAIL-only by design, so a half-written record with later
+      // commits appended after it reads as mid-file corruption and
+      // permanently refuses the boot. Truncate back to the pre-write
+      // position while still holding the write lock — no later record
+      // can have landed after ours yet.
+      val pos = o.getChannel.position()
+      try { o.write(line); o.flush() }
+      catch { case NonFatal(err) =>
+        try o.getChannel.truncate(pos): Unit
+        catch { case NonFatal(t) => err.addSuppressed(t) }
+        throw err
+      }
       writeSeq += 1
       mySeq = writeSeq
       appended += ops.length
     }
     syncLock.synchronized {
+      if (mySeq <= abortedThrough)
+        throw new java.io.IOException(
+          "WAL commit aborted: the fsync covering this record failed and its bytes were truncated away")
       if (syncedSeq < mySeq) {
         // Everything written BEFORE this sync call is covered by it —
         // capture the high-water mark first so later committers below
         // it skip their fsync.
-        val cover = synchronized(writeSeq)
-        o.getFD.sync()
+        val (cover, coverPos) = synchronized((writeSeq, out.getChannel.position()))
+        try o.getFD.sync()
+        catch { case NonFatal(err) =>
+          // NONE of the records since the last successful fsync are
+          // durable. If the fsync threw after complete writes, a later
+          // restart would replay ops their clients saw FAIL — so remove
+          // the bytes and fail every committer in the cohort (each rolls
+          // its journal ops back in the store's commitOrUndo). The
+          // truncation point and abort mark are captured under `this` so
+          // a writer racing in during the fsync is either inside the
+          // truncated span (and aborts too) or appends after it.
+          synchronized {
+            try out.getChannel.truncate(syncedPos): Unit
+            catch { case NonFatal(t) => err.addSuppressed(t) }
+            abortedThrough = writeSeq
+          }
+          throw err
+        }
         syncedSeq = cover
+        syncedPos = coverPos
         syncs.incrementAndGet(): Unit
       }
     }
@@ -984,27 +1101,46 @@ final class WriteAheadLog(path: String) {
     * row, tick)` — batch records unfold in their framed order. */
   def replay(apply: (String, Boolean, Seq[Any], Option[Map[String, Any]], Long) => Unit): Unit =
     if (file.exists()) {
+      // STREAMING read, O(1) lines held (r11 verdict #7): the log's
+      // length is bounded by checkpoint cadence in normal operation,
+      // but recovery is exactly the path that must not assume normal
+      // operation — with checkpointing disabled or delayed, the old
+      // read-everything Vector grew with total write volume. One line
+      // of lookahead preserves the torn-tail rule EXACTLY: a line is
+      // applied as a non-tail record only once the NEXT line proves it
+      // was not the tail; at EOF the held-back line gets the tail grace.
       val src = scala.io.Source.fromFile(file, "UTF-8")
-      val lines = try src.getLines().toVector finally src.close()
-      def applyOp(n: JsonNode): Unit = {
-        val key = n.get("key").elements().asScala.map(decode).toSeq
-        val row = Option(n.get("row")).map(r =>
-          r.properties().asScala.map(e => e.getKey -> decode(e.getValue)).toMap)
-        apply(n.get("e").asText(), n.get("del").asBoolean(), key, row,
-          n.get("tk").asLong())
-      }
-      lines.zipWithIndex.foreach { case (line, i) =>
-        val parsed = try Some(mapper.readTree(line)).filter(n =>
-          n != null && n.isObject && (n.has("e") || n.has("b")))
-          catch { case NonFatal(_) => None }
-        parsed match {
-          case Some(n) if n.has("b") => n.get("b").elements().asScala.foreach(applyOp)
-          case Some(n) => applyOp(n)
-          case None if i == lines.length - 1 => () // torn tail: unacknowledged
-          case None => throw new IllegalStateException(
-            s"WAL corruption at $path:${i + 1} — a non-tail record is unreadable")
+      try {
+        def applyOp(n: JsonNode): Unit = {
+          val key = n.get("key").elements().asScala.map(decode).toSeq
+          val row = Option(n.get("row")).map(r =>
+            r.properties().asScala.map(e => e.getKey -> decode(e.getValue)).toMap)
+          apply(n.get("e").asText(), n.get("del").asBoolean(), key, row,
+            n.get("tk").asLong())
         }
-      }
+        def parse(line: String): Option[JsonNode] =
+          try Some(mapper.readTree(line)).filter(n =>
+            n != null && n.isObject && (n.has("e") || n.has("b")))
+          catch { case NonFatal(_) => None }
+        def dispatch(n: JsonNode): Unit =
+          if (n.has("b")) n.get("b").elements().asScala.foreach(applyOp)
+          else applyOp(n)
+        var held: String = null
+        var heldAt = 0L
+        var idx = 0L
+        src.getLines().foreach { line =>
+          idx += 1
+          if (held != null) parse(held) match {
+            case Some(n) => dispatch(n)
+            case None => throw new IllegalStateException(
+              s"WAL corruption at $path:$heldAt — a non-tail record is unreadable")
+          }
+          held = line
+          heldAt = idx
+        }
+        // The final line: a torn record here was never acknowledged.
+        if (held != null) parse(held).foreach(dispatch)
+      } finally src.close()
     }
 
   def close(): Unit = synchronized(out.close())

@@ -318,6 +318,104 @@ class StateStoreSpec extends AnyFunSuite {
     assert(b.users.lookup(Seq(720002L)).isEmpty)
   }
 
+  // ---- checkpoint failure atomicity (r11 ADVICE medium #1) ------------
+
+  test("a FAILED checkpoint leaves every entity dirty and commits nothing; the retry uses a fresh version and loses no acknowledged write") {
+    val root = Scratch.tempDir("wal_ckpt_fail")
+    val wal = root + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    a.users.upsert(Map("c_custkey" -> 740001L, "c_name" -> "ckfail@graft.io"))
+    assert(a.tasks.patch(Seq(7L), Map("o_orderstatus" -> "approved")))
+    // Fail the manifest commit AFTER the compactTo loop has already
+    // snapshotted (and re-based) the dirty entities — the exact window
+    // where the old per-entity dirty-clearing lost acknowledged writes.
+    StateStore.manifestFault =
+      () => throw new java.io.IOException("injected manifest failure")
+    try intercept[java.io.IOException] { a.checkpoint() }
+    finally StateStore.manifestFault = () => ()
+    // Nothing committed: no manifest, WAL unrotated — recovery from the
+    // old base + full log is complete.
+    assert(StateStore.latestSnapshot(root).isEmpty,
+      "a failed checkpoint must not commit a manifest")
+    assert(Files.readAllLines(Paths.get(wal)).size() == 2,
+      "a failed checkpoint must not rotate the WAL")
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    assert(rowsOf(b.users) == rowsOf(a.users) && rowsOf(b.tasks) == rowsOf(a.tasks),
+      "recovery across a failed checkpoint must see every acknowledged write")
+    // Retry: a FRESH version commits — the failed attempt's v0 dirs
+    // (which the live bases now read) are never overwritten — and both
+    // entities re-snapshot (still dirty).
+    a.checkpoint()
+    val (v, ptrs, _) = StateStore.latestSnapshot(root).get
+    assert(v == 1L, s"the retry must write a fresh version, got v$v")
+    assert(ptrs == Map("users" -> 1L, "tasks" -> 1L), s"retry pointers: $ptrs")
+    assert(Files.readAllLines(Paths.get(wal)).isEmpty,
+      "the successful retry rotates the log")
+    val c = new StateStore(spark, dir, walPath = Some(wal))
+    assert(rowsOf(c.users) == rowsOf(a.users) && rowsOf(c.tasks) == rowsOf(a.tasks),
+      "recovery through the retried checkpoint must be exact")
+  }
+
+  // ---- WAL partial-append truncation (r11 ADVICE medium #2) -----------
+
+  test("a PARTIAL WAL append leaves no bytes behind: the op rolls back, the log stays replayable, later commits append cleanly") {
+    val walPath = Scratch.tempDir("wal_partial") + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(walPath))
+    a.users.upsert(Map("c_custkey" -> 750001L, "c_name" -> "ok@graft.io"))
+    val lenBefore = new java.io.File(walPath).length()
+    // Inject ONE mid-buffer failure (the ENOSPC shape): half the record's
+    // bytes land, then the write throws.
+    a.wal.get.out = new java.io.FileOutputStream(new java.io.File(walPath), true) {
+      private var armed = true
+      override def write(b: Array[Byte]): Unit =
+        if (armed) { armed = false; super.write(b, 0, b.length / 2)
+          throw new java.io.IOException("injected mid-buffer failure") }
+        else super.write(b)
+    }
+    intercept[java.io.IOException] {
+      a.users.upsert(Map("c_custkey" -> 750002L, "c_name" -> "torn@graft.io"))
+    }
+    assert(new java.io.File(walPath).length() == lenBefore,
+      "the failed append's partial bytes must be truncated away")
+    assert(a.users.lookup(Seq(750002L)).isEmpty,
+      "the failed op must roll back from served state")
+    // Without the truncation this next record would append AFTER the
+    // torn bytes — mid-file corruption that refuses every later boot.
+    a.users.upsert(Map("c_custkey" -> 750003L, "c_name" -> "after@graft.io"))
+    val b = new StateStore(spark, dir, walPath = Some(walPath))
+    assert(b.users.lookup(Seq(750001L)).isDefined)
+    assert(b.users.lookup(Seq(750002L)).isEmpty)
+    assert(b.users.lookup(Seq(750003L)).isDefined,
+      "commits after a truncated failure must replay cleanly")
+  }
+
+  // ---- direct writes vs checkpoints (r11 ADVICE low) ------------------
+
+  test("direct EntityState writes serialize with concurrent checkpoints: every acknowledged op survives recovery") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val wal = Scratch.tempDir("wal_direct_race") + "/ops.wal"
+    val a = new StateStore(spark, dir, walPath = Some(wal))
+    val n = 48
+    val writer = Future {
+      (1 to n).foreach(i => a.notifications.upsert(Map(
+        "event_id" -> (840000L + i), "event_type" -> "notification")))
+    }
+    // Checkpoints race the direct writer: before the fence, a commit
+    // could land its record in a log rotate() was deleting.
+    val ckpts = Future { (1 to 6).foreach { _ => a.checkpoint(); Thread.sleep(10) } }
+    Await.result(Future.sequence(Seq(writer, ckpts)), 300.seconds)
+    val b = new StateStore(spark, dir, walPath = Some(wal))
+    import spark.implicits._
+    val got = b.notifications.current()
+      .filter(col("event_id").between(840001L, 840000L + n))
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(got == (1 to n).map(840000L + _),
+      s"every directly-acknowledged op must survive: got ${got.length} of $n")
+  }
+
   // ---- group commit + per-entity concurrency (r10 verdict #2/#8) ------
 
   test("group commit: 8 concurrent writers fsync FEWER times than they commit; disjoint-entity bodies do not serialize on one store lock") {
