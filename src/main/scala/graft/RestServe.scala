@@ -248,8 +248,13 @@ object RestServe {
                      publishViewsAs: Option[String] = None): (HttpServer, StateStore) = {
     import spark.implicits._
     val t = Tables(spark, dir)
+    // Armed façade + published views ⇒ role-authorized publication: the
+    // SQL wire then carries per-entity `<prefix>_admin_*` views whose
+    // plans refuse non-admin identities, and `<prefix>_users` narrows
+    // to the reader's own row (StateStore.publishEntityViews).
     val store = new StateStore(spark, dir, autoCompactAt, walPath,
-      walCheckpointEvery, publishViewsAs)
+      walCheckpointEvery, publishViewsAs,
+      armedViews = authSecret.isDefined)
 
     // Clamped to [0, MaxCap]: a negative ?limit= must not reach
     // Dataset.limit (negative throws AnalysisException → a 500 where

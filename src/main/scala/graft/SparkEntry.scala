@@ -37,6 +37,30 @@ object SparkEntry {
       ("flagship_admin_home" -> Flagship.adminHomeSql) +
       ("flagship_worker_home" -> Flagship.workerHomeSql)
 
+  /** One-time artifact builds backing catalog queries — the persisted
+    * graph/index warehouse tables and the memoized trained indexes that
+    * by bench policy used to charge their Θ(corpus) build to whichever
+    * serving query ran first. The bench runs each build SEPARATELY
+    * (timed into the artifact's `builds` map) before timing its served
+    * queries, so every per-query number is pure SERVE and a serve-path
+    * regression can never hide inside build noise (r11 verdict #2).
+    * Entries: (build name, query names it serves, idempotent ensure).
+    * s3 is deliberately absent: its bucket table is the IN-QUERY index
+    * tier, rebuilt per invocation by design — s6 is the persisted tier
+    * whose build is split here. */
+  def artifactBuilds: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
+    ("graph_frames", Set("g1_pagerank", "g2_bfs_hops", "g3_knn_graph",
+      "g4_knn_triangles", "g5_cheapest_path", "g6_label_prop", "g7_kcore",
+      "g8_link_predict"), (s, d) => Graph.ensureGraphFrames(s, d)),
+    ("ann_srp_index", Set("s6_ann_persistent_index"),
+      (s, d) => Similarity.ensureAnnIndex(s, d)),
+    ("pq_index", Set("s11_pq_adc"),
+      (s, d) => Similarity.ensurePqIndex(s, d)),
+    ("ivf_index", Set("s12_ann_ivf_adc"),
+      (s, d) => Similarity.ensureIvfIndex(s, d)),
+    ("minhash_lsh_index", Set("d10_incremental_neardup"),
+      (s, d) => Dedup.ensureLshIndex(s, d)))
+
   /** The oracle texts that run VERBATIM on Spark SQL under the parity
     * profile (GraftExtensions dialect-compat spellings +
     * `spark.sql.parser.escapedStringLiterals=true`) — the engine's

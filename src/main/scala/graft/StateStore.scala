@@ -6,7 +6,7 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,7 +117,8 @@ final class StateStore(spark: SparkSession, dir: String,
                        autoCompactAt: Int = 4096,
                        walPath: Option[String] = None,
                        walCheckpointEvery: Int = 100000,
-                       publishViewsAs: Option[String] = None) {
+                       publishViewsAs: Option[String] = None,
+                       armedViews: Boolean = false) {
   private val t = Tables(spark, dir)
   val wal: Option[WriteAheadLog] = walPath.map(new WriteAheadLog(_))
   private val walDir: Option[String] =
@@ -372,10 +373,94 @@ final class StateStore(spark: SparkSession, dir: String,
   def publishGlobalViews(prefix: String): Unit =
     publishEntityViews(prefix, entityByName.keys.toSeq)
 
-  private def publishEntityViews(prefix: String, names: Seq[String]): Unit =
-    names.foreach { n =>
-      entityByName(n).current().createOrReplaceGlobalTempView(s"${prefix}_$n")
+  /** ROLE-AUTHORIZED views (`armedViews = true`, the armed serving
+    * posture — r11 verdict #3): the SQL wire authenticates (the SASL
+    * handshake pins username = the HMAC token's identity) but used to
+    * serve every published view to ANY valid token, while the
+    * reference's HTTP surface gates admin reads by role
+    * (index.js:1099-1109, 1112-1122). Armed publication adds, per
+    * entity, a `<prefix>_admin_<entity>` view whose PLAN refuses
+    * non-admin readers: the gate resolves `current_user()` — which the
+    * Thrift operation threads bind to the authenticated connection
+    * user, and which stays UNRESOLVED in the stored view plan because
+    * its literal substitution is an optimizer (not analyzer) rule, so
+    * each querying session evaluates its OWN identity — against the
+    * users entity's role (evolved `role` column, else the w1 fixture
+    * rule, the exact `roleOf` dataflow the HTTP middleware runs) and
+    * `assert_true`s admin. A non-admin read THROWS mid-query (a
+    * refusal over the wire, not an empty result that could pass for
+    * valid data). The open `<prefix>_users` view narrows to the
+    * reader's OWN row (the reference has no non-admin list-users read;
+    * GET /profile is the non-admin shape). Role checks embed a users
+    * snapshot, so any users mutation republishes EVERY armed view —
+    * role changes take effect on the next wire query. */
+  private def publishEntityViews(prefix: String, names: Seq[String]): Unit = {
+    val expanded =
+      if (armedViews && names.contains("users")) entityByName.keys.toSeq
+      else names
+    expanded.foreach { n =>
+      val merged = entityByName(n).current()
+      if (armedViews) {
+        adminGate(merged).createOrReplaceGlobalTempView(s"${prefix}_admin_$n")
+        val open = if (n == "users") ownRows(merged) else merged
+        open.createOrReplaceGlobalTempView(s"${prefix}_$n")
+      } else merged.createOrReplaceGlobalTempView(s"${prefix}_$n")
     }
+  }
+
+  /** WIRE IDENTITY, canonicalized: GraftThriftAuth admits a connection
+    * only when the JDBC username equals the token's full email, but
+    * HiveServer2's session layer then applies Kerberos-style realm
+    * stripping to EVERY auth mode (ThriftCLIService.getShortName), so
+    * the identity a view plan reads via `current_user()` is the email's
+    * LOCAL PART. The gates therefore match on
+    * `substring_index(c_name, '@', 1)` — and FAIL CLOSED on ambiguity:
+    * if two stored identities share a local part, the short name proves
+    * neither, so neither gets admin rights nor own-row visibility over
+    * the wire (disambiguate by renaming; the HTTP wire, which sees the
+    * full email, is unaffected). */
+  private def wireIdentityMatch: Column =
+    substring_index(col("c_name"), "@", 1) === expr("current_user()")
+
+  /** The reading identity's own rows — the armed `<prefix>_users` view
+    * (the reference has no non-admin list-users read; GET /profile is
+    * the non-admin shape). Empty when the short name is ambiguous. */
+  private def ownRows(merged: DataFrame): DataFrame = {
+    val mine = merged.filter(wireIdentityMatch)
+    val uniq = mine.agg(count(lit(1)).as("__n"))
+    mine.crossJoin(broadcast(uniq)).filter(col("__n") === 1).drop("__n")
+  }
+
+  /** The admin gate as a one-row broadcast join whose JOIN CONDITION
+    * carries the assert: `assert_true(admin) IS NULL` is always-true
+    * when the reading identity resolves — UNIQUELY — to role admin, and
+    * THROWS otherwise, so wire clients get a SQLException naming the
+    * refusal (an error, never an empty result that could pass for
+    * data). The assert lives in the condition, not a projected column,
+    * deliberately: a projected gate column is dead code to any
+    * aggregate query (`SELECT count(*)` prunes it and the gate never
+    * evaluates — measured), while a join condition is load-bearing for
+    * every query shape. Role = the evolved `role` column else the w1
+    * fixture rule — the exact `roleOf` dataflow the HTTP middleware
+    * runs. Enforcement sits in the one artifact both wires share (the
+    * published plan), fed by the one verifier both wires share (the
+    * HMAC identity). */
+  private def adminGate(df: DataFrame): DataFrame = {
+    val u = users.current()
+    val fixtureRole = when(col("c_mktsegment") === "BUILDING", lit("buyer"))
+      .otherwise(lit("worker"))
+    val roleCol =
+      if (u.columns.contains("role")) coalesce(col("role").cast("string"), fixtureRole)
+      else fixtureRole
+    val gate = u.filter(wireIdentityMatch)
+      .select(roleCol.as("r"))
+      .agg(count(lit(1)).as("__m"),
+        count(when(col("r") === "admin", 1)).as("__a"))
+    df.join(broadcast(gate),
+        assert_true(col("__m") === 1 && col("__a") === 1,
+          lit("role admin required: this view is admin-only")).isNull)
+      .drop("__m", "__a")
+  }
 
   publishViewsAs.foreach(publishGlobalViews) // initial state (post-replay)
 }

@@ -26,13 +26,16 @@ import org.apache.spark.sql.SparkSession
   * the child prints an MD5 over each text's canonical rows, and the
   * spec re-runs every text over the wire — concurrently, from several
   * JDBC connections — and must reproduce each hash exactly. Texts
-  * whose result schema contains complex types are skipped with an
-  * explicit marker (Hive's wire protocol renders arrays/maps/structs
-  * as JSON strings, not typed values).
+  * whose result schema contains complex types hash their
+  * `to_json`-wrapped form (see [[wrapComplex]]): Hive's wire protocol
+  * renders arrays/maps/structs as strings anyway, so the rendering is
+  * made EXPLICIT and engine-side, and the full surface hash-compares
+  * over the wire instead of skipping complex schemas (r11 verdict #6).
   *
   * stdout protocol (parsed by the spec):
   *   THRIFT_INPROC <name> <rowCount> <row;;row;;...>   (canonical rows)
   *   THRIFT_SQLHASH <name> <rowCount> <md5hex>         (parity texts)
+  *   THRIFT_SQLHASH_J <name> <rowCount> <md5hex> <colspec>  (to_json-wrapped)
   *   THRIFT_SKIP <name> <reason>
   *   THRIFT_READY port=<port>
   * then blocks on stdin; any line (or EOF) shuts the server down.
@@ -110,11 +113,47 @@ object ThriftServe {
     case _ => true
   }
 
+  /** Explicit engine-side rendering for complex-typed results (r11
+    * verdict #6): the wire would render arrays/maps/structs as strings
+    * ANYWAY (Hive protocol), so wrap each complex column in `to_json`
+    * server-side — the in-process hash and the JDBC client then run
+    * the IDENTICAL wrapped text and the full parity surface
+    * hash-compares over the wire instead of skipping complex schemas.
+    * `colspec` is (column, isComplex) in result order; shared between
+    * the child's dump and the spec's client so the texts match
+    * byte-for-byte. */
+  def wrapComplex(sql: String, colspec: Seq[(String, Boolean)]): String = {
+    val proj = colspec.map { case (c, json) =>
+      if (json) s"to_json(`$c`) AS `$c`" else s"`$c`"
+    }.mkString(", ")
+    s"SELECT $proj FROM (\n$sql\n) graft_wire_wrap"
+  }
+
+  /** colspec wire form: `name` or `name:j`, comma-joined (names that
+    * cannot ride this encoding are skipped with a marker — none in the
+    * current surface). */
+  def encodeColspec(colspec: Seq[(String, Boolean)]): String =
+    colspec.map { case (c, j) => if (j) c + ":j" else c }.mkString(",")
+  def decodeColspec(s: String): Seq[(String, Boolean)] =
+    s.split(",", -1).toSeq.map { t =>
+      if (t.endsWith(":j")) (t.dropRight(2), true) else (t, false)
+    }
+
   def main(args: Array[String]): Unit = {
     val (port, base, sfDir, liveMode, armedSecret) = args match {
-      case Array(p, b, d)                  => (p, b, d, false, None)
-      case Array(p, b, d, "live")          => (p, b, d, true, None)
-      case Array(p, b, d, "live-armed", s) => (p, b, d, true, Some(s))
+      case Array(p, b, d)         => (p, b, d, false, None)
+      case Array(p, b, d, "live") => (p, b, d, true, None)
+      // The verification secret arrives via ENVIRONMENT, never argv
+      // (r11 ADVICE): argv is world-readable through /proc//cmdline for
+      // the process's whole lifetime; the environment of a running
+      // process is readable only by its own uid (and root). The system
+      // property mirror below stays process-INTERNAL (not visible in
+      // process listings) and must persist: HiveServer2 instantiates
+      // the CUSTOM auth provider reflectively per connection, and each
+      // handshake re-reads it.
+      case Array(p, b, d, "live-armed") => (p, b, d, true,
+        Some(sys.env.getOrElse("GRAFT_AUTH_SECRET", sys.error(
+          "live-armed mode requires the GRAFT_AUTH_SECRET environment variable"))))
     }
     // HiveConf overlays matching system properties onto every new conf —
     // the documented way to pick a port for an embedded HiveServer2.
@@ -211,11 +250,23 @@ object ThriftServe {
       if (armedSecret.isEmpty) SparkEntry.sqlPortable.foreach { name =>
         try {
           val df = spark.sql(SparkEntry.oracleSql(name))
-          if (!df.schema.forall(f => wireComparable(f.dataType)))
-            println(s"THRIFT_SKIP $name complex-typed-result")
-          else {
+          val colspec = df.schema.fields.toSeq
+            .map(f => f.name -> !wireComparable(f.dataType))
+          if (colspec.forall(!_._2)) {
             val rows = df.collect().map(r => canonRow(r.toSeq))
             println(s"THRIFT_SQLHASH $name ${rows.length} ${hashRows(rows)}")
+          } else if (colspec.exists { case (c, _) =>
+              c.contains(",") || c.contains(":") || c.contains(" ") ||
+                c.contains("`") }) {
+            println(s"THRIFT_SKIP $name unencodable-column-name")
+          } else {
+            // Complex-typed result: hash the to_json-wrapped form; the
+            // spec's client rebuilds the SAME text from the colspec.
+            val wrapped = spark.sql(
+              wrapComplex(SparkEntry.oracleSql(name), colspec))
+            val rows = wrapped.collect().map(r => canonRow(r.toSeq))
+            println(s"THRIFT_SQLHASH_J $name ${rows.length} ${hashRows(rows)} " +
+              encodeColspec(colspec))
           }
         } catch { case e: Exception =>
           println(s"THRIFT_QUERY_FAILED $name ${e.getMessage}")

@@ -167,6 +167,18 @@ object Graph extends QueryModule {
       artifactRegistered.update(spark, dir)
     }
 
+  /** Force the persisted graph tables AND the shared in-session frames
+    * (the pairs/edges/nodes checkpoints plus the mutual-kNN edge set
+    * g3/g4/g6/g7/g8 all derive from) — the bench's BUILD phase for the
+    * g-family, timed separately from query serving so a serve-path
+    * regression can never hide inside one-time build noise (r11
+    * verdict #2). Idempotent: memoized per (application, dir). */
+  def ensureGraphFrames(spark: SparkSession, dir: String): Unit = {
+    val (pairs, w, nodes) = graphFrames(spark, dir)
+    Seq(pairs, w, nodes).foreach(_.count(): Unit)
+    mutualKnn(spark, dir).count(): Unit
+  }
+
   private def graphFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val app = spark.sparkContext.applicationId
     evictOtherDirs(edgeMemo, app, dir)(v => Seq(v._1, v._2, v._3))

@@ -973,6 +973,15 @@ object Similarity extends QueryModule {
     })
   }
 
+  /** Force-materialize s11's trained PQ index (codebook + codes): the
+    * bench's BUILD phase for the PQ tier, timed separately from query
+    * serving (r11 verdict #2). Idempotent per (application, dir). */
+  def ensurePqIndex(spark: SparkSession, dir: String): Unit = {
+    val (refined, codes) = pqIndex(spark, dir)
+    refined.count(): Unit
+    codes.count(): Unit
+  }
+
   private def s11(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1080,6 +1089,15 @@ object Similarity extends QueryModule {
       val codes = checkpointed(passign(prefined).withColumnRenamed("cell", "code"))
       (crefined, prefined, codes, cass)
     })
+  }
+
+  /** Force-materialize s12's trained IVF-PQ index (coarse codebook,
+    * residual codebook, codes, assignments) — the bench's BUILD phase
+    * for the IVF-ADC tier (r11 verdict #2). Idempotent per
+    * (application, dir). */
+  def ensureIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val (crefined, prefined, codes, cass) = ivfIndex(spark, dir)
+    Seq(crefined, prefined, codes, cass).foreach(_.count(): Unit)
   }
 
   private def s12Coords(spark: SparkSession, dir: String): DataFrame = {

@@ -36,6 +36,8 @@ class ThriftServerSpec extends AnyFunSuite {
     val out = new java.lang.StringBuilder
     val inproc = scala.collection.mutable.Map.empty[String, Seq[String]]
     val sqlHash = scala.collection.mutable.Map.empty[String, (Long, String)]
+    val sqlHashJ =
+      scala.collection.mutable.Map.empty[String, (Long, String, Seq[(String, Boolean)])]
     val skipped = scala.collection.mutable.Set.empty[String]
     @volatile var ready = false
     @volatile var liveRestPort = -1
@@ -53,6 +55,13 @@ class ThriftServerSpec extends AnyFunSuite {
         if (l.startsWith("THRIFT_SQLHASH ")) {
           val parts = l.split(" ", 4)
           sqlHash.synchronized { sqlHash(parts(1)) = (parts(2).toLong, parts(3)) }
+        }
+        if (l.startsWith("THRIFT_SQLHASH_J ")) {
+          val parts = l.split(" ", 5)
+          sqlHashJ.synchronized {
+            sqlHashJ(parts(1)) =
+              (parts(2).toLong, parts(3), ThriftServe.decodeColspec(parts(4)))
+          }
         }
         if (l.startsWith("THRIFT_SKIP "))
           skipped.synchronized { skipped += l.split(" ", 3)(1); () }
@@ -122,14 +131,19 @@ class ThriftServerSpec extends AnyFunSuite {
       // The parity surface, CONCURRENTLY: four JDBC connections split
       // the hashed texts round-robin; each hash must reproduce exactly.
       val hashed = sqlHash.synchronized(sqlHash.toMap)
+      val hashedJ = sqlHashJ.synchronized(sqlHashJ.toMap)
       val skippedNow = skipped.synchronized(skipped.toSet)
-      assert(hashed.size + skippedNow.size == SparkEntry.sqlPortable.size,
-        s"server hashed ${hashed.size} + skipped ${skippedNow.size} " +
+      // r11 verdict #6: the FULL portable surface hash-compares over the
+      // wire — complex-typed texts via their to_json-wrapped form, no
+      // type-reason skips left.
+      assert(skippedNow.isEmpty,
+        s"no text may be skipped on the wire surface anymore: $skippedNow")
+      assert(hashed.size + hashedJ.size == SparkEntry.sqlPortable.size,
+        s"server hashed ${hashed.size} + ${hashedJ.size} wrapped " +
           s"!= ${SparkEntry.sqlPortable.size} portable texts")
       assert(hashed.size >= 100,
-        s"wire-served surface shrank: only ${hashed.size} hashed texts " +
-          s"(skipped: $skippedNow)")
-      val names = hashed.keys.toSeq.sorted
+        s"wire-served surface shrank: only ${hashed.size} hashed texts")
+      val names = (hashed.keys ++ hashedJ.keys).toSeq.sorted
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       // Eight clients (the reference's serving posture is per-request,
       // index.js:93-110): beyond splitting the surface, every client
@@ -155,8 +169,16 @@ class ThriftServerSpec extends AnyFunSuite {
             checkIsolation("start")
             names.zipWithIndex.filter(_._2 % nWorkers == w).map(_._1).foreach { name =>
               try {
-                val rows = wireRows(c, SparkEntry.oracleSql(name))
-                val (nLocal, hLocal) = hashed(name)
+                // Complex-typed texts run the SAME to_json-wrapped form
+                // the server hashed (colspec from the marker line).
+                val (sql, nLocal, hLocal) = hashedJ.get(name) match {
+                  case Some((n, h, colspec)) =>
+                    (ThriftServe.wrapComplex(SparkEntry.oracleSql(name), colspec), n, h)
+                  case None =>
+                    val (n, h) = hashed(name)
+                    (SparkEntry.oracleSql(name), n, h)
+                }
+                val rows = wireRows(c, sql)
                 if (rows.length != nLocal)
                   failures.add(s"$name: ${rows.length} wire rows != $nLocal")
                 else if (ThriftServe.hashRows(rows) != hLocal)
@@ -290,10 +312,14 @@ class ThriftServerSpec extends AnyFunSuite {
     val email = "armed@graft.io"
     val base = graft.Scratch.tempDir("thrift_armed")
     val port = freePort()
-    val proc = new ProcessBuilder(
+    val pb = new ProcessBuilder(
       ChildJvm.command("graft.ThriftServe",
-        Seq(port.toString, base, sfDir, "live-armed", secret)): _*)
-      .redirectErrorStream(true).start()
+        Seq(port.toString, base, sfDir, "live-armed")): _*)
+      .redirectErrorStream(true)
+    // The secret rides the ENVIRONMENT, never argv (r11 ADVICE: argv is
+    // world-readable via /proc for the server's lifetime).
+    pb.environment().put("GRAFT_AUTH_SECRET", secret)
+    val proc = pb.start()
     val out = new java.lang.StringBuilder
     @volatile var ready = false
     @volatile var liveRestPort = -1
@@ -354,7 +380,59 @@ class ThriftServerSpec extends AnyFunSuite {
             s"SELECT c_acctbal FROM global_temp.live_users WHERE c_name = '$email'")
           assert(rs.next() && rs.getDouble(1) == 50.0,
             "the HTTP write must be live on the AUTHENTICATED wire")
+          // ---- ROLE AUTHORIZATION on the armed wire (r11 verdict #3) --
+          // The armed live_users view narrows to the reader's OWN row:
+          // a buyer sees itself and nobody else.
+          val own = st.executeQuery(
+            "SELECT count(*) AS n, max(c_name) AS who FROM global_temp.live_users")
+          assert(own.next() && own.getLong(1) == 1L && own.getString(2) == email,
+            "the open users view must show exactly the reader's own row")
+          // A non-admin reading an admin view is REFUSED (the gate
+          // throws mid-query — an error over the wire, not empty rows).
+          assertThrows[java.sql.SQLException](st.executeQuery(
+            "SELECT count(*) FROM global_temp.live_admin_users").next())
         } finally st.close()
+
+        // An ADMIN identity reads both: register an admin over HTTP,
+        // connect with its minted token, read the gated view.
+        val adminEmail = "root@graft.io"
+        assert(http.post("/users",
+          s"""{"name":"R","email":"$adminEmail","role":"admin"}""")._1 == 201)
+        val adminConn = connectAs(adminEmail, GraftAuth.token(secret, adminEmail))
+        try {
+          val ast = adminConn.createStatement()
+          try {
+            val all = ast.executeQuery(
+              "SELECT count(*) FROM global_temp.live_admin_users")
+            assert(all.next() && all.getLong(1) > 1L,
+              "an admin token must read the full gated users view")
+            val ownA = ast.executeQuery(
+              "SELECT count(*) AS n, max(c_name) AS who FROM global_temp.live_users")
+            assert(ownA.next() && ownA.getLong(1) == 1L
+              && ownA.getString(2) == adminEmail,
+              "the admin's open view is still its own row")
+            // Other entities' admin views gate the same way.
+            val wd = ast.executeQuery(
+              "SELECT count(*) FROM global_temp.live_admin_withdrawals")
+            assert(wd.next(), "admin must read every gated entity view")
+          } finally ast.close()
+        } finally adminConn.close()
+
+        // Role changes PROPAGATE: the buyer promoted to admin (by the
+        // admin, over the armed HTTP route) reads the gated view on its
+        // next wire query — the republished gate resolves the new role.
+        assert(http.auth(GraftAuth.token(secret, adminEmail)).patch(
+          s"/admin/users/$email/role", """{"role":"admin"}""")._1 == 200)
+        val promoted = connectAs(email, token)
+        try {
+          val pst = promoted.createStatement()
+          try {
+            val all = pst.executeQuery(
+              "SELECT count(*) FROM global_temp.live_admin_users")
+            assert(all.next() && all.getLong(1) > 1L,
+              "a promoted identity must pass the admin gate immediately")
+          } finally pst.close()
+        } finally promoted.close()
       } finally conn.close()
     } finally {
       try {
