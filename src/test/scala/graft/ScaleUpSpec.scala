@@ -144,4 +144,64 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(twinCos.sum / twinCos.size < 0.5,
       s"replica twins still correlated: ${twinCos.sum / twinCos.size}")
   }
+
+  // ---- time-axis stretch (r11 verdict #4) ----------------------------
+
+  /** ts in epoch micros regardless of the column's physical encoding
+    * (int64 NANOS or a timestamp type). */
+  private def microsCol(df: DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    }
+
+  test("time-axis stretch: each replica's event timestamps are the source's shifted by r x span days; per-window density never grows") {
+    import spark.implicits._
+    val sEv = srcT("events")
+    val srcMicros = sEv.select(microsCol(sEv).as("m")).as[Long]
+      .collect().sorted.toSeq
+    val dEv = sEv.agg(max($"event_id")).as[Long].head() + 1
+    val axisDays = (srcMicros.max - srcMicros.min) / 86400000000L + 1L
+    val oEv = outT("events")
+    for (r <- 0 until reps) {
+      // The doc-dated invariant: un-shifting replica r reproduces the
+      // source's timestamp multiset EXACTLY — every within-replica
+      // window/session/interval result is the source's, relabeled.
+      val got = oEv
+        .filter($"event_id" >= r * dEv && $"event_id" < (r + 1) * dEv)
+        .select((microsCol(oEv) - lit(r * axisDays * 86400000000L)).as("m"))
+        .as[Long].collect().sorted.toSeq
+      assert(got == srcMicros,
+        s"replica $r timestamps must be the source's shifted by r x axis span")
+    }
+    // Density, the point of the stretch: the busiest 10-minute bucket
+    // holds exactly as many events at Rx volume as at 1x (the shared
+    // axis made it Rx busier — the quadratic-window artifact).
+    def maxBucket(df: DataFrame): Long =
+      df.select((microsCol(df).cast("long") / 600000000L).cast("long").as("b"))
+        .groupBy($"b").count().agg(max($"count")).as[Long].head()
+    assert(maxBucket(oEv) == maxBucket(sEv),
+      "per-window density must be constant across the stretch")
+  }
+
+  test("stretch-order-dates: interval-overlap pairs never cross replicas, replica 0 reproduces the source pairs exactly") {
+    import spark.implicits._
+    val d2 = graft.Scratch.dir(
+      s"scaleup_stretch_${spark.sparkContext.applicationId}")
+    ScaleUp.run(spark, src, d2, reps, Set("orders", "lineitem"),
+      stretchOrderAxis = true)
+    val dOrd = srcT("orders").agg(max($"o_orderkey")).as[Long].head() + 1
+    val pairs = operators.Joins.queries("j11_interval_overlap")(spark, d2)
+      .select($"ak", $"bk").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "the probe needs a non-trivial pair set")
+    val cross = pairs.count { case (a, b) => a / dOrd != b / dOrd }
+    assert(cross == 0,
+      s"stretched replicas must contribute ZERO cross-replica overlaps, got $cross")
+    // Replica 0 is byte-verbatim, so its within-replica pair set must
+    // BE the source's — the stretch relabels time, never re-pairs.
+    val srcPairs = operators.Joins.queries("j11_interval_overlap")(spark, src)
+      .select($"ak", $"bk").as[(Long, Long)].collect().toSeq.sorted
+    val rep0 = pairs.filter { case (a, b) => a < dOrd && b < dOrd }.sorted
+    assert(rep0 == srcPairs, "replica 0 must reproduce the source pair set")
+  }
 }
