@@ -31,10 +31,14 @@ object Events extends QueryModule {
     * semi-structured column in the fixtures). */
   private def e1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).events
+    // sortedOnce: the JSON extraction is the range sort's direct child
+    // and would otherwise parse every props string twice (bounds
+    // sampling + shuffle write); the derived rows are also far
+    // narrower than the JSON they replace.
+    sortedOnce(Tables(spark, dir).events
       .select($"event_id",
-        get_json_object($"props", "$.k").cast("int").as("k"))
-      .orderBy($"event_id")
+        get_json_object($"props", "$.k").cast("int").as("k")),
+      $"event_id")
   }
 
   /** Grouped rollup over the extracted JSON key. */

@@ -123,7 +123,10 @@ object Multimodal extends QueryModule {
             ow, oh, m.channels, m.sampleRate, m.nFrames, m.durationMs)
         }
       }
-    }.toDF().orderBy($"doc_id")
+      // sortedOnce: the encode→decode codec pass is the sort's direct
+      // child — the bare sort's range-bounds sampling re-ran the whole
+      // codec over every payload a second time.
+    }.toDF().transform(sortedOnce(_, $"doc_id"))
   }
 
   /** m3 — frame sampling: chop each payload into fixed 256-byte frames,
@@ -145,7 +148,9 @@ object Multimodal extends QueryModule {
       .filter($"frame_idx" % 4 === 0)
       .select($"doc_id", $"frame_idx",
         least(lit(256L), $"n_bytes" - $"frame_idx" * 256).as("frame_len"))
-      .orderBy($"doc_id", $"frame_idx")
+      // via sortedOnce: the frame explode is the sort's direct child
+      // and would otherwise run twice (range-bounds sampling).
+      .transform(sortedOnce(_, $"doc_id", $"frame_idx"))
   }
 
   /** m4 — frame-sampling accounting: per media item, how many frames
@@ -316,7 +321,10 @@ object Multimodal extends QueryModule {
           }
         }
       }
-    }.toDF().orderBy($"doc_id", $"channel")
+      // sortedOnce: the WAV encode→PCM decode pass is the sort's
+      // direct child — the bare sort's range-bounds sampling re-ran
+      // the codec over every payload a second time.
+    }.toDF().transform(sortedOnce(_, $"doc_id", $"channel"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

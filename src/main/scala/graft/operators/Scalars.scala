@@ -25,7 +25,16 @@ object Scalars extends QueryModule {
 
   private def f(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Sort FIRST, derive AFTER (guide §2.3 "project before the
+    // exchange", inverted for a widening projection): the derived
+    // columns more than double the row (three built strings), and
+    // with select-then-orderBy both the range-sampling pass and the
+    // range exchange carried all 12 derived columns. Sorting the raw
+    // 5-column rows and projecting above the Sort moves only source
+    // bytes through the exchange; a Project over Sort preserves row
+    // order, so the result is byte-identical.
     Tables(spark, dir).orders
+      .orderBy($"o_orderkey")
       .select(
         $"o_orderkey",
         // F1 — message building (concat / format_string / concat_ws)
@@ -50,7 +59,6 @@ object Scalars extends QueryModule {
         // F10 — null defaulting (|| 0 / || '')
         coalesce($"o_totalprice", lit(0.0)).as("price_or_zero"),
         coalesce($"o_orderpriority", lit("")).as("priority_or_empty"))
-      .orderBy($"o_orderkey")
   }
 
   /** S5/S6 — JSON as ingress/egress: serialize rows to JSON strings,

@@ -48,14 +48,16 @@ object TextAnalysis extends QueryModule {
     * discipline) so the kernel runs once per row, not per column. */
   private def t1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
+    // sortedOnce: the kernel pass is the range sort's direct child and
+    // would otherwise run twice (bounds sampling + shuffle write).
+    sortedOnce(Tables(spark, dir).documents
       .select($"doc_id", $"text",
         graft.functions.TokenStatsFunctions.tokenStats(spark, $"text").as("ts"))
       .select($"doc_id",
         $"ts.n_ws_tokens".as("n_ws_tokens"),
         $"ts.n_bpe_tokens".as("n_bpe_tokens"),
-        length($"text").cast("long").as("n_chars"))
-      .orderBy($"doc_id")
+        length($"text").cast("long").as("n_chars")),
+      $"doc_id")
   }
 
   /** t2 — quality scoring: stopword ratio, punctuation density, mean
@@ -81,13 +83,15 @@ object TextAnalysis extends QueryModule {
     val stopRatio = when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0)
     val punctRatio = when($"n_chars" > 0, $"n_punct" / $"n_chars").otherwise(0.0)
     val meanTokLen = when($"n_tok" > 0, $"n_chars" / $"n_tok").otherwise(0.0)
-    base.select($"doc_id",
+    // sortedOnce: tokenize + stopword filter + TokenStats would run
+    // twice under the bare sort (range-bounds sampling re-runs them).
+    sortedOnce(base.select($"doc_id",
         stopRatio.as("stopword_ratio"),
         punctRatio.as("punct_ratio"),
         meanTokLen.as("mean_token_len"),
         (lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
-          + lit(0.2) * least($"n_tok" / 100.0, lit(1.0))).as("quality_score"))
-      .orderBy($"doc_id")
+          + lit(0.2) * least($"n_tok" / 100.0, lit(1.0))).as("quality_score")),
+      $"doc_id")
   }
 
   /** t3 — language ID by marker-token voting (an n-gram-frequency
@@ -116,12 +120,14 @@ object TextAnalysis extends QueryModule {
         .when($"sc_de" >= $"sc_es" && $"sc_de" >= $"sc_fr", "de")
         .when($"sc_es" >= $"sc_fr", "es")
         .otherwise("fr")
-    scored
+    // sortedOnce: one tokenize + four marker filters per row — the
+    // range sort's sampling pass would re-run all of it.
+    sortedOnce(scored
       .select($"doc_id",
         predicted.as("predicted_lang"),
         $"sc_en", $"sc_de", $"sc_es", $"sc_fr",
-        (predicted === $"lang").as("agrees_with_label"))
-      .orderBy($"doc_id")
+        (predicted === $"lang").as("agrees_with_label")),
+      $"doc_id")
   }
 
   /** t4 — document fingerprinting: min-of-hashes over word 5-gram
@@ -145,10 +151,14 @@ object TextAnalysis extends QueryModule {
       .select($"doc_id",
         md5(concat_ws(" ", $"w", $"w1", $"w2", $"w3", $"w4")).as("h"))
       .groupBy($"doc_id").agg(min($"h").as("fp5"))
-    docs.select($"doc_id", $"text")
+    // sortedOnce: the probe side (scan → broadcast join → md5 fallback)
+    // has no exchange of its own below the final sort, so the bare
+    // sort's sampling pass re-ran the scan+join+md5; the materialized
+    // rows are also far narrower than the text they replace.
+    sortedOnce(docs.select($"doc_id", $"text")
       .join(fp5, Seq("doc_id"), "left_outer")
-      .select($"doc_id", coalesce($"fp5", md5($"text")).as("fingerprint"))
-      .orderBy($"doc_id")
+      .select($"doc_id", coalesce($"fp5", md5($"text")).as("fingerprint")),
+      $"doc_id")
   }
 
   /** t5 — quality-percentile filtering: drop the bottom quartile by
@@ -236,9 +246,14 @@ object TextAnalysis extends QueryModule {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     val tokens = docs.select(explode(words($"text")).as("w"))
+    // n_tokens rides the fused TokenStats byte kernel instead of a
+    // regexp_count("\S+") NFA pass — the t1/t2 fix applied here too
+    // (equivalence to the regex form is spec-pinned in
+    // TokenStatsSpec; the oracle still spells the regex verbatim).
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(regexp_count($"text", lit("""\S+""")).cast("long")).as("n_tokens"),
+      sum(graft.functions.TokenStatsFunctions.tokenStats(spark, $"text")
+        .getField("n_ws_tokens")).as("n_tokens"),
       sum(length($"text").cast("long")).as("n_chars"))
     val vocab = tokens.agg(countDistinct($"w").as("vocab_size"))
     base.crossJoin(vocab)
@@ -303,13 +318,20 @@ object TextAnalysis extends QueryModule {
         regexp_replace($"text", UrlRe, "<URL>"),
         EmailRe, "<EMAIL>"),
       LongNumRe, "<NUM>")
+    // Sort FIRST, scrub AFTER (guide §2.3 inverted for a widening
+    // projection): with the projection below the sort, the range
+    // exchange's bounds-sampling pass ran all six regex passes once
+    // and the shuffle write ran them again; sorted raw rows carry the
+    // same text bytes, and the scrub battery runs exactly once above
+    // the Sort. Project over Sort preserves order — byte-identical.
     Tables(spark, dir).documents
+      .select($"doc_id", $"text")
+      .orderBy($"doc_id")
       .select($"doc_id",
         scrubbed.as("scrubbed"),
         regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count($"text", lit(UrlRe)).cast("long").as("n_urls"),
         regexp_count($"text", lit(LongNumRe)).cast("long").as("n_long_nums"))
-      .orderBy($"doc_id")
   }
 
   /** t9 — TF-IDF top terms per document: tf = occurrences in the doc,
@@ -327,7 +349,15 @@ object TextAnalysis extends QueryModule {
     val docs = Tables(spark, dir).documents
     val occ = docs.select($"doc_id", explode(words($"text")).as("term"))
     val tf = occ.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // The tf >= 1 filter is a tautology (tf is a count over ≥1 rows)
+    // kept ONLY to reference `tf` in this branch: pruned, the df
+    // branch's pre-shuffle (doc_id, term) aggregate dropped the count
+    // column, the two exchanges stopped being canonically equal, and
+    // AQE stage reuse could not fire — the corpus was exploded and
+    // count-shuffled TWICE (r12 final-plan capture; a bare count(tf)
+    // gets rewritten to count(*) by the non-null rule and re-pruned).
+    // With it, both branches share ONE exchange (guide §2.4).
+    val df = tf.filter($"tf" >= 1).groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .select($"doc_id", $"term",
@@ -385,7 +415,9 @@ object TextAnalysis extends QueryModule {
         when($"n_3grams" > 0,
           round(lit(1.0) - $"n_distinct".cast("double") / $"n_3grams", 6))
           .otherwise(0.0).as("rep_ratio"))
-      .orderBy($"doc_id")
+      // via sortedOnce: tokenize + 3-gram build + array_distinct per
+      // row would otherwise run twice under the bare range sort.
+      .transform(sortedOnce(_, $"doc_id"))
   }
 
   /** t27 — the quality-RULE battery (Gopher, Rae et al. 2021 Table A1):
@@ -500,12 +532,13 @@ object TextAnalysis extends QueryModule {
   private def t10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucket = substring(md5($"text"), 1, 2)
-    Tables(spark, dir).documents
+    // sortedOnce: the md5 split assignment is the sort's direct child.
+    sortedOnce(Tables(spark, dir).documents
       .select($"doc_id",
         when(bucket < "cc", "train")
           .when(bucket < "e6", "val")
-          .otherwise("test").as("split"))
-      .orderBy($"doc_id")
+          .otherwise("test").as("split")),
+      $"doc_id")
   }
 
   /** t11 — per-source document cap (group-wise downsampling): keep at
@@ -595,11 +628,13 @@ object TextAnalysis extends QueryModule {
           Some((id, n, tNanos))
         }
       }.toDF("doc_id", "n_chars", "t_nanos")
-    terms.select($"doc_id", $"n_chars",
+    // sortedOnce: the typed flatMap histogram pass is the sort's direct
+    // child and would otherwise run twice (range-bounds sampling).
+    sortedOnce(terms.select($"doc_id", $"n_chars",
       round(log($"n_chars".cast("double"))
         - ($"t_nanos".cast("double") / 1e9) / $"n_chars".cast("double"), 6)
-        .as("char_entropy_nats"))
-      .orderBy($"doc_id")
+        .as("char_entropy_nats")),
+      $"doc_id")
   }
 
   /** t19 — unigram log-probability (self-perplexity proxy) quality

@@ -82,7 +82,17 @@ object WritePath extends QueryModule {
     // output order total — rank ties would otherwise be nondeterministic.
     val w = Window.partitionBy($"l_orderkey")
       .orderBy($"l_shipdate", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    // ONE exchange instead of two (guide §2.4 "two operations keyed the
+    // same way can share one exchange"): range-partitioning by
+    // l_orderkey up front satisfies BOTH the window's clustered
+    // distribution AND the final sort's ordered distribution (equal
+    // keys land in one partition, partitions are key-ordered), so the
+    // ranking window runs on it directly and the output orderBy plans
+    // as a partition-local Sort with NO second exchange. Output rows
+    // and their total order are unchanged.
     Tables(spark, dir).lineitem
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"l_shipdate")
+      .repartitionByRange($"l_orderkey")
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey", $"rn")

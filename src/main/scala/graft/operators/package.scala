@@ -98,6 +98,27 @@ package object operators {
   def checkpointed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.localCheckpoint(eager = false)
 
+  /** Globally sort a per-row-DERIVED frame without running its pipeline
+    * twice. `orderBy` plans Exchange(rangepartitioning), and the range
+    * partitioner submits a SAMPLING job over the exchange's child to
+    * compute split bounds BEFORE the shuffle-write pass — so when the
+    * child is an unmaterialized scan→kernel pipeline (no exchange of
+    * its own: the t1/t2 token kernels, m2/m7's mapPartitions codecs,
+    * t8's regex battery), every per-row kernel runs TWICE per query
+    * (r12 measurement: the presentation-sorted kernel queries dropped
+    * 25-45% when the double pass was removed). Checkpointing the
+    * derived rows materializes them once; the sampling job and the
+    * shuffle both read the blocks.
+    *
+    * Use ONLY for per-row-derived frames that are no wider than their
+    * input under a FINAL presentation sort: aggregates and shuffle
+    * joins already leave a materialized stage below the sort (their
+    * sampling pass re-reads shuffle files, not the pipeline), and a
+    * frame wider than its source is better re-derived than stored. */
+  def sortedOnce(df: org.apache.spark.sql.DataFrame,
+                 keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    checkpointed(df).orderBy(keys: _*)
+
   /** Release the RDD blocks behind a `checkpointed` frame. After this
     * the frame is DEAD (truncated lineage cannot recompute) — only call
     * when evicting a memo entry that nothing references anymore. */
