@@ -31,14 +31,17 @@ object Events extends QueryModule {
     * semi-structured column in the fixtures). */
   private def e1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // sortedOnce: the JSON extraction is the range sort's direct child
-    // and would otherwise parse every props string twice (bounds
-    // sampling + shuffle write); the derived rows are also far
-    // narrower than the JSON they replace.
-    sortedOnce(Tables(spark, dir).events
+    // Deliberately a PLAIN sort (the sortedOnce survey tried this site
+    // and reverted it): the sort's bounds-sampling pass does re-parse
+    // every props string a second time, but the kernel is ONE json
+    // path per row and the derived frame is |events|-sized —
+    // materializing 10M derived rows at the 100× replica read
+    // consistently worse than re-parsing. Cheap-kernel × corpus-sized
+    // output re-derives; it never stores.
+    Tables(spark, dir).events
       .select($"event_id",
-        get_json_object($"props", "$.k").cast("int").as("k")),
-      $"event_id")
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .orderBy($"event_id")
   }
 
   /** Grouped rollup over the extracted JSON key. */

@@ -148,9 +148,12 @@ object Multimodal extends QueryModule {
       .filter($"frame_idx" % 4 === 0)
       .select($"doc_id", $"frame_idx",
         least(lit(256L), $"n_bytes" - $"frame_idx" * 256).as("frame_len"))
-      // via sortedOnce: the frame explode is the sort's direct child
-      // and would otherwise run twice (range-bounds sampling).
-      .transform(sortedOnce(_, $"doc_id", $"frame_idx"))
+      // Plain sort on purpose (sortedOnce tried and reverted): the
+      // explode WIDENS — frames outnumber docs — and the per-row work
+      // is integer math, so re-running it for the sort's bounds
+      // sampling is cheaper than storing the amplified rows (the
+      // helper's own width rule).
+      .orderBy($"doc_id", $"frame_idx")
   }
 
   /** m4 — frame-sampling accounting: per media item, how many frames

@@ -196,15 +196,17 @@ object PipelineOps extends QueryModule {
       lit((1 << 24).toDouble)
     val nCopies = (floor($"f").cast("long") +
       when(frac < $"f" - floor($"f"), 1L).otherwise(0L)).as("n_copies")
-    // sortedOnce: the md5-fraction draw + copy explode sit directly
-    // under the final sort and would otherwise run twice.
-    sortedOnce(Tables(spark, dir).documents
+    // Plain sort on purpose (sortedOnce tried and reverted): the copy
+    // explode AMPLIFIES rows and the per-row work is one md5 draw —
+    // re-running it for the sort's bounds sampling is cheaper than
+    // storing the amplified frame (the helper's width rule).
+    Tables(spark, dir).documents
       .join(broadcast(fac), Seq("source"))
       .select($"doc_id", $"source", nCopies)
       .select($"doc_id", $"source",
         explode(when($"n_copies" > 0, sequence(lit(1L), $"n_copies"))
-          .otherwise(array().cast("array<bigint>"))).as("copy")),
-      $"doc_id", $"copy")
+          .otherwise(array().cast("array<bigint>"))).as("copy"))
+      .orderBy($"doc_id", $"copy")
   }
 
   /** t29 — CONTENT-DEFINED chunking (the LBFS rule — Muthitacharoen

@@ -532,13 +532,15 @@ object TextAnalysis extends QueryModule {
   private def t10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucket = substring(md5($"text"), 1, 2)
-    // sortedOnce: the md5 split assignment is the sort's direct child.
-    sortedOnce(Tables(spark, dir).documents
+    // Plain sort on purpose (sortedOnce tried and reverted): one md5
+    // per row is a near-free kernel — re-running it for the sort's
+    // bounds sampling beat materializing the split table at both SFs.
+    Tables(spark, dir).documents
       .select($"doc_id",
         when(bucket < "cc", "train")
           .when(bucket < "e6", "val")
-          .otherwise("test").as("split")),
-      $"doc_id")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
   }
 
   /** t11 — per-source document cap (group-wise downsampling): keep at

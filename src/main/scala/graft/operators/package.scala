@@ -110,14 +110,27 @@ package object operators {
     * derived rows materializes them once; the sampling job and the
     * shuffle both read the blocks.
     *
-    * Use ONLY for per-row-derived frames that are no wider than their
-    * input under a FINAL presentation sort: aggregates and shuffle
-    * joins already leave a materialized stage below the sort (their
-    * sampling pass re-reads shuffle files, not the pipeline), and a
-    * frame wider than its source is better re-derived than stored. */
+    * Use ONLY where the per-row kernel is expensive AND the derived
+    * frame is narrower than its input under a FINAL presentation sort:
+    * aggregates and shuffle joins already leave a materialized stage
+    * below the sort (their sampling pass re-reads shuffle files, not
+    * the pipeline); a frame wider than its source, or one derived by a
+    * near-free kernel (one json path, one md5), is better re-derived
+    * than stored (the r12 100× probes read e1's 10M-row materialize
+    * consistently worse than re-parsing).
+    *
+    * DISK_ONLY, not the MEMORY_AND_DISK default (guide §5 "caching is
+    * only worth it when … more expensive than the memory pressure"):
+    * these blocks hold corpus-proportional rows, live until a driver
+    * GC lets ContextCleaner reap them, and in the single-JVM
+    * deployment they share the heap with execution memory. Disk blocks
+    * are sequential write/read through the page cache — RAM-speed in
+    * practice, zero heap growth, no GC interaction. */
   def sortedOnce(df: org.apache.spark.sql.DataFrame,
                  keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
-    checkpointed(df).orderBy(keys: _*)
+    df.localCheckpoint(eager = false,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .orderBy(keys: _*)
 
   /** Release the RDD blocks behind a `checkpointed` frame. After this
     * the frame is DEAD (truncated lineage cannot recompute) — only call
