@@ -134,31 +134,63 @@ object TextAnalysis extends QueryModule {
     * shingles (the set-hash analog of a rolling-hash fingerprint;
     * md5 keeps it engine-portable). Short docs fall back to a whole-text
     * hash. */
+  /** The r12 before-shape posexploded every token into a (doc, pos)
+    * row stream, window-sorted it per doc for 4 leads, aggregated the
+    * min back and re-joined the corpus: a corpus-sized exchange +
+    * window sort whose 100× probes read 5-54 s (the per-doc window is
+    * the cliff class under box pressure). The fingerprint depends on
+    * ONE row's words alone, so it is now an in-task pass in the
+    * docShingleArrays/t18 style — a COMPILED per-partition closure
+    * (an `ArrayTransform`+md5 lambda form was tried first and read
+    * 113 s at 100×: higher-order array functions evaluate the lambda
+    * per element OUTSIDE whole-stage codegen — the interpreted-lambda
+    * trap the old comment warned about). Zero shuffle from scan to
+    * fingerprint; equivalence to the windowed form is spec-pinned
+    * (T4EquivalenceSpec): same tokenizer twin as docShingleArrays,
+    * MessageDigest-MD5 hex == Spark md5(), and min over md5 hex
+    * strings is plain ASCII order on both paths. */
+  /** The t4 kernel over an arbitrary (doc_id, text) frame — split out
+    * so T4EquivalenceSpec can push adversarial rows through the SAME
+    * closure the catalog query ships. */
+  private[graft] def t4KernelForTest(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        def md5hex(s: String): String = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexDigits(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.map { case (id, text) =>
+          // words() twin (docShingleArrays precedent): identical token
+          // list once empties are filtered.
+          val w = text.split("\\s+").filter(_.nonEmpty)
+          var best: String = null
+          var i = 0
+          while (i + 4 < w.length) {
+            val h = md5hex(
+              w(i) + " " + w(i + 1) + " " + w(i + 2) + " " + w(i + 3) + " " + w(i + 4))
+            if (best == null || h.compareTo(best) < 0) best = h
+            i += 1
+          }
+          (id, if (best != null) best else md5hex(text))
+        }
+      }.toDF("doc_id", "fingerprint")
+  }
+
   private def t4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // Shingles via posexplode + window leads, md5+min as codegen'd
-    // projection/aggregate — the whole path stays out of interpreted
-    // array lambdas (see Dedup.shingleRows for the pattern rationale).
-    val docs = Tables(spark, dir).documents
-    val wn = Window.partitionBy($"doc_id").orderBy($"pos")
-    val fp5 = docs
-      .select($"doc_id", posexplode(words($"text")).as(Seq("pos", "w")))
-      .select($"doc_id", $"w",
-        lead($"w", 1).over(wn).as("w1"), lead($"w", 2).over(wn).as("w2"),
-        lead($"w", 3).over(wn).as("w3"), lead($"w", 4).over(wn).as("w4"))
-      .filter($"w4".isNotNull)
-      .select($"doc_id",
-        md5(concat_ws(" ", $"w", $"w1", $"w2", $"w3", $"w4")).as("h"))
-      .groupBy($"doc_id").agg(min($"h").as("fp5"))
-    // sortedOnce: the probe side (scan → broadcast join → md5 fallback)
-    // has no exchange of its own below the final sort, so the bare
-    // sort's sampling pass re-ran the scan+join+md5; the materialized
-    // rows are also far narrower than the text they replace.
-    sortedOnce(docs.select($"doc_id", $"text")
-      .join(fp5, Seq("doc_id"), "left_outer")
-      .select($"doc_id", coalesce($"fp5", md5($"text")).as("fingerprint")),
-      $"doc_id")
+    // sortedOnce: the in-task kernel is the sort's direct child.
+    sortedOnce(t4KernelForTest(Tables(spark, dir).documents), $"doc_id")
   }
 
   /** t5 — quality-percentile filtering: drop the bottom quartile by

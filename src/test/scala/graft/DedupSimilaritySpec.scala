@@ -236,6 +236,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff.isEmpty, s"kernel/regex count divergence: ${diff.take(3).toSeq}")
   }
 
+  test("t4 in-task fingerprint kernel equals the windowed min-of-md5 construction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // The r12 rewrite moved t4's 5-gram min-md5 from a posexplode +
+    // per-doc window + join to a compiled per-partition closure; this
+    // pins result equality against the original windowed form on the
+    // fixture PLUS the boundary docs (under 5 words -> whole-text md5
+    // fallback; exactly 5; leading/trailing/multi whitespace; unicode).
+    val adversarial = Seq(
+      900001L -> "", 900002L -> "   ", 900003L -> "one two three four",
+      900004L -> "one two three four five", 900005L -> "  a  b\tc\nd e f  ",
+      900006L -> "héllo wörld — naïve café tokens six", 900007L -> "solo")
+      .toDF("doc_id", "text")
+    val sample = Tables(spark, dir).documents.select($"doc_id", $"text")
+      .unionByName(adversarial)
+    val wordsCol = filter(split($"text", "\\s+"), w => w =!= lit(""))
+    val wn = Window.partitionBy($"doc_id").orderBy($"pos")
+    val fp5 = sample
+      .select($"doc_id", posexplode(wordsCol).as(Seq("pos", "w")))
+      .select($"doc_id", $"w",
+        lead($"w", 1).over(wn).as("w1"), lead($"w", 2).over(wn).as("w2"),
+        lead($"w", 3).over(wn).as("w3"), lead($"w", 4).over(wn).as("w4"))
+      .filter($"w4".isNotNull)
+      .select($"doc_id",
+        md5(concat_ws(" ", $"w", $"w1", $"w2", $"w3", $"w4")).as("h"))
+      .groupBy($"doc_id").agg(min($"h").as("fp5"))
+    val windowed = sample
+      .join(fp5, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"fp5", md5($"text")).as("fingerprint"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Kernel replay of the shipped query body over the same sample
+    // (the catalog query reads the fixture alone, so the adversarial
+    // rows are pushed through the same mapPartitions closure here).
+    val kernel = graft.operators.TextAnalysis.t4KernelForTest(sample)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel.keySet == windowed.keySet)
+    val diff = kernel.collect { case (k, v) if windowed(k) != v => (k, v, windowed(k)) }
+    assert(diff.isEmpty, s"fingerprint divergence: ${diff.take(3)}")
+    // And the shipped catalog query itself agrees on the fixture rows.
+    val shipped = graft.operators.TextAnalysis.queries("t4_fingerprint")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    shipped.foreach { case (k, v) => assert(windowed(k) == v, s"doc $k") }
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayFunctions.sortedIntersectCount
