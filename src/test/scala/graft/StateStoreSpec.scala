@@ -423,34 +423,50 @@ class StateStoreSpec extends AnyFunSuite {
     import scala.concurrent.duration._
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val wal = Scratch.tempDir("wal_group") + "/ops.wal"
-    val a = new StateStore(spark, dir, walPath = Some(wal))
+    // Coalescing is RATE-dependent (the r11 survey's own observation:
+    // when every fsync completes before the next commit arrives, syncs
+    // legitimately equal commits — the fast-disk/quiet-box case, first
+    // observed as a 320-of-320 flake in an otherwise green r12 run).
+    // The property under test is that coalescing CAN engage under
+    // queue pressure, so the load round retries a bounded number of
+    // times and passes when ANY round coalesces; the no-lost-write
+    // assertions below still run on every round unconditionally.
     val perThread = 40
-    val work = (0 until 8).map { t =>
-      Future {
-        val entity = if (t % 2 == 0) "users" else "notifications"
-        (1 to perThread).foreach { i =>
-          a.mutateOn(Seq(entity)) {
-            if (t % 2 == 0)
-              a.users.upsert(Map("c_custkey" -> (730000L + t * 1000 + i),
-                "c_name" -> s"g$t-$i@graft.io"))
-            else
-              a.notifications.upsert(Map("event_id" -> (830000L + t * 1000 + i),
-                "event_type" -> "notification"))
+    var coalesced = false
+    var round = 0
+    while (!coalesced && round < 4) {
+      round += 1
+      val wal = Scratch.tempDir(s"wal_group$round") + "/ops.wal"
+      val a = new StateStore(spark, dir, walPath = Some(wal))
+      val work = (0 until 8).map { t =>
+        Future {
+          val entity = if (t % 2 == 0) "users" else "notifications"
+          (1 to perThread).foreach { i =>
+            a.mutateOn(Seq(entity)) {
+              if (t % 2 == 0)
+                a.users.upsert(Map("c_custkey" -> (730000L + t * 1000 + i),
+                  "c_name" -> s"g$t-$i@graft.io"))
+              else
+                a.notifications.upsert(Map("event_id" -> (830000L + t * 1000 + i),
+                  "event_type" -> "notification"))
+            }
           }
         }
       }
+      Await.result(Future.sequence(work), 180.seconds)
+      val w = a.wal.get
+      assert(w.commits.get() == 8L * perThread, s"commits: ${w.commits.get()}")
+      assert(w.syncs.get() <= w.commits.get(),
+        s"syncs can never exceed commits: ${w.syncs.get()} vs ${w.commits.get()}")
+      coalesced = w.syncs.get() < w.commits.get()
+      // Nothing lost: every op replays — on EVERY round, coalesced or not.
+      val b = new StateStore(spark, dir, walPath = Some(wal))
+      assert(b.users.journalSize == 4 * perThread)
+      assert(b.notifications.journalSize == 4 * perThread)
     }
-    Await.result(Future.sequence(work), 180.seconds)
-    val w = a.wal.get
-    assert(w.commits.get() == 8L * perThread, s"commits: ${w.commits.get()}")
-    assert(w.syncs.get() < w.commits.get(),
-      s"group commit must coalesce fsyncs at depth 8: " +
-        s"${w.syncs.get()} syncs for ${w.commits.get()} commits")
-    // Nothing lost: every op replays.
-    val b = new StateStore(spark, dir, walPath = Some(wal))
-    assert(b.users.journalSize == 4 * perThread)
-    assert(b.notifications.journalSize == 4 * perThread)
+    assert(coalesced,
+      s"group commit never coalesced across $round rounds of 8-writer load " +
+        "(every fsync won the race every time — on this box that is a real regression)")
   }
 
   // ---- the real thing: SIGKILL the serving process --------------------
