@@ -178,7 +178,21 @@ object Bench {
     val buildTotal = builds.collect { case (_, Right(v)) => v }.sum
     val errs = results.count(_._2.isLeft) + builds.count(_._2.isLeft)
     val skippedJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_total":${fmt(buildTotal)},"errors":$errs,"warnings":${warnings.count.get()},"log_errors":${logErrors.count.get()},"stale_swept":${deadRuns + legacyDirs},"skipped":$skippedJson,"builds":$bs,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","build_total":${fmt(buildTotal)},"errors":$errs,"warnings":${warnings.count.get()},"log_errors":${logErrors.count.get()},"stale_swept":${deadRuns + legacyDirs},"skipped":$skippedJson,"builds":$bs,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable artifact (r12 verdict #4/#2): the round-11 comparison was
+    // lost because the driver kept only a 2 KB stdout TAIL of the ~6 KB
+    // JSON line. Writing the byte-identical line to a file as well means
+    // round-over-round comparison never again depends on a stdout
+    // capture window. Path overridable for dev runs; stdout contract
+    // unchanged. Best-effort: an unwritable path must not fail a bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
     // Belt over the shutdown hook's suspenders: leave the box clean even
     // if the hook is skipped (e.g. a SIGKILL would skip both — the next

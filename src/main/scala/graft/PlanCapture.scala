@@ -6,15 +6,14 @@ import org.apache.spark.sql.execution.ExplainMode
 
 /** Dev tool for the optimization rounds: capture `.explain("formatted")`
   * for a named list of catalog queries into per-query files —
-  * `plans/r12/<query>_<suffix>.txt` — the before/after plan evidence the
+  * `plans/rNN/<query>_<suffix>.txt` — the before/after plan evidence the
   * optimization writeup cites. Mirrors the bench's session shape
-  * (local[32], shuffle.partitions=32, AQE defaults) so the captured
-  * INITIAL plans match what the bench runs; each query is also executed
-  * once (noop) first so the AQE-final plan is captured too.
+  * (local[32], shuffle.partitions=32, AQE defaults); each query is
+  * executed once first so the AQE-FINAL plan is captured.
   *
-  *   sbt "runMain graft.R12Plans /root/testdata/sf0.1 plans/r12 before q1,q2,..."
+  *   sbt "runMain graft.PlanCapture /root/testdata/sf0.1 plans/r13 before q1,q2,..."
   */
-object R12Plans {
+object PlanCapture {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, suffix, list) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,19 +30,21 @@ object R12Plans {
     SparkEntry.artifactBuilds.foreach { case (_, _, ensure) => ensure(spark, sfDir) }
     list.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      spark.sparkContext.setJobDescription(s"r12plans: $name")
-      // collect() (not a noop write) so THIS queryExecution's
-      // AdaptiveSparkPlan is the one executed — the explain below then
-      // prints the AQE-FINAL plan (ReusedExchange/ReusedQueryStage,
-      // runtime join strategy changes), not the initial estimate. A
-      // noop write spawns a separate QueryExecution and leaves this
-      // one unexecuted (first capture of this round made exactly that
-      // mistake and read duplicate subtrees AQE had in fact deduped).
-      df.collect()
+      spark.sparkContext.setJobDescription(s"plancapture: $name")
+      // Execute THIS queryExecution's AdaptiveSparkPlan — the explain
+      // below then prints the AQE-FINAL plan (ReusedExchange, runtime
+      // join strategy changes), not the initial estimate. A noop write
+      // spawns a SEPARATE QueryExecution and leaves this one unexecuted
+      // (the r12 first capture made exactly that mistake). Bounded
+      // materialization, not collect(): foreachPartition on the
+      // executed plan's own RDD runs every operator but transfers
+      // nothing to the driver, so large-output queries (400k-row p5,
+      // 100x captures) cannot OOM this tool (r12 ADVICE).
+      df.queryExecution.executedPlan.execute().foreachPartition(_ => ())
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan.trim + "\n")
       spark.catalog.clearCache()
-      System.err.println(s"[r12plans] wrote $outDir/${name}_$suffix.txt")
+      System.err.println(s"[plancapture] wrote $outDir/${name}_$suffix.txt")
     }
     spark.stop()
   }

@@ -171,6 +171,11 @@ object TextAnalysis extends QueryModule {
           new String(out)
         }
         it.map { case (id, text) =>
+          // Null guard (r12 ADVICE): the windowed form returned a NULL
+          // fingerprint for a null text (md5(NULL) is NULL under the
+          // coalesce(fp5, md5(text)) fallback); the typed closure must
+          // match, not NPE, if a future fixture/ingest adds null rows.
+          if (text == null) (id, null: String) else {
           // words() twin (docShingleArrays precedent): identical token
           // list once empties are filtered.
           val w = text.split("\\s+").filter(_.nonEmpty)
@@ -183,6 +188,7 @@ object TextAnalysis extends QueryModule {
             i += 1
           }
           (id, if (best != null) best else md5hex(text))
+          }
         }
       }.toDF("doc_id", "fingerprint")
   }
@@ -339,31 +345,35 @@ object TextAnalysis extends QueryModule {
     * scan-speed cleaning, the standard pre-tokenization pass. Patterns
     * stay in the RE2 ∩ Java-regex dialect so the DuckDB oracle runs the
     * same expressions. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[^\\s]+"
-  private val LongNumRe = "[0-9]{6,}"
+  // Kept as the reference spellings the ScrubStats kernel is spec-pinned
+  // against (ScrubStatsSpec re-runs the regex pipeline from THESE strings,
+  // so query and spec can never drift apart); the oracle SQL repeats them.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val UrlRe = "https?://[^\\s]+"
+  private[graft] val LongNumRe = "[0-9]{6,}"
 
   private def t8(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scrubbed = regexp_replace(
-      regexp_replace(
-        regexp_replace($"text", UrlRe, "<URL>"),
-        EmailRe, "<EMAIL>"),
-      LongNumRe, "<NUM>")
-    // Sort FIRST, scrub AFTER (guide §2.3 inverted for a widening
-    // projection): with the projection below the sort, the range
-    // exchange's bounds-sampling pass ran all six regex passes once
-    // and the shuffle write ran them again; sorted raw rows carry the
-    // same text bytes, and the scrub battery runs exactly once above
-    // the Sort. Project over Sort preserves order — byte-identical.
+    // r13: the six regex NFA passes (3 regexp_replace + 3 regexp_count)
+    // are fused into ONE compiled byte-scan kernel,
+    // [[graft.functions.ScrubKernel]] — Java-regex semantics emulated
+    // exactly and spec-pinned against the regexp_* forms over fixture +
+    // an adversarial URL/email corpus (ScrubStatsSpec); the oracle keeps
+    // the regex spelling. Sort stays FIRST (the r12 inversion): sorted
+    // raw rows carry the source bytes, the kernel runs exactly once
+    // above the Sort, and the struct binds to its own attribute first
+    // (t1's projection discipline) so it runs once per row, not per
+    // column. Project over Sort preserves order — byte-identical.
     Tables(spark, dir).documents
       .select($"doc_id", $"text")
       .orderBy($"doc_id")
       .select($"doc_id",
-        scrubbed.as("scrubbed"),
-        regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
-        regexp_count($"text", lit(UrlRe)).cast("long").as("n_urls"),
-        regexp_count($"text", lit(LongNumRe)).cast("long").as("n_long_nums"))
+        graft.functions.ScrubStatsFunctions.scrubStats(spark, $"text").as("ss"))
+      .select($"doc_id",
+        $"ss.scrubbed".as("scrubbed"),
+        $"ss.n_emails".as("n_emails"),
+        $"ss.n_urls".as("n_urls"),
+        $"ss.n_long_nums".as("n_long_nums"))
   }
 
   /** t9 — TF-IDF top terms per document: tf = occurrences in the doc,

@@ -248,7 +248,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val adversarial = Seq(
       900001L -> "", 900002L -> "   ", 900003L -> "one two three four",
       900004L -> "one two three four five", 900005L -> "  a  b\tc\nd e f  ",
-      900006L -> "héllo wörld — naïve café tokens six", 900007L -> "solo")
+      900006L -> "héllo wörld — naïve café tokens six", 900007L -> "solo",
+      900008L -> (null: String)) // null text -> null fingerprint (r12 ADVICE)
       .toDF("doc_id", "text")
     val sample = Tables(spark, dir).documents.select($"doc_id", $"text")
       .unionByName(adversarial)

@@ -533,4 +533,39 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("l_orderkey"), p)
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("t9 tf-idf: AQE exchange reuse fires — the corpus is exploded ONCE") {
+    // Pins the tautological `tf >= 1` trick (r12): it exists only to keep
+    // the df branch's pre-shuffle aggregate canonically equal to the tf
+    // branch's, so AQE stage reuse shares ONE (doc,term) exchange. A
+    // future optimizer rule that prunes the filter would silently cost a
+    // second corpus explode+shuffle with nothing failing — this spec
+    // makes that upgrade loud (r12 ADVICE).
+    val df = TextAnalysis.queries("t9_tfidf_top_terms")(spark, dir)
+    df.collect() // AQE-final plan (initial plans hide stage reuse)
+    // The adaptive dump appends "== Initial Plan ==" (pre-reuse, with its
+    // duplicate subtrees) after the final plan — assert on the final
+    // section only.
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p)
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      "the corpus must be exploded exactly once\n" + p)
+  }
+
+  test("catalog-wide: no query hardwires a 32-way partition count") {
+    // The driver benches at BOTH 32 and 8 cores (SPARK_GRAFT_CPUS); a
+    // partition count hardwired to the big leg's core count would make
+    // the low-core leg lie. Today no query does this — pin it (r12
+    // verdict #9). Legitimate constants remain visible: repartition(1)
+    // presentation sorts and w9's repartition(64) sink CONTRACT.
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case r: Repartition if r.numPartitions == 32 => name
+        case r: RepartitionByExpression if r.optNumPartitions.contains(32) => name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"queries with a hardwired 32-way repartition: ${offenders.distinct.mkString(", ")}")
+  }
 }
