@@ -406,10 +406,17 @@ object Dedup extends QueryModule {
     * variants cut round count if diameters grow; not needed here). */
   private[graft] def ccHashMin(spark: SparkSession, pairs: DataFrame): DataFrame = {
     import spark.implicits._
+    // DISK_ONLY for the loop's caches (r12 verdict #6; guide §5): this
+    // is the arbitrarily-LARGE-graph path, and the default
+    // MEMORY_AND_DISK level would grow the heap by an edge-proportional
+    // block set per round right where execution memory is already
+    // under join/aggregate pressure. Disk blocks stream through the
+    // page cache; lineage stays intact for executor-loss recovery.
+    val DiskOnly = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val edges = pairs.select($"i".as("a"), $"j".as("b"))
-      .union(pairs.select($"j".as("a"), $"i".as("b"))).persist()
+      .union(pairs.select($"j".as("a"), $"i".as("b"))).persist(DiskOnly)
     var cached = edges.select($"a".as("node")).distinct()
-      .select($"node", $"node".as("lbl")).persist()
+      .select($"node", $"node".as("lbl")).persist(DiskOnly)
     cached.count() // materialize before the loop re-reads it
     var labels = cached
     var changed = 1L
@@ -423,7 +430,7 @@ object Dedup extends QueryModule {
       val next = labels.join(prop, $"node" === $"a", "left_outer")
         .select($"node", least($"lbl", coalesce($"nbr_min", $"lbl")).as("lbl"),
           coalesce($"nbr_min" < $"lbl", lit(false)).as("improved"))
-        .persist()
+        .persist(DiskOnly)
       changed = next.filter($"improved").count()
       cached.unpersist()
       cached = next

@@ -175,11 +175,27 @@ object Graph extends QueryModule {
     * verdict #2). Idempotent: memoized per (application, dir). */
   def ensureGraphFrames(spark: SparkSession, dir: String): Unit = {
     val (pairs, w, nodes) = graphFrames(spark, dir)
-    Seq(pairs, w, nodes).foreach(_.count(): Unit)
-    mutualKnn(spark, dir).count(): Unit
+    // pairs FIRST and alone: the mutual-kNN build derives from the
+    // pairs checkpoint, and concurrent first-actions racing one lazy
+    // localCheckpoint materialization is the kind of race we don't
+    // need. Then the remaining materializations are INDEPENDENT jobs
+    // (edge/node checkpoints vs the mutual-kNN derivation), so submit
+    // them from a small pool and let the scheduler back-fill the tail
+    // (guide §2.6) — measured: the w/nodes counts hide entirely under
+    // the mutual-kNN build's wall.
+    pairs.count(): Unit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      Seq[() => Unit](
+        () => { w.count(): Unit },
+        () => { nodes.count(): Unit },
+        () => { mutualKnn(spark, dir).count(): Unit })
+        .map(f => pool.submit(new Runnable { def run(): Unit = f() }))
+        .foreach(_.get())
+    } finally pool.shutdown()
   }
 
-  private def graphFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def graphFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val app = spark.sparkContext.applicationId
     evictOtherDirs(edgeMemo, app, dir)(v => Seq(v._1, v._2, v._3))
     edgeMemo.computeIfAbsent((app, dir), _ => {
@@ -200,7 +216,16 @@ object Graph extends QueryModule {
     val (_, w, nodes) = graphFrames(spark, dir)
     var ranks = nodes.select($"node", expr("1000000000L div nn").as("r9"), $"nn")
     for (_ <- 1 to Iterations) {
-      ranks = w.join(ranks, $"src" === $"node")
+      // broadcast(ranks), EXPLICITLY (guide §3.1 — broadcast the side
+      // that fits): left to size estimates, supersteps 2-3 planned
+      // BuildLeft broadcasts of the EDGE table (136 MiB at sf0.1,
+      // |E|-proportional — the side that must never move) against the
+      // post-aggregate rank side whose estimate the planner distrusts;
+      // the rank table is |V|-sized (625 KiB here), smaller than edges
+      // by the mean degree, and is the canonical PageRank move. At
+      // extreme |V| beyond broadcast limits, drop the hint and both
+      // sides hash-partition on the node key (scaladoc above).
+      ranks = w.join(broadcast(ranks), $"src" === $"node")
         .select($"dst", expr("(r9 * w9) div 1000000000L").as("c9"), $"nn")
         .groupBy($"dst", $"nn").agg(sum($"c9").as("inc"))
         .select($"dst".as("node"),
@@ -328,20 +353,39 @@ object Graph extends QueryModule {
   private[graft] val DegCap = 256
   private val mutualMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The mega-hub degree cap, made RUNTIME-ADAPTIVE (r13; the d7/d14
+    * count-then-pick discipline): top-DegCap supplier links per customer
+    * (n desc, sk — total order) bound the pair expansion at C(DegCap,2)
+    * rows for ANY customer. But the capping WINDOW costs a full
+    * exchange+sort of the pairs table, and on every fixture the max
+    * degree is ≤ DegCap (GraphSpec pins it) — so first spend one
+    * map-combined aggregate on max(degree) (a bounded 1-row driver
+    * value, like d7's edge count) and skip the window when no hub
+    * exceeds the cap: with every group's row_number ≤ DegCap the filter
+    * is PROVABLY the identity (spec-pinned on a crafted over-cap graph
+    * for the engaged path). Measured: the skip removes ~1.5 s of the
+    * graph build at sf0.1. */
+  private[graft] def cappedPairs(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val maxDeg = pairs.groupBy($"ck").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max($"d"), lit(0L))).as[Long].head()
+    if (maxDeg <= DegCap) pairs.select($"ck", $"sk")
+    else {
+      val capWin = Window.partitionBy($"ck").orderBy($"n".desc, $"sk")
+      pairs.withColumn("dr", row_number().over(capWin))
+        .filter($"dr" <= DegCap).select($"ck", $"sk")
+    }
+  }
+
+  private[graft] def mutualKnn(spark: SparkSession, dir: String): DataFrame = {
     val app = spark.sparkContext.applicationId
     evictOtherDirs(mutualMemo, app, dir)(Seq(_))
     mutualMemo.computeIfAbsent((app, dir), _ => {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
       val (pairs, _, _) = graphFrames(spark, dir)
-      // Mega-hub guard: top-DegCap supplier links per customer (n desc,
-      // sk — total order). WindowGroupLimit = per-task heap of DegCap;
-      // the self-join below then fans out at most C(DegCap,2) rows for
-      // ANY customer, however degenerate the 100 TB key distribution.
-      val capWin = Window.partitionBy($"ck").orderBy($"n".desc, $"sk")
-      val capped = pairs.withColumn("dr", row_number().over(capWin))
-        .filter($"dr" <= DegCap).select($"ck", $"sk")
+      val capped = cappedPairs(pairs)
       val co = capped.select($"ck", $"sk".as("s1"))
         .join(capped.select($"ck", $"sk".as("s2")), Seq("ck"))
         .filter($"s1" < $"s2")

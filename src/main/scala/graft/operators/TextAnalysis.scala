@@ -526,8 +526,15 @@ object TextAnalysis extends QueryModule {
   private def pipe1(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val normalized = trim(regexp_replace(
-      regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    // r13: d6's normalize rule via the COMPILED DedupNormalize kernel
+    // (one byte pass) instead of the two dense regexp_replace NFA
+    // passes it spells — the 100× probe read pipe1 at 41.6 s, almost
+    // all of it the `[^a-z0-9\s]`/`\s+` replace churn + sha2 over the
+    // corpus. Byte-equality to the regex form is spec-pinned
+    // (DedupSimilaritySpec, since r11); the oracle keeps the regex
+    // spelling.
+    val normalized = graft.functions.TextNormalizeFunctions
+      .dedupNormalize(spark, lower($"text"))
     // Tokenize ONCE into a bound attribute (t12's projection
     // discipline); q and total_tokens both derive from its size.
     val scored = Tables(spark, dir).documents
@@ -700,7 +707,10 @@ object TextAnalysis extends QueryModule {
     * corpus-sized join. Engine-exactness: t18's discipline — per-token
     * ln terms rounded to 9 decimals, summed as exact decimals, mean
     * rounded to 6. */
-  private def t19(spark: SparkSession, dir: String): DataFrame = {
+  /** t19's scoring body WITHOUT the presentation sort — t21 consumes
+    * this (it only aggregates, so t19's doc_id range sort would be two
+    * wasted corpus-sized exchanges inside t21's doubled subtree). */
+  private def t19Scored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val V = 1000
     val tok = Tables(spark, dir).documents
@@ -728,8 +738,10 @@ object TextAnalysis extends QueryModule {
       .select($"doc_id", $"n_tok", $"n_oov",
         round($"t".cast("double") / $"n_tok".cast("double"), 6)
           .as("mean_logprob"))
-      .orderBy($"doc_id")
   }
+
+  private def t19(spark: SparkSession, dir: String): DataFrame =
+    t19Scored(spark, dir).orderBy(col("doc_id"))
 
   /** t20 — heavy-hitter tokens via a MERGEABLE Misra-Gries sketch +
     * exact refinement (the classic 2-pass frequent-items pattern).
@@ -786,7 +798,17 @@ object TextAnalysis extends QueryModule {
     * no corpus sort, no window; the tier label is a map-side CASE. */
   private def t21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val scored = t19(spark, dir).select($"doc_id", $"n_tok", $"mean_logprob")
+    // r13 (100× probe: t21 read 11.6 s ≈ 2× t19's 5.7 s — the scored
+    // subtree executed TWICE, once under the percentile branch and once
+    // under the tier aggregate, and each copy dragged t19's
+    // presentation sort along). Two fixes: consume t19Scored (no sort —
+    // this aggregate never needed it), and persist the |docs|-sized
+    // score table DISK_ONLY so the cutpoint pass populates the cache
+    // and the tier pass reads it (the sortedOnce discipline: one
+    // compute, zero heap growth, lineage intact).
+    val scored = t19Scored(spark, dir)
+      .select($"doc_id", $"n_tok", $"mean_logprob")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cuts = scored.agg(
       percentile($"mean_logprob", lit(0.25)).as("c_lo"),
       percentile($"mean_logprob", lit(0.75)).as("c_hi"))
@@ -941,14 +963,34 @@ object TextAnalysis extends QueryModule {
   private val t23ModelMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame)]()
 
-  private def t23Bigrams(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val wv = words($"text")
-    Tables(spark, dir).documents
-      .select($"doc_id", wv.as("wv"))
-      .filter(size($"wv") >= 2)
-      .select($"doc_id", explode(transform(sequence(lit(1), size($"wv") - 1),
-        i => array_join(slice($"wv", i, lit(2)), " "))).as("b"))
+  /** The (doc_id, bigram) stream as a COMPILED per-partition closure
+    * (r13; the t4 precedent): the previous
+    * `explode(transform(sequence(...), i => array_join(slice(wv,i,2))))`
+    * form evaluates its lambda per element OUTSIDE whole-stage codegen
+    * (the interpreted-HOF trap the t4 rewrite measured at 113 s), and
+    * the 100× probe read t23 at 9.4 s with the bigram construction as
+    * the per-row kernel. Same tokenizer twin as t4/docShingleArrays
+    * (`split("\\s+").filter(_.nonEmpty)` ≡ `words()`); docs under 2
+    * words emit nothing, exactly as the old `size(wv) >= 2` filter +
+    * empty transform did. Equivalence spec-pinned
+    * (T23BigramEquivalenceSpec) against the expression form. */
+  private[graft] def t23Bigrams(spark: SparkSession, dir: String): DataFrame =
+    t23BigramsKernelForTest(Tables(spark, dir).documents)
+
+  private[graft] def t23BigramsKernelForTest(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val w = text.split("\\s+").filter(_.nonEmpty)
+            if (w.length < 2) Iterator.empty
+            else (0 until w.length - 1).iterator.map(i =>
+              (id, w(i) + " " + w(i + 1)))
+          }
+        }
+      }.toDF("doc_id", "b")
   }
 
   private def t23Models(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {

@@ -329,4 +329,38 @@ class GraphSpec extends AnyFunSuite {
           "the g3 cap would now change results; raise DegCap or salt the expansion")
     }
   }
+
+  test("adaptive degree cap: identity under DegCap, window-equal above it") {
+    // r13: cappedPairs skips the capping window when max(degree) <=
+    // DegCap (one cheap aggregate instead of a full exchange+sort of
+    // the pairs table). Under the cap the filter is provably the
+    // identity; this pins BOTH paths — the skip on an under-cap graph,
+    // and the engaged window (same rows as the always-window form) on
+    // a crafted graph with one customer past the cap (the d14
+    // force-engage discipline).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cap = graft.operators.Graph.DegCap
+    // Under-cap: 3 customers, degrees 2/1/1.
+    val small = Seq((1L, 10L, 5L), (1L, 11L, 3L), (2L, 10L, 1L), (3L, 12L, 9L))
+      .toDF("ck", "sk", "n")
+    val smallOut = graft.operators.Graph.cappedPairs(small)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(smallOut == small.select("ck", "sk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // Over-cap: customer 1 has DegCap+10 links; the adaptive path must
+    // engage the window and match the always-window form exactly.
+    val big = (1 to cap + 10).map(i => (1L, i.toLong, (i % 7 + 1).toLong))
+      .toDF("ck", "sk", "n")
+      .unionByName(Seq((2L, 1L, 4L)).toDF("ck", "sk", "n"))
+    val adaptive = graft.operators.Graph.cappedPairs(big)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capWin = Window.partitionBy($"ck").orderBy($"n".desc, $"sk")
+    val windowed = big.withColumn("dr", row_number().over(capWin))
+      .filter($"dr" <= cap).select($"ck", $"sk")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == windowed)
+    assert(adaptive.count(_._1 == 1L) == cap, "the hub must be capped")
+  }
 }
