@@ -943,14 +943,16 @@ object Dedup extends QueryModule {
       .select($"batch_id".as("doc_id")).distinct()
       .withColumn("near_hit", lit(1))
     val byHash = Window.partitionBy($"h").orderBy($"doc_id")
+    // r13: the fused StopwordStats kernel (t2/t5/pipe1's swap) — the
+    // streaming funnel and pipe2 share the same quality score, so the
+    // kernel-level fix flows to both (equivalence: StopwordStatsSpec).
     val scored = batch
       .select($"doc_id", sha2($"text", 256).as("h"),
-        TextAnalysis.words($"text").as("wv"))
+        graft.functions.StopwordStatsFunctions.stopwordStats(spark, $"text")
+          .as("sw"))
       .select($"doc_id", $"h",
-        size($"wv").cast("double").as("n_tok"),
-        size(filter($"wv", x =>
-          x.isin(TextAnalysis.Stopwords.map(lit(_)): _*)))
-          .cast("double").as("n_stop"))
+        $"sw.n_tok".cast("double").as("n_tok"),
+        $"sw.n_stop".cast("double").as("n_stop"))
       .select($"doc_id", $"h",
         round(when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0), 9)
           .as("q"))

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * projection-discipline and short-doc guards (see `ngrams` scaladoc).
   */
 object PipelineOps extends QueryModule {
-  import TextAnalysis.{words, ngrams}
+  import TextAnalysis.words
 
   /** t14 — benchmark decontamination: flag training docs sharing any
     * distinct word 5-gram with the held-out evaluation set (the
@@ -29,21 +29,53 @@ object PipelineOps extends QueryModule {
     * engines compute identical sets; a production run would join on
     * xxhash64(gram) to shrink the broadcast (collisions only
     * over-flag, which is the safe direction for decontamination). */
+  /** The per-doc DISTINCT word-5-gram stream as a COMPILED per-partition
+    * closure (r13; the t4/t23 precedent): the expression form —
+    * `explode(array_distinct(ngrams(w, 5)))` — evaluates the ngram
+    * lambda per element OUTSIDE whole-stage codegen (five element_at +
+    * concat_ws per gram, interpreted), and the 100× probe read t14 at
+    * 8.3 s with that construction as the per-row kernel on BOTH join
+    * branches. Same tokenizer twin as t4/t23; docs under 5 words emit
+    * nothing (the `when(size >= n)` guard's behavior); LinkedHashSet
+    * reproduces array_distinct's per-doc dedup (row ORDER is irrelevant
+    * downstream: a distinct and a semi-join). Equivalence spec-pinned
+    * (T23BigramEquivalenceSpec's sibling test). The doc_id slice filters
+    * are applied BELOW the closure by construction — an opaque
+    * mapPartitions would otherwise defeat the scan-level pushdown the
+    * old form got from the optimizer. */
+  private[graft] def t14GramsKernelForTest(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val w = text.split("\\s+").filter(_.nonEmpty)
+            if (w.length < 5) Iterator.empty
+            else {
+              val seen = new java.util.LinkedHashSet[String]()
+              var i = 0
+              while (i + 4 < w.length) {
+                val sb = new java.lang.StringBuilder(w(i))
+                var k = 1
+                while (k < 5) { sb.append(' ').append(w(i + k)); k += 1 }
+                seen.add(sb.toString): Unit
+                i += 1
+              }
+              scala.jdk.CollectionConverters.IteratorHasAsScala(seen.iterator())
+                .asScala.map(g => (id, g))
+            }
+          }
+        }
+      }.toDF("doc_id", "gram")
+  }
+
   private def t14(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The gram array is exploded as a DIRECT expression, never parked
-    // in an aliased column first: exploding an aliased attribute lets
-    // InferFiltersFromGenerate synthesize `size(g) > 0 AND isnotnull(g)`
-    // and predicate pushdown then substitutes the WHOLE gram-construction
-    // expression into that filter below the projection — the array gets
-    // built three times per row (measured 28 s → 3 s at sf0.1). With the
-    // expression inline the rule leaves the Generate alone.
-    val grams = Tables(spark, dir).documents
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id", explode(array_distinct(ngrams($"w", 5))).as("gram"))
-    val evalGrams = grams.filter($"doc_id" % 10 === 7)
+    val docs = Tables(spark, dir).documents
+    val evalGrams = t14GramsKernelForTest(docs.filter($"doc_id" % 10 === 7))
       .select($"gram").distinct()
-    grams.filter($"doc_id" % 10 =!= 7)
+    t14GramsKernelForTest(docs.filter($"doc_id" % 10 =!= 7))
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_contaminated_grams"))
@@ -232,26 +264,72 @@ object PipelineOps extends QueryModule {
     * collect_list (position-sorted: deterministic on any engine).
     * Scale: O(total tokens) shuffle volume, boundaries embarrassingly
     * parallel, no doc ever compares to another. */
+  /** r13: the whole chunking is PER-DOC sequential logic (the cut flag
+    * at position p depends on that doc's tokens p-3..p alone; the
+    * prefix sum and the chunk roll-up never cross documents), so the
+    * posexplode → Θ(tokens) doc-keyed window SHUFFLE → collect_list
+    * aggregate it was spelled as exists only to express in-row
+    * iteration — the t4 class. Now a COMPILED per-partition closure:
+    * scan → chunk rows, ZERO shuffle before the presentation sort
+    * (100× probe: 8.5 s → see OPTIMIZATION_r13.md). Twin semantics,
+    * spec-pinned (T29CdcEquivalenceSpec) against the windowed form:
+    * words() tokenizer twin, MessageDigest-MD5 hex == Spark md5()
+    * (t4's argument), cut = (p0 ≥ 3 ∧ md5(4 tokens ending at p0) ends
+    * in '0'), a cut row CLOSES its chunk (the preceding-rows-only
+    * prefix sum), chunk hash = md5 of the chunk's tokens joined by
+    * single spaces in position order. sortedOnce: the md5-per-token
+    * kernel is the presentation sort's direct child. */
+  private[graft] def t29KernelForTest(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexDigits = "0123456789abcdef".toCharArray
+        def md5hex(s: String): String = {
+          md.reset()
+          val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexDigits(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.flatMap { case (id, text) =>
+          val w = if (text == null) Array.empty[String]
+            else text.split("\\s+").filter(_.nonEmpty)
+          if (w.isEmpty) Iterator.empty
+          else {
+            val chunks = scala.collection.mutable.Buffer
+              .empty[(Long, Long, Long, Long, String)]
+            var chunkId = 0L
+            var start = 0 // 0-based index of the current chunk's first token
+            var p = 0
+            while (p < w.length) {
+              val cut = p >= 3 &&
+                md5hex(w(p - 3) + " " + w(p - 2) + " " + w(p - 1) + " " + w(p))
+                  .charAt(31) == '0'
+              if (cut || p == w.length - 1) {
+                val toks = w.slice(start, p + 1)
+                chunks += ((id, chunkId, start + 1L, toks.length.toLong,
+                  md5hex(toks.mkString(" "))))
+                chunkId += 1
+                start = p + 1
+              }
+              p += 1
+            }
+            chunks.iterator
+          }
+        }
+      }.toDF("doc_id", "chunk_id", "start_tok", "n_toks", "chunk_hash")
+  }
+
   private def t29(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables(spark, dir).documents
-      .select($"doc_id", words($"text").as("w"))
-      .select($"doc_id", $"w", posexplode($"w").as(Seq("p0", "tok")))
-      .select($"doc_id", $"tok", ($"p0" + 1).cast("long").as("i"),
-        (($"p0" >= 3) &&
-          substring(md5(concat_ws(" ", slice($"w", $"p0" - 2, lit(4)))), 32, 1)
-            === "0").cast("int").as("cut"))
-    val wd = Window.partitionBy($"doc_id").orderBy($"i")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("chunk_id", coalesce(sum($"cut").over(wd), lit(0)).cast("long"))
-      .groupBy($"doc_id", $"chunk_id")
-      .agg(min($"i").as("start_tok"), count(lit(1)).as("n_toks"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct($"i", $"tok"))),
-            s => s.getField("tok")))).as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_id")
+    sortedOnce(t29KernelForTest(Tables(spark, dir).documents),
+      $"doc_id", $"chunk_id")
   }
 
   /** pipe4 — the CURATION REPORT: the composite keep/drop decision a

@@ -69,12 +69,17 @@ object TextAnalysis extends QueryModule {
     * re-evaluated it per column (no CSE across lambda boundaries). */
   private def t2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r13: n_tok/n_stop ride the fused StopwordStats byte kernel — the
+    // old `size(filter(words, isin))` evaluated its lambda per token
+    // OUTSIDE whole-stage codegen (equivalence spec-pinned,
+    // StopwordStatsSpec; the oracle keeps the split/filter spelling).
     val base = Tables(spark, dir).documents
-      .select($"doc_id", $"text", words($"text").as("w"))
+      .select($"doc_id", $"text",
+        graft.functions.StopwordStatsFunctions.stopwordStats(spark, $"text")
+          .as("sw"))
       .select($"doc_id",
-        size($"w").cast("double").as("n_tok"),
-        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
-          .cast("double").as("n_stop"),
+        $"sw.n_tok".cast("double").as("n_tok"),
+        $"sw.n_stop".cast("double").as("n_stop"),
         // The punct count is TokenStats' third field (see t1) — the
         // oracle keeps the regex spelling; count-equality spec-pinned.
         graft.functions.TokenStatsFunctions.tokenStats(spark, $"text")
@@ -223,12 +228,15 @@ object TextAnalysis extends QueryModule {
     * round9stable's danger arithmetic). */
   private def t5(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r13: fused StopwordStats kernel (see t2) — BOTH passes (stats +
+    // filter) pay the per-row score, so the kernel saves twice here.
     val scored = Tables(spark, dir).documents
-      .select($"doc_id", words($"text").as("w"))
       .select($"doc_id",
-        size($"w").cast("double").as("n_tok"),
-        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
-          .cast("double").as("n_stop"))
+        graft.functions.StopwordStatsFunctions.stopwordStats(spark, $"text")
+          .as("sw"))
+      .select($"doc_id",
+        $"sw.n_tok".cast("double").as("n_tok"),
+        $"sw.n_stop".cast("double").as("n_stop"))
       .select($"doc_id",
         round(when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0), 9)
           .as("q"))
@@ -253,12 +261,14 @@ object TextAnalysis extends QueryModule {
     * at 100 TB runs the approx filter alone (`q >= q25a`). */
   private def t5b(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r13: fused StopwordStats kernel, like t5 (spec-pinned).
     val scored = Tables(spark, dir).documents
-      .select($"doc_id", words($"text").as("w"))
       .select($"doc_id",
-        size($"w").cast("double").as("n_tok"),
-        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
-          .cast("double").as("n_stop"))
+        graft.functions.StopwordStatsFunctions.stopwordStats(spark, $"text")
+          .as("sw"))
+      .select($"doc_id",
+        $"sw.n_tok".cast("double").as("n_tok"),
+        $"sw.n_stop".cast("double").as("n_stop"))
       .select($"doc_id",
         round(when($"n_tok" > 0, $"n_stop" / $"n_tok").otherwise(0.0), 9)
           .as("q")) // quantized like t5 so the tiers share one score scale
@@ -535,15 +545,16 @@ object TextAnalysis extends QueryModule {
     // spelling.
     val normalized = graft.functions.TextNormalizeFunctions
       .dedupNormalize(spark, lower($"text"))
-    // Tokenize ONCE into a bound attribute (t12's projection
-    // discipline); q and total_tokens both derive from its size.
+    // r13: n_tok/n_stop via the fused StopwordStats kernel (see t2) —
+    // one byte pass instead of tokenize + the interpreted per-token
+    // stopword lambda, on BOTH the stats and the main branch.
     val scored = Tables(spark, dir).documents
-      .select($"doc_id", $"lang", $"n_chars", words($"text").as("w"),
+      .select($"doc_id", $"lang", $"n_chars",
+        graft.functions.StopwordStatsFunctions.stopwordStats(spark, $"text")
+          .as("sw"),
         sha2(normalized, 256).as("norm_hash"))
       .select($"doc_id", $"lang", $"n_chars", $"norm_hash",
-        size($"w").cast("long").as("n_tok"),
-        size(filter($"w", x => x.isin(Stopwords.map(lit(_)): _*)))
-          .cast("long").as("n_stop"))
+        $"sw.n_tok".as("n_tok"), $"sw.n_stop".as("n_stop"))
       .select($"doc_id", $"lang", $"n_chars", $"n_tok", $"norm_hash",
         round(when($"n_tok" > 0,
           $"n_stop".cast("double") / $"n_tok".cast("double"))
@@ -929,11 +940,50 @@ object TextAnalysis extends QueryModule {
     * vocabulary, word = replace(sym, ' ', ''), units =
     * len(string_split(sym)). Integer counts; the one double is the
     * final ratio (round-6, the catalog's O(1)-ratio discipline). */
+  /** t25's (doc_id, lowercased-[a-z]+ run) word stream as a COMPILED
+    * closure (r13; the t4/t23/t29 class): `regexp_extract_all` is one
+    * more NFA pass over the corpus where a char scan suffices. Scan
+    * semantics: lowercase first (JVM lowercasing, Locale.ROOT — on
+    * non-special-casing locales identical to Spark's `lower`; the
+    * equivalence spec compares against the expression form directly),
+    * then maximal ASCII `[a-z]` runs of the LOWERED string — surrogate
+    * code units can never sit in 'a'..'z', so charAt scanning is exact.
+    * t24's one-per-session memoized trainer keeps the regex spelling
+    * (builds once; result-identical by the same equivalence). */
+  private[graft] def t25WordsKernelForTest(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val s = text.toLowerCase(java.util.Locale.ROOT)
+            new Iterator[(Long, String)] {
+              private var i = 0
+              private def skip(): Unit = {
+                while (i < s.length && (s.charAt(i) < 'a' || s.charAt(i) > 'z'))
+                  i += 1
+              }
+              skip()
+              def hasNext: Boolean = i < s.length
+              def next(): (Long, String) = {
+                val st = i
+                while (i < s.length && s.charAt(i) >= 'a' && s.charAt(i) <= 'z')
+                  i += 1
+                val w = s.substring(st, i)
+                skip()
+                (id, w)
+              }
+            }
+          }
+        }
+      }.toDF("doc_id", "w")
+  }
+
   private def t25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val merges = bpeTrace(spark, dir).map(_._2)
-    val words = Tables(spark, dir).documents
-      .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+    val words = t25WordsKernelForTest(Tables(spark, dir).documents)
     val wcounts = words.groupBy($"doc_id", $"w").agg(count(lit(1)).as("n"))
     val applied = merges.foldLeft(trim(regexp_replace($"w", "(.)", "$1 ")): Column)(
       (c, p) => replace(c, lit(p), lit(p.replace(" ", ""))))

@@ -37,4 +37,52 @@ class T23BigramEquivalenceSpec extends AnyFunSuite {
       s"bigram multiset divergence: ${(actual.toSet diff expected.toSet).take(3)} / " +
         s"${(expected.toSet diff actual.toSet).take(3)}")
   }
+
+  test("t14 distinct-5-gram closure equals explode(array_distinct(ngrams(w,5)))") {
+    import spark.implicits._
+    val adversarial = Seq(
+      920001L -> "", 920002L -> "one two three four",
+      920003L -> "one two three four five",
+      920004L -> "a b c d e f g", 920005L -> "x x x x x x x", // repeats dedup
+      920006L -> "  pad  a\tb\nc d e  ", 920007L -> (null: String))
+      .toDF("doc_id", "text")
+    val sample = Tables(spark, dir).documents.select($"doc_id", $"text")
+      .unionByName(adversarial)
+    val wv = filter(split($"text", "\\s+"), w => w =!= lit(""))
+    val ng = when(size(wv) >= 5,
+        transform(sequence(lit(1), size(wv) - 4),
+          i => concat_ws(" ", (0 until 5).map(k =>
+            element_at(wv, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val expected = sample
+      .select($"doc_id", explode(array_distinct(ng)).as("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val actual = graft.operators.PipelineOps.t14GramsKernelForTest(sample)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(actual == expected,
+      s"5-gram set divergence: ${(actual diff expected).take(3)} / " +
+        s"${(expected diff actual).take(3)}")
+  }
+
+  test("t25 lowercase-letter-run closure equals regexp_extract_all(lower, '[a-z]+')") {
+    import spark.implicits._
+    val adversarial = Seq(
+      940001L -> "", 940002L -> "ABC def GhI", 940003L -> "x1y2z3",
+      940004L -> "İstanbul I THE End ß ÀÉ naïve", // casing edge chars
+      940005L -> "日本語abcテキストDEF", 940006L -> "---", 940007L -> (null: String))
+      .toDF("doc_id", "text")
+    val sample = Tables(spark, dir).documents.select($"doc_id", $"text")
+      .unionByName(adversarial)
+    val expected = sample
+      .select($"doc_id",
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy($"doc_id", $"w").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val actual = graft.operators.TextAnalysis.t25WordsKernelForTest(sample)
+      .groupBy($"doc_id", $"w").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(actual == expected,
+      s"word multiset divergence: ${(actual.toSet diff expected.toSet).take(3)} / " +
+        s"${(expected.toSet diff actual.toSet).take(3)}")
+  }
 }
