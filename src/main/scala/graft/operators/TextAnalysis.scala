@@ -820,9 +820,14 @@ object TextAnalysis extends QueryModule {
     val scored = t19Scored(spark, dir)
       .select($"doc_id", $"n_tok", $"mean_logprob")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // round(·, 6) on an already-6-decimal value is the IDENTITY (bit-
+    // identical: |score| ≤ ~20 ≪ the idempotence bound), re-stated here
+    // because the cache boundary hides t19's producing round() from the
+    // catalog-wide percentile-state walk — the quantization is real,
+    // this keeps it provable.
     val cuts = scored.agg(
-      percentile($"mean_logprob", lit(0.25)).as("c_lo"),
-      percentile($"mean_logprob", lit(0.75)).as("c_hi"))
+      percentile(round($"mean_logprob", 6), lit(0.25)).as("c_lo"),
+      percentile(round($"mean_logprob", 6), lit(0.75)).as("c_hi"))
     scored.crossJoin(broadcast(cuts))
       .select($"n_tok", $"mean_logprob",
         when($"mean_logprob" < $"c_lo", "tail")
